@@ -1,0 +1,11 @@
+"""Harness-facing query bindings.
+
+Each module pairs engine operators (yodel_etl_spark.ops / .scale / …)
+with a DuckDB oracle so the driver can verify them end-to-end.
+Importing this package registers every query in
+``yodel_etl_spark.registry.QUERIES``.
+"""
+
+from yodel_etl_spark.queries import (  # noqa: F401
+    relational,
+)

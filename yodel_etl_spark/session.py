@@ -1,0 +1,103 @@
+"""SparkSession construction + canonical table loading.
+
+Single place where engine-wide configuration lives so that tests, the
+driver entrypoint and bench all run with identical semantics.
+
+Scale posture (100 TB / 1000 executors):
+  * AQE on — runtime coalescing, skew-join splitting, dynamic broadcast.
+  * Arrow on — every pandas-interop boundary is vectorized.
+  * Session timezone pinned UTC — timestamp semantics identical across
+    engines (parquet naive timestamps ⇄ DuckDB oracle).
+  * ``shuffle.partitions`` defaults to a small value for local test scale
+    but is an explicit knob; on a real cluster set ≈ 2-3× total cores —
+    AQE coalesces down, so erring high is safe.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: canonical test tables (TESTDATA.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "yodel_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession with engine-wide confs."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # -- determinism / oracle parity -------------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's
+        # parquet reader rejects; read as long and convert in load_tables
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # -- adaptive execution: runtime re-plan at any scale ----------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # -- shuffle sizing -------------------------------------------
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # -- arrow for every pandas boundary --------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # -- broadcast: dims up to 64 MB go broadcast ------------------
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # -- external-inference concurrency cap (llm/infer.py) ---------
+        .config("spark.yodel.llm.maxConcurrency", "8")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load the canonical parquet tables from a scale-factor directory.
+
+    Plain ``spark.read.parquet`` — column pruning and predicate pushdown
+    reach the scan automatically once downstream ops are declarative.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS); with
+    ``nanosAsLong`` it surfaces as nanoseconds-since-epoch LongType and
+    is converted here to a proper TimestampType (values are µs-grained,
+    so the conversion is lossless).
+    """
+    from pyspark.sql import functions as F
+
+    # The driver hands us ITS SparkSession (no engine confs), so pin the
+    # semantics-critical confs at runtime — both are plain SQLConfs.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        for field in df.schema.fields:
+            if field.name == "ts" and field.dataType.typeName() in ("long", "bigint"):
+                df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        out[name] = df
+    return out
