@@ -9,4 +9,5 @@ Importing this package registers every query in
 from yodel_etl_spark.queries import (  # noqa: F401
     classify,
     relational,
+    sessionize,
 )

@@ -1,0 +1,129 @@
+"""Sessionization queries (SURVEY §2.5 W1-W3, §2.4 A5) bound to the
+``events`` table: each user's event stream becomes an ordered message
+array (view→assistant, click→user), then the reference's first-QA walk
+runs as pure array expressions.
+
+Scale: one shuffle (groupBy user) for the array build — the minimum any
+per-session semantic costs — then narrow.  The A5 last-value-wins query
+is a single partial-aggregable max_by-style reduction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yodel_etl_spark.ops.sessionize import collect_messages, first_qa
+from yodel_etl_spark.registry import register
+from yodel_etl_spark.session import load_tables
+
+_ROLE_SQL = "CASE event_type WHEN 'view' THEN 'assistant' WHEN 'click' THEN 'user' ELSE event_type END"
+
+_FIRST_QA_ORACLE = f"""
+    WITH typed AS (
+      SELECT user_id, ts, event_id,
+             {_ROLE_SQL} AS role,
+             CAST(event_id AS VARCHAR) AS content
+      FROM events
+    ), packed AS (
+      SELECT user_id,
+             list(struct_pack(role := role, content := content) ORDER BY ts, event_id) AS msgs
+      FROM typed GROUP BY user_id
+    ), dropped AS (
+      SELECT user_id,
+             CASE WHEN len(msgs) > 0 AND msgs[1].role = 'assistant'
+                  THEN msgs[2:] ELSE msgs END AS msgs
+      FROM packed
+    ), located AS (
+      SELECT user_id, msgs,
+             coalesce(list_position(list_transform(msgs, m -> m.role), 'user'), 0) AS uidx
+      FROM dropped
+    ), walked AS (
+      SELECT user_id, msgs, uidx,
+             msgs[uidx+1:] AS tail
+      FROM located
+    ), taken AS (
+      SELECT user_id, msgs, uidx,
+             CASE WHEN coalesce(list_position(list_transform(tail, m -> m.role = 'assistant'), false), 0) = 0
+                  THEN tail
+                  ELSE tail[1:list_position(list_transform(tail, m -> m.role = 'assistant'), false) - 1]
+             END AS replies
+      FROM walked
+    )
+    SELECT user_id,
+           CASE WHEN uidx > 0
+                THEN trim(regexp_replace(coalesce(msgs[uidx].content, ''), '[\\t\\r\\n]', ' ', 'g'))
+                ELSE '' END AS user_question,
+           CASE WHEN uidx > 0
+                THEN coalesce(array_to_string(
+                       list_filter(
+                         list_transform(replies,
+                           m -> trim(regexp_replace(coalesce(m.content, ''), '[\\t\\r\\n]', ' ', 'g'))),
+                         p -> p <> ''), ' '), '')
+                ELSE '' END AS assistant_response
+    FROM taken
+"""
+
+
+def _first_qa_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    role = (
+        F.when(F.col("event_type") == "view", "assistant")
+        .when(F.col("event_type") == "click", "user")
+        .otherwise(F.col("event_type"))
+    )
+    msgs = collect_messages(ev, "user_id", ["ts", "event_id"], role, F.col("event_id").cast("string"))
+    qa = msgs.select("user_id", first_qa(F.col("messages")).alias("qa"))
+    return qa.select("user_id", "qa.user_question", "qa.assistant_response")
+
+
+@register(
+    "sessionize_first_qa",
+    oracle=_FIRST_QA_ORACLE,
+    doc="W1-W3: drop leading greeting, first user message, contiguous "
+    "assistant-reply concat — the reference's per-session walk "
+    "(extract_chat_qa_tsv.py:84-129) as higher-order array exprs.",
+    tags=("sessionize",),
+    bench=True,
+)
+def sessionize_first_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _first_qa_df(spark, sf_dir)
+
+
+@register(
+    "sessionize_first_qa_nonempty",
+    oracle=f"SELECT * FROM ({_FIRST_QA_ORACLE}) WHERE user_question <> '' OR assistant_response <> ''",
+    doc="Same with the default include-empty=False filter "
+    "(extract_chat_qa_tsv.py:156-157).",
+    tags=("sessionize",),
+)
+def sessionize_first_qa_nonempty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qa = _first_qa_df(spark, sf_dir)
+    return qa.where((F.col("user_question") != "") | (F.col("assistant_response") != ""))
+
+
+@register(
+    "session_last_event",
+    oracle="""
+    SELECT user_id,
+           last(value ORDER BY ts, event_id) AS last_value,
+           last(event_type ORDER BY ts, event_id) AS last_type,
+           max(ts) AS last_ts,
+           count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="A5 last-value-wins fold (SSE overwrite semantics, "
+    "test_chat_assistant.py:59-69): max_by keyed by (ts, event_id) — "
+    "partial-aggregable, single shuffle, no window needed.",
+    tags=("sessionize", "agg"),
+)
+def session_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.max_by("value", key).alias("last_value"),
+        F.max_by("event_type", key).alias("last_type"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -98,6 +98,7 @@ def load_tables(
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         for field in df.schema.fields:
             if field.name == "ts" and field.dataType.typeName() in ("long", "bigint"):
-                df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+                # integer div: epoch-ns values exceed double's 2^53 mantissa
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         out[name] = df
     return out
