@@ -8,6 +8,8 @@ Importing this package registers every query in
 
 from yodel_etl_spark.queries import (  # noqa: F401
     classify,
+    judge,
+    refs,
     relational,
     sessionize,
 )
