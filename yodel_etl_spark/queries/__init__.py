@@ -12,4 +12,5 @@ from yodel_etl_spark.queries import (  # noqa: F401
     refs,
     relational,
     sessionize,
+    windows,
 )

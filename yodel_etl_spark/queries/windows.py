@@ -1,0 +1,110 @@
+"""Event-time window queries (SURVEY §2.9) — the batch twins of the
+streaming operators in yodel_etl_spark.streaming.events, verified
+against DuckDB time_bucket / gaps-and-islands oracles.
+
+(Session timezone is pinned UTC in load_tables, so window boundaries
+are engine-identical.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yodel_etl_spark.queries._util import cents
+from yodel_etl_spark.registry import register
+from yodel_etl_spark.session import load_tables
+from yodel_etl_spark.streaming.events import session_windows, sliding_counts, tumbling_counts
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="Tumbling 1-hour event-time window per type — the streaming "
+    "aggregation shape (watermark + window) in its batch form.",
+    tags=("window", "streaming"),
+    bench=True,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return tumbling_counts(ev, "1 hour", value_cents=cents("value"))
+
+
+@register(
+    "events_sliding_counts",
+    oracle="""
+    WITH k AS (SELECT 0 AS off UNION ALL SELECT 1),
+    win AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - off * INTERVAL '30 minutes' AS window_start
+      FROM events, k
+    )
+    SELECT window_start, count(*) AS n_events
+    FROM win GROUP BY 1
+    """,
+    doc="Sliding window (1h / 30m slide): every event lands in 2 "
+    "windows; oracle materializes the two offsets explicitly.",
+    tags=("window", "streaming"),
+)
+def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return sliding_counts(ev, "1 hour", "30 minutes")
+
+
+@register(
+    "events_session_windows",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), isl AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM g
+    )
+    SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts, count(*) AS n_events
+    FROM isl GROUP BY user_id, session_no
+    """,
+    doc="Per-user session windows (30-min inactivity gap) — "
+    "session_window in Spark vs. gaps-and-islands oracle.",
+    tags=("window", "streaming", "sessionize"),
+    bench=True,
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return session_windows(ev, "30 minutes")
+
+
+@register(
+    "events_type_rates",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 / count(*) AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="A2 success/failure-style counters as a grouped aggregate "
+    "(convert_json_to_text.py:196-227 counters, distributed form).",
+    tags=("agg", "streaming"),
+)
+def events_type_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    n = F.count(F.lit(1))
+    sum_cents = F.sum(cents("value"))
+    return ev.groupBy("event_type").agg(
+        n.alias("n"),
+        (sum_cents / 100.0).alias("total_value"),
+        (sum_cents / 100.0 / n).alias("avg_value"),
+    )

@@ -1,0 +1,93 @@
+"""Event-time windowed analytics over the ``events`` feed.
+
+Batch/streaming-unified: each function takes any DataFrame (static or
+``readStream``) with an event-time column and returns the transformed
+frame.  In streaming mode add ``with_watermark`` first; state cleanup
+then follows the watermark.  In batch mode the exact same plan runs —
+``window``/``session_window`` are ordinary Catalyst expressions.
+
+Scale notes:
+  * tumbling/sliding aggs are partial-aggregable → map-side combine,
+    one shuffle on (window, keys);
+  * session windows shuffle on the user key once; Spark merges
+    overlapping sessions in state (streaming) or via sort within
+    partition (batch);
+  * last-value-wins is ``max_by`` — no window function, no second
+    shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_watermark(df: DataFrame, ts_col: str = "ts", delay: str = "10 minutes") -> DataFrame:
+    """Late-data bound for streaming state cleanup (no-op semantics in
+    batch; the reference has no late-data policy — SURVEY §2.9)."""
+    return df.withWatermark(ts_col, delay)
+
+
+def tumbling_counts(
+    df: DataFrame,
+    duration: str = "1 hour",
+    ts_col: str = "ts",
+    extra_keys: tuple[str, ...] = ("event_type",),
+    value_cents: Column | None = None,
+) -> DataFrame:
+    """Tumbling event-time window → count + exact-cents value sum."""
+    w = F.window(ts_col, duration)
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_cents is not None:
+        aggs.append((F.sum(value_cents) / 100.0).alias("total_value"))
+    return (
+        df.groupBy(w.alias("w"), *extra_keys)
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *extra_keys,
+            *[F.col(a) for a in (["n_events", "total_value"] if value_cents is not None else ["n_events"])],
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame, duration: str = "1 hour", slide: str = "30 minutes", ts_col: str = "ts"
+) -> DataFrame:
+    """Sliding window counts (each event lands in duration/slide windows)."""
+    w = F.window(ts_col, duration, slide)
+    return (
+        df.groupBy(w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_windows(
+    df: DataFrame, gap: str = "30 minutes", user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Per-user session windows with inactivity ``gap``
+    (the sessionization analogue of the reference's per-question session
+    isolation, test_chat_assistant.py:4-5).  Emits one row per session:
+    first/last event time + count."""
+    sw = F.session_window(F.col(ts_col), gap)
+    return (
+        df.groupBy(sw.alias("sw"), user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .select(user_col, "first_ts", "last_ts", "n_events")
+    )
+
+
+def last_value_wins(df: DataFrame, key_col: str, order_cols: list[str], value_cols: list[str]) -> DataFrame:
+    """A5: final observed value per key (SSE overwrite semantics,
+    test_chat_assistant.py:59-69) — ``max_by`` over the order key;
+    in streaming use output mode ``update``/``complete``."""
+    key = F.struct(*[F.col(c) for c in order_cols])
+    return df.groupBy(key_col).agg(
+        *[F.max_by(v, key).alias(f"last_{v}") for v in value_cols]
+    )
