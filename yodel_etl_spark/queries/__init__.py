@@ -11,6 +11,10 @@ from yodel_etl_spark.queries import (  # noqa: F401
     judge,
     refs,
     relational,
+    scale_dedup,
+    scale_multimodal,
+    scale_similarity,
+    scale_text,
     sessionize,
     windows,
 )

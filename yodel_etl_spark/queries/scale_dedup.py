@@ -1,0 +1,147 @@
+"""Deduplication queries over ``documents`` / ``embeddings``.
+
+The testdata plants word-level near-duplicates (Jaccard ≈ 0.98 pairs at
+sf0.01) but no byte-exact ones — exact dedup correctly finds singleton
+groups while the near-dup family finds the planted pairs.
+
+Oracle strategy: the brute-force O(n²) Jaccard / cosine comparisons are
+feasible at oracle SF; MinHash-LSH shares the same brute-force oracle
+because its banding curve at these parameters has recall ≈ 1-1e-12 for
+J ≥ 0.8 (verified empirically on the deterministic testdata at the
+driver's SF).  SimHash has no cross-engine twin (xxhash64) → rows-only
++ golden tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yodel_etl_spark.registry import register
+from yodel_etl_spark.scale.dedup import (
+    exact_groups,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from yodel_etl_spark.scale.similarity import cosine_pairs
+from yodel_etl_spark.session import load_tables
+
+_SHINGLES_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 3
+                  THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                                                    i -> array_to_string(tk[i:i+2], ' ')))
+                  ELSE [] END AS sh
+      FROM toks
+    )
+"""
+
+_JACCARD_BRUTE_SQL = (
+    _SHINGLES_SQL
+    + """
+    , pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.sh, b.sh)) AS n_common,
+             len(a.sh) AS na, len(b.sh) AS nb
+      FROM sh a, sh b WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) AS jaccard
+    FROM pairs
+    WHERE CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) >= 0.8
+"""
+)
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_members
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup: hash-groupBy on the md5 digest (shuffle 32-byte "
+    "keys, not documents), canonical min-id member per group.",
+    tags=("dedup",),
+    bench=True,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return exact_groups(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle=_JACCARD_BRUTE_SQL,
+    doc="Exact 3-gram Jaccard near-dup pairs (J ≥ 0.8) via "
+    "inverted-index join — linear in postings, vs the oracle's O(n²) "
+    "cross join; identical results by construction.",
+    tags=("dedup",),
+    bench=True,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_JACCARD_BRUTE_SQL,
+    doc="MinHash (64 hashes) + LSH banding (16 bands × 4 rows) with "
+    "exact-Jaccard verify.  Precision 1 by construction; banding recall "
+    "at J=0.8 is 1-(1-0.8^4)^16 ≈ 0.9998 and ≈ 1-1e-12 for the planted "
+    "J≈0.98 pairs, so the brute-force oracle matches on this data.",
+    tags=("dedup",),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16, k=3)
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64 has no DuckDB twin — rows-only + golden tests
+    doc="SimHash(64-bit) near-dup pairs, Hamming ≤ 3, via 8-block "
+    "pigeonhole banding (guaranteed recall for distance < 8) + exact "
+    "bit_count verify.",
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return simhash_pairs(docs, "doc_id", "text", max_distance=3, blocks=8)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                 / (a.nrm * b.nrm), 6) AS cosine_r
+    FROM n a, n b
+    WHERE a.vec_id < b.vec_id
+      AND list_sum(list_transform(range(1, len(a.embedding) + 1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (a.nrm * b.nrm) >= 0.4
+    """,
+    doc="Embedding-cosine near-dup pairs (cos ≥ 0.4): index-order double "
+    "fold is bit-identical across engines (verified), so no tolerance "
+    "is needed.  Scale path: hyperplane_lsh_pairs generates candidates, "
+    "this exact compare verifies.",
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)

@@ -1,0 +1,62 @@
+"""Similarity-search queries over ``embeddings``: exact brute-force
+top-k (oracle) and the IVF approximate path (rows-only; recall asserted
+in tests)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yodel_etl_spark.registry import register
+from yodel_etl_spark.scale.similarity import brute_force_topk, ivf_topk
+from yodel_etl_spark.session import load_tables
+
+_TOPK_ORACLE = """
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+                     i -> CAST(v.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+                   / (v.nrm * q.nrm), 6) AS cosine_r
+      FROM n v, n q
+      WHERE q.vec_id < 10 AND v.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine_r FROM (
+      SELECT query_id, neighbor_id, cosine_r,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_r DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+@register(
+    "similarity_topk",
+    oracle=_TOPK_ORACLE,
+    doc="Exact cosine top-5 for 10 query vectors: broadcast the query "
+    "side, scan candidates once, window-rank with deterministic "
+    "(score, id) tie-break.  At 100 TB this shape is 'broadcast the "
+    "query batch, one pass over the corpus' — no shuffle of the corpus.",
+    tags=("similarity",),
+    bench=True,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return brute_force_topk(emb, "vec_id", "embedding", F.col("id") < 10, topk=5)
+
+
+@register(
+    "similarity_topk_ivf",
+    oracle=None,  # approximate: recall vs brute force asserted in tests
+    doc="IVF top-5: deterministic training-free coarse quantizer "
+    "(every 50th vector is a centroid), nprobe=3 — candidates shrink "
+    "to ≈ n·nprobe/C; the 100 TB ANN path.",
+    tags=("similarity",),
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return ivf_topk(emb, "vec_id", "embedding", F.col("id") < 10, topk=5, centroid_every=50, nprobe=3)

@@ -1,0 +1,144 @@
+"""Text-analysis queries over ``documents`` (north-star: corpus
+curation at 100 TB — every query is one narrow codegen pass)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yodel_etl_spark.registry import register
+from yodel_etl_spark.scale.textstats import (
+    LANG_MARKERS,
+    bpe_ish_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+from yodel_etl_spark.session import load_tables
+
+#: DuckDB fragments mirroring scale.textstats
+TOK_SQL = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+TOK_LOWER_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+_STOP = "['the', 'a', 'and', 'of']"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len({TOK_SQL}) AS n_tokens,
+           len(list_distinct({TOK_SQL})) AS n_uniq_tokens,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+           len(list_filter({TOK_SQL}, t -> list_contains({_STOP}, lower(t)))) AS n_stopwords
+    FROM documents
+    """,
+    doc="Token/char/punct/stopword counters — the raw material of "
+    "corpus quality filters.",
+    tags=("textstats",),
+    bench=True,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    stats = token_stats(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in stats.items()])
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len({TOK_SQL}) AS n_tokens,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+             len(list_filter({TOK_SQL}, t -> list_contains({_STOP}, lower(t)))) AS n_stopwords
+      FROM documents
+    )
+    SELECT doc_id,
+           greatest(least(
+             CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 1.0 ELSE 0.0 END * 0.4
+             + CASE WHEN CAST(n_tokens AS DOUBLE) > 0
+                    THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END * 0.2
+             + CASE WHEN n_chars > 0
+                    THEN CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END * 0.4
+             - CASE WHEN n_chars > 0
+                    THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END * 0.5,
+           1.0), 0.0) AS quality
+    FROM s
+    """,
+    doc="Deterministic [0,1] quality heuristic (length band, stopword "
+    "presence, alpha ratio, punct penalty) — per-row doubles, "
+    "bit-identical across engines.",
+    tags=("textstats",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def _lang_hits_sql(lang: str) -> str:
+    markers = "[" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
+    return f"len(list_filter({TOK_LOWER_SQL}, t -> list_contains({markers}, t)))"
+
+
+_LANGS = sorted(LANG_MARKERS)
+_HITS = ", ".join(f"{_lang_hits_sql(lang)} AS h_{lang}" for lang in _LANGS)
+_GREATEST = "greatest(" + ", ".join(f"h_{lang}" for lang in _LANGS) + ")"
+_ARGMAX = " ".join(
+    f"WHEN h_{lang} >= {_GREATEST} THEN '{lang}'" for lang in _LANGS
+)
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, lang, {_HITS} FROM documents)
+    SELECT doc_id, lang AS lang_actual,
+           CASE WHEN {_GREATEST} = 0 THEN 'und' {_ARGMAX} ELSE 'und' END AS lang_pred
+    FROM h
+    """,
+    doc="Stopword-anchor language ID: argmax of per-language marker "
+    "hits, alphabetical tie-break, 'und' when silent.",
+    tags=("textstats",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return docs.select(
+        "doc_id", F.col("lang").alias("lang_actual"), lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+@register(
+    "text_bpe_counts",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_ish
+    FROM documents
+    """,
+    doc="BPE-ish pre-tokenizer counts via regexp_extract_all "
+    "(letter runs / digit runs / single marks).",
+    tags=("textstats",),
+)
+def text_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return docs.select("doc_id", bpe_ish_count(F.col("text")).alias("n_bpe_ish"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5(array_to_string({TOK_LOWER_SQL}, ' ')) AS fp
+    FROM documents
+    """,
+    doc="Canonical-form document fingerprint: md5 of the normalized "
+    "(lowercased, whitespace-collapsed) token stream.",
+    tags=("textstats", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))

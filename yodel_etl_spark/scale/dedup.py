@@ -1,0 +1,261 @@
+"""Deduplication family for LLM-corpus curation: exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale postures (the quadratic term is the enemy):
+  * exact — hash-groupBy, one shuffle on the digest, trivially linear.
+  * n-gram Jaccard — inverted-index join on shingles (linear in total
+    postings) instead of the O(n²) cross join; at 100 TB additionally
+    drop ultra-frequent shingles (df cap) and band by document length
+    (|A|/|B| ≥ t is necessary for J ≥ t), both standard prefix-filter
+    moves that only discard provably-sub-threshold pairs.
+  * MinHash+LSH — per-doc signature (k hashes over shingles), banded
+    into buckets; candidate pairs only within equal (band, bucket-key);
+    final exact-Jaccard verify removes false positives.  False
+    negatives are bounded by the banding curve (b bands × r rows:
+    P[candidate] = 1-(1-J^r)^b).
+  * SimHash — 64-bit signed-projection sketch; near-dup = small Hamming
+    distance; banding the 64 bits into (64/k)-bit blocks guarantees
+    recall for distance < blocks (pigeonhole).
+  * embedding cosine — blocked brute force at test SF; LSH/IVF variants
+    live in scale.similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from yodel_etl_spark.scale.textstats import tokens
+
+
+# ---------------------------------------------------------------- exact
+def exact_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup groups: md5 digest → canonical (min) id + member
+    count.  One shuffle on the digest; the digest, not the text, moves
+    through the exchange (hash first, shuffle second — at 100 TB this
+    is the difference between shuffling 32-byte keys and shuffling
+    documents)."""
+    digests = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+    return digests.groupBy("digest").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row per distinct text (the min-id canonical member)."""
+    keep = exact_groups(df, id_col, text_col).select(F.col("keep_id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+# ------------------------------------------------------------- shingles
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-grams of the lowercased token stream."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    return F.array_distinct(grams)
+
+
+def _shingle_posts(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingle) posting list + per-doc shingle counts."""
+    sh = df.select(F.col(id_col).alias("doc"), word_shingles(F.col(text_col), k).alias("sh"))
+    sh = sh.select("doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    return sh
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via inverted-index join.
+
+    plan: explode shingles → self-join on shingle (doc_a < doc_b) →
+    count common → J = common / (|A|+|B|-common) ≥ threshold.
+    ``df_cap`` (scale path) drops shingles appearing in more than
+    ``df_cap`` docs — at threshold t, a pair sharing ONLY ultra-common
+    shingles is overwhelmingly sub-threshold, and the cap bounds the
+    per-shingle join fan-out (correctness note: with the cap this is an
+    approximation; leave None for the exact oracle-checked form).
+    """
+    posts = _shingle_posts(df, id_col, text_col, k)
+    if df_cap is not None:
+        rare = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        posts = posts.join(rare.where(F.col("df_") <= df_cap), "shingle").drop("df_")
+    a = posts.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle")
+    b = posts.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = common.withColumn(
+        "jaccard",
+        F.col("n_common").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+    )
+    return jac.where(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "n_common", "jaccard"
+    )
+
+
+# -------------------------------------------------------------- minhash
+def minhash_signature(text: Column, num_hashes: int = 64, k: int = 3) -> Column:
+    """MinHash signature: for seed i, min over shingles of
+    xxhash64(shingle, seed=i).  One pass over the shingle array per
+    seed — no explode, no shuffle; the signature is 64 longs per doc."""
+    sh = word_shingles(text, k)
+
+    def min_hash(i: int) -> Column:
+        seed = F.lit(i)
+        # single-arg lambda: two args would mean (element, index) to Spark
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, seed)))
+
+    return F.array(*[min_hash(i) for i in range(num_hashes)])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact-Jaccard verification.
+
+    bands=16 × rows=4 over 64 hashes → P[candidate | J=0.5] ≈ 64%,
+    ≈ 98% at J=0.7; tune (bands, num_hashes) to the target threshold.
+    Candidates are verified with exact Jaccard so the output contains
+    no false positives; recall is the banding curve's.
+
+    Scale: signature build is narrow; banding shuffles (band, key)
+    pairs (bands × n rows of 16 bytes); the candidate join touches only
+    colliding buckets — the quadratic term never materializes.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(text_col).alias("_text"),
+        minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
+    ).where(F.size(word_shingles(F.col(text_col), k)) > 0)
+    banded = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bkey")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bkey"])
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    # exact verify on the candidate set only
+    sh = df.select(
+        F.col(id_col).alias("doc"), word_shingles(F.col(text_col), k).alias("sh")
+    )
+    verified = (
+        cand.join(sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("n_a", F.size("sh_a"))
+        .withColumn("n_b", F.size("sh_b"))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+    )
+    return verified.where(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "n_common", "jaccard"
+    )
+
+
+# -------------------------------------------------------------- simhash
+def simhash64(text: Column, k: int = 1) -> Column:
+    """64-bit SimHash over word ``k``-grams: sum ±1 per bit weighted by
+    token hash bits, sign → bit.  Pure array algebra: for each bit b,
+    count tokens with bit b set; bit is 1 when count*2 > n_tokens."""
+    sh = word_shingles(text, k)
+    n = F.size(sh)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def bit_term(b: int) -> Column:
+        # NB: a two-arg lambda would be treated as (element, index) by
+        # F.filter — keep the closure single-argument
+        mask = F.lit(1 << b)
+        set_count = F.size(F.filter(hashes, lambda h: h.bitwiseAND(mask) != 0))
+        return (set_count * 2 > n).cast("long") * (1 << b)
+
+    bits = [bit_term(b) for b in range(63)]  # keep sign bit clear
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_distance: int = 3, blocks: int = 8
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_distance via
+    block-banding: split 64 bits into ``blocks`` blocks; any pair within
+    distance < blocks shares ≥1 exact block (pigeonhole) → join per
+    block, verify true distance with bit_count(xor)."""
+    width = 64 // blocks
+    sims = df.select(F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sim"))
+    banded = sims.select(
+        "doc",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftrightunsigned(F.col("sim"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "sim", F.col("bb.block"), F.col("bb.key"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["block", "key"])
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("x.sim").alias("sim_a"),
+            F.col("y.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    dist = cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+    return dist.where(F.col("hamming") <= max_distance).select("doc_a", "doc_b", "hamming")

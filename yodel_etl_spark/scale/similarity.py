@@ -1,0 +1,233 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Correctness path: blocked brute-force cosine — exact, oracle-checkable.
+Scale paths:
+  * IVF — coarse quantization: assign vectors to the nearest of C
+    centroids (one broadcast pass), search only ``nprobe`` closest
+    cells per query → candidate set ≈ n·nprobe/C instead of n².
+  * Random-hyperplane LSH (cosine sketch): sign bits against H
+    deterministic hyperplanes → Hamming-banded candidate join, same
+    shape as SimHash banding.
+
+All dot products fold in index order with double accumulation
+(``F.aggregate``), so scores are bit-deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (index order, double acc)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Embedding near-dup: all pairs with cosine ≥ threshold.
+
+    Brute force (broadcast self-join) — exact; at 100 TB swap the
+    candidate generator for :func:`hyperplane_lsh_pairs` and keep this
+    verify step.  Norms are computed once per side before the join."""
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).withColumn(
+        "nrm", norm(F.col("vec"))
+    )
+    a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na"))
+    b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+    )
+    return pairs.where(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine_r")
+    )
+
+
+def brute_force_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: Column,
+    topk: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors for the rows matching ``query_ids``.
+
+    Queries are broadcast (the small side); rank orders by
+    (rounded score DESC, neighbor id) so ties are deterministic."""
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).withColumn(
+        "nrm", norm(F.col("vec"))
+    )
+    q = v.where(query_ids).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qv"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col("id") != F.col("query_id"))
+        .withColumn("cosine", dot(F.col("vec"), F.col("qv")) / (F.col("nrm") * F.col("qn")))
+        .withColumn("cosine_r", F.round("cosine", 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_r").desc(), F.col("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("query_id", F.col("id").alias("neighbor_id"), "rank", "cosine_r")
+    )
+
+
+def assign_ivf_cells(
+    df: DataFrame, id_col: str, vec_col: str, centroid_every: int = 50
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic training-free IVF: every ``centroid_every``-th
+    vector (by id) is a centroid; each vector joins its nearest
+    centroid by cosine.  Returns (assignments, centroids)."""
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    cents = v.where(F.col("id") % centroid_every == 0).select(
+        F.col("id").alias("cell"), F.col("vec").alias("cvec")
+    )
+    scored = v.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", cosine(F.col("vec"), F.col("cvec"))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cell"))
+    assign = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("id", "vec", "cell")
+    )
+    return assign, cents
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: Column,
+    topk: int = 5,
+    centroid_every: int = 50,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Approximate top-k: probe only the ``nprobe`` nearest IVF cells
+    per query.  Candidate count ≈ n·nprobe/C — the 100 TB path.  Same
+    deterministic ranking as brute force; recall measured in tests."""
+    assign, cents = assign_ivf_cells(df, id_col, vec_col, centroid_every)
+    q = assign.where(query_ids).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qv")
+    )
+    qcells = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cvec")))
+        .withColumn(
+            "rk", F.row_number().over(Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cell")))
+        )
+        .where(F.col("rk") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    cand = qcells.join(assign, "cell").where(F.col("id") != F.col("query_id"))
+    scored = cand.withColumn("cosine", cosine(F.col("vec"), F.col("qv"))).withColumn(
+        "cosine_r", F.round("cosine", 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_r").desc(), F.col("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("query_id", F.col("id").alias("neighbor_id"), "rank", "cosine_r")
+    )
+
+
+def hyperplane_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_planes: int = 16,
+    blocks: int = 4,
+) -> DataFrame:
+    """Cosine-LSH candidate generation + exact verify: sign-bit sketch
+    against ``n_planes`` deterministic pseudo-random hyperplanes
+    (components derived from xxhash64(plane, dim) → ±1), banded into
+    ``blocks`` blocks of sign bits.  Exact cosine verify keeps
+    precision at 1; recall follows the banding curve."""
+    dim = len(df.select(vec_col).first()[0])
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).withColumn(
+        "nrm", norm(F.col("vec"))
+    )
+
+    def plane_bit(p: int) -> Column:
+        comps = [
+            F.when(
+                F.xxhash64(F.lit(p), F.lit(d)) % 2 == 0, F.element_at("vec", d + 1).cast("double")
+            ).otherwise(-F.element_at("vec", d + 1).cast("double"))
+            for d in range(dim)
+        ]
+        proj = comps[0]
+        for c in comps[1:]:
+            proj = proj + c
+        return (proj > 0).cast("long") * (1 << p)
+
+    sketch = v
+    bits = plane_bit(0)
+    for p in range(1, n_planes):
+        bits = bits + plane_bit(p)
+    sketch = v.withColumn("sketch", bits)
+
+    width = n_planes // blocks
+    banded = sketch.select(
+        "id",
+        "vec",
+        "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftrightunsigned(F.col("sketch"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "vec", "nrm", "bb.block", "bb.key")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["block", "key"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.vec").alias("va"),
+            F.col("y.vec").alias("vb"),
+            F.col("x.nrm").alias("na"),
+            F.col("y.nrm").alias("nb"),
+        )
+        .distinct()
+    )
+    verified = cand.withColumn(
+        "cosine", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    )
+    return verified.where(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine_r")
+    )

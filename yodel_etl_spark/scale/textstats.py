@@ -1,0 +1,121 @@
+"""Text analysis for LLM-corpus curation: token counting, quality
+scoring, language ID, fingerprinting.
+
+All pure column expressions (codegen, zero Python) — at 100 TB these run
+as a single narrow pass over the corpus scan with column pruning down to
+``text``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: whitespace tokenizer shared by every operator (and their SQL twins)
+_WS = "\\s+"
+
+#: BPE-ish pre-tokenization: letter runs / digit runs / single
+#: non-alnum-non-space marks (GPT-2-style contractions simplified so the
+#: pattern is identical in Java regex and RE2)
+BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+#: tiny per-language stopword anchors for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "a"],
+    "es": ["el", "la", "de", "los"],
+    "de": ["der", "die", "und", "das"],
+    "fr": ["le", "la", "et", "les"],
+    "zh": ["de", "shi", "le", "zai"],
+}
+
+STOPWORDS = ("the", "a", "and", "of")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens with empties removed (leading/trailing space
+    would otherwise yield '' entries)."""
+    return F.filter(F.split(text, _WS), lambda t: t != "")
+
+
+def token_stats(text: Column) -> dict[str, Column]:
+    """Corpus-quality raw counters as named expressions."""
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "n_uniq_tokens": F.size(F.array_distinct(toks)).cast("long"),
+        "n_alpha": n_alpha.cast("long"),
+        "n_digit": n_digit.cast("long"),
+        "n_punct": n_punct.cast("long"),
+        "n_stopwords": n_stop.cast("long"),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length band + stopword
+    presence + alpha ratio − punctuation excess.  Per-row double
+    arithmetic only (bit-identical across engines); the weights are the
+    operator's config surface, not learned."""
+    s = token_stats(text)
+    n_tok = s["n_tokens"].cast("double")
+    len_ok = F.when((s["n_tokens"] >= 10) & (s["n_tokens"] <= 1000), 1.0).otherwise(0.0)
+    stop_ratio = F.when(n_tok > 0, s["n_stopwords"].cast("double") / n_tok).otherwise(0.0)
+    alpha_ratio = F.when(s["n_chars"] > 0, s["n_alpha"].cast("double") / s["n_chars"].cast("double")).otherwise(0.0)
+    punct_ratio = F.when(s["n_chars"] > 0, s["n_punct"].cast("double") / s["n_chars"].cast("double")).otherwise(0.0)
+    raw = len_ok * 0.4 + stop_ratio * 0.2 + alpha_ratio * 0.4 - punct_ratio * 0.5
+    return F.greatest(F.least(raw, F.lit(1.0)), F.lit(0.0))
+
+
+def lang_hits(text: Column, lang: str) -> Column:
+    """Stopword-anchor hit count for one language."""
+    toks = tokens(F.lower(text))
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over per-language marker hits, deterministic tie-break on
+    language code; 'und' when nothing hits.  (A real corpus would use
+    character n-gram profiles — same argmax shape, more features.)"""
+    pairs = [(lang, lang_hits(text, lang)) for lang in sorted(LANG_MARKERS)]
+    # fold argmax as nested CASE: strictly-greater wins, ties keep the
+    # earlier (alphabetically first) language
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang, hits in pairs:
+        take = hits > best_hits
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(take, hits).otherwise(best_hits)
+    return best_lang
+
+
+def bpe_ish_count(text: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer (regexp_extract_all)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH), 0)).cast("long")
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the normalized token stream
+    (lowercase, collapsed whitespace) — the canonical-form hash used for
+    near-exact dedup families."""
+    normalized = F.array_join(tokens(F.lower(text)), " ")
+    return F.md5(normalized)
+
+
+def rolling_hashes(text: Column, window: int = 5) -> Column:
+    """Winnowing-style candidate hashes: xxhash64 of each ``window``-token
+    shingle (rows-only — xxhash64 has no cross-engine twin).  At scale,
+    pick the per-document minimum per band to bound fingerprint count."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    # sequence(1, 0) would generate a DESCENDING range — guard short docs
+    idx = F.when(n >= window, F.sequence(F.lit(1), n - window + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i, window), " ")))

@@ -73,6 +73,35 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make ``yodel_etl_spark`` importable on executor Python workers.
+
+    Operators built on ``mapInPandas``/pandas UDFs close over functions
+    from this package; cloudpickle serializes those by *reference*, so
+    the worker must be able to import the module.  The driver's vanilla
+    session has no such guarantee — zip the package once per process and
+    ``addPyFile`` it (the same mechanism used to deploy to a real
+    cluster: ship a wheel/zip with the job).
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_yodel_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "yodel_etl_spark_pkg.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._yodel_pkg_shipped = True
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
@@ -92,6 +121,7 @@ def load_tables(
     # semantics-critical confs at runtime — both are plain SQLConfs.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ship_package(spark)
 
     out: dict[str, DataFrame] = {}
     for name in names:

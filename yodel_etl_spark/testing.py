@@ -44,7 +44,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
         elif df[c].dtype == object:
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+            import numpy as np
+
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v
+            )
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
         elif pd.api.types.is_integer_dtype(df[c]):
