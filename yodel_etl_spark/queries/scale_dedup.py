@@ -25,7 +25,7 @@ from yodel_etl_spark.scale.dedup import (
     simhash_pairs,
 )
 from yodel_etl_spark.scale.similarity import cosine_pairs
-from yodel_etl_spark.session import load_tables
+from yodel_etl_spark.session import load_tables, spread
 
 _SHINGLES_SQL = """
     WITH toks AS (
@@ -71,7 +71,7 @@ _JACCARD_BRUTE_SQL = (
     bench=True,
 )
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     return exact_groups(docs, "doc_id", "text")
 
 
@@ -85,7 +85,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     return jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
 
 
@@ -100,7 +100,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     return minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16, k=3)
 
 
@@ -113,7 +113,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     return simhash_pairs(docs, "doc_id", "text", max_distance=3, blocks=8)
 
 
@@ -143,5 +143,5 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "similarity"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    emb = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
     return cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)

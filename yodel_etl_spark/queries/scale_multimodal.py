@@ -9,11 +9,11 @@ from pyspark.sql import functions as F
 
 from yodel_etl_spark.registry import register
 from yodel_etl_spark.scale.multimodal import decode_meta, frame_offsets
-from yodel_etl_spark.session import load_tables
+from yodel_etl_spark.session import load_tables, spread
 
 
 def _with_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     return docs.select("doc_id", F.encode("text", "UTF-8").alias("content"))
 
 

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from yodel_etl_spark.registry import register
 from yodel_etl_spark.scale.similarity import brute_force_topk, ivf_topk
-from yodel_etl_spark.session import load_tables
+from yodel_etl_spark.session import load_tables, spread
 
 _TOPK_ORACLE = """
     WITH n AS (
@@ -45,7 +45,7 @@ _TOPK_ORACLE = """
     bench=True,
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    emb = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
     return brute_force_topk(emb, "vec_id", "embedding", F.col("id") < 10, topk=5)
 
 
@@ -58,5 +58,5 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity",),
 )
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    emb = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
     return ivf_topk(emb, "vec_id", "embedding", F.col("id") < 10, topk=5, centroid_every=50, nprobe=3)

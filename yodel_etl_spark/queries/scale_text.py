@@ -15,7 +15,7 @@ from yodel_etl_spark.scale.textstats import (
     quality_score,
     token_stats,
 )
-from yodel_etl_spark.session import load_tables
+from yodel_etl_spark.session import load_tables, spread
 
 #: DuckDB fragments mirroring scale.textstats
 TOK_SQL = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
@@ -42,7 +42,7 @@ _STOP = "['the', 'a', 'and', 'of']"
     bench=True,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     stats = token_stats(F.col("text"))
     return docs.select("doc_id", *[c.alias(n) for n, c in stats.items()])
 
@@ -77,7 +77,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("textstats",),
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
@@ -107,7 +107,7 @@ _ARGMAX = " ".join(
     tags=("textstats",),
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     return docs.select(
         "doc_id", F.col("lang").alias("lang_actual"), lang_id(F.col("text")).alias("lang_pred")
     )
@@ -125,7 +125,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("textstats",),
 )
 def text_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     return docs.select("doc_id", bpe_ish_count(F.col("text")).alias("n_bpe_ish"))
 
 
@@ -140,5 +140,5 @@ def text_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("textstats", "dedup"),
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))

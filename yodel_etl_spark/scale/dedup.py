@@ -49,20 +49,35 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 # ------------------------------------------------------------- shingles
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-grams of the lowercased token stream."""
-    toks = tokens(F.lower(text))
+def word_shingles(toks: Column, k: int = 3) -> Column:
+    """Distinct word k-grams from a *materialized* token-array column.
+
+    ``toks`` MUST be a column reference to an already-projected token
+    array (``tokens(lower(text))`` in its own ``select``), never the
+    tokenization expression itself: higher-order-function lambdas inline
+    their argument's expression tree into the per-element body, so an
+    inlined tokenizer re-runs the regex split once per gram — a measured
+    ~50× slowdown on real documents."""
     n = F.size(toks)
     idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(F.array().cast("array<int>"))
     grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
     return F.array_distinct(grams)
 
 
+def _with_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(doc, sh) with tokens materialized before the gram expression
+    (two selects on purpose; CollapseProject keeps a multiply-referenced
+    non-trivial alias un-inlined)."""
+    return (
+        df.select(F.col(id_col).alias("doc"), tokens(F.lower(F.col(text_col))).alias("tk"))
+        .select("doc", word_shingles(F.col("tk"), k).alias("sh"))
+    )
+
+
 def _shingle_posts(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(id, shingle) posting list + per-doc shingle counts."""
-    sh = df.select(F.col(id_col).alias("doc"), word_shingles(F.col(text_col), k).alias("sh"))
-    sh = sh.select("doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
-    return sh
+    sh = _with_shingles(df, id_col, text_col, k)
+    return sh.select("doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
 
 
 def jaccard_pairs(
@@ -106,18 +121,21 @@ def jaccard_pairs(
 
 
 # -------------------------------------------------------------- minhash
-def minhash_signature(text: Column, num_hashes: int = 64, k: int = 3) -> Column:
-    """MinHash signature: for seed i, min over shingles of
-    xxhash64(shingle, seed=i).  One pass over the shingle array per
-    seed — no explode, no shuffle; the signature is 64 longs per doc."""
-    sh = word_shingles(text, k)
+def minhash_signature_cols(num_hashes: int = 64) -> list[Column]:
+    """MinHash signature as ``num_hashes`` aggregate expressions over an
+    exploded posting list with base-hash column ``h``.
 
-    def min_hash(i: int) -> Column:
-        seed = F.lit(i)
-        # single-arg lambda: two args would mean (element, index) to Spark
-        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, seed)))
-
-    return F.array(*[min_hash(i) for i in range(num_hashes)])
+    Design note (hot path): higher-order-function lambdas
+    (``transform``/``array_min``) are evaluated *interpreted*, never by
+    whole-stage codegen — a per-doc array formulation benchmarked ~50×
+    slower than this explode → codegen'd hash → partial-min shape.  Each
+    seed's hash is ``xxhash64(i, h)`` over the 8-byte base hash: a
+    fixed-width rehash (no per-seed string re-hash), and no ANSI-mode
+    overflow risk as multiply-add universal hashing would have.  The
+    ``min`` aggregates combine map-side, so the shuffle carries one
+    partial signature per (doc × map partition), not the postings."""
+    h = F.col("h")
+    return [F.min(F.xxhash64(F.lit(i), h)).alias(f"m{i}") for i in range(num_hashes)]
 
 
 def minhash_lsh_pairs(
@@ -141,11 +159,16 @@ def minhash_lsh_pairs(
     colliding buckets — the quadratic term never materializes.
     """
     rows_per_band = num_hashes // bands
-    sigs = df.select(
-        F.col(id_col).alias("doc"),
-        F.col(text_col).alias("_text"),
-        minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
-    ).where(F.size(word_shingles(F.col(text_col), k)) > 0)
+    # materialize tokens, then shingles — each expression single-eval.
+    # No size(sh)>0 filter: explode skips empty arrays, and a filter
+    # here would be alias-inlined + pushed into the scan, re-evaluating
+    # the shingle kernel per row (see session.get_spark excludedRules).
+    base = _with_shingles(df, id_col, text_col, k)
+    posts = base.select("doc", F.explode("sh").alias("shingle")).withColumn(
+        "h", F.xxhash64("shingle")
+    )
+    sigs = posts.groupBy("doc").agg(*minhash_signature_cols(num_hashes))
+    # band key = one fixed-width xxhash64 over the band's signature cols
     banded = sigs.select(
         "doc",
         F.explode(
@@ -154,13 +177,10 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
+                            *[
+                                F.col(f"m{i}")
+                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                            ]
                         ).alias("bkey"),
                     )
                     for b in range(bands)
@@ -175,13 +195,10 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
     )
-    # exact verify on the candidate set only
-    sh = df.select(
-        F.col(id_col).alias("doc"), word_shingles(F.col(text_col), k).alias("sh")
-    )
+    # exact verify on the candidate set only (reuses base's shingles)
     verified = (
-        cand.join(sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        cand.join(base.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(base.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
         .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn("n_a", F.size("sh_a"))
         .withColumn("n_b", F.size("sh_b"))
@@ -197,25 +214,25 @@ def minhash_lsh_pairs(
 
 
 # -------------------------------------------------------------- simhash
-def simhash64(text: Column, k: int = 1) -> Column:
-    """64-bit SimHash over word ``k``-grams: sum ±1 per bit weighted by
-    token hash bits, sign → bit.  Pure array algebra: for each bit b,
-    count tokens with bit b set; bit is 1 when count*2 > n_tokens."""
-    sh = word_shingles(text, k)
-    n = F.size(sh)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+def simhash_bit_counts() -> list[Column]:
+    """SimHash as 63 codegen'd ``sum(bit set)`` aggregates (+ total n)
+    over an exploded token list with base-hash column ``h``.  Same
+    explode-not-arrays rationale as :func:`minhash_signature_cols`:
+    interpreted HOF lambdas benchmarked ~100× slower than this shape.
+    Sign bit (63) stays clear so the sketch is a nonnegative long."""
+    h = F.col("h")
+    counts = [
+        F.sum((h.bitwiseAND(F.lit(1 << b)) != 0).cast("long")).alias(f"c{b}")
+        for b in range(63)
+    ]
+    return counts + [F.count(F.lit(1)).alias("n")]
 
-    def bit_term(b: int) -> Column:
-        # NB: a two-arg lambda would be treated as (element, index) by
-        # F.filter — keep the closure single-argument
-        mask = F.lit(1 << b)
-        set_count = F.size(F.filter(hashes, lambda h: h.bitwiseAND(mask) != 0))
-        return (set_count * 2 > n).cast("long") * (1 << b)
 
-    bits = [bit_term(b) for b in range(63)]  # keep sign bit clear
-    total = bits[0]
-    for b in bits[1:]:
-        total = total + b
+def simhash_assemble() -> Column:
+    """Fold the 63 bit-majority counts into the 64-bit sketch."""
+    total = F.lit(0).cast("long")
+    for b in range(63):
+        total = total + (F.col(f"c{b}") * 2 > F.col("n")).cast("long") * F.lit(1 << b)
     return total
 
 
@@ -225,9 +242,20 @@ def simhash_pairs(
     """Near-dup pairs with Hamming(simhash) ≤ max_distance via
     block-banding: split 64 bits into ``blocks`` blocks; any pair within
     distance < blocks shares ≥1 exact block (pigeonhole) → join per
-    block, verify true distance with bit_count(xor)."""
+    block, verify true distance with bit_count(xor).  Docs with zero
+    tokens have no sketch and are excluded (they cannot near-dup
+    textfully anyway)."""
     width = 64 // blocks
-    sims = df.select(F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sim"))
+    posts = (
+        _with_shingles(df, id_col, text_col, 1)
+        .select("doc", F.explode("sh").alias("w"))
+        .withColumn("h", F.xxhash64("w"))
+    )
+    sims = (
+        posts.groupBy("doc")
+        .agg(*simhash_bit_counts())
+        .select("doc", simhash_assemble().alias("sim"))
+    )
     banded = sims.select(
         "doc",
         "sim",

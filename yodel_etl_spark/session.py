@@ -54,6 +54,16 @@ def get_spark(
         # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's
         # parquet reader rejects; read as long and convert in load_tables
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate copies the exploded-array expression
+        # into a size()>0 filter that predicate pushdown then inlines
+        # below exchanges — for our computed shingle/posting arrays that
+        # re-evaluates an expensive expression 2× extra per row in the
+        # narrowest stage (measured 10×+ slowdown).  Explode's own
+        # empty/null skip already gives the semantics.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # -- adaptive execution: runtime re-plan at any scale ----------
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -71,6 +81,24 @@ def get_spark(
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a too-coarsely-partitioned input before a
+    compute-heavy kernel (minhash/simhash/cosine/decode).
+
+    The local testdata is one parquet file with ONE row group per table,
+    so the scan yields a single task no matter how many cores exist —
+    file-split parallelism physically cannot help.  On a real cluster
+    the scan arrives pre-split and this exchange is skipped (the
+    partition count already meets the target).  The shuffle moves the
+    raw rows once; for kernel-bound operators that cost is repaid
+    ``cores``-fold."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def ship_package(spark: SparkSession) -> None:
@@ -121,6 +149,10 @@ def load_tables(
     # semantics-critical confs at runtime — both are plain SQLConfs.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     ship_package(spark)
 
     out: dict[str, DataFrame] = {}
