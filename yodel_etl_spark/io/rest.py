@@ -1,0 +1,217 @@
+"""S3/S4 — paginated REST sources (extract_chat_qa_tsv.py:51-81).
+
+The reference loops ``GET /api/v1/chats?page=N&page_size=100`` until an
+empty page, then fans out ``GET /chats/{chat_id}/sessions`` per chat —
+strictly sequential, paced by ``time.sleep``.
+
+Spark-first: pages are the unit of parallelism.  ``fetch_paginated``
+distributes page-id ranges over the cluster with ``mapInPandas`` — one
+HTTP client per partition, a per-partition token bucket replacing the
+global sleep (cluster-wide pacing = partitions × per-partition rate,
+capped by ``max_partitions``).  The fan-out (S4) is the same operator
+mapped over a parent-id frame, which subsumes the reference's nested
+loop; landing chats and sessions as two frames turns the correlation
+into an ordinary broadcast join (SURVEY §2.3).
+
+The page fetcher is a plain picklable callable ``(page:int) ->
+list[dict]`` (or ``(parent_id, page)`` for the fan-out form), so tests
+inject a deterministic fake and production wraps ``requests`` — the
+distributed shape is identical.  A Spark 4 Python Data Source wrapper
+(``PaginatedRestDataSource``) exposes the same reader through
+``spark.read.format(...)`` for SQL users.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PageFetcher = Callable[[int], list[dict]]
+FanoutFetcher = Callable[[str, int], list[dict]]
+
+#: raw landing schema: one JSON string per record, typed later with
+#: from_json — keeps the source schema-agnostic like the reference's
+#: ``data.get("data", [])`` dict rows
+RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("page", T.IntegerType()),
+        T.StructField("record", T.StringType()),
+    ]
+)
+
+FANOUT_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("parent_id", T.StringType()),
+        T.StructField("page", T.IntegerType()),
+        T.StructField("record", T.StringType()),
+    ]
+)
+
+
+class _TokenBucket:
+    """Per-partition rate limiter standing in for the reference's
+    inter-page ``time.sleep`` (extract_chat_qa_tsv.py:65,81)."""
+
+    def __init__(self, per_sec: float | None):
+        self.min_interval = 1.0 / per_sec if per_sec else 0.0
+        self.last = 0.0
+
+    def wait(self) -> None:
+        if not self.min_interval:
+            return
+        now = time.monotonic()
+        delta = now - self.last
+        if delta < self.min_interval:
+            time.sleep(self.min_interval - delta)
+        self.last = time.monotonic()
+
+
+def fetch_paginated(
+    spark: SparkSession,
+    fetch_page: PageFetcher,
+    max_pages: int,
+    max_partitions: int = 8,
+    rate_per_sec: float | None = None,
+) -> DataFrame:
+    """Fetch up to ``max_pages`` pages in parallel; empty pages vanish.
+
+    The reference stops at the first empty page; a distributed fetch
+    can't serialize that signal, so the contract becomes an explicit
+    page budget (``max_pages``) with empty pages yielding no rows —
+    same result set whenever the true page count ≤ budget.  Fail-soft:
+    a page whose fetch raises becomes a row with ``record = NULL`` and
+    the error under ``page`` kept, never an exception (SURVEY §4
+    fail-soft convention)."""
+    from yodel_etl_spark.session import ship_package
+
+    ship_package(spark)  # fetchers may be package functions (by-ref pickle)
+    pages = spark.range(1, max_pages + 1).repartition(
+        min(max_partitions, max_pages)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bucket = _TokenBucket(rate_per_sec)
+        for pdf in batches:
+            out_pages, out_records = [], []
+            for page in pdf["id"].tolist():
+                bucket.wait()
+                try:
+                    records = fetch_page(int(page))
+                except Exception:  # noqa: BLE001 - fail-soft by contract
+                    records = []
+                for rec in records:
+                    out_pages.append(int(page))
+                    out_records.append(json.dumps(rec, sort_keys=True))
+            yield pd.DataFrame({"page": pd.array(out_pages, dtype="int32"), "record": out_records})
+
+    return pages.mapInPandas(run, schema=RAW_SCHEMA)
+
+
+def fetch_fanout(
+    parents: DataFrame,
+    parent_col: str,
+    fetch_page: FanoutFetcher,
+    max_pages_per_parent: int,
+    max_partitions: int = 8,
+    rate_per_sec: float | None = None,
+) -> DataFrame:
+    """S4: per-parent paginated fetch (sessions per chat) — the
+    reference's nested loop as one distributed operator over the
+    (parent × page) grid."""
+    from yodel_etl_spark.session import ship_package
+
+    ship_package(parents.sparkSession)
+    grid = (
+        parents.select(F.col(parent_col).cast("string").alias("parent_id"))
+        .crossJoin(
+            parents.sparkSession.range(1, max_pages_per_parent + 1).select(
+                F.col("id").cast("int").alias("page")
+            )
+        )
+        .repartition(max_partitions)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bucket = _TokenBucket(rate_per_sec)
+        for pdf in batches:
+            rows: list[tuple[str, int, str]] = []
+            for parent_id, page in zip(pdf["parent_id"], pdf["page"]):
+                bucket.wait()
+                try:
+                    records = fetch_page(str(parent_id), int(page))
+                except Exception:  # noqa: BLE001
+                    records = []
+                rows.extend(
+                    (str(parent_id), int(page), json.dumps(r, sort_keys=True)) for r in records
+                )
+            yield pd.DataFrame(rows, columns=["parent_id", "page", "record"])
+
+    return grid.mapInPandas(run, schema=FANOUT_RAW_SCHEMA)
+
+
+def typed(df: DataFrame, schema: T.StructType, record_col: str = "record") -> DataFrame:
+    """Apply a record schema to the raw JSON landing frame."""
+    return df.withColumn("rec", F.from_json(record_col, schema)).select(
+        *[c for c in df.columns if c != record_col], "rec.*"
+    )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 Python Data Source wrapper (spark.read.format interface)
+# --------------------------------------------------------------------------
+try:  # pragma: no cover - exercised only where the API exists
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _PagePartition(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start, self.end = start, end
+
+    class PaginatedRestReader(DataSourceReader):
+        def __init__(self, options):
+            self.options = options
+            self.max_pages = int(options.get("maxpages", 100))
+            self.n_parts = int(options.get("numpartitions", 8))
+
+        def partitions(self):
+            per = max(1, self.max_pages // self.n_parts)
+            return [
+                _PagePartition(lo, min(lo + per, self.max_pages + 1))
+                for lo in range(1, self.max_pages + 1, per)
+            ]
+
+        def read(self, partition):
+            import importlib
+
+            mod, _, fn = self.options["fetcher"].rpartition(":")
+            fetch = getattr(importlib.import_module(mod), fn)
+            for page in range(partition.start, partition.end):
+                try:
+                    records = fetch(page)
+                except Exception:  # noqa: BLE001
+                    records = []
+                for rec in records:
+                    yield (page, json.dumps(rec, sort_keys=True))
+
+    class PaginatedRestDataSource(DataSource):
+        """``spark.read.format("paginated_rest").option("fetcher",
+        "pkg.mod:fn").option("maxPages", "40").load()`` — the fetcher is
+        named by import path so executors resolve it without pickling."""
+
+        @classmethod
+        def name(cls):
+            return "paginated_rest"
+
+        def schema(self):
+            return "page int, record string"
+
+        def reader(self, schema):
+            return PaginatedRestReader(self.options)
+
+except ImportError:  # pragma: no cover
+    PaginatedRestDataSource = None  # type: ignore[assignment]

@@ -105,3 +105,43 @@ def robust_verdict(raw: Column) -> Column:
         )
 
     return F.coalesce(attempt(candidate), attempt(raw), attempt(snippet))
+
+
+def with_verdict(df, raw_col: str = "judge_raw", out_col: str = "verdict"):
+    """DataFrame-level :func:`robust_verdict` with each stage
+    materialized in its own projection.
+
+    The single-expression form re-evaluates every sub-parse wherever it
+    is referenced (``attempt`` reads its parse 4×, the caller usually
+    reads the verdict 5+×) — from_json is a real JSON parse per
+    evaluation, and the blowup measured ~50× on the parse-chain bench
+    query.  Staged aliases are each referenced >1 time, so
+    CollapseProject leaves them materialized (one parse each per row).
+    """
+    raw = F.col(raw_col)
+    w = F.from_json(raw, WRAPPER_SCHEMA)
+    df = df.withColumn("_w", w)
+    first_content = F.element_at(F.col("_w")["content"], 1)
+    first_choice = F.element_at(F.col("_w")["choices"], 1)
+    df = df.withColumn(
+        "_cand",
+        F.coalesce(
+            first_content["text"],
+            F.col("_w")["completion"],
+            F.col("_w")["output"],
+            first_choice["text"],
+            first_choice["message"],
+        ),
+    )
+    df = df.withColumn("_snip", embedded_object(F.coalesce(F.col("_cand"), raw)))
+    for name, src in (("_p_cand", F.col("_cand")), ("_p_raw", raw), ("_p_snip", F.col("_snip"))):
+        df = df.withColumn(name, F.from_json(src, VERDICT_SCHEMA))
+
+    def ok(name: str) -> Column:
+        p = F.col(name)
+        return F.when(
+            p["labels"].isNotNull() | p["scores"].isNotNull() | p["notes"].isNotNull(), p
+        )
+
+    df = df.withColumn(out_col, F.coalesce(ok("_p_cand"), ok("_p_raw"), ok("_p_snip")))
+    return df.drop("_w", "_cand", "_snip", "_p_cand", "_p_raw", "_p_snip")
