@@ -9,6 +9,7 @@ Importing this package registers every query in
 from yodel_etl_spark.queries import (  # noqa: F401
     classify,
     judge,
+    pipelines_q,
     refs,
     relational,
     scale_dedup,
