@@ -190,3 +190,30 @@ def test_write_tsv_roundtrip(spark, tmp_path):
     back = spark.read.option("header", True).option("sep", "\t").csv(str(tmp_path / "t"))
     row = back.collect()[0]
     assert row["q"] == "a b" and row["a"] == "line1 line2"
+
+
+def test_python_datasource_paginated_rest(spark):
+    """Spark 4 Python Data Source: page-range partitions, import-path
+    fetcher resolution on executors."""
+    from yodel_etl_spark.io.rest import PaginatedRestDataSource
+    from yodel_etl_spark.session import ship_package
+
+    if PaginatedRestDataSource is None:
+        pytest.skip("Python Data Source API not available")
+    ship_package(spark)
+    try:
+        spark.dataSource.register(PaginatedRestDataSource)
+    except Exception as exc:  # already registered in a prior test run
+        if "already" not in str(exc).lower():
+            raise
+    df = (
+        spark.read.format("paginated_rest")
+        .option("fetcher", "yodel_etl_spark.io.rest:demo_fetch_page")
+        .option("maxPages", "10")
+        .option("numPartitions", "4")
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 12  # 4 pages × 3 records
+    assert {r["page"] for r in rows} == {1, 2, 3, 4}
+    assert json.loads(rows[0]["record"])["id"].startswith("rec")

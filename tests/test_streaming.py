@@ -69,3 +69,88 @@ def test_streaming_last_value_wins(spark, sf_small, tmp_path):
     finally:
         q.stop()
     assert got == batch
+
+
+def test_stateful_last_event_matches_batch(spark, sf_small, tmp_path):
+    """Custom applyInPandasWithState operator == batch max_by fold."""
+    from yodel_etl_spark.streaming.events import stateful_last_event
+
+    ev = load_tables(spark, sf_small, ("events",))["events"].select(
+        F.col("user_id").cast("string").alias("session_id"),
+        F.col("event_id").alias("seq"),
+        F.col("event_type").alias("answer"),
+    )
+    batch = {
+        r["session_id"]: r["last_answer"]
+        for r in last_value_wins(ev, "session_id", ["seq"], ["answer"]).collect()
+    }
+
+    src = str(tmp_path / "stateful_src")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        stateful_last_event(stream, "session_id", "seq", "answer")
+        .writeStream.format("memory")
+        .queryName("stateful_last")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT session_id, max_by(answer, seq) AS answer FROM stateful_last GROUP BY session_id"
+        ).collect()
+        got = {r["session_id"]: r["answer"] for r in rows}
+    finally:
+        q.stop()
+    assert got == batch and len(got) > 0
+
+
+def test_sse_parse_streams(spark, tmp_path):
+    """io.sse.parse_events is stream-transparent: same expressions over
+    readStream produce the batch result."""
+    from tests.test_io import SSE_TRANSCRIPT
+    from yodel_etl_spark.io.sse import final_answers, parse_events
+
+    lines = spark.createDataFrame(SSE_TRANSCRIPT, "stream_id string, seq int, raw string")
+    batch = {
+        r["stream_id"]: r["answer"]
+        for r in final_answers(parse_events(lines), ["stream_id"], "seq").collect()
+    }
+    src = str(tmp_path / "sse_src")
+    lines.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(lines.schema).parquet(src)
+    q = (
+        final_answers(parse_events(stream), ["stream_id"], "seq")
+        .writeStream.format("memory")
+        .queryName("sse_stream")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["stream_id"]: r["answer"] for r in spark.sql("SELECT * FROM sse_stream").collect()}
+    finally:
+        q.stop()
+    assert got == batch == {"s1": "final answer", "s2": "s2 answer"}
+
+
+def test_incremental_csv_sink(spark, sf_small, tmp_path):
+    """K3: micro-batches append with checkpoint; rows survive in files."""
+    import os
+
+    from yodel_etl_spark.io.delim import incremental_csv_sink
+
+    ev = load_tables(spark, sf_small, ("events",))["events"].select("event_id", "event_type")
+    src = str(tmp_path / "k3_src")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out, ckpt = str(tmp_path / "k3_out"), str(tmp_path / "k3_ckpt")
+    q = incremental_csv_sink(stream, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == ev.count()
+    assert os.path.isdir(ckpt)  # restartable progress

@@ -47,6 +47,31 @@ def write_delim(
     out.write.mode("overwrite").option("header", header).option("sep", sep).csv(path)
 
 
+def incremental_csv_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    sep: str = ",",
+    sanitize: bool = False,
+):
+    """K3 — the reference's per-row-flush DictWriter semantics
+    (test_chat_assistant.py:255: partial results survive a crash) as a
+    streaming ``foreachBatch`` append with a checkpoint: every
+    micro-batch lands atomically and restart resumes from the
+    checkpoint instead of redoing finished work.  Returns the started
+    ``StreamingQuery``."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = sanitize_strings(batch_df) if sanitize else batch_df
+        out.write.mode("append").option("header", True).option("sep", sep).csv(path)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def write_csv(df: DataFrame, path: str, **kw) -> None:
     """K1: header CSV (utf-8 is Spark's default encoding)."""
     write_delim(df, path, sep=",", **kw)

@@ -162,6 +162,15 @@ def typed(df: DataFrame, schema: T.StructType, record_col: str = "record") -> Da
     )
 
 
+def demo_fetch_page(page: int) -> list[dict]:
+    """Deterministic demo fetcher for the Python Data Source (resolved
+    by import path on executors — see ``PaginatedRestReader.read``);
+    doubles as the test fixture."""
+    if page > 4:
+        return []
+    return [{"id": f"rec{page}-{i}", "page": page} for i in range(3)]
+
+
 # --------------------------------------------------------------------------
 # Spark 4 Python Data Source wrapper (spark.read.format interface)
 # --------------------------------------------------------------------------

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def with_watermark(df: DataFrame, ts_col: str = "ts", delay: str = "10 minutes") -> DataFrame:
@@ -90,4 +91,55 @@ def last_value_wins(df: DataFrame, key_col: str, order_cols: list[str], value_co
     key = F.struct(*[F.col(c) for c in order_cols])
     return df.groupBy(key_col).agg(
         *[F.max_by(v, key).alias(f"last_{v}") for v in value_cols]
+    )
+
+
+def stateful_last_event(
+    df: DataFrame,
+    key_col: str = "session_id",
+    seq_col: str = "seq",
+    value_col: str = "answer",
+) -> DataFrame:
+    """A5 as a *custom stateful* streaming operator
+    (``applyInPandasWithState``): per key, keep the highest-seq non-null
+    value across micro-batches and emit the running winner in update
+    mode.
+
+    ``last_value_wins`` (max_by agg) covers the same semantics for
+    windowed/complete output; this operator is the
+    ``flatMapGroupsWithState`` shape SURVEY §2.1-S5 reserves for
+    update-mode semantics the built-in aggregate cannot express (e.g.
+    emitting only keys that changed this batch, custom timeouts).
+    State is (seq, value) per key — constant size, so 100 TB of events
+    needs state ∝ distinct keys only."""
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField(value_col, T.StringType()),
+            T.StructField(seq_col, T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("seq", T.LongType()), T.StructField("value", T.StringType())]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        best_seq, best_val = state.get if state.exists else (-1, None)
+        for pdf in pdfs:
+            for s, v in zip(pdf[seq_col], pdf[value_col]):
+                if v is not None and int(s) >= best_seq:
+                    best_seq, best_val = int(s), str(v)
+        state.update((best_seq, best_val))
+        yield pd.DataFrame({key_col: [key[0]], value_col: [best_val], seq_col: [best_seq]})
+
+    return (
+        df.select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.col(seq_col).cast("long").alias(seq_col),
+            F.col(value_col).cast("string").alias(value_col),
+        )
+        .groupBy(key_col)
+        .applyInPandasWithState(update, out_schema, state_schema, "update", "NoTimeout")
     )
