@@ -8,6 +8,7 @@ Importing this package registers every query in
 
 from yodel_etl_spark.queries import (  # noqa: F401
     classify,
+    grouping,
     judge,
     pipelines_q,
     refs,

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from yodel_etl_spark.registry import register
-from yodel_etl_spark.scale.multimodal import decode_meta, frame_offsets
+from yodel_etl_spark.scale.multimodal import byte_histogram_features, decode_meta, frame_offsets
 from yodel_etl_spark.session import load_tables, spread
 
 
@@ -70,4 +70,35 @@ def multimodal_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.col("frame_offsets").cast("array<string>"), ",").alias(
             "frame_offsets"
         ),
+    )
+
+
+_BIN_SUMS = ",\n           ".join(
+    f"CAST(coalesce(sum(CASE WHEN unicode(ch) // 32 = {b} THEN 1 END), 0) AS BIGINT) AS b{b}"
+    for b in range(8)
+)
+
+
+@register(
+    "multimodal_byte_features",
+    oracle=f"""
+    SELECT doc_id,
+           {_BIN_SUMS}
+    FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents)
+    WHERE ch <> ''
+    GROUP BY doc_id
+    """,
+    doc="Feature-extraction plumbing: 8-bin byte histogram per blob via "
+    "mapInPandas + numpy bincount (the Arrow-batch shape a CLIP/audio "
+    "embedding UDF would have).  Raw counts, not ratios, so the "
+    "char-exploded SQL oracle matches exactly (text is ASCII at test "
+    "SF: byte == codepoint).",
+    tags=("multimodal",),
+)
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _with_binary(spark, sf_dir)
+    feats = byte_histogram_features(b, "content", n_bins=8, normalize=False)
+    return feats.select(
+        "doc_id",
+        *[F.element_at("features", i + 1).cast("long").alias(f"b{i}") for i in range(8)],
     )

@@ -88,34 +88,56 @@ def jaccard_pairs(
     threshold: float = 0.5,
     df_cap: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs via inverted-index join.
+    """Exact n-gram-Jaccard near-dup pairs via PREFIX-FILTERED
+    inverted-index join (PPJoin-style; exact, not approximate).
 
-    plan: explode shingles → self-join on shingle (doc_a < doc_b) →
-    count common → J = common / (|A|+|B|-common) ≥ threshold.
-    ``df_cap`` (scale path) drops shingles appearing in more than
-    ``df_cap`` docs — at threshold t, a pair sharing ONLY ultra-common
-    shingles is overwhelmingly sub-threshold, and the cap bounds the
-    per-shingle join fan-out (correctness note: with the cap this is an
-    approximation; leave None for the exact oracle-checked form).
+    Prefix-filter theorem: order each doc's distinct shingles by a
+    global total order (lexicographic here); if J(A,B) ≥ t, then A and
+    B must share at least one shingle among each side's first
+    ``n - ⌈t·n⌉ + 1`` shingles.  So the inverted index holds only those
+    prefixes — at t=0.8 that's ~20% of the postings and ~4%% of the
+    candidate fan-out versus the full index — and an exact
+    ``array_intersect`` verify on the candidates removes every false
+    positive.  Every provably-sub-threshold pair is the ONLY thing
+    dropped, so results equal the brute-force oracle by construction.
+
+    Scale: postings shuffle is linear in Σ prefix lengths; the skew of
+    ultra-common shingles is bounded by them rarely appearing in
+    prefixes (they sort late when the order is by ascending document
+    frequency — swap the sort key to df-order at 100 TB for the
+    textbook version; lexicographic keeps the oracle trivially
+    deterministic here).  ``df_cap`` additionally drops postings of
+    shingles with document frequency above the cap (approximate mode;
+    leave None for the exact oracle-checked form).
     """
-    posts = _shingle_posts(df, id_col, text_col, k)
+    base = _with_shingles(df, id_col, text_col, k)
+    n = F.size("sh")
+    prefix_len = (n - F.ceil(F.lit(float(threshold)) * n) + 1).cast("int")
+    prefixes = base.select(
+        "doc", F.slice(F.sort_array("sh"), 1, prefix_len).alias("pre")
+    )
+    posts = prefixes.select("doc", F.explode("pre").alias("shingle"))
     if df_cap is not None:
         rare = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
         posts = posts.join(rare.where(F.col("df_") <= df_cap), "shingle").drop("df_")
-    a = posts.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle")
-    b = posts.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    cand = (
+        posts.alias("x")
+        .join(posts.alias("y"), "shingle")
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
     )
-    jac = common.withColumn(
-        "jaccard",
-        F.col("n_common").cast("double")
-        / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+    verified = (
+        cand.join(base.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(base.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")).cast("double"),
+        )
     )
-    return jac.where(F.col("jaccard") >= threshold).select(
+    return verified.where(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "n_common", "jaccard"
     )
 

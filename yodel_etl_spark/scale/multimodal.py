@@ -99,16 +99,21 @@ def frame_offsets(df: DataFrame, binary_col: str = "content", n_frames: int = 4)
 
 
 def byte_histogram_features(
-    df: DataFrame, binary_col: str = "content", n_bins: int = 8
+    df: DataFrame, binary_col: str = "content", n_bins: int = 8, normalize: bool = True
 ) -> DataFrame:
     """Feature extraction stand-in: ``n_bins``-bin byte histogram as an
     ``array<double>`` feature vector via mapInPandas (numpy bincount per
-    Arrow batch) — the shape a real CLIP/audio-embedding UDF would have."""
+    Arrow batch) — the shape a real CLIP/audio-embedding UDF would have.
+
+    ``normalize=False`` emits raw counts (exact integers) — the
+    oracle-comparable form, since count ratios are non-terminating
+    doubles whose string forms differ across engines."""
     import numpy as np
 
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("features", T.ArrayType(T.DoubleType()))]
     )
+    shift = 8 - (n_bins.bit_length() - 1)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -118,8 +123,10 @@ def byte_histogram_features(
                     feats.append([0.0] * n_bins)
                     continue
                 arr = np.frombuffer(b, dtype=np.uint8)
-                hist = np.bincount(arr >> (8 - n_bins.bit_length() + 1), minlength=n_bins)[:n_bins]
-                feats.append((hist / max(len(arr), 1)).astype("float64").tolist())
+                hist = np.bincount(arr >> shift, minlength=n_bins)[:n_bins]
+                if normalize:
+                    hist = hist / max(len(arr), 1)
+                feats.append(hist.astype("float64").tolist())
             pdf = pdf.copy()
             pdf["features"] = feats
             yield pdf
