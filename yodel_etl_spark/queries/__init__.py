@@ -7,6 +7,7 @@ Importing this package registers every query in
 """
 
 from yodel_etl_spark.queries import (  # noqa: F401
+    asof_q,
     classify,
     grouping,
     judge,
