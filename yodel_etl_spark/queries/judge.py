@@ -218,3 +218,35 @@ def rules_color_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("color")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "events_props_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured JSON column in the hot path: from_json with an "
+    "explicit schema (typed, prunable) rather than per-row string "
+    "get_json_object — one scan, one shuffle, map-side partials "
+    "(SURVEY §2.8 JSON family).",
+    tags=("jsonx",),
+)
+def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    k = F.from_json("props", "k INT")["k"].cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -60,3 +60,21 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
     return ivf_topk(emb, "vec_id", "embedding", F.col("id") < 10, topk=5, centroid_every=50, nprobe=3)
+
+
+@register(
+    "similarity_lsh_pairs",
+    oracle=None,  # banding recall < 1 at this threshold -> rows-only;
+    # precision-1 property asserted in tests/test_scale_similarity.py
+    doc="Cosine-LSH scale path: 16 deterministic hyperplane sign bits "
+    "(xxhash64-derived components), 4-block pigeonhole banding, exact "
+    "cosine verify on candidates only — precision 1 by construction, "
+    "recall follows the banding curve.  The brute-force twin "
+    "(dedup_embedding_cosine) is the exact oracle-checked form.",
+    tags=("similarity",),
+)
+def similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.similarity import hyperplane_lsh_pairs
+
+    emb = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
+    return hyperplane_lsh_pairs(emb, "vec_id", "embedding", threshold=0.4)
