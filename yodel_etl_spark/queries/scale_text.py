@@ -14,6 +14,7 @@ from yodel_etl_spark.scale.textstats import (
     lang_id,
     quality_score,
     token_stats,
+    tokens,
 )
 from yodel_etl_spark.session import load_tables, spread
 
@@ -43,8 +44,9 @@ _STOP = "['the', 'a', 'and', 'of']"
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-    stats = token_stats(F.col("text"))
-    return docs.select("doc_id", *[c.alias(n) for n, c in stats.items()])
+    staged = docs.select("doc_id", "text", tokens(F.col("text")).alias("tk"))
+    stats = token_stats(F.col("text"), F.col("tk"))
+    return staged.select("doc_id", *[c.alias(n) for n, c in stats.items()])
 
 
 @register(
@@ -78,7 +80,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    staged = docs.select("doc_id", "text", tokens(F.col("text")).alias("tk"))
+    return staged.select(
+        "doc_id", quality_score(F.col("text"), F.col("tk")).alias("quality")
+    )
 
 
 def _lang_hits_sql(lang: str) -> str:
@@ -108,8 +113,11 @@ _ARGMAX = " ".join(
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-    return docs.select(
-        "doc_id", F.col("lang").alias("lang_actual"), lang_id(F.col("text")).alias("lang_pred")
+    staged = docs.select(
+        "doc_id", "lang", tokens(F.lower(F.col("text"))).alias("tkl")
+    )
+    return staged.select(
+        "doc_id", F.col("lang").alias("lang_actual"), lang_id(F.col("tkl")).alias("lang_pred")
     )
 
 
@@ -141,4 +149,24 @@ def text_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    staged = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("tkl"))
+    return staged.select("doc_id", fingerprint(F.col("tkl")).alias("fp"))
+
+
+@register(
+    "text_winnow_hashes",
+    oracle=None,  # xxhash64 has no DuckDB twin -> rows-only
+    doc="Winnowing-style fingerprints: xxhash64 over 5-token rolling "
+    "windows, reduced to per-doc count + minimum (the band-minimum "
+    "that bounds fingerprint volume at corpus scale).",
+    tags=("textstats", "dedup"),
+)
+def text_winnow_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.textstats import rolling_hashes
+
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    staged = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("tkl"))
+    rh = staged.select("doc_id", rolling_hashes(F.col("tkl"), 5).alias("rh"))
+    return rh.select(
+        "doc_id", F.size("rh").alias("n_hashes"), F.array_min("rh").alias("min_hash")
+    )

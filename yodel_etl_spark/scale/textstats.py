@@ -37,9 +37,13 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(text, _WS), lambda t: t != "")
 
 
-def token_stats(text: Column) -> dict[str, Column]:
-    """Corpus-quality raw counters as named expressions."""
-    toks = tokens(text)
+def token_stats(text: Column, toks: Column) -> dict[str, Column]:
+    """Corpus-quality raw counters as named expressions.
+
+    ``toks`` MUST be a materialized column holding ``tokens(text)`` —
+    the counters reference it three times, and an inlined tokenizer
+    expression would re-run the regex split per reference (the
+    expression-hygiene rule; see README design rules)."""
     n_tok = F.size(toks)
     n_chars = F.length(text)
     n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
@@ -57,12 +61,13 @@ def token_stats(text: Column) -> dict[str, Column]:
     }
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, toks: Column) -> Column:
     """Deterministic [0,1] quality heuristic: length band + stopword
     presence + alpha ratio − punctuation excess.  Per-row double
     arithmetic only (bit-identical across engines); the weights are the
-    operator's config surface, not learned."""
-    s = token_stats(text)
+    operator's config surface, not learned.  ``toks`` as in
+    :func:`token_stats`."""
+    s = token_stats(text, toks)
     n_tok = s["n_tokens"].cast("double")
     len_ok = F.when((s["n_tokens"] >= 10) & (s["n_tokens"] <= 1000), 1.0).otherwise(0.0)
     stop_ratio = F.when(n_tok > 0, s["n_stopwords"].cast("double") / n_tok).otherwise(0.0)
@@ -72,18 +77,18 @@ def quality_score(text: Column) -> Column:
     return F.greatest(F.least(raw, F.lit(1.0)), F.lit(0.0))
 
 
-def lang_hits(text: Column, lang: str) -> Column:
-    """Stopword-anchor hit count for one language."""
-    toks = tokens(F.lower(text))
+def lang_hits(toks_lower: Column, lang: str) -> Column:
+    """Stopword-anchor hit count for one language (``toks_lower`` = a
+    materialized ``tokens(lower(text))`` column)."""
     markers = LANG_MARKERS[lang]
-    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+    return F.size(F.filter(toks_lower, lambda t: t.isin(*markers)))
 
 
-def lang_id(text: Column) -> Column:
+def lang_id(toks_lower: Column) -> Column:
     """argmax over per-language marker hits, deterministic tie-break on
     language code; 'und' when nothing hits.  (A real corpus would use
     character n-gram profiles — same argmax shape, more features.)"""
-    pairs = [(lang, lang_hits(text, lang)) for lang in sorted(LANG_MARKERS)]
+    pairs = [(lang, lang_hits(toks_lower, lang)) for lang in sorted(LANG_MARKERS)]
     # fold argmax as nested CASE: strictly-greater wins, ties keep the
     # earlier (alphabetically first) language
     best_lang = F.lit("und")
@@ -100,19 +105,20 @@ def bpe_ish_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH), 0)).cast("long")
 
 
-def fingerprint(text: Column) -> Column:
+def fingerprint(toks_lower: Column) -> Column:
     """Document fingerprint: md5 of the normalized token stream
     (lowercase, collapsed whitespace) — the canonical-form hash used for
     near-exact dedup families."""
-    normalized = F.array_join(tokens(F.lower(text)), " ")
-    return F.md5(normalized)
+    return F.md5(F.array_join(toks_lower, " "))
 
 
-def rolling_hashes(text: Column, window: int = 5) -> Column:
+def rolling_hashes(toks_lower: Column, window: int = 5) -> Column:
     """Winnowing-style candidate hashes: xxhash64 of each ``window``-token
     shingle (rows-only — xxhash64 has no cross-engine twin).  At scale,
-    pick the per-document minimum per band to bound fingerprint count."""
-    toks = tokens(F.lower(text))
+    pick the per-document minimum per band to bound fingerprint count.
+    ``toks_lower`` must be materialized: the slice inside the lambda
+    reads it once per window position."""
+    toks = toks_lower
     n = F.size(toks)
     # sequence(1, 0) would generate a DESCENDING range — guard short docs
     idx = F.when(n >= window, F.sequence(F.lit(1), n - window + 1)).otherwise(
