@@ -218,3 +218,60 @@ def orders_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("without_lineitems").alias("bucket"), "n"
     )
     return semi.unionByName(anti)
+
+
+@register(
+    "set_ops_customers",
+    oracle="""
+    SELECT c_custkey, 'both' AS bucket FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    UNION ALL
+    SELECT c_custkey, 'building_only' AS bucket FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    """,
+    doc="Set-operation pass-through (SURVEY §2.7): INTERSECT and EXCEPT "
+    "(both shuffle-dedup on the key) unioned with a tag column.",
+    tags=("relational", "setops"),
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    building = t["customer"].where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    urgent = (
+        t["orders"]
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    both = building.intersect(urgent).select("c_custkey", F.lit("both").alias("bucket"))
+    only = building.exceptAll(urgent).distinct().select(
+        "c_custkey", F.lit("building_only").alias("bucket")
+    )
+    return both.unionByName(only)
+
+
+@register(
+    "top_events_global",
+    oracle="""
+    SELECT event_id, event_type, round(value, 2) AS value_r
+    FROM events
+    ORDER BY value DESC, event_id
+    LIMIT 100
+    """,
+    doc="Global sort + limit (SURVEY §2.7): TakeOrderedAndProject — the "
+    "planner turns orderBy+limit into a per-partition top-k + driver "
+    "merge, never a full sort of the table; ties broken by event_id "
+    "for determinism.",
+    tags=("relational", "sort"),
+)
+def top_events_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        ev.orderBy(F.col("value").desc(), "event_id")
+        .limit(100)
+        .select("event_id", "event_type", F.round("value", 2).alias("value_r"))
+    )
