@@ -1,0 +1,61 @@
+"""Physical-plan regression tests: the scale properties (pushdown,
+pruning, broadcast, top-k) are asserted, not assumed — a refactor that
+silently loses one fails here, not at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from yodel_etl_spark.registry import load_all
+from yodel_etl_spark.session import load_tables
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_small):
+    li = load_tables(spark, sf_small, ("lineitem",))["lineitem"]
+    q = li.where(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_small):
+    li = load_tables(spark, sf_small, ("lineitem",))["lineitem"]
+    q = li.groupBy("l_returnflag").count()
+    plan = _plan(q)
+    # 2-column projection must not read the other 14 columns
+    assert "ReadSchema: struct<l_returnflag:string>" in plan
+
+
+def test_flagship_uses_broadcast_joins(spark, sf_small):
+    q = load_all()["flagship_revenue_by_nation"].build(spark, sf_small)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_global_topk_avoids_full_sort(spark, sf_small):
+    q = load_all()["top_events_global"].build(spark, sf_small)
+    plan = _plan(q)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_cartesian_products_in_registry(spark, sf_small):
+    """Cross joins are allowed only where declared (broadcast brute-force
+    similarity); everything else must plan without a cartesian product."""
+    allowed = {"similarity_topk", "dedup_embedding_cosine", "similarity_topk_ivf",
+               "similarity_lsh_pairs", "pipeline_chat_qa"}
+    bad = []
+    for name, q in load_all().items():
+        if name in allowed:
+            continue
+        try:
+            plan = _plan(q.build(spark, sf_small))
+        except Exception as exc:  # pragma: no cover - surface which query
+            pytest.fail(f"{name} failed to plan: {exc}")
+        if "CartesianProduct" in plan:
+            bad.append(name)
+    assert not bad, f"unexpected cartesian products in: {bad}"
