@@ -156,6 +156,43 @@ def ivf_topk(
     )
 
 
+def hyperplane_sketch(
+    df: DataFrame, id_col: str, vec_col: str, n_planes: int, blocks: int
+) -> DataFrame:
+    """Sign-bit sketch against ``n_planes`` deterministic pseudo-random
+    hyperplanes (component signs derived from ``xxhash64(plane, dim)``
+    → ±1), folded into per-block band keys.
+
+    Kernel shape: ``posexplode`` the vector → codegen'd ``xxhash64``
+    sign per (plane, dim) → ``groupBy(id)`` partial aggregation.  This
+    stays inside whole-stage codegen with map-side combine, vs. a
+    per-row ``n_planes × dim`` expression tree that Catalyst spends
+    seconds folding and then evaluates interpreted.  Returns
+    ``(id, k0..k{blocks-1})`` — one band key per block."""
+    width = n_planes // blocks
+    comp = df.select(
+        F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("d", "x")
+    )
+    # projection onto plane p: sum over dims of ±x, sign from hash(p, d)
+    projs = [
+        F.sum(
+            F.when(
+                F.xxhash64(F.lit(p), F.col("d")) % 2 == 0,
+                F.col("x").cast("double"),
+            ).otherwise(-F.col("x").cast("double"))
+        ).alias(f"p{p}")
+        for p in range(n_planes)
+    ]
+    proj = comp.groupBy("id").agg(*projs)
+    keys = []
+    for b in range(blocks):
+        bits = F.lit(0)
+        for j in range(width):
+            bits = bits + (F.col(f"p{b * width + j}") > 0).cast("long") * (1 << j)
+        keys.append(bits.alias(f"k{b}"))
+    return proj.select("id", *keys)
+
+
 def hyperplane_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -164,69 +201,37 @@ def hyperplane_lsh_pairs(
     n_planes: int = 16,
     blocks: int = 4,
 ) -> DataFrame:
-    """Cosine-LSH candidate generation + exact verify: sign-bit sketch
-    against ``n_planes`` deterministic pseudo-random hyperplanes
-    (components derived from xxhash64(plane, dim) → ±1), banded into
-    ``blocks`` blocks of sign bits.  Exact cosine verify keeps
-    precision at 1; recall follows the banding curve."""
-    dim = len(df.select(vec_col).first()[0])
+    """Cosine-LSH candidate generation + exact verify.  Exact cosine
+    verify keeps precision at 1; recall follows the banding curve.
+
+    Scale shape: only ``(id, block, key)`` rows flow through the band
+    self-join and the pair ``distinct`` — vectors are joined back onto
+    the deduplicated candidate list afterwards, so the shuffles carry
+    narrow rows (the naive form shuffles every vector ``blocks`` times
+    and deduplicates rows carrying two full embeddings)."""
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).withColumn(
         "nrm", norm(F.col("vec"))
     )
-
-    def plane_bit(p: int) -> Column:
-        comps = [
-            F.when(
-                F.xxhash64(F.lit(p), F.lit(d)) % 2 == 0, F.element_at("vec", d + 1).cast("double")
-            ).otherwise(-F.element_at("vec", d + 1).cast("double"))
-            for d in range(dim)
-        ]
-        proj = comps[0]
-        for c in comps[1:]:
-            proj = proj + c
-        return (proj > 0).cast("long") * (1 << p)
-
-    sketch = v
-    bits = plane_bit(0)
-    for p in range(1, n_planes):
-        bits = bits + plane_bit(p)
-    sketch = v.withColumn("sketch", bits)
-
-    width = n_planes // blocks
-    banded = sketch.select(
+    sk = hyperplane_sketch(df, id_col, vec_col, n_planes, blocks)
+    banded = sk.select(
         "id",
-        "vec",
-        "nrm",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("block"),
-                        F.shiftrightunsigned(F.col("sketch"), b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("key"),
-                    )
-                    for b in range(blocks)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "vec", "nrm", "bb.block", "bb.key")
+        F.posexplode(F.array(*[F.col(f"k{b}") for b in range(blocks)])).alias(
+            "block", "key"
+        ),
+    )
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["block", "key"])
         .where(F.col("x.id") < F.col("y.id"))
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.col("x.vec").alias("va"),
-            F.col("y.vec").alias("vb"),
-            F.col("x.nrm").alias("na"),
-            F.col("y.nrm").alias("nb"),
-        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    verified = cand.withColumn(
-        "cosine", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na"))
+    b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cosine", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
     )
     return verified.where(F.col("cosine") >= threshold).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine_r")
