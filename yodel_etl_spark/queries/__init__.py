@@ -19,5 +19,6 @@ from yodel_etl_spark.queries import (  # noqa: F401
     scale_similarity,
     scale_text,
     sessionize,
+    skew,
     windows,
 )
