@@ -106,6 +106,71 @@ def test_stateful_last_event_matches_batch(spark, sf_small, tmp_path):
     assert got == batch and len(got) > 0
 
 
+def test_stream_static_enrichment_equals_batch(spark, sf_small, tmp_path):
+    """enrich_with_dim over a readStream == the batch join; the static
+    dim side is broadcast so the stream never shuffles for the join."""
+    from yodel_etl_spark.streaming.events import enrich_with_dim
+
+    t = load_tables(spark, sf_small, ("events", "customer"))
+    ev = t["events"]
+    dim = t["customer"].select("c_custkey", "c_mktsegment")
+
+    def agg(df):
+        joined = enrich_with_dim(df, dim, on=df["user_id"] == dim["c_custkey"], how="inner")
+        return joined.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+
+    batch = {r["c_mktsegment"]: r["n"] for r in agg(ev).collect()}
+
+    src = str(tmp_path / "enrich_src")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        agg(stream)
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["c_mktsegment"]: r["n"]
+            for r in spark.sql("SELECT * FROM enrich_test").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch and len(got) > 0
+
+
+def test_streaming_dedup_within_watermark(spark, sf_small, tmp_path):
+    """An exactly-redelivered feed (every event twice) deduped on
+    event_id yields each event once — bounded-state streaming dedup."""
+    from yodel_etl_spark.streaming.events import dedup_events
+
+    ev = load_tables(spark, sf_small, ("events",))["events"].select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    n_unique = ev.count()
+    doubled = ev.union(ev)
+
+    src = str(tmp_path / "dedup_src")
+    doubled.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(doubled.schema).parquet(src)
+    deduped = dedup_events(stream, ["event_id"], ts_col="ts", within="1 minute")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_test").first()
+    finally:
+        q.stop()
+    assert got["n"] == got["d"] == n_unique
+
+
 def test_sse_parse_streams(spark, tmp_path):
     """io.sse.parse_events is stream-transparent: same expressions over
     readStream produce the batch result."""

@@ -14,7 +14,12 @@ from pyspark.sql import functions as F
 from yodel_etl_spark.queries._util import cents
 from yodel_etl_spark.registry import register
 from yodel_etl_spark.session import load_tables
-from yodel_etl_spark.streaming.events import session_windows, sliding_counts, tumbling_counts
+from yodel_etl_spark.streaming.events import (
+    enrich_with_dim,
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+)
 
 
 @register(
@@ -83,6 +88,67 @@ def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return session_windows(ev, "30 minutes")
+
+
+@register(
+    "events_enriched_by_segment",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users,
+           CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="Stream–static enrichment: events ⋈ broadcast customer dim "
+    "(user_id = c_custkey) → per (segment, type) counts.  The stream "
+    "side never shuffles for the join; the same function runs on a "
+    "readStream frame in tests/test_streaming.py.",
+    tags=("streaming", "join"),
+    bench=True,
+)
+def events_enriched_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events", "customer"))
+    ev, cust = t["events"], t["customer"]
+    joined = enrich_with_dim(
+        ev,
+        cust.select("c_custkey", "c_mktsegment"),
+        on=ev["user_id"] == cust["c_custkey"],
+        how="inner",
+    )
+    return joined.groupBy(
+        F.col("c_mktsegment").alias("segment"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        (F.sum(cents("value")) / 100.0).alias("total_value"),
+    )
+
+
+@register(
+    "events_first_seen",
+    oracle="""
+    SELECT user_id, event_type, first_ts, first_event_id FROM (
+      SELECT user_id, event_type, ts AS first_ts, event_id AS first_event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="Keep-first dedup per (user, type): min_by over the total order "
+    "(ts, event_id) — the deterministic batch twin of streaming "
+    "dropDuplicatesWithinWatermark (which keeps the first *arrival*; "
+    "equivalence on an exactly-redelivered feed is asserted in "
+    "tests/test_streaming.py).",
+    tags=("streaming", "dedup"),
+)
+def events_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"),
+        F.min_by("event_id", order).alias("first_event_id"),
+    )
 
 
 @register(

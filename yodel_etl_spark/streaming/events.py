@@ -84,6 +84,40 @@ def session_windows(
     )
 
 
+def enrich_with_dim(
+    df: DataFrame,
+    dim: DataFrame,
+    on: Column,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream–static enrichment join: attach dimension attributes to an
+    event feed.  The dim side is broadcast (static snapshot shipped to
+    every task) so the stream never shuffles — the only viable shape for
+    a 100 TB/day feed joining a bounded dimension; Spark re-plans the
+    static side per micro-batch, picking up dim updates.
+
+    Works identically in batch (the oracle-checked form) and on a
+    ``readStream`` frame (asserted in tests/test_streaming.py)."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return df.join(d, on, how)
+
+
+def dedup_events(
+    df: DataFrame, keys: list[str], ts_col: str = "ts", within: str | None = None
+) -> DataFrame:
+    """Exactly-once-per-key event dedup (at-least-once feeds re-deliver).
+
+    Streaming (``within`` set): watermark + ``dropDuplicatesWithinWatermark``
+    — state holds one entry per key only until the watermark passes, so
+    state size is bounded by keys-per-window, not keys-ever (the
+    unbounded-state trap of plain ``dropDuplicates`` on a stream).
+    Batch (``within`` None): plain ``dropDuplicates`` over the keys."""
+    if within is not None:
+        return df.withWatermark(ts_col, within).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
 def last_value_wins(df: DataFrame, key_col: str, order_cols: list[str], value_cols: list[str]) -> DataFrame:
     """A5: final observed value per key (SSE overwrite semantics,
     test_chat_assistant.py:59-69) — ``max_by`` over the order key;
