@@ -110,6 +110,10 @@ def jaccard_pairs(
     shingles with document frequency above the cap (approximate mode;
     leave None for the exact oracle-checked form).
     """
+    # NOT persisted (measured slower): the shingle arrays are wide, and
+    # caching them costs more than the three recomputes of the cheap
+    # tokenize kernel — unlike the signature tables below, which are one
+    # narrow row per doc and clearly win from reuse.
     base = _with_shingles(df, id_col, text_col, k)
     n = F.size("sh")
     prefix_len = (n - F.ceil(F.lit(float(threshold)) * n) + 1).cast("int")
@@ -185,11 +189,14 @@ def minhash_lsh_pairs(
     # No size(sh)>0 filter: explode skips empty arrays, and a filter
     # here would be alias-inlined + pushed into the scan, re-evaluating
     # the shingle kernel per row (see session.get_spark excludedRules).
-    base = _with_shingles(df, id_col, text_col, k)
+    # persisted: reused by the signature build and both verify join-backs
+    base = _with_shingles(df, id_col, text_col, k).persist()
     posts = base.select("doc", F.explode("sh").alias("shingle")).withColumn(
         "h", F.xxhash64("shingle")
     )
-    sigs = posts.groupBy("doc").agg(*minhash_signature_cols(num_hashes))
+    # persisted: the band self-join's broadcast side is a separate
+    # pipeline (no exchange reuse), which would recompute signatures
+    sigs = posts.groupBy("doc").agg(*minhash_signature_cols(num_hashes)).persist()
     # band key = one fixed-width xxhash64 over the band's signature cols
     banded = sigs.select(
         "doc",
@@ -273,10 +280,14 @@ def simhash_pairs(
         .select("doc", F.explode("sh").alias("w"))
         .withColumn("h", F.xxhash64("w"))
     )
+    # persisted: one (doc, sketch-long) row per document; both sides of
+    # the band self-join (broadcast build + stream) read it, which would
+    # otherwise run tokenize + 63-agg sketch twice
     sims = (
         posts.groupBy("doc")
         .agg(*simhash_bit_counts())
         .select("doc", simhash_assemble().alias("sim"))
+        .persist()
     )
     banded = sims.select(
         "doc",

@@ -212,7 +212,10 @@ def hyperplane_lsh_pairs(
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).withColumn(
         "nrm", norm(F.col("vec"))
     )
-    sk = hyperplane_sketch(df, id_col, vec_col, n_planes, blocks)
+    # persisted: the band self-join's broadcast side is planned as a
+    # separate pipeline (no exchange reuse), which would re-run the
+    # sketch aggregation; one (id, blocks×long) row per vector
+    sk = hyperplane_sketch(df, id_col, vec_col, n_planes, blocks).persist()
     banded = sk.select(
         "id",
         F.posexplode(F.array(*[F.col(f"k{b}") for b in range(blocks)])).alias(
