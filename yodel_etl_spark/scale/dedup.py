@@ -120,13 +120,23 @@ def jaccard_pairs(
     prefixes = base.select(
         "doc", F.slice(F.sort_array("sh"), 1, prefix_len).alias("pre")
     )
-    posts = prefixes.select("doc", F.explode("pre").alias("shingle"))
+    # posting key = xxhash64(shingle): the self-join shuffles 8-byte
+    # longs instead of gram strings; a hash collision can only ADD a
+    # candidate pair, and the exact array_intersect verify removes it —
+    # results stay exactly equal to the brute-force oracle.  Persisted:
+    # the self-join's broadcast side is a separate pipeline (no exchange
+    # reuse), and the posting rows are narrow.
+    posts = (
+        prefixes.select("doc", F.explode("pre").alias("shingle"))
+        .select("doc", F.xxhash64("shingle").alias("hs"))
+        .persist()
+    )
     if df_cap is not None:
-        rare = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-        posts = posts.join(rare.where(F.col("df_") <= df_cap), "shingle").drop("df_")
+        rare = posts.groupBy("hs").agg(F.count(F.lit(1)).alias("df_"))
+        posts = posts.join(rare.where(F.col("df_") <= df_cap), "hs").drop("df_")
     cand = (
         posts.alias("x")
-        .join(posts.alias("y"), "shingle")
+        .join(posts.alias("y"), "hs")
         .where(F.col("x.doc") < F.col("y.doc"))
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
