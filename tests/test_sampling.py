@@ -1,0 +1,70 @@
+"""Hash-split invariants: partition of the corpus, append-stability,
+fraction validation, and oracle parity via the registered queries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from yodel_etl_spark.registry import load_all
+from yodel_etl_spark.scale.sampling import hash_split
+from yodel_etl_spark.session import load_tables
+
+
+def test_split_is_a_partition(spark, sf_small):
+    docs = load_tables(spark, sf_small, ("documents",))["documents"]
+    s = hash_split(docs, "doc_id")
+    # every row gets exactly one label; no rows lost
+    assert s.where(F.col("split").isNull()).count() == 0
+    assert s.count() == docs.count()
+    labels = {r["split"] for r in s.select("split").distinct().collect()}
+    assert labels <= {"train", "val", "test"}
+
+
+def test_split_is_append_stable(spark, sf_small):
+    """Membership of existing rows must not change when the corpus
+    grows — the property randomSplit lacks."""
+    docs = load_tables(spark, sf_small, ("documents",))["documents"]
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    full_assign = {
+        r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id").select("doc_id", "split").collect()
+    }
+    half_assign = {
+        r["doc_id"]: r["split"] for r in hash_split(half, "doc_id").select("doc_id", "split").collect()
+    }
+    assert all(full_assign[k] == v for k, v in half_assign.items())
+
+
+def test_split_fractions_roughly_hold(spark, sf_small):
+    docs = load_tables(spark, sf_small, ("documents",))["documents"]
+    n = docs.count()
+    counts = {
+        r["split"]: r["count"]
+        for r in hash_split(docs, "doc_id").groupBy("split").count().collect()
+    }
+    assert 0.7 <= counts["train"] / n <= 0.9
+
+
+def test_split_rejects_bad_fractions(spark, sf_small):
+    docs = load_tables(spark, sf_small, ("documents",))["documents"]
+    with pytest.raises(ValueError, match="total 100"):
+        hash_split(docs, "doc_id", {"train": 50, "test": 20})
+
+
+def test_split_is_narrow_no_shuffle(spark, sf_small):
+    """The split assignment itself must plan with zero exchanges."""
+    docs = load_tables(spark, sf_small, ("documents",))["documents"]
+    plan = (
+        hash_split(docs, "doc_id")
+        .select("doc_id", "split")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_registered_sampling_queries_build(spark, sf_small):
+    qs = load_all()
+    for name in ("split_documents_counts", "events_value_percentiles"):
+        assert qs[name].build(spark, sf_small).count() > 0

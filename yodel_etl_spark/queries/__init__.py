@@ -14,6 +14,7 @@ from yodel_etl_spark.queries import (  # noqa: F401
     pipelines_q,
     refs,
     relational,
+    sampling_q,
     scale_dedup,
     scale_multimodal,
     scale_similarity,

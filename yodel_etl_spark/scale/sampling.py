@@ -1,0 +1,51 @@
+"""Deterministic dataset splitting for training pipelines.
+
+``randomSplit``/``sampleBy`` draw per-row randoms — resampling a grown
+corpus reshuffles membership, leaking eval docs into train.  The
+standard fix at corpus scale is HASH bucketing: a row's split is a pure
+function of its key, so membership is stable under re-runs, appends,
+and engine changes, and needs no shuffle at all (narrow projection).
+
+md5 (not xxhash64) on purpose: md5 is bit-identical across engines
+(Spark, DuckDB, Python), so splits are portable and oracle-checkable;
+the 16-bit prefix gives 65536 lattice points — granular enough for
+percent-level fractions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, buckets: int = 100) -> Column:
+    """Stable bucket in ``[0, buckets)``: first 4 hex chars of
+    ``md5(key)`` mod buckets.  DuckDB twin:
+    ``CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 4)) AS INTEGER) % buckets``."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10).cast("int")
+        % buckets
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, int] | None = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Label each row train/val/… by deterministic hash bucket.
+
+    ``fractions`` maps label -> percent (must total 100); default
+    80/10/10 train/val/test.  Narrow (no shuffle), append-stable, and
+    reproducible everywhere md5 exists."""
+    fractions = fractions or {"train": 80, "val": 10, "test": 10}
+    if sum(fractions.values()) != 100:
+        raise ValueError(f"fractions must total 100, got {fractions}")
+    b = hash_bucket(F.col(key_col), 100)
+    expr: Column | None = None
+    hi = 0
+    for label, pct in fractions.items():
+        hi += pct
+        expr = F.when(b < hi, F.lit(label)) if expr is None else expr.when(b < hi, F.lit(label))
+    return df.withColumn(split_col, expr)
