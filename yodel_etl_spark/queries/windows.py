@@ -152,6 +152,98 @@ def events_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_in_session_intervals",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), isl AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM g
+    ), sess AS (
+      SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+      FROM isl GROUP BY user_id, session_no
+    )
+    SELECT s.user_id, s.first_ts, count(*) AS n_in_interval
+    FROM sess s JOIN events e
+      ON e.user_id = s.user_id AND e.ts BETWEEN s.first_ts AND s.last_ts
+    GROUP BY 1, 2
+    """,
+    doc="Range (interval-containment) join: events ⋈ their user's "
+    "session intervals via time-bucketed equi-join rewrite — a raw "
+    "BETWEEN join plans as a nested-loop O(points × intervals); "
+    "binning turns it into one shuffle on (user, bucket) with exact "
+    "containment in the join condition.  Oracle is the literal "
+    "BETWEEN join in DuckDB.",
+    tags=("join", "window"),
+    bench=True,
+)
+def events_in_session_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.ops.interval import interval_join
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    sessions = session_windows(ev, "30 minutes")  # user_id, first_ts, last_ts, n_events
+    pts = ev.select("user_id", "ts", "event_id")
+    joined = interval_join(
+        pts,
+        sessions.select("user_id", "first_ts", "last_ts"),
+        pt_col="ts",
+        start_col="first_ts",
+        end_col="last_ts",
+        keys=("user_id",),
+        bucket_seconds=1800,
+    )
+    return joined.groupBy("user_id", "first_ts").agg(
+        F.count(F.lit(1)).alias("n_in_interval")
+    )
+
+
+@register(
+    "events_daily_rollup",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Hypertable-style continuous aggregate: the daily rollup is "
+    "derived from hourly PARTIALS (exact cents + counts), not from raw "
+    "events — at 100 TB the coarse rollup reads |hours| rows instead "
+    "of |events|.  Sums/counts re-aggregate exactly; the oracle is the "
+    "direct daily aggregate over raw events.",
+    tags=("window", "grouping"),
+)
+def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.ops.interval import rollup_from_partials
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents("value")).alias("vc"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "vc")
+    )
+    daily = rollup_from_partials(
+        hourly,
+        "hour_start",
+        "1 day",
+        sum_cols=("vc",),
+        count_col="n_events",
+        keys=("event_type",),
+    )
+    return daily.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        (F.col("vc") / 100.0).alias("total_value"),
+    )
+
+
+@register(
     "events_type_rates",
     oracle="""
     SELECT event_type,
