@@ -145,3 +145,38 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
     return cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+@register(
+    "dedup_incremental_novel",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS bk
+      FROM documents
+    ),
+    corpus AS (SELECT DISTINCT md5(text) AS digest FROM b WHERE bk < 80),
+    inc AS (SELECT doc_id, text FROM b WHERE bk >= 80)
+    SELECT i.doc_id, length(i.text) AS n_chars
+    FROM inc i
+    WHERE md5(i.text) NOT IN (SELECT digest FROM corpus)
+    """,
+    doc="Incremental dedup: the daily-ingest shape — filter incoming "
+    "docs (hash-split val+test slice) whose text already exists in the "
+    "corpus (train slice).  Both sides reduce to md5 digests before "
+    "the anti join (digests shuffle, never documents; corpus digests "
+    "pre-distincted).  md5 is bit-identical across engines, so the "
+    "oracle checks the actual novel set.",
+    tags=("dedup", "scale"),
+    bench=True,
+)
+def dedup_incremental_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.dedup import dedup_against
+    from yodel_etl_spark.scale.sampling import hash_split
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    split = hash_split(docs, "doc_id")
+    corpus = split.where(F.col("split") == "train")
+    incoming = split.where(F.col("split") != "train").select("doc_id", "text")
+    novel = dedup_against(corpus, incoming, "doc_id", "text")
+    return novel.select("doc_id", F.length("text").cast("long").alias("n_chars"))

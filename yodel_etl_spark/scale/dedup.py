@@ -48,6 +48,27 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(keep, id_col, "left_semi")
 
 
+def dedup_against(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    keep_dupes: bool = False,
+) -> DataFrame:
+    """Incremental exact dedup: filter ``incoming`` rows whose text
+    already exists in ``corpus`` (the daily-ingest-vs-lake shape).
+
+    Both sides reduce to 16-byte digests before the join, so the
+    anti/semi join shuffles digests — never documents; the corpus side
+    additionally pre-distincts its digests (one row per unique text)
+    ahead of the exchange.  ``keep_dupes=False`` returns the novel rows
+    (anti join); ``True`` returns the already-seen rows (semi join)."""
+    seen = corpus.select(F.md5(F.col(text_col)).alias("digest")).distinct()
+    inc = incoming.withColumn("digest", F.md5(F.col(text_col)))
+    how = "left_semi" if keep_dupes else "left_anti"
+    return inc.join(seen, "digest", how).drop("digest")
+
+
 # ------------------------------------------------------------- shingles
 def word_shingles(toks: Column, k: int = 3) -> Column:
     """Distinct word k-grams from a *materialized* token-array column.
