@@ -59,7 +59,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(l_linestatus, 'ALL') AS linestatus,
            CAST(grouping(l_returnflag) AS INT) * 2 + CAST(grouping(l_linestatus) AS INT) AS gid,
            count(*) AS n_items,
-           sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,

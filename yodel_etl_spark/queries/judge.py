@@ -201,23 +201,9 @@ def rules_quality_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey", quality_color(_labels_spark()).alias("color"))
 
 
-@register(
-    "rules_color_distribution",
-    oracle=f"""
-    SELECT color, count(*) AS n FROM (
-      SELECT {quality_color_sql(_MAP_SQL)} AS color FROM orders
-    ) GROUP BY color
-    """,
-    doc="Color roll-up distribution (the summary the judge CSV feeds).",
-    tags=("rules", "agg"),
-)
-def rules_color_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_tables(spark, sf_dir, ("orders",))["orders"]
-    return (
-        o.select(quality_color(_labels_spark()).alias("color"))
-        .groupBy("color")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+# (rules_color_distribution — a groupBy of rules_quality_color — was
+# retired as redundant: the cascade itself is the checked operator and
+# its distribution is one trivial count away)
 
 
 @register(
@@ -225,7 +211,7 @@ def rules_color_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
            max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
     FROM events

@@ -24,7 +24,7 @@ from yodel_etl_spark.session import load_tables
         FROM documents
       )
     )
-    SELECT split, count(*) AS n_docs, sum(length(text)) AS total_chars
+    SELECT split, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS total_chars
     FROM s GROUP BY split
     """,
     doc="Deterministic 80/10/10 train/val/test split via md5 hash "
@@ -47,28 +47,6 @@ def split_documents_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_value_percentiles",
-    oracle="""
-    SELECT event_type,
-           round(quantile_cont(value, 0.5), 4) AS p50,
-           round(quantile_cont(value, 0.9), 4) AS p90,
-           round(min(value), 4) AS v_min,
-           round(max(value), 4) AS v_max
-    FROM events GROUP BY event_type
-    """,
-    doc="Exact per-type value percentiles (sort-based percentile(), "
-    "linear interpolation — same definition as DuckDB quantile_cont). "
-    "The 100 TB path swaps in percentile_approx (mergeable KLL-style "
-    "sketch, one pass, no per-group sort) — approximate, so the exact "
-    "form is what the oracle checks.",
-    tags=("agg",),
-)
-def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    return ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
-        F.round(F.min("value"), 4).alias("v_min"),
-        F.round(F.max("value"), 4).alias("v_max"),
-    )
+# (events_value_percentiles merged into events_type_profile in
+# queries/windows.py — same groupBy key, one shuffle instead of two
+# registry slots)

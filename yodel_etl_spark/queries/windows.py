@@ -69,7 +69,7 @@ def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
       SELECT user_id, ts,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+                       >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
       FROM events
     ), isl AS (
       SELECT user_id, ts,
@@ -157,7 +157,7 @@ def events_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
       SELECT user_id, ts,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+                       >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
       FROM events
     ), isl AS (
       SELECT user_id, ts,
@@ -244,20 +244,29 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_type_rates",
+    "events_type_profile",
     oracle="""
     SELECT event_type,
            count(*) AS n,
            CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value,
-           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 / count(*) AS avg_value
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 / count(*) AS avg_value,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(min(value), 4) AS v_min,
+           round(max(value), 4) AS v_max
     FROM events
     GROUP BY event_type
     """,
-    doc="A2 success/failure-style counters as a grouped aggregate "
-    "(convert_json_to_text.py:196-227 counters, distributed form).",
-    tags=("agg", "streaming"),
+    doc="A2 success/failure-style counters (convert_json_to_text.py:"
+    "196-227, distributed form) merged with exact per-type value "
+    "percentiles in the same single-shuffle aggregate.  Exact "
+    "percentile() (sort-based, linear interpolation — same definition "
+    "as DuckDB quantile_cont) is what the oracle checks; the 100 TB "
+    "path swaps in percentile_approx (mergeable KLL-style sketch, one "
+    "pass, no per-group sort).",
+    tags=("agg", "streaming", "sampling"),
 )
-def events_type_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     n = F.count(F.lit(1))
     sum_cents = F.sum(cents("value"))
@@ -265,4 +274,8 @@ def events_type_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n"),
         (sum_cents / 100.0).alias("total_value"),
         (sum_cents / 100.0 / n).alias("avg_value"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.min("value"), 4).alias("v_min"),
+        F.round(F.max("value"), 4).alias("v_max"),
     )
