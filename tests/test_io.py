@@ -96,9 +96,15 @@ def test_fetch_paginated_budget_and_failsoft(spark):
 
     df = fetch_paginated(spark, flaky, max_pages=10)
     rows = df.collect()
-    # pages 1,3 yield 2 records each; page 2 fails soft; pages 4-10 empty
-    assert len(rows) == 4
-    assert {r["page"] for r in rows} == {1, 3}
+    # pages 1,3 yield 2 records each; page 2 fails soft into exactly one
+    # marker row (record NULL, error set); pages 4-10 empty
+    assert len(rows) == 5
+    assert {r["page"] for r in rows} == {1, 2, 3}
+    err_rows = [r for r in rows if r["error"] is not None]
+    assert len(err_rows) == 1
+    assert err_rows[0]["page"] == 2 and err_rows[0]["record"] is None
+    assert "boom" in err_rows[0]["error"]
+    assert all(r["error"] is None for r in rows if r["record"] is not None)
 
 
 def test_fetch_fanout_grid(spark):
@@ -107,6 +113,24 @@ def test_fetch_fanout_grid(spark):
     rows = df.collect()
     assert {r["parent_id"] for r in rows} == {"c1", "c2"}
     assert all(len(r["messages"]) == 5 for r in rows)
+
+
+def test_fetch_fanout_failsoft_error_rows(spark):
+    sessions_page = _make_sessions_page()
+
+    def flaky(parent_id: str, page: int) -> list[dict]:
+        if parent_id == "c2":
+            raise ValueError("upstream 500")
+        return sessions_page(parent_id, page)
+
+    parents = spark.createDataFrame([Row(chat_id="c1"), Row(chat_id="c2")])
+    raw = fetch_fanout(parents, "chat_id", flaky, 2)
+    err = raw.where("error IS NOT NULL").collect()
+    # one marker row per failed (parent, page) grid cell, record NULL
+    assert {(r["parent_id"], r["page"]) for r in err} == {("c2", 1), ("c2", 2)}
+    assert all(r["record"] is None and "upstream 500" in r["error"] for r in err)
+    ok = raw.where("record IS NOT NULL").collect()
+    assert all(r["parent_id"] == "c1" and r["error"] is None for r in ok)
 
 
 def test_extract_chat_qa_end_to_end(spark, tmp_path):

@@ -42,6 +42,7 @@ RAW_SCHEMA = T.StructType(
     [
         T.StructField("page", T.IntegerType()),
         T.StructField("record", T.StringType()),
+        T.StructField("error", T.StringType()),
     ]
 )
 
@@ -50,6 +51,7 @@ FANOUT_RAW_SCHEMA = T.StructType(
         T.StructField("parent_id", T.StringType()),
         T.StructField("page", T.IntegerType()),
         T.StructField("record", T.StringType()),
+        T.StructField("error", T.StringType()),
     ]
 )
 
@@ -85,9 +87,12 @@ def fetch_paginated(
     can't serialize that signal, so the contract becomes an explicit
     page budget (``max_pages``) with empty pages yielding no rows —
     same result set whenever the true page count ≤ budget.  Fail-soft:
-    a page whose fetch raises becomes a row with ``record = NULL`` and
-    the error under ``page`` kept, never an exception (SURVEY §4
-    fail-soft convention)."""
+    a page whose fetch raises becomes exactly one row with ``record =
+    NULL`` and the exception text under ``error`` — never an exception
+    (SURVEY §4 fail-soft convention), and never silent loss: callers
+    detect incomplete landings via ``error IS NOT NULL`` and can retry
+    those pages (the reference instead aborts on raise_for_status,
+    extract_chat_qa_tsv.py:57)."""
     from yodel_etl_spark.session import ship_package
 
     ship_package(spark)  # fetchers may be package functions (by-ref pickle)
@@ -98,17 +103,27 @@ def fetch_paginated(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bucket = _TokenBucket(rate_per_sec)
         for pdf in batches:
-            out_pages, out_records = [], []
+            out_pages, out_records, out_errors = [], [], []
             for page in pdf["id"].tolist():
                 bucket.wait()
                 try:
                     records = fetch_page(int(page))
-                except Exception:  # noqa: BLE001 - fail-soft by contract
-                    records = []
+                except Exception as exc:  # noqa: BLE001 - fail-soft by contract
+                    out_pages.append(int(page))
+                    out_records.append(None)
+                    out_errors.append(f"{type(exc).__name__}: {exc}")
+                    continue
                 for rec in records:
                     out_pages.append(int(page))
                     out_records.append(json.dumps(rec, sort_keys=True))
-            yield pd.DataFrame({"page": pd.array(out_pages, dtype="int32"), "record": out_records})
+                    out_errors.append(None)
+            yield pd.DataFrame(
+                {
+                    "page": pd.array(out_pages, dtype="int32"),
+                    "record": out_records,
+                    "error": out_errors,
+                }
+            )
 
     return pages.mapInPandas(run, schema=RAW_SCHEMA)
 
@@ -140,17 +155,21 @@ def fetch_fanout(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bucket = _TokenBucket(rate_per_sec)
         for pdf in batches:
-            rows: list[tuple[str, int, str]] = []
+            rows: list[tuple[str, int, str | None, str | None]] = []
             for parent_id, page in zip(pdf["parent_id"], pdf["page"]):
                 bucket.wait()
                 try:
                     records = fetch_page(str(parent_id), int(page))
-                except Exception:  # noqa: BLE001
-                    records = []
+                except Exception as exc:  # noqa: BLE001 - fail-soft by contract
+                    rows.append(
+                        (str(parent_id), int(page), None, f"{type(exc).__name__}: {exc}")
+                    )
+                    continue
                 rows.extend(
-                    (str(parent_id), int(page), json.dumps(r, sort_keys=True)) for r in records
+                    (str(parent_id), int(page), json.dumps(r, sort_keys=True), None)
+                    for r in records
                 )
-            yield pd.DataFrame(rows, columns=["parent_id", "page", "record"])
+            yield pd.DataFrame(rows, columns=["parent_id", "page", "record", "error"])
 
     return grid.mapInPandas(run, schema=FANOUT_RAW_SCHEMA)
 
@@ -202,10 +221,11 @@ try:  # pragma: no cover - exercised only where the API exists
             for page in range(partition.start, partition.end):
                 try:
                     records = fetch(page)
-                except Exception:  # noqa: BLE001
-                    records = []
+                except Exception as exc:  # noqa: BLE001 - fail-soft error row
+                    yield (page, None, f"{type(exc).__name__}: {exc}")
+                    continue
                 for rec in records:
-                    yield (page, json.dumps(rec, sort_keys=True))
+                    yield (page, json.dumps(rec, sort_keys=True), None)
 
     class PaginatedRestDataSource(DataSource):
         """``spark.read.format("paginated_rest").option("fetcher",
@@ -217,7 +237,7 @@ try:  # pragma: no cover - exercised only where the API exists
             return "paginated_rest"
 
         def schema(self):
-            return "page int, record string"
+            return "page int, record string, error string"
 
         def reader(self, schema):
             return PaginatedRestReader(self.options)

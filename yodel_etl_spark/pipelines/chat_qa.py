@@ -61,14 +61,21 @@ def extract_chat_qa(
     max_pages: int = 10,
     max_session_pages_per_chat: int = 4,
     output_path: str | None = None,
+    include_empty: bool = False,
 ) -> DataFrame:
     """Land chats + sessions, join, extract first Q/A per session."""
-    chats = typed(fetch_paginated(spark, fetch_chats_page, max_pages), CHAT_SCHEMA).select(
+    # failed pages land as (record NULL, error set) marker rows — drop
+    # them from the data path here; a caller needing retry reads the
+    # raw frame's `error` column before typing
+    chats_raw = fetch_paginated(spark, fetch_chats_page, max_pages).where(
+        F.col("record").isNotNull()
+    )
+    chats = typed(chats_raw, CHAT_SCHEMA).select(
         F.col("id").alias("chat_id"), F.col("name").alias("chat_name")
     )
     sessions_raw = fetch_fanout(
         chats, "chat_id", fetch_sessions_page, max_session_pages_per_chat
-    )
+    ).where(F.col("record").isNotNull())
     # NB: E3 (messages dict→list, extract_chat_qa_tsv.py:95-96) applies
     # at ingest when a feed lands MAP-typed messages; SESSION_SCHEMA
     # already types them as the ordered array.
@@ -89,8 +96,12 @@ def extract_chat_qa(
         F.col("qa.user_question").alias("user_question"),
         F.col("qa.assistant_response").alias("assistant_response"),
     )
-    # reference keeps only sessions with a user question (:155-158)
-    out = out.where(F.length("user_question") > 0)
+    # reference drops a session only when BOTH question and answer are
+    # empty (extract_chat_qa_tsv.py:157), overridable via --include-empty
+    if not include_empty:
+        out = out.where(
+            (F.length("user_question") > 0) | (F.length("assistant_response") > 0)
+        )
     if output_path:
         write_tsv(out, output_path)
     return out
