@@ -21,10 +21,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Oracle-backed queries are listed first (registration order), the
+    rows-only-by-design ones last, so a bounded driver correctness
+    window always covers every query that has the strong
+    rows+schema+hash check."""
     from yodel_etl_spark.registry import load_all
 
-    return {name: q.build for name, q in load_all().items()}
+    qs = load_all()
+    ordered = [n for n, q in qs.items() if q.oracle is not None]
+    ordered += [n for n, q in qs.items() if q.oracle is None]
+    return {name: qs[name].build for name in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

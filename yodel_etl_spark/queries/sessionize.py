@@ -90,16 +90,10 @@ def sessionize_first_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _first_qa_df(spark, sf_dir)
 
 
-@register(
-    "sessionize_first_qa_nonempty",
-    oracle=f"SELECT * FROM ({_FIRST_QA_ORACLE}) WHERE user_question <> '' OR assistant_response <> ''",
-    doc="Same with the default include-empty=False filter "
-    "(extract_chat_qa_tsv.py:156-157).",
-    tags=("sessionize",),
-)
-def sessionize_first_qa_nonempty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    qa = _first_qa_df(spark, sf_dir)
-    return qa.where((F.col("user_question") != "") | (F.col("assistant_response") != ""))
+# (the include-empty=False variant of first_qa is exercised by the
+# chat_qa pipeline + tests — a separate registry entry was redundant
+# and is retired to keep the driver's correctness window on
+# distinct operators)
 
 
 @register(
