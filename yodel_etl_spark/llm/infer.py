@@ -128,6 +128,43 @@ class FlakyClient:
         return mock_client(prompt)
 
 
+def mock_chat_client(prompt: str) -> str:
+    """Deterministic chat-completion mock: the folded SSE payload
+    (io.sse.DATA_SCHEMA shape) the production ChatAskClient returns —
+    answer, session_id and a two-chunk retrieval reference keyed off a
+    stable prompt digest."""
+    import json as _json
+
+    h = hashlib.md5(prompt.encode()).hexdigest()
+    return _json.dumps(
+        {
+            "answer": f"Answer[{h[:8]}] to: {prompt[:40]}",
+            "session_id": f"sess-{h[:6]}",
+            "reference": {
+                "total": 2,
+                "chunks": [
+                    {
+                        "id": f"c{h[:4]}",
+                        "document_name": "doc_a.md",
+                        "content": "chunk one",
+                        "similarity": round((int(h[:4], 16) % 100) / 100.0, 2),
+                        "vector_similarity": 0.8,
+                        "term_similarity": 0.7,
+                    },
+                    {
+                        "id": f"c{h[4:8]}",
+                        "document_name": "doc_b.md",
+                        "content": "chunk two",
+                        "similarity": round((int(h[4:8], 16) % 100) / 100.0, 2),
+                        "vector_similarity": 0.5,
+                        "term_similarity": 0.4,
+                    },
+                ],
+            },
+        }
+    )
+
+
 def mock_judge_client(prompt: str) -> str:
     """Deterministic judge mock emitting the reference's verdict JSON
     (test_chat_assistant_with_judge.py:224-227 schema), with the answer
