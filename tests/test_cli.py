@@ -1,0 +1,88 @@
+"""CLI entrypoint smoke tests (cli.py) — each main() invoked on fixture
+data, mirroring the reference argparse surfaces
+(normalize_parks_json.py:15-30, convert_json_to_text.py:230-296,
+extract_chat_qa_tsv.py:132-143, test_chat_assistant.py:260-277)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from yodel_etl_spark.cli import (
+    chat_qa_main,
+    convert_main,
+    main,
+    parks_main,
+    qa_eval_main,
+)
+
+
+@pytest.fixture()
+def json_dir(tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "alpha.json").write_text(
+        json.dumps({"name": "Alpha Park", "facilities": "restroom, playground"})
+    )
+    (d / "beta.json").write_text(
+        json.dumps([{"name": "Beta Park", "activities": "hiking"}])
+    )
+    (d / "corrupt.json").write_text("{not json at all")
+    return d
+
+
+def test_parks_main_writes_csv(spark, json_dir, tmp_path):
+    out = tmp_path / "parks_csv"
+    rc = parks_main(["--input-dir", str(json_dir), "--output", str(out), "--single-file"])
+    assert rc == 0
+    files = [f for f in os.listdir(out) if f.endswith(".csv")]
+    assert len(files) == 1
+    body = (out / files[0]).read_text()
+    assert "has_playground" in body and "Alpha Park" in body
+
+
+def test_convert_main_mock_writes_texts(spark, json_dir, tmp_path, capsys):
+    out = tmp_path / "texts"
+    rc = convert_main(
+        ["--input-dir", str(json_dir), "--output-dir", str(out), "--mock", "--delay", "0"]
+    )
+    assert rc == 0
+    # one stem.txt per VALID file; corrupt.json skipped and counted
+    assert sorted(os.listdir(out)) == ["alpha.txt", "beta.txt"]
+    assert (out / "alpha.txt").read_text().startswith("SUMMARY[")
+    assert "2 successful, 1 failed/skipped" in capsys.readouterr().out
+
+
+def test_chat_qa_main_requires_token(monkeypatch):
+    monkeypatch.delenv("RAGFLOW_TOKEN", raising=False)
+    assert chat_qa_main(["--base-url", "http://127.0.0.1:1"]) == 2
+
+
+def test_qa_eval_main_mock(spark, tmp_path):
+    qfile = tmp_path / "questions.txt"
+    qfile.write_text("What are the park hours?\n\nIs swimming allowed?\n")
+    out = tmp_path / "results"
+    rc = qa_eval_main([str(qfile), "-o", str(out), "--mock", "-d", "0", "--judge-delay", "0"])
+    assert rc == 0
+    files = [f for f in os.listdir(out) if f.endswith(".csv")]
+    assert files
+
+
+def test_qa_eval_main_mock_with_judge(spark, tmp_path):
+    qfile = tmp_path / "questions.txt"
+    qfile.write_text("Q one\nQ two\n")
+    out = tmp_path / "judged"
+    rc = qa_eval_main(
+        [str(qfile), "-o", str(out), "--mock", "--judge", "-d", "0", "--judge-delay", "0"]
+    )
+    assert rc == 0
+    csvs = [f for f in os.listdir(out) if f.endswith(".csv")]
+    assert csvs
+    header = (out / csvs[0]).read_text().splitlines()[0]
+    assert "quality_color" in header
+
+
+def test_umbrella_dispatch_unknown():
+    assert main(["definitely-not-a-command"]) == 2

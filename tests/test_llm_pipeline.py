@@ -76,20 +76,31 @@ def test_evaluate_questions_metrics_only(spark):
     assert len(rows) == 6
     r = rows[0]
     assert r["total_references"] == 2
-    assert r["chunk_documents"] == "doc_a.pdf, doc_b.pdf"  # order preserved, E1
-    assert r["status"] == 200
+    assert r["document_names"] == "doc_a.pdf, doc_b.pdf"  # order preserved, E1
+    assert r["similarities"] == "0.91, 0.45"
+    # chunks without vector/term sims → falsy-stringified '' per chunk
+    assert r["vector_similarities"] == ", "
+    assert r["status_code"] == 200
 
 
 def test_evaluate_questions_with_judge(spark):
+    from yodel_etl_spark.pipelines.qa_eval import JUDGED_COLUMNS
+
     out = evaluate_questions(_questions(spark), _make_chat_client(), mock_judge_client)
+    assert out.columns == JUDGED_COLUMNS
     rows = out.collect()
     assert len(rows) == 6
     colors = {r["quality_color"] for r in rows}
     assert colors <= {"RED", "YELLOW", "GREEN", "GRAY"}
-    # verdict parsed from the mock's JSON: labels present, scores in [0,1]
+    # verdict surfaced as the reference's flat string columns (:515-548)
     for r in rows:
-        assert r["verdict"]["labels"]["answer_present"] is True
-        assert all(0.0 <= v <= 1.0 for v in r["verdict"]["scores"].values())
+        assert r["judge_status"] == 200
+        labels = json.loads(r["judge_labels"])
+        assert labels["answer_present"] is True
+        scores = json.loads(r["judge_scores"])
+        assert all(0.0 <= v <= 1.0 for v in scores.values())
+        assert json.loads(r["judge_json"])["labels"] == labels
+        assert r["judge_notes"] == "mock"
 
 
 def test_judge_stage_unparseable_output_is_gray(spark):

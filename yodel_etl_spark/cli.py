@@ -1,0 +1,194 @@
+"""CLI entrypoints mirroring the reference's argparse surfaces.
+
+Every reference script is a runnable CLI; the engine exposes the same
+four, each as ``python -m yodel_etl_spark.pipelines.<name>`` (and all
+of them under ``python -m yodel_etl_spark <name>``):
+
+* ``parks``    — EP1, normalize_parks_json.py:15-30 (``--input-dir``,
+  ``--output``)
+* ``convert``  — convert_json_to_text.py:230-296 (``--input-dir``,
+  ``--output-dir``, ``--api-key``, ``--delay``)
+* ``chat-qa``  — EP2, extract_chat_qa_tsv.py:132-143 (``--base-url``,
+  ``--token``, ``--out``, ``--page-size``, ``--include-empty``)
+* ``qa-eval``  — EP3, test_chat_assistant.py:260-277 + judge variant
+  :559-577 (``questions_file``, ``--output``, ``--delay``, ``--judge``,
+  ``--anthropic-model``)
+
+Clients default to the production HTTP wrappers (llm/clients.py) and
+can be swapped for the deterministic mocks with ``--mock`` — the
+distributed plan is identical either way, which is what the smoke
+tests pin.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from collections.abc import Sequence
+
+from pyspark.sql import SparkSession
+
+
+def _spark(app: str) -> SparkSession:
+    from yodel_etl_spark.session import get_spark
+
+    return get_spark(app_name=app)
+
+
+def parks_main(argv: Sequence[str] | None = None) -> int:
+    """EP1 (normalize_parks_json.py:15-30)."""
+    p = argparse.ArgumentParser(
+        prog="yodel-parks",
+        description="Normalize JSON park data files into a structured CSV.",
+    )
+    p.add_argument("--input-dir", "-i", default=".", help="Directory containing JSON files")
+    p.add_argument("--output", "-o", default="normalized_parks_output", help="Output CSV directory")
+    p.add_argument("--single-file", action="store_true", help="coalesce(1) byte-parity mode")
+    args = p.parse_args(argv)
+
+    from yodel_etl_spark.io.delim import write_csv
+    from yodel_etl_spark.pipelines.parks import run
+
+    out = run(_spark("yodel-parks"), os.path.expanduser(args.input_dir))
+    write_csv(out, args.output, single_file=args.single_file)
+    print(f"Wrote normalized CSV to {args.output}")
+    return 0
+
+
+def convert_main(argv: Sequence[str] | None = None) -> int:
+    """convert_json_to_text.py:230-296."""
+    p = argparse.ArgumentParser(
+        prog="yodel-convert",
+        description="Convert JSON files to natural language summaries via LLM.",
+    )
+    p.add_argument("--input-dir", "-i", default="./input_json")
+    p.add_argument("--output-dir", "-o", default="./output_text")
+    p.add_argument("--api-key", default=None, help="Gemini API key (else GEMINI_API_KEY/GOOGLE_API_KEY env)")
+    p.add_argument("--delay", type=float, default=0.5, help="Per-partition inter-call delay seconds")
+    p.add_argument("--mock", action="store_true", help="Use the deterministic mock client")
+    args = p.parse_args(argv)
+
+    from yodel_etl_spark.pipelines.convert import convert_dir
+
+    if args.mock:
+        from yodel_etl_spark.llm.infer import mock_client as client
+    else:
+        from yodel_etl_spark.llm.clients import GeminiGenerateClient
+
+        client = GeminiGenerateClient(api_key=args.api_key)
+    rate = (1.0 / args.delay) if args.delay > 0 else None
+    result = convert_dir(
+        _spark("yodel-convert"),
+        os.path.expanduser(args.input_dir),
+        os.path.expanduser(args.output_dir),
+        client,
+        rate_per_sec=rate,
+    )
+    # A2 counters (convert_json_to_text.py:305-308)
+    summary = result.groupBy("valid", "status").count().collect()
+    total = sum(r["count"] for r in summary)
+    ok = sum(r["count"] for r in summary if r["valid"] and r["status"] == 200)
+    print(f"Processed {total} files: {ok} successful, {total - ok} failed/skipped")
+    return 0
+
+
+def chat_qa_main(argv: Sequence[str] | None = None) -> int:
+    """EP2 (extract_chat_qa_tsv.py:132-143)."""
+    p = argparse.ArgumentParser(
+        prog="yodel-chat-qa",
+        description="Extract first Q/A per chat session from a RAGFlow-style API into TSV.",
+    )
+    p.add_argument("--base-url", default=os.environ.get("RAGFLOW_BASE_URL", "http://localhost:9380"))
+    p.add_argument("--token", default=None, help="Bearer token (else RAGFLOW_TOKEN env)")
+    p.add_argument("--out", default="qa.tsv", help="Output TSV directory")
+    p.add_argument("--page-size", type=int, default=100)
+    p.add_argument("--max-pages", type=int, default=100)
+    p.add_argument("--max-session-pages", type=int, default=20)
+    p.add_argument("--include-empty", action="store_true")
+    args = p.parse_args(argv)
+
+    token = args.token or os.environ.get("RAGFLOW_TOKEN")
+    if not token:
+        print("RAGFLOW_TOKEN is required (env or --token)", file=sys.stderr)
+        return 2
+
+    from yodel_etl_spark.llm.clients import BearerFanoutClient, BearerPageClient
+    from yodel_etl_spark.pipelines.chat_qa import extract_chat_qa
+
+    out = extract_chat_qa(
+        _spark("yodel-chat-qa"),
+        BearerPageClient(args.base_url, token=token, page_size=args.page_size),
+        BearerFanoutClient(args.base_url, token=token, page_size=args.page_size),
+        max_pages=args.max_pages,
+        max_session_pages_per_chat=args.max_session_pages,
+        output_path=args.out,
+        include_empty=args.include_empty,
+    )
+    print(f"Done. Lines written: {out.count()}; output: {args.out}")
+    return 0
+
+
+def qa_eval_main(argv: Sequence[str] | None = None) -> int:
+    """EP3 (test_chat_assistant.py:260-277; judge variant :559-577)."""
+    p = argparse.ArgumentParser(
+        prog="yodel-qa-eval",
+        description="Ask questions from a file against a chat API; optionally LLM-judge the answers.",
+    )
+    p.add_argument("questions_file", help="Text file, one question per line")
+    p.add_argument("-o", "--output", default="chat_test_results", help="Output CSV directory")
+    p.add_argument("-d", "--delay", type=float, default=1.0, help="Per-partition inter-request delay")
+    p.add_argument("--judge-delay", type=float, default=0.5, help="Per-partition inter-judge-call delay")
+    p.add_argument("--judge", action="store_true", help="Add the LLM-as-judge stage")
+    p.add_argument(
+        "--anthropic-model",
+        default=os.environ.get("ANTHROPIC_MODEL"),
+        help="Judge model override (test_chat_assistant_with_judge.py:566)",
+    )
+    p.add_argument("--mock", action="store_true", help="Use deterministic mock clients")
+    args = p.parse_args(argv)
+
+    from yodel_etl_spark.io.delim import write_csv
+    from yodel_etl_spark.io.text import read_lines
+    from yodel_etl_spark.pipelines.qa_eval import evaluate_questions
+
+    spark = _spark("yodel-qa-eval")
+    questions = read_lines(spark, args.questions_file)
+
+    if args.mock:
+        from yodel_etl_spark.llm.infer import mock_chat_client, mock_judge_client
+
+        chat_client, judge_client = mock_chat_client, mock_judge_client
+    else:
+        from yodel_etl_spark.llm.clients import AnthropicJudgeClient, ChatAskClient
+
+        base_url = os.environ.get("RAGFLOW_BASE_URL", "http://localhost:9380")
+        chat_id = os.environ.get("RAGFLOW_CHAT_ID", "")
+        chat_client = ChatAskClient(base_url, chat_id)
+        judge_client = AnthropicJudgeClient(model=args.anthropic_model)
+
+    out = evaluate_questions(
+        questions,
+        chat_client,
+        judge_client if args.judge else None,
+        rate_per_sec=(1.0 / args.delay) if args.delay > 0 else None,
+        judge_rate_per_sec=(1.0 / args.judge_delay) if args.judge_delay > 0 else None,
+    )
+    write_csv(out, args.output)
+    print(f"Wrote results to {args.output}")
+    return 0
+
+
+def main(argv: Sequence[str] | None = None) -> int:
+    """Umbrella dispatcher: ``python -m yodel_etl_spark <cmd> ...``."""
+    cmds = {
+        "parks": parks_main,
+        "convert": convert_main,
+        "chat-qa": chat_qa_main,
+        "qa-eval": qa_eval_main,
+    }
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] not in cmds:
+        print(f"usage: python -m yodel_etl_spark {{{','.join(cmds)}}} ...", file=sys.stderr)
+        return 2
+    return cmds[argv[0]](argv[1:])

@@ -105,3 +105,11 @@ def extract_chat_qa(
     if output_path:
         write_tsv(out, output_path)
     return out
+
+
+if __name__ == "__main__":  # pragma: no cover - CLI shim
+    import sys
+
+    from yodel_etl_spark.cli import chat_qa_main
+
+    sys.exit(chat_qa_main())

@@ -123,3 +123,11 @@ def run(spark: SparkSession, input_dir: str, output_path: str | None = None) -> 
     if output_path:
         out.write.mode("overwrite").option("header", True).csv(output_path)
     return out
+
+
+if __name__ == "__main__":  # pragma: no cover - CLI shim
+    import sys
+
+    from yodel_etl_spark.cli import parks_main
+
+    sys.exit(parks_main())

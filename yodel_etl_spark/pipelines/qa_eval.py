@@ -29,26 +29,51 @@ from yodel_etl_spark.llm.infer import Client, infer_map
 from yodel_etl_spark.llm.judge import build_judge_prompt, judge_stage
 from yodel_etl_spark.ops.refs import join_chunk_field, total_references
 
-#: reference results-CSV fieldnames (test_chat_assistant.py:197-208)
+#: reference results-CSV fieldnames (test_chat_assistant.py:196-208),
+#: plus the engine's fail-soft ``error`` extra at the end
 METRICS_COLUMNS = [
     "question",
-    "session_id",
     "answer",
+    "status_code",
+    "session_id",
     "total_references",
     "chunk_ids",
-    "chunk_documents",
-    "chunk_similarities",
-    "status",
+    "document_names",
+    "similarities",
+    "vector_similarities",
+    "term_similarities",
+    "error",
+]
+
+#: judge-variant fieldnames (test_chat_assistant_with_judge.py:436-457)
+JUDGED_COLUMNS = METRICS_COLUMNS[:-1] + [
+    "quality_color",
+    "judge_status",
+    "judge_raw",
+    "judge_json",
+    "judge_labels",
+    "judge_scores",
+    "judge_notes",
     "error",
 ]
 
 
-def ask_stage(questions: DataFrame, chat_client: Client, question_col: str = "question") -> DataFrame:
+def ask_stage(
+    questions: DataFrame,
+    chat_client: Client,
+    question_col: str = "question",
+    rate_per_sec: float | None = None,
+) -> DataFrame:
     """S6: per-question chat call.  The client returns the final
     {answer, session_id, reference} JSON (the SSE fold is the client's
-    concern in prod — io/sse.py replays transcripts; here the operator
-    consumes the folded payload).  Fail-soft: status/error columns."""
-    asked = infer_map(questions.withColumnRenamed(question_col, "prompt"), chat_client)
+    concern in prod — llm.clients.ChatAskClient / io/sse.py replays
+    transcripts; here the operator consumes the folded payload).
+    Fail-soft: status/error columns."""
+    asked = infer_map(
+        questions.withColumnRenamed(question_col, "prompt"),
+        chat_client,
+        rate_per_sec=rate_per_sec,
+    )
     parsed = asked.withColumn("data", F.from_json("output", DATA_SCHEMA))
     return parsed.select(
         F.col("prompt").alias("question"),
@@ -62,17 +87,21 @@ def ask_stage(questions: DataFrame, chat_client: Client, question_col: str = "qu
 
 def metrics_stage(df: DataFrame) -> DataFrame:
     """E1/A4: collapse the chunk list into the reference's comma-joined
-    metric columns (test_chat_assistant.py:136-177)."""
+    metric columns — the full extract_reference_info set including the
+    stringly-typed vector/term similarities (test_chat_assistant.py:
+    136-177, fieldnames :196-208)."""
     chunks = F.col("reference.chunks")
     return df.select(
         "question",
-        F.coalesce(F.col("session_id"), F.lit("")).alias("session_id"),
         F.coalesce(F.col("answer"), F.lit("")).alias("answer"),
+        F.col("status").alias("status_code"),
+        F.coalesce(F.col("session_id"), F.lit("")).alias("session_id"),
         total_references(F.col("reference.total"), chunks).alias("total_references"),
         join_chunk_field(chunks, "id").alias("chunk_ids"),
-        join_chunk_field(chunks, "document_name").alias("chunk_documents"),
-        join_chunk_field(chunks, "similarity").alias("chunk_similarities"),
-        "status",
+        join_chunk_field(chunks, "document_name").alias("document_names"),
+        join_chunk_field(chunks, "similarity").alias("similarities"),
+        join_chunk_field(chunks, "vector_similarity").alias("vector_similarities"),
+        join_chunk_field(chunks, "term_similarity").alias("term_similarities"),
         "error",
         chunks.alias("chunks"),
     )
@@ -83,21 +112,43 @@ def evaluate_questions(
     chat_client: Client,
     judge_client: Client | None = None,
     question_col: str = "question",
+    rate_per_sec: float | None = None,
+    judge_rate_per_sec: float | None = None,
 ) -> DataFrame:
     """Full EP3: ask → metrics (→ judge → verdict/color when a judge
-    client is given)."""
-    m = metrics_stage(ask_stage(questions, chat_client, question_col))
+    client is given).  ``rate_per_sec``/``judge_rate_per_sec`` are the
+    per-partition analogues of the reference's --delay/--judge-delay
+    pacing (test_chat_assistant.py:277, judge :564-565)."""
+    m = metrics_stage(ask_stage(questions, chat_client, question_col, rate_per_sec))
     if judge_client is None:
         return m.select(*METRICS_COLUMNS)
-    with_prompt = build_judge_prompt(
-        m.withColumnRenamed("status", "ask_status").withColumnRenamed("error", "ask_error")
-    )
-    judged = judge_stage(with_prompt, judge_client)
+    with_prompt = build_judge_prompt(m.withColumnRenamed("error", "ask_error"))
+    judged = judge_stage(with_prompt, judge_client, rate_per_sec=judge_rate_per_sec)
+    # every judge field is a flat string (CSV-writable, the reference's
+    # row shape :515-548); verdict stays available upstream via
+    # judge_stage for programmatic consumers
+    verdict = F.col("verdict")
     return judged.select(
-        *[c for c in METRICS_COLUMNS if c not in ("status", "error")],
-        F.col("ask_status").alias("status"),
-        F.col("ask_error").alias("error"),
-        "judge_raw",
-        "verdict",
+        *[c for c in METRICS_COLUMNS if c != "error"],
         "quality_color",
+        F.col("status").alias("judge_status"),
+        F.coalesce(F.col("judge_raw"), F.lit("")).alias("judge_raw"),
+        F.coalesce(F.to_json(verdict), F.lit("")).alias("judge_json"),
+        F.coalesce(F.to_json(verdict["labels"]), F.lit("")).alias("judge_labels"),
+        F.coalesce(F.to_json(verdict["scores"]), F.lit("")).alias("judge_scores"),
+        # parse failure: the reference carries the parse error in notes
+        # (:530-533); a parsed verdict with absent notes stays ''
+        F.when(verdict.isNotNull(), F.coalesce(verdict["notes"], F.lit("")))
+        .when(F.length(F.coalesce(F.col("judge_raw"), F.lit(""))) > 0, F.lit("no-json-found"))
+        .otherwise(F.lit(""))
+        .alias("judge_notes"),
+        F.col("ask_error").alias("error"),
     )
+
+
+if __name__ == "__main__":  # pragma: no cover - CLI shim
+    import sys
+
+    from yodel_etl_spark.cli import qa_eval_main
+
+    sys.exit(qa_eval_main())

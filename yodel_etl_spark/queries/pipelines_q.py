@@ -41,12 +41,16 @@ def _mock_chat_client():
                             "document_name": "doc_a.pdf",
                             "content": "alpha",
                             "similarity": 0.91,
+                            "vector_similarity": 0.83,
+                            "term_similarity": 0.71,
                         },
                         {
                             "id": f"{h}-c2",
                             "document_name": "doc_b.pdf",
                             "content": "beta",
                             "similarity": 0.45,
+                            "vector_similarity": 0.52,
+                            "term_similarity": 0.27,
                         },
                     ],
                 },
@@ -72,36 +76,30 @@ def _questions(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT question, substr(md5(question), 1, 6) AS hx FROM q
     )
     SELECT question,
-           'sess-' || hx AS session_id,
            'Answer[' || hx || '] to: ' || question AS answer,
+           200 AS status_code,
+           'sess-' || hx AS session_id,
            2 AS total_references,
            hx || '-c1, ' || hx || '-c2' AS chunk_ids,
-           'doc_a.pdf, doc_b.pdf' AS chunk_documents,
-           '0.91, 0.45' AS chunk_similarities,
-           200 AS status
+           'doc_a.pdf, doc_b.pdf' AS document_names,
+           '0.91, 0.45' AS similarities,
+           '0.83, 0.52' AS vector_similarities,
+           '0.71, 0.27' AS term_similarities
     FROM h
     """,
     doc="EP3 ask→metrics stage end-to-end: questions → mapInPandas chat "
-    "call (deterministic md5 mock) → from_json → E1 chunk collapse.  "
-    "The oracle recomputes the mock's md5-derived payload in SQL — the "
-    "distributed call plumbing must produce byte-identical columns "
-    "(test_chat_assistant.py:196-255 result rows).",
+    "call (deterministic md5 mock) → from_json → E1 chunk collapse "
+    "with the reference's full fieldname set incl. the stringly-typed "
+    "vector/term similarities (test_chat_assistant.py:196-208).  The "
+    "oracle recomputes the mock's md5-derived payload in SQL — the "
+    "distributed call plumbing must produce byte-identical columns.",
     tags=("pipeline", "llm"),
 )
 def pipeline_qa_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = evaluate_questions(_questions(spark, sf_dir), _mock_chat_client())
     # error is NULL on success; drop it so the oracle needn't carry a
     # typed NULL column
-    return out.select(
-        "question",
-        "session_id",
-        "answer",
-        "total_references",
-        "chunk_ids",
-        "chunk_documents",
-        "chunk_similarities",
-        "status",
-    )
+    return out.drop("error")
 
 
 @register(
@@ -120,8 +118,8 @@ def pipeline_qa_judged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "question",
         "answer",
-        F.col("verdict")["labels"]["answer_present"].alias("answer_present"),
-        F.col("verdict")["labels"]["answer_direct"].alias("answer_direct"),
+        F.get_json_object("judge_labels", "$.answer_present").cast("boolean").alias("answer_present"),
+        F.get_json_object("judge_labels", "$.answer_direct").cast("boolean").alias("answer_direct"),
         "quality_color",
     )
 
