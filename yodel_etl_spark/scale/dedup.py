@@ -108,29 +108,38 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     df_cap: int | None = None,
+    prefix_order: str = "df",
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs via PREFIX-FILTERED
     inverted-index join (PPJoin-style; exact, not approximate).
 
-    Prefix-filter theorem: order each doc's distinct shingles by a
-    global total order (lexicographic here); if J(A,B) ≥ t, then A and
-    B must share at least one shingle among each side's first
-    ``n - ⌈t·n⌉ + 1`` shingles.  So the inverted index holds only those
-    prefixes — at t=0.8 that's ~20% of the postings and ~4%% of the
-    candidate fan-out versus the full index — and an exact
-    ``array_intersect`` verify on the candidates removes every false
-    positive.  Every provably-sub-threshold pair is the ONLY thing
-    dropped, so results equal the brute-force oracle by construction.
+    Prefix-filter theorem: order each doc's distinct shingles by ANY
+    global total order; if J(A,B) ≥ t, then A and B must share at least
+    one shingle among each side's first ``n - ⌈t·n⌉ + 1`` shingles.  So
+    the inverted index holds only those prefixes — at t=0.8 that's ~20%
+    of the postings and a small fraction of the candidate fan-out
+    versus the full index — and an exact ``array_intersect`` verify on
+    the candidates removes every false positive.  Every
+    provably-sub-threshold pair is the ONLY thing dropped, so results
+    equal the brute-force oracle by construction UNDER EITHER ORDER.
 
-    Scale: postings shuffle is linear in Σ prefix lengths; the skew of
-    ultra-common shingles is bounded by them rarely appearing in
-    prefixes (they sort late when the order is by ascending document
-    frequency — swap the sort key to df-order at 100 TB for the
-    textbook version; lexicographic keeps the oracle trivially
-    deterministic here).  ``df_cap`` additionally drops postings of
-    shingles with document frequency above the cap (approximate mode;
-    leave None for the exact oracle-checked form).
+    ``prefix_order`` picks the total order:
+
+    * ``"df"`` (default, the textbook PPJoin order): ascending document
+      frequency, ties by shingle.  Hot shingles sort LAST, so they
+      cannot enter prefixes — the posting index stays skew-free at
+      100 TB (an ultra-common shingle's posting list is the classic
+      straggler under lexicographic order).  Costs one extra linear
+      map-side-combined df aggregation + a per-doc rank.
+    * ``"lex"``: lexicographic — no df pass, cheapest at small scale
+      where no shingle is hot.
+
+    ``df_cap`` additionally drops postings of shingles with document
+    frequency above the cap (approximate mode; leave None for the
+    exact oracle-checked form).
     """
+    if prefix_order not in ("df", "lex"):
+        raise ValueError(f"prefix_order must be 'df' or 'lex', got {prefix_order!r}")
     # NOT persisted (measured slower): the shingle arrays are wide, and
     # caching them costs more than the three recomputes of the cheap
     # tokenize kernel — unlike the signature tables below, which are one
@@ -138,20 +147,38 @@ def jaccard_pairs(
     base = _with_shingles(df, id_col, text_col, k)
     n = F.size("sh")
     prefix_len = (n - F.ceil(F.lit(float(threshold)) * n) + 1).cast("int")
-    prefixes = base.select(
-        "doc", F.slice(F.sort_array("sh"), 1, prefix_len).alias("pre")
-    )
     # posting key = xxhash64(shingle): the self-join shuffles 8-byte
     # longs instead of gram strings; a hash collision can only ADD a
     # candidate pair, and the exact array_intersect verify removes it —
     # results stay exactly equal to the brute-force oracle.  Persisted:
     # the self-join's broadcast side is a separate pipeline (no exchange
     # reuse), and the posting rows are narrow.
-    posts = (
-        prefixes.select("doc", F.explode("pre").alias("shingle"))
-        .select("doc", F.xxhash64("shingle").alias("hs"))
-        .persist()
-    )
+    if prefix_order == "lex":
+        prefixes = base.select(
+            "doc", F.slice(F.sort_array("sh"), 1, prefix_len).alias("pre")
+        )
+        posts = prefixes.select("doc", F.explode("pre").alias("shingle")).select(
+            "doc", F.xxhash64("shingle").alias("hs")
+        )
+    else:
+        from pyspark.sql import Window
+
+        all_posts = base.select(
+            "doc", prefix_len.alias("plen"), F.explode("sh").alias("shingle")
+        )
+        # document frequency per shingle: linear, map-side combined —
+        # the one extra pass that buys the skew-free posting index
+        dfreq = all_posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        rank = F.row_number().over(
+            Window.partitionBy("doc").orderBy("df_", "shingle")
+        )
+        posts = (
+            all_posts.join(dfreq, "shingle")
+            .withColumn("rk", rank)
+            .where(F.col("rk") <= F.col("plen"))
+            .select("doc", F.xxhash64("shingle").alias("hs"))
+        )
+    posts = posts.persist()
     if df_cap is not None:
         rare = posts.groupBy("hs").agg(F.count(F.lit(1)).alias("df_"))
         posts = posts.join(rare.where(F.col("df_") <= df_cap), "hs").drop("df_")
