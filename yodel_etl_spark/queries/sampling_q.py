@@ -50,3 +50,24 @@ def split_documents_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (events_value_percentiles merged into events_type_profile in
 # queries/windows.py — same groupBy key, one shuffle instead of two
 # registry slots)
+
+
+@register(
+    "events_heavy_hitters",
+    oracle=None,  # approximate sketch — exactness asserted in pytest
+    # (tests/test_sketch.py: exact-degradation parity vs groupBy +
+    # the >n/capacity guarantee under forced decrements); registered
+    # without an oracle so it sits in the rows-only tail and never
+    # displaces an oracle-backed query from the driver's window
+    doc="Mergeable Misra-Gries heavy-hitters: per-partition bounded "
+    "sketches (mapInPandas, O(capacity) state) merged by a tiny "
+    "groupBy — top user_ids by event count with deterministic "
+    "count_lo/count_hi bounds.  The 100 TB answer to top-k over "
+    "billion-key columns where exact groupBy state is the bottleneck.",
+    tags=("sketch", "agg", "scale"),
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.sketch import approx_top_k
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return approx_top_k(ev, "user_id", k=20, capacity=1024)

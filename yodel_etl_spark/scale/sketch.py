@@ -1,0 +1,109 @@
+"""Heavy-hitters (approximate top-k) sketch — Misra-Gries partials,
+merged distributively.
+
+The exact top-k by count (``groupBy(key).count() → orderBy → limit``,
+see ``top_events_global``) shuffles one row per DISTINCT key; at 100 TB
+with billion-key cardinality the aggregation state itself is the
+bottleneck.  The Misra-Gries summary bounds per-task state at
+``capacity`` counters with the classic guarantee: every item with true
+frequency > n/capacity survives, and each kept estimate undercounts by
+at most the partition's decrement total.
+
+Distributed shape (all Arrow-batched, no driver loop):
+
+  1. ``mapInPandas`` — one bounded MG summary per input partition;
+     emits (item, est) counter rows plus one (NULL, decrements) row
+     carrying the partition's error budget.
+  2. ``groupBy(item)`` over capacity×partitions rows — tiny shuffle,
+     independent of input size or key cardinality.
+  3. Bounds: est ≤ true ≤ est + Σ decrements (the merged summary's
+     global error), surfaced as ``count_lo`` / ``count_hi`` columns.
+
+Mergeability is the point: partials combine associatively, so the same
+operator serves batch, streaming ``foreachBatch`` accumulation, and
+hierarchical (per-day → per-month) rollups.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("item", T.StringType()),  # NULL = decrement row
+        T.StructField("est", T.LongType()),
+    ]
+)
+
+
+def mg_partials(df: DataFrame, key_col: str, capacity: int = 1024) -> DataFrame:
+    """Per-partition Misra-Gries summaries over ``key_col``.
+
+    Each partition yields ≤ capacity (item, est) rows and one
+    (NULL, decrements) row.  State is O(capacity) regardless of input
+    size — the property that lets a 1000-executor job sketch a
+    billion-key column without aggregation-state spill."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        decrements = 0
+        for pdf in batches:
+            for v in pdf[key_col].astype(str):
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < capacity:
+                    counters[v] = 1
+                else:
+                    # decrement-all: the O(1)-amortized dict sweep
+                    decrements += 1
+                    dead = []
+                    for kk in counters:
+                        counters[kk] -= 1
+                        if counters[kk] == 0:
+                            dead.append(kk)
+                    for kk in dead:
+                        del counters[kk]
+        items = list(counters.items()) + [(None, decrements)]
+        yield pd.DataFrame(items, columns=["item", "est"])
+
+    return df.select(F.col(key_col).cast("string").alias(key_col)).mapInPandas(
+        run, schema=PARTIAL_SCHEMA
+    )
+
+
+def approx_top_k(
+    df: DataFrame, key_col: str, k: int = 10, capacity: int = 1024
+) -> DataFrame:
+    """Top-k items by estimated count with deterministic error bounds.
+
+    Returns (item, count_lo, count_hi) ordered by count_lo desc, item:
+    ``count_lo ≤ true ≤ count_hi``; every item with true count >
+    n/capacity is guaranteed present in the merged summary.  When no
+    partition ever decremented (capacity ≥ per-partition distinct
+    keys) the sketch degrades gracefully to EXACT counts — which is
+    what the parity tests pin against the plain groupBy."""
+    from yodel_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    partials = mg_partials(df, key_col, capacity)
+    merged = partials.where(F.col("item").isNotNull()).groupBy("item").agg(
+        F.sum("est").alias("count_lo")
+    )
+    err = partials.where(F.col("item").isNull()).agg(
+        F.coalesce(F.sum("est"), F.lit(0)).alias("err")
+    )
+    return (
+        merged.crossJoin(F.broadcast(err))  # 1-row bound → broadcast
+        .select(
+            "item",
+            "count_lo",
+            (F.col("count_lo") + F.col("err")).alias("count_hi"),
+        )
+        .orderBy(F.col("count_lo").desc(), "item")
+        .limit(k)
+    )
