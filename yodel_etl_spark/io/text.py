@@ -29,15 +29,21 @@ def write_text_per_record(
     Runs on the executors via ``foreachPartition`` — each partition
     writes its own records to the (shared) filesystem, so the sink
     scales with the cluster instead of funnelling through the driver.
-    Returns the number of rows written (driver-side count of a tiny
-    side-frame, not the data)."""
+    Returns the number of rows written, counted with an accumulator
+    inside the SAME job — a separate ``count()`` action would re-run
+    the whole upstream plan, i.e. pay every LLM call twice when this
+    sink terminates an inference pipeline."""
     os.makedirs(out_dir, exist_ok=True)
     rows = df.select(F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("text"))
+    written = rows.sparkSession.sparkContext.accumulator(0)
 
     def write_partition(it) -> None:
+        n = 0
         for row in it:
             with open(os.path.join(out_dir, f"{row['id']}{ext}"), "w", encoding="utf-8") as f:
                 f.write(row["text"] if row["text"] is not None else "")
+            n += 1
+        written.add(n)
 
     rows.foreachPartition(write_partition)
-    return rows.count()
+    return written.value

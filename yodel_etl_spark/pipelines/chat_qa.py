@@ -103,6 +103,9 @@ def extract_chat_qa(
             (F.length("user_question") > 0) | (F.length("assistant_response") > 0)
         )
     if output_path:
+        # persist across the sink action so a caller's follow-up tally
+        # reads the cached rows instead of re-fetching every REST page
+        out = out.persist()
         write_tsv(out, output_path)
     return out
 

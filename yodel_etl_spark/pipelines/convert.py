@@ -116,6 +116,10 @@ def convert_dir(
     )
     result = inferred.unionByName(bad)
     if output_dir:
+        # persist across the sink action: the caller's follow-up
+        # counters aggregate the cached rows instead of re-running the
+        # inference map (LLM calls are the one thing never to pay twice)
+        result = result.persist()
         ok = result.where(F.col("output").isNotNull())
         write_text_per_record(ok, "stem", "output", output_dir)
     return result
