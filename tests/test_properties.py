@@ -1,0 +1,123 @@
+"""Property-based parity (hypothesis): the higher-order-expression
+operators against direct Python models of the reference's imperative
+walks (extract_chat_qa_tsv.py:84-129, normalize_parks_json.py:50-58).
+
+Each example generates a BATCH of inputs and compares in one Spark job
+(per-example jobs would be ~0.5 s each; batches keep the suite fast).
+
+Alphabets are restricted to printable ASCII + tab/CR/LF: Python
+``str.strip()`` trims every Unicode whitespace while Spark ``trim``
+trims ASCII spaces only — a known, documented divergence outside the
+reference's data domain (its feeds are ASCII service payloads).
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from yodel_etl_spark.ops.classify import tristate
+from yodel_etl_spark.ops.sessionize import first_qa
+
+# ----------------------------------------------------------- models
+_WS = re.compile(r"[\t\r\n]")
+
+
+def _clean(s: str | None) -> str:
+    return _WS.sub(" ", s or "").strip(" ")
+
+
+def model_first_qa(msgs: list[tuple[str | None, str | None]]) -> tuple[str, str]:
+    """Literal model of the reference walk: drop leading assistant
+    greeting, find first user message, concat contiguous non-empty
+    assistant replies after it."""
+    if msgs and msgs[0][0] == "assistant":
+        msgs = msgs[1:]
+    uidx = next((i for i, m in enumerate(msgs) if m[0] == "user"), None)
+    if uidx is None:
+        return "", ""
+    q = _clean(msgs[uidx][1])
+    parts: list[str] = []
+    for role, content in msgs[uidx + 1 :]:
+        if role != "assistant":
+            break
+        p = _clean(content)
+        if p:
+            parts.append(p)
+    return q, " ".join(parts)
+
+
+def model_tristate(text: str | None, keywords: list[str]) -> str:
+    s = (text or "").lower()
+    yes = r"\b(?:" + "|".join(re.escape(k) for k in keywords) + r")\b"
+    no = r"\bno\s+(?:" + "|".join(re.escape(k) for k in keywords) + r")\b"
+    if re.search(yes, s):
+        return "Yes"
+    if re.search(no, s):
+        return "No"
+    return "Don't Know"
+
+
+# ------------------------------------------------------- strategies
+_content = st.one_of(
+    st.none(),
+    st.text(alphabet="abcdefghij XY.,!?\t\r\n", max_size=12),
+)
+_role = st.sampled_from(["user", "assistant", "system", "", None])
+_messages = st.lists(st.tuples(_role, _content), max_size=8)
+
+MSG_SCHEMA = T.StructType(
+    [
+        T.StructField("i", T.IntegerType()),
+        T.StructField(
+            "messages",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("role", T.StringType()),
+                        T.StructField("content", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_messages, min_size=5, max_size=40))
+def test_first_qa_matches_reference_walk(spark, sessions):
+    rows = [(i, [{"role": r, "content": c} for r, c in msgs]) for i, msgs in enumerate(sessions)]
+    df = spark.createDataFrame(rows, MSG_SCHEMA)
+    got = {
+        r["i"]: (r["qa"]["user_question"], r["qa"]["assistant_response"])
+        for r in df.select("i", first_qa(F.col("messages")).alias("qa")).collect()
+    }
+    for i, msgs in enumerate(sessions):
+        assert got[i] == model_first_qa(msgs), f"session {i}: {msgs!r}"
+
+
+_kw_word = st.text(alphabet="abcdef", min_size=2, max_size=6)
+_keywords = st.lists(
+    st.one_of(_kw_word, st.tuples(_kw_word, _kw_word).map(lambda t: f"{t[0]} {t[1]}")),
+    min_size=1,
+    max_size=4,
+    unique=True,
+)
+_subject = st.one_of(
+    st.none(),
+    st.text(alphabet=st.sampled_from(list("abcdef no.,")), max_size=30),
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_keywords, st.lists(_subject, min_size=5, max_size=60))
+def test_tristate_matches_reference_select(spark, keywords, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, txt string")
+    got = {r["i"]: r["cls"] for r in df.select("i", tristate("txt", keywords).alias("cls")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == model_tristate(t, keywords), f"{t!r} vs {keywords!r}"

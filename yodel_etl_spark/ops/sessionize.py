@@ -54,7 +54,12 @@ def take_while_role(msgs: Column, start_idx: Column, role: str = "assistant") ->
     1-based ``start_idx`` — take-while via array_position on the
     negated-flag array (stops at the first non-``role``)."""
     tail = F.slice(msgs, start_idx, F.greatest(F.size(msgs) - start_idx + 1, F.lit(0)))
-    flags = F.transform(tail, lambda m: m["role"] == role)
+    # eqNullSafe: a NULL role must be a BREAK (False), not a hole — the
+    # reference normalizes role to '' before comparing (:100-102), so
+    # None != 'assistant' stops the run; plain == yields NULL and
+    # array_position skips it, silently consuming past the break
+    # (caught by hypothesis in tests/test_properties.py)
+    flags = F.transform(tail, lambda m: m["role"].eqNullSafe(F.lit(role)))
     first_break = F.array_position(flags, False).cast("int")
     n_take = F.when(first_break == 0, F.size(tail)).otherwise(first_break - 1)
     return F.slice(tail, 1, F.greatest(n_take, F.lit(0)))
