@@ -115,6 +115,32 @@ def test_fetch_fanout_grid(spark):
     assert all(len(r["messages"]) == 5 for r in rows)
 
 
+def test_fetch_paginated_all_stops_at_first_empty_page(spark):
+    """Reference termination contract: fetch-until-empty with no page
+    budget; pages past the first empty page are never emitted."""
+    from yodel_etl_spark.io.rest import fetch_paginated_all
+
+    def pages(page: int) -> list[dict]:
+        # pages 1-5 full, 6 empty, 7-20 would have data again (hole):
+        # the reference's sequential loop never sees past the hole
+        if page == 6 or page > 20:
+            return []
+        return [{"id": f"p{page}"}]
+
+    df = fetch_paginated_all(spark, pages, round_size=4)
+    got = sorted({r["page"] for r in df.collect()})
+    # rows past the hole (7, 8 in the stopping round) are trimmed
+    assert got == [1, 2, 3, 4, 5]
+
+
+def test_fetch_paginated_all_single_round(spark):
+    from yodel_etl_spark.io.rest import fetch_paginated_all
+
+    df = fetch_paginated_all(spark, _make_chats_page(), round_size=10)
+    # chats mock: pages 1-3 have 2 records each, 4+ empty
+    assert df.count() == 6
+
+
 def test_fetch_fanout_failsoft_error_rows(spark):
     sessions_page = _make_sessions_page()
 

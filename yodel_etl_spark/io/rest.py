@@ -80,6 +80,7 @@ def fetch_paginated(
     max_pages: int,
     max_partitions: int = 8,
     rate_per_sec: float | None = None,
+    first_page: int = 1,
 ) -> DataFrame:
     """Fetch up to ``max_pages`` pages in parallel; empty pages vanish.
 
@@ -96,7 +97,7 @@ def fetch_paginated(
     from yodel_etl_spark.session import ship_package
 
     ship_package(spark)  # fetchers may be package functions (by-ref pickle)
-    pages = spark.range(1, max_pages + 1).repartition(
+    pages = spark.range(first_page, first_page + max_pages).repartition(
         min(max_partitions, max_pages)
     )
 
@@ -126,6 +127,56 @@ def fetch_paginated(
             )
 
     return pages.mapInPandas(run, schema=RAW_SCHEMA)
+
+
+def fetch_paginated_all(
+    spark: SparkSession,
+    fetch_page: PageFetcher,
+    round_size: int = 64,
+    max_rounds: int = 64,
+    max_partitions: int = 8,
+    rate_per_sec: float | None = None,
+) -> DataFrame:
+    """S3 with the reference's EXACT termination contract: fetch until
+    the first empty page (extract_chat_qa_tsv.py:58-62), no page-count
+    guess required.
+
+    Shape: distributed ROUNDS of ``round_size`` page fetches; after each
+    round the driver inspects only the round's distinct page ids (≤
+    round_size values — a bounded control-plane collect, the standard
+    iterative-driver pattern, not a data collect).  The first page that
+    returned neither records nor an error marker is the stop page;
+    results are trimmed to pages before it, which is byte-for-byte the
+    reference's sequential early-stop semantics — pages past a hole are
+    fetched speculatively but never emitted.  Worst case does
+    ``round_size - 1`` wasted fetches versus the reference's zero;
+    in exchange every round is ``max_partitions``-parallel."""
+    from functools import reduce
+
+    frames: list[DataFrame] = []
+    start = 1
+    stop_page: int | None = None
+    for _ in range(max_rounds):
+        batch = fetch_paginated(
+            spark,
+            fetch_page,
+            max_pages=round_size,
+            max_partitions=max_partitions,
+            rate_per_sec=rate_per_sec,
+            first_page=start,
+        ).persist()
+        present = {r["page"] for r in batch.select("page").distinct().collect()}
+        frames.append(batch)
+        stop_page = next(
+            (p for p in range(start, start + round_size) if p not in present), None
+        )
+        if stop_page is not None:
+            break
+        start += round_size
+    out = reduce(lambda a, b: a.unionByName(b), frames)
+    if stop_page is not None:
+        out = out.where(F.col("page") < stop_page)
+    return out
 
 
 def fetch_fanout(
