@@ -155,16 +155,16 @@ def jaccard_pairs(
     # reuse), and the posting rows are narrow.
     if prefix_order == "lex":
         prefixes = base.select(
-            "doc", F.slice(F.sort_array("sh"), 1, prefix_len).alias("pre")
+            "doc", n.alias("n_sh"), F.slice(F.sort_array("sh"), 1, prefix_len).alias("pre")
         )
-        posts = prefixes.select("doc", F.explode("pre").alias("shingle")).select(
-            "doc", F.xxhash64("shingle").alias("hs")
+        posts = prefixes.select("doc", "n_sh", F.explode("pre").alias("shingle")).select(
+            "doc", "n_sh", F.xxhash64("shingle").alias("hs")
         )
     else:
         from pyspark.sql import Window
 
         all_posts = base.select(
-            "doc", prefix_len.alias("plen"), F.explode("sh").alias("shingle")
+            "doc", n.alias("n_sh"), prefix_len.alias("plen"), F.explode("sh").alias("shingle")
         )
         # document frequency per shingle: linear, map-side combined —
         # the one extra pass that buys the skew-free posting index
@@ -176,16 +176,27 @@ def jaccard_pairs(
             all_posts.join(dfreq, "shingle")
             .withColumn("rk", rank)
             .where(F.col("rk") <= F.col("plen"))
-            .select("doc", F.xxhash64("shingle").alias("hs"))
+            .select("doc", "n_sh", F.xxhash64("shingle").alias("hs"))
         )
     posts = posts.persist()
     if df_cap is not None:
         rare = posts.groupBy("hs").agg(F.count(F.lit(1)).alias("df_"))
         posts = posts.join(rare.where(F.col("df_") <= df_cap), "hs").drop("df_")
+    # length filter (PPJoin): J(A,B) ≥ t ⟹ |A∩B| ≥ t·max(|A|,|B|) and
+    # |A∩B| ≤ min(|A|,|B|) ⟹ min ≥ t·max — pairs failing it are
+    # provably sub-threshold, pruned IN the join before the distinct
+    tl = F.lit(float(threshold))
     cand = (
         posts.alias("x")
-        .join(posts.alias("y"), "hs")
-        .where(F.col("x.doc") < F.col("y.doc"))
+        .join(
+            posts.alias("y"),
+            (F.col("x.hs") == F.col("y.hs"))
+            & (F.col("x.doc") < F.col("y.doc"))
+            & (
+                F.least(F.col("x.n_sh"), F.col("y.n_sh")).cast("double")
+                >= tl * F.greatest(F.col("x.n_sh"), F.col("y.n_sh")).cast("double")
+            ),
+        )
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
     )
