@@ -24,6 +24,55 @@ def test_exact_degradation_matches_groupby(spark, sf_small):
     assert all(r["count_lo"] == r["count_hi"] for r in got)  # zero error
 
 
+def test_mergeability_across_disjoint_chunks(spark, sf_small):
+    """Partials from disjoint data chunks merge to the same summary as
+    one pass over the whole — the property that makes the sketch serve
+    per-day → per-month rollups and streaming accumulation."""
+    from yodel_etl_spark.scale.sketch import merge_partials, mg_partials
+    from yodel_etl_spark.session import ship_package
+
+    ship_package(spark)
+    ev = load_tables(spark, sf_small, ("events",))["events"]
+    whole = approx_top_k(ev, "user_id", k=10, capacity=1024).collect()
+    chunks = [ev.where(F.col("event_id") % 3 == i) for i in range(3)]
+    parts = mg_partials(chunks[0], "user_id", 1024)
+    for c in chunks[1:]:
+        parts = parts.unionByName(mg_partials(c, "user_id", 1024))
+    merged = merge_partials(parts, k=10).collect()
+    assert [tuple(r) for r in merged] == [tuple(r) for r in whole]
+
+
+def test_streaming_foreachbatch_accumulation(spark, sf_small, tmp_path):
+    """MG partials accumulated per micro-batch (foreachBatch append)
+    merge to the whole-data summary once the stream drains — the
+    streaming path promised by the module docstring."""
+    from yodel_etl_spark.scale.sketch import merge_partials, mg_partials
+    from yodel_etl_spark.session import ship_package
+
+    ship_package(spark)
+    ev = load_tables(spark, sf_small, ("events",))["events"]
+    whole = approx_top_k(ev, "user_id", k=10, capacity=1024).collect()
+
+    src = str(tmp_path / "hh_src")
+    sink = str(tmp_path / "hh_partials")
+    # three files → up to three micro-batches
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+
+    def land_partials(batch_df, batch_id):
+        mg_partials(batch_df, "user_id", 1024).write.mode("append").parquet(sink)
+
+    q = stream.writeStream.foreachBatch(land_partials).option(
+        "checkpointLocation", str(tmp_path / "hh_ckpt")
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    merged = merge_partials(spark.read.parquet(sink), k=10).collect()
+    assert [tuple(r) for r in merged] == [tuple(r) for r in whole]
+
+
 def test_guarantee_under_decrement_pressure(spark):
     """Skewed stream through a tiny sketch: every item with true count
     > n/capacity must surface, with count_lo ≤ true ≤ count_hi."""

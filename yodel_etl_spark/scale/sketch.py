@@ -76,21 +76,13 @@ def mg_partials(df: DataFrame, key_col: str, capacity: int = 1024) -> DataFrame:
     )
 
 
-def approx_top_k(
-    df: DataFrame, key_col: str, k: int = 10, capacity: int = 1024
-) -> DataFrame:
-    """Top-k items by estimated count with deterministic error bounds.
+def merge_partials(partials: DataFrame, k: int = 10) -> DataFrame:
+    """Merge any union of MG partial frames into the bounded top-k.
 
-    Returns (item, count_lo, count_hi) ordered by count_lo desc, item:
-    ``count_lo ≤ true ≤ count_hi``; every item with true count >
-    n/capacity is guaranteed present in the merged summary.  When no
-    partition ever decremented (capacity ≥ per-partition distinct
-    keys) the sketch degrades gracefully to EXACT counts — which is
-    what the parity tests pin against the plain groupBy."""
-    from yodel_etl_spark.session import ship_package
-
-    ship_package(df.sparkSession)
-    partials = mg_partials(df, key_col, capacity)
+    Partials are associative data: frames from different partitions,
+    different micro-batches (streaming ``foreachBatch`` appends), or
+    different days (hierarchical rollup) merge identically — sum the
+    counters, sum the decrement rows into the global error bound."""
     merged = partials.where(F.col("item").isNotNull()).groupBy("item").agg(
         F.sum("est").alias("count_lo")
     )
@@ -107,3 +99,20 @@ def approx_top_k(
         .orderBy(F.col("count_lo").desc(), "item")
         .limit(k)
     )
+
+
+def approx_top_k(
+    df: DataFrame, key_col: str, k: int = 10, capacity: int = 1024
+) -> DataFrame:
+    """Top-k items by estimated count with deterministic error bounds.
+
+    Returns (item, count_lo, count_hi) ordered by count_lo desc, item:
+    ``count_lo ≤ true ≤ count_hi``; every item with true count >
+    n/capacity is guaranteed present in the merged summary.  When no
+    partition ever decremented (capacity ≥ per-partition distinct
+    keys) the sketch degrades gracefully to EXACT counts — which is
+    what the parity tests pin against the plain groupBy."""
+    from yodel_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    return merge_partials(mg_partials(df, key_col, capacity), k)
