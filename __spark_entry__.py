@@ -23,14 +23,27 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Oracle-backed queries are listed first (registration order), the
-    rows-only-by-design ones last, so a bounded driver correctness
-    window always covers every query that has the strong
-    rows+schema+hash check."""
+    Oracle-backed queries are listed first, the rows-only-by-design
+    ones last, so a bounded driver correctness window always covers
+    every query that has the strong rows+schema+hash check.  Within the
+    oracle-backed block the order is a round-robin across source
+    modules: if a driver window ever lands below the oracle-backed
+    count, the losses spread one-per-family instead of silencing
+    whichever family registered last (the round-1 failure mode)."""
+    from itertools import zip_longest
+
     from yodel_etl_spark.registry import load_all
 
     qs = load_all()
-    ordered = [n for n, q in qs.items() if q.oracle is not None]
+
+    def interleaved(names: list[str]) -> list[str]:
+        by_mod: dict[str, list[str]] = {}
+        for n in names:  # registration order within each module
+            by_mod.setdefault(qs[n].build.__module__, []).append(n)
+        rr = zip_longest(*by_mod.values())
+        return [n for row in rr for n in row if n is not None]
+
+    ordered = interleaved([n for n, q in qs.items() if q.oracle is not None])
     ordered += [n for n, q in qs.items() if q.oracle is None]
     return {name: qs[name].build for name in ordered}
 
