@@ -98,6 +98,59 @@ def frame_offsets(df: DataFrame, binary_col: str = "content", n_frames: int = 4)
     return df.withColumn("frame_offsets", F.when(size > 0, offsets).otherwise(F.array().cast("array<long>")))
 
 
+def resize_media(
+    df: DataFrame,
+    binary_col: str = "content",
+    width: int = 8,
+    height: int = 8,
+) -> DataFrame:
+    """Image resize plumbing: blob → fixed ``width×height×channels`` raw
+    buffer via nearest-neighbor index sampling (numpy, per Arrow batch).
+
+    The "decode" uses the same deterministic fake header parse as
+    :func:`decode_meta` (real codec honestly stubbed in
+    :func:`try_real_decode`); everything else — batch shape, binary
+    output column, dimension metadata, index math — is exactly what a
+    PIL/libav-backed resize would run, so swapping the codec in touches
+    one line.  Empty/NULL blobs yield empty output (fail-soft)."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("resized", T.BinaryType()),
+            T.StructField("r_width", T.IntegerType()),
+            T.StructField("r_height", T.IntegerType()),
+            T.StructField("r_channels", T.IntegerType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized: list[bytes] = []
+            chans: list[int] = []
+            for b in pdf[binary_col]:
+                if not b:
+                    resized.append(b"")
+                    chans.append(0)
+                    continue
+                w, h, c = _fake_decode(b)
+                # cycle the raw bytes into the fake W×H×C pixel plane
+                px = np.resize(np.frombuffer(b, dtype=np.uint8), w * h * c).reshape(h, w, c)
+                yi = np.arange(height) * h // height  # nearest-neighbor rows
+                xi = np.arange(width) * w // width  # nearest-neighbor cols
+                resized.append(px[yi][:, xi].tobytes())
+                chans.append(c)
+            pdf = pdf.copy()
+            pdf["resized"] = resized
+            pdf["r_width"] = pd.array([width] * len(pdf), dtype="int32")
+            pdf["r_height"] = pd.array([height] * len(pdf), dtype="int32")
+            pdf["r_channels"] = pd.array(chans, dtype="int32")
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 def byte_histogram_features(
     df: DataFrame, binary_col: str = "content", n_bins: int = 8, normalize: bool = True
 ) -> DataFrame:
