@@ -1,0 +1,134 @@
+"""Connected-components clustering: union-find parity, convergence on
+pathological graph shapes, canonical selection."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from yodel_etl_spark.scale.cluster import (
+    attach_components,
+    connected_components,
+    dedup_keep_canonical,
+)
+
+
+def union_find(edges: list[tuple], nodes: set | None = None) -> dict:
+    """Driver-side oracle: component = min reachable node id."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        for n in (a, b):
+            parent.setdefault(n, n)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for n in nodes or ():
+        parent.setdefault(n, n)
+    return {n: find(n) for n in parent}
+
+
+def _cc_dict(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = connected_components(df, **kw)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+def test_two_triangles_and_bridge(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (3, 10)]
+    assert _cc_dict(spark, edges) == union_find(edges)
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 120
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(80 + 40 * trial)
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        assert _cc_dict(spark, edges) == union_find(edges), f"trial {trial}"
+
+
+def test_chain_converges_in_log_rounds(spark):
+    # A 200-node path has diameter 199: min-label propagation would need
+    # ~199 rounds; star contraction must finish within the log² bound —
+    # max_iter=12 would already fail a linear-round algorithm.
+    edges = [(i, i + 1) for i in range(199)]
+    got = _cc_dict(spark, edges, max_iter=12)
+    assert got == {i: 0 for i in range(200)}
+
+
+def test_string_ids(spark):
+    df = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    out = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_empty_and_self_loops(spark):
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(empty).count() == 0
+    loops = spark.createDataFrame([(1, 1), (2, 2)], "doc_a long, doc_b long")
+    assert connected_components(loops).count() == 0
+
+
+def test_attach_components_defaults_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    comp = connected_components(
+        spark.createDataFrame([(0, 1), (1, 2)], "doc_a long, doc_b long")
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in attach_components(docs, comp, "doc_id").collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5}
+
+
+def test_dedup_keep_canonical(spark):
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(8)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 5), (5, 7), (2, 3)], "doc_a long, doc_b long")
+    kept = sorted(
+        r["doc_id"] for r in dedup_keep_canonical(docs, pairs, "doc_id").collect()
+    )
+    # clusters {1,5,7}->keep 1, {2,3}->keep 2; singletons 0,4,6 kept
+    assert kept == [0, 1, 2, 4, 6]
+
+
+def test_registered_query_matches_union_find_on_real_pairs(spark, sf_small):
+    """dedup_clusters == union-find over the (oracle-checked elsewhere)
+    MinHash-LSH pair list at test SF."""
+    from yodel_etl_spark.registry import load_all
+    from yodel_etl_spark.scale.dedup import minhash_lsh_pairs
+    from yodel_etl_spark.session import load_tables
+
+    docs = load_tables(spark, sf_small, ("documents",))["documents"]
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    ]
+    if not pairs:
+        pytest.skip("no planted near-dups at this SF")
+    uf = union_find(pairs)
+    want: dict = {}
+    for node, comp in uf.items():
+        want.setdefault(comp, []).append(node)
+    expected = {
+        (comp, len(ns), ",".join(sorted(str(n) for n in ns)))
+        for comp, ns in want.items()
+    }
+    got = {
+        (r["component"], r["cluster_size"], r["members"])
+        for r in load_all()["dedup_clusters"].build(spark, sf_small).collect()
+    }
+    assert got == expected

@@ -148,6 +148,32 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    oracle=None,  # transitive closure — not single-statement SQL; pytest
+    # pins parity against a union-find oracle on the (separately
+    # oracle-checked) pair list, see tests/test_cluster.py
+    doc="Near-dup clustering: MinHash-LSH pairs → alternating "
+    "large-star/small-star connected components (O(log n) rounds, "
+    "survives chain-shaped dup graphs that defeat label propagation) → "
+    "per-cluster size + sorted member list + canonical (min-id) doc.",
+    tags=("dedup", "scale"),
+    bench=True,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.cluster import connected_components
+
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16, k=3)
+    comp = connected_components(pairs.select("doc_a", "doc_b"))
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.array_join(F.array_sort(F.collect_list(F.col("node").cast("string"))), ",").alias(
+            "members"
+        ),
+    )
+
+
+@register(
     "dedup_incremental_novel",
     oracle="""
     WITH b AS (

@@ -1,0 +1,151 @@
+"""Near-duplicate clustering: distributed connected components over
+candidate pairs, plus canonical-document selection.
+
+The reference's dedup surface stops at pair generation; a training-data
+pipeline needs the next stage — group mutually-similar documents into
+clusters (the transitive closure of the pair relation) and keep ONE
+canonical representative per cluster.  This module is that stage,
+engine-native:
+
+* ``connected_components`` — alternating large-star / small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14): each round is two narrow groupBy-min + join passes over the
+  edge list, and the edge set provably converges to component stars in
+  O(log² n) rounds (O(log n) in practice).  Plain min-label propagation
+  needs O(diameter) rounds — a 10k-long chain of near-dup docs (the
+  classic template-spam shape) would take 10k shuffles; star contraction
+  takes ~15.  Every round ``localCheckpoint``s the narrow edge list so
+  the lineage (and the plan Catalyst must optimize) stays O(1) deep
+  instead of O(rounds).
+
+* ``attach_components`` / ``dedup_keep_canonical`` — join the component
+  map back to the corpus.  Only ids shuffle, never documents; singleton
+  docs never enter the component map at all (they are the left-anti
+  survivors), so the join side scales with |dup pairs|, not |corpus|.
+
+Works on any orderable id type (long, string, …) — the algorithm needs
+only a total order on node ids.  Component id = min node id in the
+component, so output is deterministic for the driver's value-hash check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dedup_edges(e: DataFrame) -> DataFrame:
+    """Drop self-loops + duplicate edges (the star steps can emit both)."""
+    return e.where(F.col("u") != F.col("v")).distinct()
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u: connect every LARGER neighbor to u's min
+    neighborhood label m(u) = min(Γ(u) ∪ {u})."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = m.select("u", F.least("u", "mn").alias("m"))
+    return _dedup_edges(
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """For each node u: connect every SMALLER-or-equal neighbor (and u
+    itself) to m(u) = min(Γ≤(u) ∪ {u})."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    down = sym.where(F.col("v") < F.col("u"))  # edges pointing to smaller ids
+    m = down.groupBy("u").agg(F.min("v").alias("m"))
+    moved = down.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    kept = m.select(F.col("u"), F.col("m").alias("v"))
+    return _dedup_edges(moved.union(kept))
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Component map ``(node, component)`` for every node that appears in
+    ``pairs``; component = min node id reachable through the pair graph.
+
+    Alternating large-star/small-star contraction.  Convergence is
+    detected when a full round leaves the edge set unchanged (count
+    equality then a subtract-emptiness probe — both over the narrow
+    deduped edge list).  ``max_iter`` is a hard cap far above the
+    O(log² n) bound (2^25 nodes per component before it binds); hitting
+    it raises rather than returning a half-contracted map.
+
+    Nodes NOT in any pair (singletons) are intentionally absent — the
+    map scales with the duplicate-pair graph, not the corpus.  Use
+    ``attach_components`` to default them to their own id.
+    """
+    edges = _dedup_edges(
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+            F.col(src).isNotNull() & F.col(dst).isNotNull()
+        )
+    ).localCheckpoint()
+    if edges.isEmpty():
+        return edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+
+    for _ in range(max_iter):
+        contracted = _small_star(_large_star(edges)).localCheckpoint()
+        # Star-shaped fixpoint: both sets are deduped, so equal counts +
+        # empty difference ⟺ equal sets.  Narrow id-pair rows only.
+        if contracted.count() == edges.count() and contracted.subtract(edges).isEmpty():
+            edges = contracted
+            break
+        edges = contracted
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (component span > 2^max_iter nodes is required "
+            "to hit this)"
+        )
+
+    # Fixpoint edges form stars: every non-root points at its component
+    # root (the min id).  Roots map to themselves.
+    members = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = edges.select(F.col("v").alias("node")).distinct()
+    return members.unionByName(
+        roots.select("node", F.col("node").alias("component"))
+    )
+
+
+def attach_components(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str,
+    component_col: str = "component",
+) -> DataFrame:
+    """``df`` + a ``component`` column; rows absent from the component
+    map (singletons) get their own id.  Broadcast-or-shuffle is left to
+    AQE: the component map is usually a small fraction of the corpus."""
+    comp = components.select(
+        F.col("node").alias(id_col), F.col("component").alias(component_col)
+    )
+    return df.join(comp, id_col, "left").withColumn(
+        component_col, F.coalesce(F.col(component_col), F.col(id_col))
+    )
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Corpus with every non-canonical near-duplicate removed: one doc
+    per component (the min id) plus every singleton, via a single
+    left-anti join on the non-root member ids — only ids shuffle, and
+    the anti side is |members| - |clusters| rows, not |corpus|."""
+    comp = connected_components(pairs, src, dst, max_iter)
+    drop = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
