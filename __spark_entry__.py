@@ -43,7 +43,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rr = zip_longest(*by_mod.values())
         return [n for row in rr for n in row if n is not None]
 
-    ordered = interleaved([n for n, q in qs.items() if q.oracle is not None])
+    tiers = sorted({q.tier for q in qs.values() if q.oracle is not None})
+    ordered: list[str] = []
+    for t in tiers:
+        ordered += interleaved(
+            [n for n, q in qs.items() if q.oracle is not None and q.tier == t]
+        )
     ordered += [n for n, q in qs.items() if q.oracle is None]
     return {name: qs[name].build for name in ordered}
 

@@ -71,3 +71,69 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return approx_top_k(ev, "user_id", k=20, capacity=1024)
+
+
+@register(
+    "sample_stratified_counts",
+    oracle="""
+    WITH s AS (
+      SELECT lang, text,
+             CAST(('0x' || substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS b
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM s
+    WHERE b < CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50 WHEN 'fr' THEN 25
+                        WHEN 'es' THEN 10 ELSE 0 END
+    GROUP BY lang
+    """,
+    doc="Deterministic stratified downsampling: rebalance the corpus "
+    "language mix (en 100% / de 50% / fr 25% / es 10% / zh 0%) via "
+    "per-stratum md5-hash thresholds.  Stratum is mixed INTO the hash "
+    "key so per-stratum decisions are independent; membership is a "
+    "pure row function — no shuffle, no RNG state, append-stable, and "
+    "the oracle checks the actual sampled membership, not just rates.",
+    tags=("sampling", "scale"),
+    bench=True,
+    tier=1,
+)
+def sample_stratified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.sampling import stratified_hash_sample
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sampled = stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 100, "de": 50, "fr": 25, "es": 10, "zh": 0}
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+    )
+
+
+@register(
+    "pack_sequences_bins",
+    oracle=None,  # greedy group-local bin packing is sequential, not
+    # SQL-expressible; invariants (fill ≤ budget, exactly-once
+    # assignment, determinism, FFD quality bound) pinned in
+    # tests/test_packing.py
+    doc="Sequence packing for pretraining batches: first-fit-decreasing "
+    "inside md5-hash groups (one Arrow batch per group over narrow "
+    "(id, n_tokens) rows), global bin id = group<<32 | local.  Waste vs "
+    "a global packer bounded by one tail bin per group.  Returns "
+    "per-bin fill stats.",
+    tags=("sampling", "scale"),
+)
+def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.packing import pack_sequences
+    from yodel_etl_spark.scale.textstats import tokens
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    with_counts = docs.select(
+        "doc_id", tokens(F.col("text")).alias("tk")
+    ).select("doc_id", F.size("tk").cast("long").alias("n_tokens"))
+    packed = pack_sequences(with_counts, "doc_id", "n_tokens", budget=512, num_groups=16)
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("bin_fill").alias("bin_fill"),
+        F.max(F.col("over_budget").cast("int")).cast("boolean").alias("over_budget"),
+    )

@@ -170,3 +170,83 @@ def text_winnow_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rh.select(
         "doc_id", F.size("rh").alias("n_hashes"), F.array_min("rh").alias("min_hash")
     )
+
+
+def _pii_oracle(table: str = "documents") -> str:
+    """Oracle mirroring redact_documents: counts on the progressively
+    redacted text, then md5 of the fully redacted text.  Patterns embed
+    verbatim — DuckDB SQL strings pass backslashes through to RE2
+    untouched, matching Spark's Java-regex literal."""
+    from yodel_etl_spark.scale.redact import PII_PATTERNS
+
+    cur = "text"
+    cols = []
+    for kind, pat, rep in PII_PATTERNS:
+        cols.append(f"len(regexp_extract_all({cur}, '{pat}')) AS n_{kind}")
+        cur = f"regexp_replace({cur}, '{pat}', '{rep}', 'g')"
+    cols.append(f"md5({cur}) AS redacted_md5")
+    return "SELECT doc_id, " + ", ".join(cols) + f" FROM {table}"
+
+
+@register(
+    "text_pii_redact",
+    oracle=_pii_oracle(),
+    doc="PII scrub: ordered email/SSN/card/IPv4/phone redaction as "
+    "chained codegen regexp_replace (one narrow pass), per-kind counts "
+    "on the progressively-redacted text, md5 of the scrubbed output.  "
+    "Patterns restricted to the Java-regex ∩ RE2 dialect so the oracle "
+    "pins cross-engine behavior; planted-PII semantics pinned in "
+    "tests/test_redact.py.",
+    tags=("textstats", "scale"),
+    bench=True,
+    tier=1,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.redact import redact_documents
+
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    out = redact_documents(docs, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_email", "n_ssn", "n_card", "n_ipv4", "n_phone",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+@register(
+    "text_tfidf_top",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+      FROM documents
+    ),
+    posts AS (SELECT doc, unnest(tk) AS term FROM toks),
+    tf AS (SELECT doc, term, count(*) AS tf FROM posts GROUP BY doc, term),
+    tdf AS (SELECT term, count(DISTINCT doc) AS term_df FROM posts GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM toks),
+    scored AS (
+      SELECT doc, tf.term AS term, tf, term_df,
+             round(CAST(tf AS DOUBLE)
+                   * (ln((CAST(n_docs AS DOUBLE) + 1) / (CAST(term_df AS DOUBLE) + 1)) + 1),
+                   6) AS score
+      FROM tf JOIN tdf USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc ORDER BY score DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc, term, tf, term_df, score FROM ranked WHERE rk <= 5
+    """,
+    doc="Per-doc top-5 TF-IDF terms: explode → map-side-combined "
+    "(doc,term) counts, tiny term-df table broadcast back by AQE, "
+    "corpus size as a broadcast one-row aggregate (no driver collect), "
+    "per-doc window rank with deterministic term tie-break.",
+    tags=("textstats", "scale"),
+    bench=True,
+    tier=1,
+)
+def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.textstats import tf_idf_top_terms
+
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    return tf_idf_top_terms(docs, "doc_id", "text", top_n=5)

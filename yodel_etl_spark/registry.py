@@ -38,6 +38,10 @@ class Query:
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False  # include in bench.py headline set
+    tier: int = 0  # driver-window priority: 0 = established (ordered
+    # first so a bounded correctness window keeps verifying them), 1+ =
+    # newer additions that yield their window slot (still oracle-backed;
+    # parity pinned by pytest at sf0.001/sf0.01)
 
 
 QUERIES: dict[str, Query] = {}
@@ -49,13 +53,16 @@ def register(
     doc: str = "",
     tags: tuple[str, ...] = (),
     bench: bool = False,
+    tier: int = 0,
 ) -> Callable[[Builder], Builder]:
     """Decorator registering a query builder under ``name``."""
 
     def deco(fn: Builder) -> Builder:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = Query(name, fn, oracle, doc or (fn.__doc__ or ""), tags, bench)
+        QUERIES[name] = Query(
+            name, fn, oracle, doc or (fn.__doc__ or ""), tags, bench, tier
+        )
         return fn
 
     return deco

@@ -28,6 +28,40 @@ def hash_bucket(key: Column, buckets: int = 100) -> Column:
     )
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, int],
+    default_pct: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff
+    ``hash_bucket(stratum || '|' || key) < rates[stratum]`` (percent).
+
+    The hash mixes the stratum INTO the key, so the same key sampled
+    under two strata (or the same rate) makes independent decisions —
+    plain ``hash(key) < p`` would select the identical key subset in
+    every stratum, correlating samples across strata.
+
+    Same posture as :func:`hash_split`: pure narrow projection + filter
+    (no shuffle, no RNG state), append-stable, identical under re-runs
+    and engine changes — this is how a 100 TB corpus rebalances source
+    mix without resampling churn.  Strata absent from ``rates`` keep
+    ``default_pct`` percent.
+    """
+    for stratum, pct in rates.items():
+        if not 0 <= pct <= 100:
+            raise ValueError(f"rate for {stratum!r} must be 0..100, got {pct}")
+    b = hash_bucket(
+        F.concat_ws("|", F.col(strata_col).cast("string"), F.col(key_col).cast("string")),
+        100,
+    )
+    pct_expr: Column = F.lit(default_pct)
+    for stratum, pct in sorted(rates.items()):
+        pct_expr = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(pct_expr)
+    return df.where(b < pct_expr)
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,

@@ -112,6 +112,67 @@ def fingerprint(toks_lower: Column) -> Column:
     return F.md5(F.array_join(toks_lower, " "))
 
 
+def tf_idf_top_terms(df, id_col: str, text_col: str, top_n: int = 5):
+    """Per-document top-``top_n`` TF-IDF terms:
+    ``(doc, term, tf, term_df, score)``.
+
+    Plan shape for 100 TB: one explode over materialized tokens, a
+    map-side-combined ``(doc, term)`` count, a term-level document
+    frequency aggregate (the term table is tiny next to the corpus —
+    AQE broadcasts it back onto the postings), the corpus size N as a
+    broadcast one-row aggregate (never a driver-side collect), then a
+    per-doc window for the top-N.  Two shuffles total: the (doc, term)
+    count and the per-doc rank — both on narrow rows.
+
+    ``score = tf * (ln((N+1)/(df+1)) + 1)`` (smoothed idf), rounded to
+    6 dp after per-row double arithmetic.  Rank ties (equal score ⟺
+    equal (tf, df) pair, since idf is injective in df) break on term
+    ascending, so output is deterministic across engines.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc"), tokens(F.lower(F.col(text_col))).alias("tk")
+    )
+    posts = toks.select("doc", F.explode("tk").alias("term"))
+    # PERSISTED: tf feeds both the score join and the term-df aggregate;
+    # without it each branch re-scans + re-explodes the corpus (verified
+    # in the physical plan — exchange reuse does not fire across the
+    # differing aggregates).  Narrow (doc, term, tf) rows only.
+    tf = posts.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    # document frequency FROM the tf table (one row per (doc, term)
+    # already): reuses the first aggregation instead of re-shuffling the
+    # raw exploded postings through a distinct
+    term_df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("term_df"))
+    n_docs = toks.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(term_df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf").cast("double")
+                * (
+                    F.log(
+                        (F.col("n_docs").cast("double") + 1.0)
+                        / (F.col("term_df").cast("double") + 1.0)
+                    )
+                    + 1.0
+                ),
+                6,
+            ),
+        )
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("doc").orderBy(F.col("score").desc(), F.col("term"))
+    )
+    return (
+        scored.withColumn("rk", rank)
+        .where(F.col("rk") <= top_n)
+        .select("doc", "term", "tf", "term_df", "score")
+    )
+
+
 def rolling_hashes(toks_lower: Column, window: int = 5) -> Column:
     """Winnowing-style candidate hashes: xxhash64 of each ``window``-token
     shingle (rows-only — xxhash64 has no cross-engine twin).  At scale,
