@@ -219,3 +219,49 @@ def test_incremental_csv_sink(spark, sf_small, tmp_path):
     back = spark.read.option("header", True).csv(out)
     assert back.count() == ev.count()
     assert os.path.isdir(ckpt)  # restartable progress
+
+
+def test_checkpoint_restart_exactly_once(spark, sf_small, tmp_path):
+    """Kill a streaming query mid-corpus, append new input, restart with
+    the SAME checkpoint: output must contain every input row exactly
+    once (checkpoint replay, no duplication of the pre-restart batch).
+    The stream applies a curation op (PII redaction) in flight —
+    stateless column expressions run unchanged in streams."""
+    from yodel_etl_spark.scale.redact import redact_pii
+
+    ev = load_tables(spark, sf_small, ("events",))["events"].select(
+        "event_id", "event_type"
+    )
+    first = ev.where(F.col("event_id") % 2 == 0)
+    second = ev.where(F.col("event_id") % 2 == 1)
+
+    src = str(tmp_path / "restart_src")
+    out = str(tmp_path / "restart_out")
+    ckpt = str(tmp_path / "restart_ckpt")
+    first.write.mode("overwrite").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(first.schema)
+            .parquet(src)
+            .withColumn("event_type", redact_pii(F.col("event_type")))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # drains the first half, then terminates
+    n_first = spark.read.parquet(out).count()
+    assert n_first == first.count()
+
+    second.write.mode("append").parquet(src)
+    run_once()  # restart from checkpoint: must pick up ONLY the delta
+
+    got = [r["event_id"] for r in spark.read.parquet(out).collect()]
+    assert sorted(got) == sorted(r["event_id"] for r in ev.collect())
+    assert len(got) == len(set(got)), "restart duplicated rows"
