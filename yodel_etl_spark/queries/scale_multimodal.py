@@ -1,6 +1,14 @@
 """Multimodal-column queries: binary blobs (here: utf-8 of documents.text
 standing in for image bytes) flowing through the real mapInPandas decode
-plumbing; metadata verified against SQL byte arithmetic."""
+plumbing; metadata verified against SQL byte arithmetic.
+
+The decode / frame-sampling / feature-extraction kernels each append
+columns and pass their input through, so one registered query chains all
+three — one narrow no-shuffle pass over the blobs, and one registry slot
+instead of three (keeps every oracle-backed query inside the driver's
+bounded correctness window).  The kernels stay independent operators in
+``scale.multimodal`` (individually pinned by tests/test_multimodal.py).
+"""
 
 from __future__ import annotations
 
@@ -17,62 +25,6 @@ def _with_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.encode("text", "UTF-8").alias("content"))
 
 
-@register(
-    "multimodal_decode_meta",
-    oracle="""
-    SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS byte_len,
-           sha256(text) AS sha256,
-           ascii(substr(text, 1, 1)) % 64 + 1 AS width,
-           ascii(substr(text, 2, 1)) % 64 + 1 AS height,
-           3 AS channels
-    FROM documents
-    """,
-    doc="Binary decode plumbing: mapInPandas (Arrow batches) computes "
-    "byte_len/sha256 + fake header dims; oracle recomputes them with "
-    "SQL byte arithmetic.  The real codec call is stubbed "
-    "(scale.multimodal.try_real_decode) — the distributed shape is what "
-    "is under test.",
-    tags=("multimodal",),
-)
-def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = _with_binary(spark, sf_dir)
-    return decode_meta(b, "content").select(
-        "doc_id",
-        "byte_len",
-        "sha256",
-        F.col("width").cast("int").alias("width"),
-        F.col("height").cast("int").alias("height"),
-        F.col("channels").cast("int").alias("channels"),
-    )
-
-
-@register(
-    "multimodal_frame_offsets",
-    oracle="""
-    SELECT doc_id,
-           CASE WHEN length(text) = 0 THEN ''
-                ELSE array_to_string(list_transform(range(0, 4),
-                  i -> CAST(floor(length(text) * i / 4.0) AS BIGINT)), ',')
-           END AS frame_offsets
-    FROM documents
-    """,
-    doc="Frame sampling (video analogue): 4 deterministic byte offsets "
-    "per blob as pure column algebra.  Offsets serialized to a "
-    "comma-joined string: drivers hash/sort rows by value, and "
-    "top-level array cells are unsortable in pandas.",
-    tags=("multimodal",),
-)
-def multimodal_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = _with_binary(spark, sf_dir)
-    return frame_offsets(b, "content", 4).select(
-        "doc_id",
-        F.array_join(F.col("frame_offsets").cast("array<string>"), ",").alias(
-            "frame_offsets"
-        ),
-    )
-
-
 _BIN_SUMS = ",\n           ".join(
     f"CAST(coalesce(sum(CASE WHEN unicode(ch) // 32 = {b} THEN 1 END), 0) AS BIGINT) AS b{b}"
     for b in range(8)
@@ -80,25 +32,57 @@ _BIN_SUMS = ",\n           ".join(
 
 
 @register(
-    "multimodal_byte_features",
+    "multimodal_features",
     oracle=f"""
-    SELECT doc_id,
-           {_BIN_SUMS}
-    FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents)
-    WHERE ch <> ''
-    GROUP BY doc_id
+    WITH hist AS (
+      SELECT doc_id, {_BIN_SUMS}
+      FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents)
+      WHERE ch <> ''
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(length(d.text) AS BIGINT) AS byte_len,
+           sha256(d.text) AS sha256,
+           ascii(substr(d.text, 1, 1)) % 64 + 1 AS width,
+           ascii(substr(d.text, 2, 1)) % 64 + 1 AS height,
+           3 AS channels,
+           CASE WHEN length(d.text) = 0 THEN ''
+                ELSE array_to_string(list_transform(range(0, 4),
+                  i -> CAST(floor(length(d.text) * i / 4.0) AS BIGINT)), ',')
+           END AS frame_offsets,
+           coalesce(h.b0, 0) AS b0, coalesce(h.b1, 0) AS b1,
+           coalesce(h.b2, 0) AS b2, coalesce(h.b3, 0) AS b3,
+           coalesce(h.b4, 0) AS b4, coalesce(h.b5, 0) AS b5,
+           coalesce(h.b6, 0) AS b6, coalesce(h.b7, 0) AS b7
+    FROM documents d LEFT JOIN hist h USING (doc_id)
     """,
-    doc="Feature-extraction plumbing: 8-bin byte histogram per blob via "
-    "mapInPandas + numpy bincount (the Arrow-batch shape a CLIP/audio "
-    "embedding UDF would have).  Raw counts, not ratios, so the "
-    "char-exploded SQL oracle matches exactly (text is ASCII at test "
-    "SF: byte == codepoint).",
+    doc="Binary-column plumbing end-to-end: mapInPandas decode "
+    "(byte_len/sha256 + fake header dims — real codec honestly stubbed "
+    "in scale.multimodal.try_real_decode), 4-point frame sampling as "
+    "pure column algebra, and an 8-bin byte histogram via numpy "
+    "bincount per Arrow batch (the shape a CLIP/audio embedding UDF "
+    "would have).  Raw counts, not ratios, so the char-exploded SQL "
+    "oracle matches exactly (text is ASCII at test SF: byte == "
+    "codepoint).  Frame offsets serialized to a comma-joined string: "
+    "drivers sort rows by value and top-level array cells are "
+    "unsortable in pandas.",
     tags=("multimodal",),
+    bench=True,
 )
-def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _with_binary(spark, sf_dir)
-    feats = byte_histogram_features(b, "content", n_bins=8, normalize=False)
+    meta = decode_meta(b, "content")
+    framed = frame_offsets(meta, "content", 4)
+    feats = byte_histogram_features(framed, "content", n_bins=8, normalize=False)
     return feats.select(
         "doc_id",
+        "byte_len",
+        "sha256",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.array_join(F.col("frame_offsets").cast("array<string>"), ",").alias(
+            "frame_offsets"
+        ),
         *[F.element_at("features", i + 1).cast("long").alias(f"b{i}") for i in range(8)],
     )

@@ -34,11 +34,13 @@ _STOP = "['the', 'a', 'and', 'of']"
            length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
            length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
            length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
-           len(list_filter({TOK_SQL}, t -> list_contains({_STOP}, lower(t)))) AS n_stopwords
+           len(list_filter({TOK_SQL}, t -> list_contains({_STOP}, lower(t)))) AS n_stopwords,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_ish
     FROM documents
     """,
-    doc="Token/char/punct/stopword counters — the raw material of "
-    "corpus quality filters.",
+    doc="Token/char/punct/stopword counters plus the BPE-ish "
+    "pre-tokenizer count (letter runs / digit runs / single marks) — "
+    "the raw material of corpus quality filters, one narrow pass.",
     tags=("textstats",),
     bench=True,
 )
@@ -46,7 +48,11 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     staged = docs.select("doc_id", "text", tokens(F.col("text")).alias("tk"))
     stats = token_stats(F.col("text"), F.col("tk"))
-    return staged.select("doc_id", *[c.alias(n) for n, c in stats.items()])
+    return staged.select(
+        "doc_id",
+        *[c.alias(n) for n, c in stats.items()],
+        bpe_ish_count(F.col("text")).alias("n_bpe_ish"),
+    )
 
 
 @register(
@@ -121,20 +127,9 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_bpe_counts",
-    oracle="""
-    SELECT doc_id,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_ish
-    FROM documents
-    """,
-    doc="BPE-ish pre-tokenizer counts via regexp_extract_all "
-    "(letter runs / digit runs / single marks).",
-    tags=("textstats",),
-)
-def text_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-    return docs.select("doc_id", bpe_ish_count(F.col("text")).alias("n_bpe_ish"))
+# (text_bpe_counts was folded into text_token_stats as the n_bpe_ish
+# column — same table, same per-doc grain, one fewer registry slot so
+# every oracle-backed query fits the driver's correctness window)
 
 
 @register(
