@@ -89,24 +89,35 @@ def collect_messages(
     order_cols: list[str],
     role: Column,
     content: Column,
+    extra_aggs: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Build ordered ``messages`` arrays from a row-per-event log: ONE
     shuffle (groupBy session), then sort_array gives deterministic
-    positional order via the leading order columns."""
-    packed = df.select(
-        F.col(session_col),
+    positional order via the leading order columns.
+
+    ``extra_aggs`` piggybacks additional per-session aggregates (e.g.
+    last-value-wins folds, counters) onto the SAME groupBy — any
+    per-session semantic pays this one exchange anyway, so co-computing
+    avoids a second shuffle plus a self-join."""
+    packed = df.withColumn(
+        "__m",
         F.struct(
             *[F.col(c) for c in order_cols], role.alias("role"), content.alias("content")
-        ).alias("m"),
+        ),
     )
+    extra = extra_aggs or {}
     msgs = (
         packed.groupBy(session_col)
-        .agg(F.sort_array(F.collect_list("m")).alias("m"))
+        .agg(
+            F.sort_array(F.collect_list("__m")).alias("m"),
+            *[c.alias(n) for n, c in extra.items()],
+        )
         .select(
             session_col,
             F.transform(
                 F.col("m"), lambda x: F.struct(x["role"].alias("role"), x["content"].alias("content"))
             ).alias("messages"),
+            *extra,
         )
     )
     return msgs

@@ -9,6 +9,7 @@ Importing this package registers every query in
 from yodel_etl_spark.queries import (  # noqa: F401
     asof_q,
     classify,
+    decontam_q,
     grouping,
     judge,
     pipelines_q,

@@ -19,7 +19,7 @@ from yodel_etl_spark.session import load_tables
 
 _ROLE_SQL = "CASE event_type WHEN 'view' THEN 'assistant' WHEN 'click' THEN 'user' ELSE event_type END"
 
-_FIRST_QA_ORACLE = f"""
+_QA_CTES = f"""
     WITH typed AS (
       SELECT user_id, ts, event_id,
              {_ROLE_SQL} AS role,
@@ -50,6 +50,9 @@ _FIRST_QA_ORACLE = f"""
              END AS replies
       FROM walked
     )
+"""
+
+_FIRST_QA_SELECT = """
     SELECT user_id,
            CASE WHEN uidx > 0
                 THEN trim(regexp_replace(coalesce(msgs[uidx].content, ''), '[\\t\\r\\n]', ' ', 'g'))
@@ -64,6 +67,23 @@ _FIRST_QA_ORACLE = f"""
     FROM taken
 """
 
+_FIRST_QA_ORACLE = f"""
+    {_QA_CTES},
+    qa AS ({_FIRST_QA_SELECT}),
+    last AS (
+      SELECT user_id,
+             last(value ORDER BY ts, event_id) AS last_value,
+             last(event_type ORDER BY ts, event_id) AS last_type,
+             max(ts) AS last_ts,
+             count(*) AS n_events
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT user_id, user_question, assistant_response,
+           last_value, last_type, last_ts, n_events
+    FROM qa JOIN last USING (user_id)
+"""
+
 
 def _first_qa_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
@@ -72,18 +92,51 @@ def _first_qa_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "click", "user")
         .otherwise(F.col("event_type"))
     )
-    msgs = collect_messages(ev, "user_id", ["ts", "event_id"], role, F.col("event_id").cast("string"))
-    qa = msgs.select("user_id", first_qa(F.col("messages")).alias("qa"))
-    return qa.select("user_id", "qa.user_question", "qa.assistant_response")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    msgs = collect_messages(
+        ev,
+        "user_id",
+        ["ts", "event_id"],
+        role,
+        F.col("event_id").cast("string"),
+        extra_aggs={
+            "last_value": F.max_by("value", key),
+            "last_type": F.max_by("event_type", key),
+            "last_ts": F.max("ts"),
+            "n_events": F.count(F.lit(1)),
+        },
+    )
+    qa = msgs.select(
+        "user_id",
+        first_qa(F.col("messages")).alias("qa"),
+        "last_value",
+        "last_type",
+        "last_ts",
+        "n_events",
+    )
+    return qa.select(
+        "user_id",
+        "qa.user_question",
+        "qa.assistant_response",
+        "last_value",
+        "last_type",
+        "last_ts",
+        "n_events",
+    )
 
 
 @register(
     "sessionize_first_qa",
     oracle=_FIRST_QA_ORACLE,
-    doc="W1-W3: drop leading greeting, first user message, contiguous "
-    "assistant-reply concat — the reference's per-session walk "
-    "(extract_chat_qa_tsv.py:84-129) as higher-order array exprs.",
-    tags=("sessionize",),
+    doc="W1-W3 + A5 on one shuffle: drop leading greeting, first user "
+    "message, contiguous assistant-reply concat — the reference's "
+    "per-session walk (extract_chat_qa_tsv.py:84-129) as higher-order "
+    "array exprs — plus the A5 last-value-wins fold (SSE overwrite "
+    "semantics, test_chat_assistant.py:59-69) as max_by keyed by "
+    "(ts, event_id), piggybacked on the same groupBy(user) exchange "
+    "that the message-array build already pays (previously the "
+    "separate session_last_event entry).",
+    tags=("sessionize", "agg"),
     bench=True,
 )
 def sessionize_first_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,31 +146,5 @@ def sessionize_first_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the include-empty=False variant of first_qa is exercised by the
 # chat_qa pipeline + tests — a separate registry entry was redundant
 # and is retired to keep the driver's correctness window on
-# distinct operators)
-
-
-@register(
-    "session_last_event",
-    oracle="""
-    SELECT user_id,
-           last(value ORDER BY ts, event_id) AS last_value,
-           last(event_type ORDER BY ts, event_id) AS last_type,
-           max(ts) AS last_ts,
-           count(*) AS n_events
-    FROM events
-    GROUP BY user_id
-    """,
-    doc="A5 last-value-wins fold (SSE overwrite semantics, "
-    "test_chat_assistant.py:59-69): max_by keyed by (ts, event_id) — "
-    "partial-aggregable, single shuffle, no window needed.",
-    tags=("sessionize", "agg"),
-)
-def session_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    key = F.struct(F.col("ts"), F.col("event_id"))
-    return ev.groupBy("user_id").agg(
-        F.max_by("value", key).alias("last_value"),
-        F.max_by("event_type", key).alias("last_type"),
-        F.max("ts").alias("last_ts"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
+# distinct operators; session_last_event's A5 aggregates now ride the
+# sessionize_first_qa groupBy for the same reason)
