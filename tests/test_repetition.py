@@ -1,0 +1,38 @@
+"""Repetition-signal semantics (Gopher/MassiveText-style filters)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from yodel_etl_spark.scale.textstats import repetition_frac, tokens, word_ngrams
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _fracs(spark, text, n=2):
+    df = spark.createDataFrame([(text,)], "text string")
+    staged = df.select(tokens(F.col("text")).alias("tk"))
+    grams = staged.select(word_ngrams(F.col("tk"), n).alias("g"))
+    return grams.select(repetition_frac(F.col("g")).alias("f")).collect()[0]["f"]
+
+
+def test_no_repetition_is_zero(spark):
+    assert _fracs(spark, "all words here are unique today") == 0.0
+
+
+def test_pure_loop_is_highly_repetitive(spark):
+    # "spam ham spam ham spam ham" -> 5 bigram windows, 2 distinct
+    assert _fracs(spark, "spam ham spam ham spam ham") == pytest.approx(3 / 5)
+
+
+def test_short_doc_yields_zero_not_null(spark):
+    assert _fracs(spark, "single") == 0.0
+    assert _fracs(spark, "") == 0.0
+
+
+def test_trigram_windows_counted_independently(spark):
+    # 4 tokens -> two 3-gram windows, both distinct
+    assert _fracs(spark, "a b c d", n=3) == 0.0
+    # "a b a b a b": windows [a b a, b a b, a b a, b a b] -> 2 distinct of 4
+    assert _fracs(spark, "a b a b a b", n=3) == pytest.approx(2 / 4)

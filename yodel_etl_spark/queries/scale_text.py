@@ -13,8 +13,10 @@ from yodel_etl_spark.scale.textstats import (
     fingerprint,
     lang_id,
     quality_score,
+    repetition_frac,
     token_stats,
     tokens,
+    word_ngrams,
 )
 from yodel_etl_spark.session import load_tables, spread
 
@@ -67,7 +69,15 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(list_filter({TOK_SQL}, t -> list_contains({_STOP}, lower(t)))) AS n_stopwords
       FROM documents
     )
-    SELECT doc_id,
+    , g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+               i -> array_to_string(tk[i:i+1], ' ')) AS g2,
+             list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+               i -> array_to_string(tk[i:i+2], ' ')) AS g3
+      FROM (SELECT doc_id, {TOK_SQL} AS tk FROM documents)
+    )
+    SELECT s.doc_id,
            greatest(least(
              CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 1.0 ELSE 0.0 END * 0.4
              + CASE WHEN CAST(n_tokens AS DOUBLE) > 0
@@ -76,19 +86,37 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END * 0.4
              - CASE WHEN n_chars > 0
                     THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END * 0.5,
-           1.0), 0.0) AS quality
-    FROM s
+           1.0), 0.0) AS quality,
+           CASE WHEN len(g2) > 0
+                THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+                ELSE 0.0 END AS rep_2gram_frac,
+           CASE WHEN len(g3) > 0
+                THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE)
+                ELSE 0.0 END AS rep_3gram_frac
+    FROM s JOIN g ON s.doc_id = g.doc_id
     """,
     doc="Deterministic [0,1] quality heuristic (length band, stopword "
-    "presence, alpha ratio, punct penalty) — per-row doubles, "
-    "bit-identical across engines.",
+    "presence, alpha ratio, punct penalty) plus Gopher/MassiveText-"
+    "style repetition signals (fraction of repeated word 2-/3-gram "
+    "windows — boilerplate and machine-generated text score high) — "
+    "per-row doubles, bit-identical across engines, one narrow pass.",
     tags=("textstats",),
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     staged = docs.select("doc_id", "text", tokens(F.col("text")).alias("tk"))
-    return staged.select(
-        "doc_id", quality_score(F.col("text"), F.col("tk")).alias("quality")
+    grams = staged.select(
+        "doc_id",
+        "text",
+        "tk",
+        word_ngrams(F.col("tk"), 2).alias("g2"),
+        word_ngrams(F.col("tk"), 3).alias("g3"),
+    )
+    return grams.select(
+        "doc_id",
+        quality_score(F.col("text"), F.col("tk")).alias("quality"),
+        repetition_frac(F.col("g2")).alias("rep_2gram_frac"),
+        repetition_frac(F.col("g3")).alias("rep_3gram_frac"),
     )
 
 

@@ -100,6 +100,37 @@ def lang_id(toks_lower: Column) -> Column:
     return best_lang
 
 
+def word_ngrams(toks: Column, n: int) -> Column:
+    """All ``n``-token windows of a materialized token array, joined
+    with spaces (NOT deduplicated — repetition measures need the
+    multiset).  Empty for docs shorter than ``n`` tokens; the guard
+    sits BEFORE ``sequence`` evaluates because ``sequence(1, k)`` with
+    ``k < 1`` walks descending instead of yielding []."""
+    n_windows = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(n_windows >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_frac(grams: Column) -> Column:
+    """Gopher/MassiveText-style repetition signal: the fraction of word
+    n-gram windows that are repeats of an earlier window
+    (``1 - distinct/total``; 0.0 for docs with no windows).
+    Machine-generated and boilerplate text scores high; the published
+    filters drop docs above ~0.2 (2-gram) / ~0.18 (3-gram).  O(tokens)
+    per row, pure codegen, no shuffle.
+
+    ``grams`` MUST be a materialized :func:`word_ngrams` column
+    (expression-hygiene rule: the fraction references it twice)."""
+    total = F.size(grams)
+    uniq = F.size(F.array_distinct(grams))
+    return F.when(
+        total > 0, (total - uniq).cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
 def bpe_ish_count(text: Column) -> Column:
     """Token count under the BPE-ish pre-tokenizer (regexp_extract_all)."""
     return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH), 0)).cast("long")
