@@ -1,0 +1,77 @@
+"""Curation pipeline: planted-doc semantics for every stage."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from yodel_etl_spark.pipelines.curate import CurateConfig, audit, curate
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+# a doc that sails through every filter: 10+ tokens, stopwords,
+# alphabetic, non-repetitive, english markers
+GOOD = "the quick brown fox and a lazy dog walk over the green hill today"
+GOOD2 = "a calm river flows through the wide valley and the old stone bridge"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_good_doc_survives(spark):
+    out = curate(_df(spark, [(1, GOOD)])).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_low_quality_dropped(spark):
+    # too short for the length band and no stopwords
+    out = curate(_df(spark, [(1, GOOD), (2, "!!! ??? ###")])).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_repetitive_dropped(spark):
+    spammy = "the spam and ham " * 20  # rep_2gram_frac near 1
+    out = curate(_df(spark, [(1, GOOD), (2, spammy)])).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_disallowed_lang_dropped(spark):
+    zh = "de shi le zai de shi zai le wo men zhe ge na ge hao bu"
+    cfg = CurateConfig(allowed_langs=("en",))
+    out = curate(_df(spark, [(1, GOOD), (2, zh)]), cfg=cfg).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_fingerprint_dedup_keeps_min_id(spark):
+    # same normalized token stream (case/extra-space differences) -> one
+    # canonical doc, lowest id
+    out = curate(
+        _df(spark, [(7, GOOD), (3, GOOD.upper()), (5, "  " + GOOD + "  ")])
+    ).collect()
+    assert [r["doc_id"] for r in out] == [3]
+
+
+def test_decontaminated_against_eval(spark):
+    # doc 2 shares a 5-gram with the eval doc; doc 1 is clean
+    contaminated = "now " + GOOD2 + " appears verbatim here sadly"
+    ev = _df(spark, [(100, GOOD2)])
+    out = curate(_df(spark, [(1, GOOD), (2, contaminated)]), eval_docs=ev).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_audit_reasons(spark):
+    spammy = "the spam and ham " * 20
+    rows = audit(_df(spark, [(1, GOOD), (2, "!!! ???"), (3, spammy)])).collect()
+    by_id = {r["doc_id"]: r["drop_reason"] for r in rows}
+    assert by_id[1] is None
+    assert by_id[2] == "low_quality"
+    assert by_id[3] == "repetitive_2gram"
+
+
+def test_no_cartesian_and_semi_anti_shape(spark):
+    ev = _df(spark, [(100, GOOD2)])
+    df = curate(_df(spark, [(1, GOOD)]), eval_docs=ev)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan

@@ -9,6 +9,7 @@ Importing this package registers every query in
 from yodel_etl_spark.queries import (  # noqa: F401
     asof_q,
     classify,
+    curate_q,
     decontam_q,
     grouping,
     judge,
