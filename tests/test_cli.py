@@ -86,3 +86,27 @@ def test_qa_eval_main_mock_with_judge(spark, tmp_path):
 
 def test_umbrella_dispatch_unknown():
     assert main(["definitely-not-a-command"]) == 2
+
+
+def test_curate_main_end_to_end(spark, tmp_path):
+    from yodel_etl_spark.cli import curate_main
+
+    good = "the quick brown fox and a lazy dog walk over the green hill today"
+    evtext = "a calm river flows through the wide valley and the old stone bridge"
+    docs = spark.createDataFrame(
+        [(1, good), (2, "!!! ???"), (3, "now " + evtext + " appears verbatim here sadly")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, evtext)], "doc_id long, text string")
+    src, evp = tmp_path / "docs", tmp_path / "ev"
+    out, aud = tmp_path / "curated", tmp_path / "audit"
+    docs.write.parquet(str(src))
+    ev.write.parquet(str(evp))
+    rc = curate_main(
+        ["--input", str(src), "--output", str(out), "--eval-set", str(evp), "--audit", str(aud)]
+    )
+    assert rc == 0
+    kept = [r["doc_id"] for r in spark.read.parquet(str(out)).collect()]
+    assert kept == [1]  # 2 low quality, 3 contaminated
+    reasons = {r["doc_id"]: r["drop_reason"] for r in spark.read.parquet(str(aud)).collect()}
+    assert reasons[1] is None and reasons[2] == "low_quality"

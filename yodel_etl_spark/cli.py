@@ -179,6 +179,45 @@ def qa_eval_main(argv: Sequence[str] | None = None) -> int:
     return 0
 
 
+def curate_main(argv: Sequence[str] | None = None) -> int:
+    """Corpus curation (engine extension, no reference analogue):
+    quality/repetition/lang filters → fingerprint dedup → optional
+    eval-set decontamination, parquet in / parquet out."""
+    p = argparse.ArgumentParser(
+        prog="yodel-curate",
+        description="Curate a document corpus (filters, dedup, decontamination).",
+    )
+    p.add_argument("--input", "-i", required=True, help="Input parquet (doc_id, text)")
+    p.add_argument("--output", "-o", required=True, help="Output parquet directory")
+    p.add_argument("--eval-set", help="Eval-set parquet to decontaminate against")
+    p.add_argument("--audit", help="Also write per-doc drop reasons to this parquet dir")
+    p.add_argument("--min-quality", type=float, default=0.5)
+    p.add_argument("--max-rep-2gram", type=float, default=0.2)
+    p.add_argument("--max-rep-3gram", type=float, default=0.18)
+    p.add_argument("--langs", default="en,de,fr,es", help="Comma-separated lang allowlist")
+    p.add_argument("--decontam-n", type=int, default=5, help="n-gram size for the overlap scrub")
+    args = p.parse_args(argv)
+
+    from yodel_etl_spark.pipelines.curate import CurateConfig, audit, curate
+
+    cfg = CurateConfig(
+        min_quality=args.min_quality,
+        max_rep_2gram=args.max_rep_2gram,
+        max_rep_3gram=args.max_rep_3gram,
+        allowed_langs=tuple(s for s in args.langs.split(",") if s),
+        decontam_n=args.decontam_n,
+    )
+    spark = _spark("yodel-curate")
+    docs = spark.read.parquet(args.input)
+    ev = spark.read.parquet(args.eval_set) if args.eval_set else None
+    curate(docs, eval_docs=ev, cfg=cfg).write.mode("overwrite").parquet(args.output)
+    print(f"Wrote curated corpus to {args.output}")
+    if args.audit:
+        audit(docs, cfg=cfg).write.mode("overwrite").parquet(args.audit)
+        print(f"Wrote audit frame to {args.audit}")
+    return 0
+
+
 def main(argv: Sequence[str] | None = None) -> int:
     """Umbrella dispatcher: ``python -m yodel_etl_spark <cmd> ...``."""
     cmds = {
@@ -186,6 +225,7 @@ def main(argv: Sequence[str] | None = None) -> int:
         "convert": convert_main,
         "chat-qa": chat_qa_main,
         "qa-eval": qa_eval_main,
+        "curate": curate_main,
     }
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] not in cmds:
