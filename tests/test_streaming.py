@@ -265,3 +265,39 @@ def test_checkpoint_restart_exactly_once(spark, sf_small, tmp_path):
     got = [r["event_id"] for r in spark.read.parquet(out).collect()]
     assert sorted(got) == sorted(r["event_id"] for r in ev.collect())
     assert len(got) == len(set(got)), "restart duplicated rows"
+
+
+def test_streaming_curate_signals_equal_batch(spark, tmp_path):
+    """The curation signal+filter stage is stateless (pure narrow
+    projections), so it runs unchanged over a readStream — the
+    incremental-corpus form of pipelines/curate.py (dedup/decontam then
+    run as the established bounded-state / stream-static stages)."""
+    from yodel_etl_spark.pipelines.curate import CurateConfig, audit, with_signals
+
+    good = "the quick brown fox and a lazy dog walk over the green hill today"
+    docs = spark.createDataFrame(
+        [(1, good), (2, "!!! ???"), (3, "the spam and ham " * 20)],
+        "doc_id long, text string",
+    )
+    batch = {r["doc_id"]: r["drop_reason"] for r in audit(docs).collect()}
+
+    src = str(tmp_path / "curate_src")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        audit(stream)
+        .writeStream.format("memory")
+        .queryName("curate_signals_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: r["drop_reason"]
+            for r in spark.sql("SELECT * FROM curate_signals_test").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch
+    assert got[1] is None and got[2] == "low_quality" and got[3] == "repetitive_2gram"
