@@ -87,6 +87,22 @@ def _keep_condition(cfg: CurateConfig) -> Column:
     )
 
 
+def _fence(df: DataFrame) -> DataFrame:
+    """Optimizer fence: a non-deterministic projected column makes
+    PushDownPredicate refuse to push filters through this projection
+    (Catalyst only pushes when every projected field is deterministic).
+
+    Without it, a filter on the computed signal columns is substituted
+    INTO the staged projections, un-staging the token/gram arrays — and
+    a gram array inlined into its HOF lambda re-runs the tokenizer per
+    element (the 35-50× expression-hygiene pathology; measured 27.9 s →
+    0.9 s on the sf0.1 signal pass).  Unlike CollapseProject,
+    PushDownPredicate has no multi-reference cost model, so staging
+    alone does not protect a filtered signal frame.  Costs one long per
+    row; callers drop the column after filtering."""
+    return df.withColumn("__fence", F.monotonically_increasing_id())
+
+
 def curate(
     docs: DataFrame,
     eval_docs: DataFrame | None = None,
@@ -100,13 +116,24 @@ def curate(
     ``eval_docs`` (same schema) is the decontamination reference; None
     skips stage 4.  Returns the surviving rows of ``docs`` plus the
     signal columns (callers re-select to shed them)."""
-    sig = with_signals(docs, id_col, text_col).where(_keep_condition(cfg))
+    from pyspark.sql.window import Window
 
-    # canonical doc per fingerprint: min id wins.  Digest-only shuffle:
-    # aggregate (fp -> min id) over two narrow columns, then a
-    # broadcast-eligible semi join pulls the full surviving rows.
-    canon = sig.groupBy("fp").agg(F.min(id_col).alias(id_col))
-    kept = sig.join(canon, [id_col, "fp"], "left_semi")
+    sig = (
+        _fence(with_signals(docs, id_col, text_col))
+        .where(_keep_condition(cfg))
+        .drop("__fence")
+    )
+
+    # canonical doc per fingerprint: min id wins.  One window pass over
+    # the filtered rows (single shuffle on fp) — a groupBy+semi-join
+    # form would shuffle the full rows for the join anyway AND evaluate
+    # the signal subtree twice.
+    w = Window.partitionBy("fp").orderBy(id_col)
+    kept = (
+        sig.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
     if eval_docs is not None:
         ev_staged = eval_docs.select(
