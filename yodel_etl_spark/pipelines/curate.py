@@ -87,20 +87,28 @@ def _keep_condition(cfg: CurateConfig) -> Column:
     )
 
 
-def _fence(df: DataFrame) -> DataFrame:
-    """Optimizer fence: a non-deterministic projected column makes
-    PushDownPredicate refuse to push filters through this projection
-    (Catalyst only pushes when every projected field is deterministic).
+def _guarded_filter(df: DataFrame, cond: Column) -> DataFrame:
+    """Filter without letting PushDownPredicate substitute ``cond``
+    through the staged signal projections.
 
-    Without it, a filter on the computed signal columns is substituted
-    INTO the staged projections, un-staging the token/gram arrays — and
-    a gram array inlined into its HOF lambda re-runs the tokenizer per
-    element (the 35-50× expression-hygiene pathology; measured 27.9 s →
-    0.9 s on the sf0.1 signal pass).  Unlike CollapseProject,
-    PushDownPredicate has no multi-reference cost model, so staging
-    alone does not protect a filtered signal frame.  Costs one long per
-    row; callers drop the column after filtering."""
-    return df.withColumn("__fence", F.monotonically_increasing_id())
+    Pushing a filter on computed signal columns inlines the signal
+    expressions into the predicate, un-staging the token/gram arrays —
+    and a gram array inlined into its HOF lambda re-runs the tokenizer
+    per element (the 35-50× expression-hygiene pathology) *below the
+    spread() exchange*, so the blown-up filter also runs in the single
+    scan task (measured 20.6 s → 0.5 s on the sf0.1 signal pass).
+
+    A nondeterministic *column* fence (project ``monotonically_
+    increasing_id()``, drop it after the filter) is not enough: the
+    drop lets ColumnPruning delete the unreferenced nondeterministic
+    field, the projection turns deterministic again, and pushdown
+    proceeds.  Instead the nondeterministic term rides inside the
+    predicate itself, under an OR so splitConjunctivePredicates cannot
+    peel the deterministic half off and push it alone — Catalyst never
+    pushes a nondeterministic predicate.  ``monotonically_increasing_
+    id() < 0`` is always false, so the condition is semantically
+    ``cond``; the guard costs one long compare per row."""
+    return df.where((F.monotonically_increasing_id() < F.lit(0)) | cond)
 
 
 def curate(
@@ -118,11 +126,7 @@ def curate(
     signal columns (callers re-select to shed them)."""
     from pyspark.sql.window import Window
 
-    sig = (
-        _fence(with_signals(docs, id_col, text_col))
-        .where(_keep_condition(cfg))
-        .drop("__fence")
-    )
+    sig = _guarded_filter(with_signals(docs, id_col, text_col), _keep_condition(cfg))
 
     # canonical doc per fingerprint: min id wins.  One window pass over
     # the filtered rows (single shuffle on fp) — a groupBy+semi-join
@@ -143,12 +147,20 @@ def curate(
             ngram_keys(F.col("__tkl"), cfg.decontam_n).alias("grams")
         )
         ev_set = eval_gram_set(ev_grams)
-        doc_grams = kept.select(
+        # gram the PRE-window frame: dirty ids form a superset of the
+        # contaminated kept ids (non-canonical dups may appear, but the
+        # anti join only removes ids present in kept, so the result is
+        # identical) — and this branch skips the fp window shuffle, so
+        # per run the window runs once, not twice
+        doc_grams = sig.select(
             F.col(id_col), ngram_keys(F.col("__tkl"), cfg.decontam_n).alias("grams")
         )
+        # semi join, not inner: the probe short-circuits at the first
+        # matching build row and the gram column never materializes
+        # past the join — only contaminated ids reach the distinct
         dirty = (
             doc_grams.select(F.col(id_col), F.explode("grams").alias("gram"))
-            .join(F.broadcast(ev_set), "gram")
+            .join(F.broadcast(ev_set), "gram", "left_semi")
             .select(id_col)
             .distinct()
         )
