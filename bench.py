@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import json
 import os
-
+import statistics
 import sys
 import time
 
@@ -55,6 +55,7 @@ def main() -> int:
 
     names = [n for n in sorted(queries) if not ONLY or n in ONLY]
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     t_total0 = time.perf_counter()
     for name in names:
         build = queries[name].build
@@ -69,6 +70,7 @@ def main() -> int:
             _force(build(spark, SF_DIR))
             samples.append(time.perf_counter() - t0)
         timings[name] = round(min(samples), 4)
+        medians[name] = round(statistics.median(samples), 4)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
         # operators persist() narrow intermediates (signature tables,
         # posting lists) by design and the CacheManager matches them by
@@ -86,6 +88,11 @@ def main() -> int:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                # medians ride along so min-vs-median skew is visible in
+                # every record (the r1→r2 estimator change is otherwise
+                # invisible when comparing rounds; see BASELINE.md)
+                "value_median": round(sum(medians.values()), 4),
+                "queries_median": medians,
                 "sf": _sf_from_dir(SF_DIR),
                 "n_queries": len(timings),
                 "runs_per_query": RUNS,

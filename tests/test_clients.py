@@ -77,6 +77,10 @@ class _Handler(BaseHTTPRequestHandler):
                 {"candidates": [{"content": {"parts": [{"text": "gen-"}, {"text": "ok"}]}}]}
             )
             self._send(200, body.encode())
+        elif self.path == "/gemini-blocked":
+            # 200 with empty candidates = safety block shape
+            body = json.dumps({"promptFeedback": {"blockReason": "SAFETY"}})
+            self._send(200, body.encode())
         else:
             self._send(404, b"nope")
 
@@ -146,6 +150,16 @@ def test_gemini_client_joins_parts(server):
         api_key="k", endpoint=f"{server}/gemini", retry=FAST_RETRY
     )
     assert client("hello") == "gen-ok"
+
+
+def test_gemini_empty_candidates_is_failure(server):
+    """A 200 with no candidates/parts (safety block) must raise so it
+    lands in the fail-soft error column, never an empty output file."""
+    client = GeminiGenerateClient(
+        api_key="k", endpoint=f"{server}/gemini-blocked", retry=FAST_RETRY
+    )
+    with pytest.raises(HttpStatusError, match="SAFETY"):
+        client("hello")
 
 
 def test_infer_map_with_http_client_failsoft(spark, server):

@@ -29,3 +29,20 @@ def test_jaccard_df_cap_only_drops(spark, sf_small):
     exact = _pairs(jaccard_pairs(docs, "doc_id", "text", threshold=0.5))
     capped = _pairs(jaccard_pairs(docs, "doc_id", "text", threshold=0.5, df_cap=20))
     assert capped <= exact
+
+
+def test_release_frees_operator_caches(spark, sf_small):
+    """Operators persist() intermediates; session.release(result) must
+    free them all after the caller's final action (the long-lived
+    session leak: repeated calls otherwise accumulate cached RDDs)."""
+    from yodel_etl_spark.session import release
+
+    docs = load_tables(spark, sf_small, ("documents",))["documents"]
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    cm.clearCache()
+    pairs = jaccard_pairs(docs.limit(80), "doc_id", "text")
+    pairs.count()
+    assert not cm.isEmpty()
+    release(pairs)
+    assert cm.isEmpty()
+    release(pairs)  # idempotent

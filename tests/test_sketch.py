@@ -90,3 +90,13 @@ def test_guarantee_under_decrement_pressure(spark):
             assert item in got, f"{item} (count {t}) must survive"
         lo, hi = got[item]
         assert lo <= t <= hi
+
+
+def test_null_keys_excluded(spark):
+    """NULL keys never enter the sketch: NULL is the decrement-marker
+    row, and astype(str) would alias them with genuine 'None' strings."""
+    df = spark.createDataFrame(
+        [Row(k="a"), Row(k=None), Row(k="None"), Row(k=None), Row(k="a")]
+    )
+    got = approx_top_k(df, "k", k=10, capacity=16).collect()
+    assert {r["item"]: r["count_lo"] for r in got} == {"a": 2, "None": 1}

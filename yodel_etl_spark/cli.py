@@ -90,6 +90,9 @@ def convert_main(argv: Sequence[str] | None = None) -> int:
     total = sum(r["count"] for r in summary)
     ok = sum(r["count"] for r in summary if r["valid"] and r["status"] == 200)
     print(f"Processed {total} files: {ok} successful, {total - ok} failed/skipped")
+    from yodel_etl_spark.session import release
+
+    release(result)  # counters were the final action over the cached rows
     return 0
 
 
@@ -126,6 +129,9 @@ def chat_qa_main(argv: Sequence[str] | None = None) -> int:
         include_empty=args.include_empty,
     )
     print(f"Done. Lines written: {out.count()}; output: {args.out}")
+    from yodel_etl_spark.session import release
+
+    release(out)  # tally was the final action over the cached rows
     return 0
 
 

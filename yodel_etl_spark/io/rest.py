@@ -176,7 +176,12 @@ def fetch_paginated_all(
     out = reduce(lambda a, b: a.unionByName(b), frames)
     if stop_page is not None:
         out = out.where(F.col("page") < stop_page)
-    return out
+    # cache lifetime is the caller's: session.release(out) frees the
+    # round batches (persisted so the control-plane page probe doesn't
+    # re-fetch every page when the caller's action runs)
+    from yodel_etl_spark.session import register_persisted
+
+    return register_persisted(out, *frames)
 
 
 def fetch_fanout(

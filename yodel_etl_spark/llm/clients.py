@@ -31,9 +31,12 @@ Design rules (all enforced here, not left to callers):
   ``requests.Session`` is created lazily per worker process and
   excluded from pickling, so one connection pool serves a whole
   executor partition.
-* **Env at call time**: API keys resolve from the executor's
-  environment on first use (names per ``.env.example``), never at
-  driver pickle time — secrets don't ride the closure.
+* **Env at call time**: when no explicit key is passed, API keys
+  resolve from the executor's environment on first use (names per
+  ``.env.example``), so env-resolved secrets don't ride the driver
+  pickle.  A key passed to a constructor IS instance state and does
+  serialize to executors — pass keys explicitly only when the env
+  route is unavailable.
 * **Retry-on-429/5xx**: bounded exponential backoff honoring
   ``Retry-After``; the reference's fixed ``time.sleep`` pacing stays
   with the per-partition token bucket in ``infer_map``/``rest.py``.
@@ -258,7 +261,17 @@ class GeminiGenerateClient(_HttpClientBase):
             .get("content", {})
             .get("parts", [])
         )
-        return "".join(p.get("text", "") for p in parts)
+        text = "".join(p.get("text", "") for p in parts)
+        if not parts:
+            # empty candidates/parts = blocked or empty generation (e.g.
+            # safety filter): a 200 with no text is a FAILURE — raising
+            # routes it to infer_map's fail-soft error column instead of
+            # counting as success and writing an empty output file
+            reason = (payload.get("candidates") or [{}])[0].get(
+                "finishReason"
+            ) or payload.get("promptFeedback", {}).get("blockReason", "EMPTY")
+            raise HttpStatusError(resp.status_code, f"empty candidates: {reason}")
+        return text
 
 
 class BearerPageClient(_HttpClientBase):

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from yodel_etl_spark.scale.textstats import tokens
+from yodel_etl_spark.session import register_persisted
 
 
 # ---------------------------------------------------------------- exact
@@ -210,9 +211,12 @@ def jaccard_pairs(
             / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")).cast("double"),
         )
     )
-    return verified.where(F.col("jaccard") >= threshold).select(
+    out = verified.where(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "n_common", "jaccard"
     )
+    # cache lifetime is the caller's: session.release(out) after the
+    # final action frees the posting table
+    return register_persisted(out, posts)
 
 
 # -------------------------------------------------------------- minhash
@@ -306,9 +310,10 @@ def minhash_lsh_pairs(
             / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
         )
     )
-    return verified.where(F.col("jaccard") >= threshold).select(
+    out = verified.where(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "n_common", "jaccard"
     )
+    return register_persisted(out, base, sigs)
 
 
 # -------------------------------------------------------------- simhash
@@ -388,4 +393,5 @@ def simhash_pairs(
         .distinct()
     )
     dist = cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
-    return dist.where(F.col("hamming") <= max_distance).select("doc_a", "doc_b", "hamming")
+    out = dist.where(F.col("hamming") <= max_distance).select("doc_a", "doc_b", "hamming")
+    return register_persisted(out, sims)

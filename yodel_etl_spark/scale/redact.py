@@ -14,10 +14,9 @@ divergence), no lookaround (RE2 lacks it).
 Replacement is ORDERED (emails → SSN → card → IPv4 → phone): earlier
 rewrites consume their text, so an email's digits can't later be
 re-matched as a phone number, and the placeholder tokens themselves
-contain no digits to re-match.  Counts are measured on the ORIGINAL
-text per pattern, independently (documented contract: a digit run
-inside an email counts as the email only — the count pass mirrors the
-sequential-redact pass by counting on the progressively-redacted text).
+contain no digits to re-match.  Counts mirror the sequential-redact
+pass: each pattern is counted on the progressively-redacted text, so a
+digit run inside an email counts as the email only.
 """
 
 from __future__ import annotations

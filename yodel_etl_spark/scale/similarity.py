@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from yodel_etl_spark.session import register_persisted
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product (index order, double acc)."""
@@ -236,6 +238,8 @@ def hyperplane_lsh_pairs(
         .join(b, "id_b")
         .withColumn("cosine", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
     )
-    return verified.where(F.col("cosine") >= threshold).select(
+    out = verified.where(F.col("cosine") >= threshold).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine_r")
     )
+    # cache lifetime is the caller's: session.release(out) frees the sketch
+    return register_persisted(out, sk)

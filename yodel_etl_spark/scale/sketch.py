@@ -47,7 +47,11 @@ def mg_partials(df: DataFrame, key_col: str, capacity: int = 1024) -> DataFrame:
     Each partition yields ≤ capacity (item, est) rows and one
     (NULL, decrements) row.  State is O(capacity) regardless of input
     size — the property that lets a 1000-executor job sketch a
-    billion-key column without aggregation-state spill."""
+    billion-key column without aggregation-state spill.
+
+    NULL keys are excluded from the sketch: NULL is reserved as the
+    decrement-marker row in PARTIAL_SCHEMA, and pandas ``astype(str)``
+    would otherwise alias them with genuine ``'None'`` strings."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
@@ -71,8 +75,10 @@ def mg_partials(df: DataFrame, key_col: str, capacity: int = 1024) -> DataFrame:
         items = list(counters.items()) + [(None, decrements)]
         yield pd.DataFrame(items, columns=["item", "est"])
 
-    return df.select(F.col(key_col).cast("string").alias(key_col)).mapInPandas(
-        run, schema=PARTIAL_SCHEMA
+    return (
+        df.select(F.col(key_col).cast("string").alias(key_col))
+        .where(F.col(key_col).isNotNull())
+        .mapInPandas(run, schema=PARTIAL_SCHEMA)
     )
 
 

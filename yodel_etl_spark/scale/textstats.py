@@ -197,11 +197,15 @@ def tf_idf_top_terms(df, id_col: str, text_col: str, top_n: int = 5):
     rank = F.row_number().over(
         Window.partitionBy("doc").orderBy(F.col("score").desc(), F.col("term"))
     )
-    return (
+    from yodel_etl_spark.session import register_persisted
+
+    out = (
         scored.withColumn("rk", rank)
         .where(F.col("rk") <= top_n)
         .select("doc", "term", "tf", "term_df", "score")
     )
+    # cache lifetime is the caller's: session.release(out) frees tf
+    return register_persisted(out, tf)
 
 
 def rolling_hashes(toks_lower: Column, window: int = 5) -> Column:

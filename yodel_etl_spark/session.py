@@ -164,3 +164,36 @@ def load_tables(
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         out[name] = df
     return out
+
+
+def register_persisted(result: DataFrame, *handles: DataFrame) -> DataFrame:
+    """Attach persisted intermediates to ``result`` so callers can
+    :func:`release` them after their final action.
+
+    Library operators persist() narrow intermediates (signature tables,
+    posting lists, REST page batches) because the returned plan reads
+    them more than once — but the library can never unpersist them
+    itself: the caller decides when the last action over the returned
+    frame has run.  Registering the handles on the result makes the
+    cache lifetime the CALLER's, closing the long-lived-session leak
+    (repeated operator calls otherwise accumulate cached RDDs until
+    eviction pressure).  Handles propagate: registering a frame that
+    itself carries handles adopts them."""
+    collected = list(getattr(result, "_yodel_persisted", ()))
+    for h in handles:
+        collected.extend(getattr(h, "_yodel_persisted", ()))
+        collected.append(h)
+    result._yodel_persisted = tuple(collected)
+    return result
+
+
+def release(df: DataFrame) -> None:
+    """Unpersist every cached intermediate attached to ``df`` (and
+    ``df`` itself, if persisted).  Idempotent; call after the final
+    action over an operator's result."""
+    for h in getattr(df, "_yodel_persisted", ()):
+        h.unpersist()
+    df._yodel_persisted = ()
+    level = df.storageLevel
+    if level.useMemory or level.useDisk:
+        df.unpersist()
