@@ -1,10 +1,11 @@
 #!/usr/bin/env python
-"""BENCH harness: MIN of N timed runs after 1 warm-up (BASELINE.md
-records the method history: medians until r1, min from r2 — the min is
-the standard robust estimator on a shared host, approximating the
-uncontended steady-state; a co-tenant burst can inflate every sample in
-a window, and the median only survives if the burst covers < half the
-samples).
+"""BENCH harness: MIN of N timed samples per query, sampled in N
+interleaved passes over the whole query set (BASELINE.md records the
+method history: medians until r1, min-of-5 back-to-back in r2,
+interleaved passes from r3 — the min approximates the uncontended
+steady state on a shared host, and interleaving spreads each query's
+samples across the full run so a minutes-long co-tenant burst cannot
+cover all samples of any one query).
 
 Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
@@ -26,7 +27,10 @@ import sys
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+#: number of interleaved passes over the full query set; each pass
+#: contributes one timed sample per query (preceded by its own warm-up,
+#: so 2 executions/query/pass — 3 passes ≈ the old 1+5 per-query cost)
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 #: comma-separated allowlist for isolated iteration (empty = all)
 ONLY = {q for q in os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").split(",") if q}
 
@@ -54,31 +58,38 @@ def main() -> int:
     queries = load_all()
 
     names = [n for n in sorted(queries) if not ONLY or n in ONLY]
-    timings: dict[str, float] = {}
-    medians: dict[str, float] = {}
+    samples: dict[str, list[float]] = {n: [] for n in names}
     t_total0 = time.perf_counter()
-    for name in names:
-        build = queries[name].build
-        # warm-up populates JIT/code-cache/file listings AND the
-        # query's persist() caches (BASELINE.md methodology: timed
-        # samples measure the steady-state plan with its intentional
-        # intermediate reuse, not cache (re)population)
-        _force(build(spark, SF_DIR))
-        samples = []
-        for _ in range(RUNS):
+    # Samples are taken in RUNS complete passes over the whole query
+    # set, not RUNS back-to-back runs per query: a co-tenant burst on
+    # this shared host lasts minutes, so back-to-back sampling let one
+    # burst cover EVERY sample of whichever query it landed on (r2
+    # recorded pipeline_curate at 21.7 s min-of-5 vs its 4.2 s steady
+    # state).  Interleaved, a burst inflates at most one sample per
+    # query and the per-query min survives it.
+    for _ in range(RUNS):
+        for name in names:
+            build = queries[name].build
+            # warm-up populates JIT/code-cache/file listings AND the
+            # query's persist() caches (BASELINE.md methodology: timed
+            # samples measure the steady-state plan with its intentional
+            # intermediate reuse, not cache (re)population)
+            _force(build(spark, SF_DIR))
             t0 = time.perf_counter()
             _force(build(spark, SF_DIR))
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(min(samples), 4)
-        medians[name] = round(statistics.median(samples), 4)
+            samples[name].append(time.perf_counter() - t0)
+            # operators persist() narrow intermediates (signature
+            # tables, posting lists) by design and the CacheManager
+            # matches them by canonicalized plan across build() calls;
+            # left in place over a 50+-query run they pile up until
+            # eviction pressure makes later samples jump 3-5x — clear
+            # between queries so every query warms up under identical
+            # (empty-cache) conditions
+            spark.catalog.clearCache()
+    timings = {n: round(min(s), 4) for n, s in samples.items()}
+    medians = {n: round(statistics.median(s), 4) for n, s in samples.items()}
+    for name in names:
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
-        # operators persist() narrow intermediates (signature tables,
-        # posting lists) by design and the CacheManager matches them by
-        # canonicalized plan across build() calls; left in place over a
-        # 50+-query run they pile up until eviction pressure makes
-        # later medians jump 3-5x — clear between queries so every
-        # query warms up under identical (empty-cache) conditions
-        spark.catalog.clearCache()
     total = round(time.perf_counter() - t_total0, 2)
 
     print(

@@ -98,17 +98,24 @@ def _guarded_filter(df: DataFrame, cond: Column) -> DataFrame:
     spread() exchange*, so the blown-up filter also runs in the single
     scan task (measured 20.6 s → 0.5 s on the sf0.1 signal pass).
 
-    A nondeterministic *column* fence (project ``monotonically_
-    increasing_id()``, drop it after the filter) is not enough: the
-    drop lets ColumnPruning delete the unreferenced nondeterministic
-    field, the projection turns deterministic again, and pushdown
-    proceeds.  Instead the nondeterministic term rides inside the
-    predicate itself, under an OR so splitConjunctivePredicates cannot
-    peel the deterministic half off and push it alone — Catalyst never
-    pushes a nondeterministic predicate.  ``monotonically_increasing_
-    id() < 0`` is always false, so the condition is semantically
-    ``cond``; the guard costs one long compare per row."""
-    return df.where((F.monotonically_increasing_id() < F.lit(0)) | cond)
+    A nondeterministic *predicate* (``monotonically_increasing_id() <
+    0 OR cond``) is not enough: PushPredicateThroughNonJoin only
+    requires the PROJECT LIST to be deterministic — a nondeterministic
+    condition pushes through a deterministic projection just fine
+    (reordering filter-over-project never changes which rows the
+    predicate sees), and the inlined plan carried 86 copies of the
+    tokenizer below the spread() exchange.  The fence must therefore
+    live in the projection itself: project a nondeterministic column
+    and reference it in the predicate.  The reference keeps
+    ColumnPruning from deleting the field (which would re-legalize the
+    push), and the nondeterministic project list blocks the rule.  The
+    OR rides inside one predicate so splitConjunctivePredicates cannot
+    peel the deterministic half off and push it alone.
+    ``__fence < 0`` is always false (monotonically_increasing_id is
+    non-negative), so the condition is semantically ``cond``; the
+    guard costs one long compare per row."""
+    fenced = df.withColumn("__fence", F.monotonically_increasing_id())
+    return fenced.where((F.col("__fence") < F.lit(0)) | cond).drop("__fence")
 
 
 def curate(

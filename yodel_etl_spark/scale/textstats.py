@@ -87,17 +87,33 @@ def lang_hits(toks_lower: Column, lang: str) -> Column:
 def lang_id(toks_lower: Column) -> Column:
     """argmax over per-language marker hits, deterministic tie-break on
     language code; 'und' when nothing hits.  (A real corpus would use
-    character n-gram profiles — same argmax shape, more features.)"""
-    pairs = [(lang, lang_hits(toks_lower, lang)) for lang in sorted(LANG_MARKERS)]
-    # fold argmax as nested CASE: strictly-greater wins, ties keep the
-    # earlier (alphabetically first) language
-    best_lang = F.lit("und")
-    best_hits = F.lit(0)
-    for lang, hits in pairs:
-        take = hits > best_hits
-        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
-        best_hits = F.when(take, hits).otherwise(best_hits)
-    return best_lang
+    character n-gram profiles — same argmax shape, more features.)
+
+    Shape matters: a CASE-WHEN fold (``best = when(h > best, …)``)
+    embeds the running best expression twice per step, so the plan grew
+    O(2^langs) copies of the hit counters (~60 array scans/row at 5
+    languages).  ``array_max`` over ``struct(hits, rank)`` references
+    each counter exactly once: struct ordering is lexicographic, so the
+    max is the highest hit count, and ``rank`` (descending with
+    alphabetical order) resolves ties toward the earlier language —
+    identical semantics, linear plan."""
+    langs = sorted(LANG_MARKERS)
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    lang_hits(toks_lower, lang).alias("h"),
+                    F.lit(len(langs) - 1 - i).alias("r"),
+                )
+                for i, lang in enumerate(langs)
+            ]
+        )
+    )
+    code = F.element_at(
+        F.array(*[F.lit(lang) for lang in langs]),
+        (F.lit(len(langs)) - best["r"]).cast("int"),
+    )
+    return F.when(best["h"] > 0, code).otherwise(F.lit("und"))
 
 
 def word_ngrams(toks: Column, n: int) -> Column:

@@ -162,6 +162,13 @@ def load_tables(
             if field.name == "ts" and field.dataType.typeName() in ("long", "bigint"):
                 # integer div: epoch-ns values exceed double's 2^53 mantissa
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif field.name == "ts" and field.dataType.typeName() == "timestamp_ntz":
+                # testdata generated as naive timestamp[us] surfaces as
+                # TIMESTAMP_NTZ (inferTimestampNTZ); normalize to
+                # TIMESTAMP — the session is pinned UTC so the cast maps
+                # wall time to the identical instant, and streaming
+                # watermarks require the instant-typed column
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         out[name] = df
     return out
 
