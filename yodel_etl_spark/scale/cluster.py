@@ -52,6 +52,35 @@ def _large_star(e: DataFrame) -> DataFrame:
     )
 
 
+def _is_star_set(e: DataFrame) -> bool:
+    """Exact structural convergence test: a deduped edge set is a valid
+    min-rooted component map ⟺ it is a disjoint union of stars with
+    minimum-id centers, i.e.
+
+      (1) every edge points downward (``v < u`` — the center is the
+          minimum),
+      (2) every source has exactly ONE distinct target (a leaf pointing
+          at two roots would leave two components unmerged), and
+      (3) no node is both a source and a target (no chains).
+
+    Checking the CURRENT edge set replaces the run-until-unchanged
+    probe, which needed one extra full contraction round (two star
+    passes + a set difference) purely to confirm the fixpoint — on a
+    converged graph this test is two small probe jobs over the
+    checkpointed id pairs instead."""
+    per_src = e.groupBy("u").agg(
+        F.count_distinct("v").alias("k"),
+        F.max((F.col("v") > F.col("u")).cast("int")).alias("up"),
+    )
+    bad = per_src.where((F.col("k") > 1) | (F.col("up") == 1))
+    if not bad.isEmpty():
+        return False
+    chained = e.select("u").join(
+        e.select(F.col("v").alias("u")), "u", "left_semi"
+    )
+    return chained.isEmpty()
+
+
 def _small_star(e: DataFrame) -> DataFrame:
     """For each node u: connect every SMALLER-or-equal neighbor (and u
     itself) to m(u) = min(Γ≤(u) ∪ {u})."""
@@ -73,9 +102,9 @@ def connected_components(
     ``pairs``; component = min node id reachable through the pair graph.
 
     Alternating large-star/small-star contraction.  Convergence is
-    detected when a full round leaves the edge set unchanged (count
-    equality then a subtract-emptiness probe — both over the narrow
-    deduped edge list).  ``max_iter`` is a hard cap far above the
+    detected structurally (:func:`_is_star_set` — exact, two probe
+    jobs over the narrow checkpointed edge list), so a converged graph
+    costs zero extra contraction rounds.  ``max_iter`` is a hard cap far above the
     O(log² n) bound (2^25 nodes per component before it binds); hitting
     it raises rather than returning a half-contracted map.
 
@@ -92,13 +121,9 @@ def connected_components(
         return edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
 
     for _ in range(max_iter):
-        contracted = _small_star(_large_star(edges)).localCheckpoint()
-        # Star-shaped fixpoint: both sets are deduped, so equal counts +
-        # empty difference ⟺ equal sets.  Narrow id-pair rows only.
-        if contracted.count() == edges.count() and contracted.subtract(edges).isEmpty():
-            edges = contracted
+        if _is_star_set(edges):
             break
-        edges = contracted
+        edges = _small_star(_large_star(edges)).localCheckpoint()
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
