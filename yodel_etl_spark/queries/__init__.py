@@ -18,6 +18,7 @@ from yodel_etl_spark.queries import (  # noqa: F401
     relational,
     sampling_q,
     scale_dedup,
+    scd_q,
     scale_multimodal,
     scale_similarity,
     scale_text,

@@ -81,12 +81,18 @@ def _chunks_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                     len(chunks), 0) AS total_references,
            array_to_string(list_transform(chunks, x -> {_FALSY.format(v="x.id")}), ', ') AS chunk_ids,
            array_to_string(list_transform(chunks, x -> {_FALSY.format(v="x.document_name")}), ', ') AS document_names,
-           array_to_string(list_transform(chunks, x -> {_FALSY.format(v="x.similarity")}), ', ') AS similarities
+           array_to_string(list_transform(chunks, x -> {_FALSY.format(v="x.similarity")}), ', ') AS similarities,
+           len(chunks[1:12]) AS n_in_prompt,
+           array_to_string(list_transform(chunks[1:12], x -> CAST(x.id AS VARCHAR)), '|') AS prompt_ids
     FROM c
     """,
-    doc="E1 chunk-walk collapse: per-field falsy-safe stringify + "
-    "', '-join in chunk order, A4 declared-total coalesce — no explode, "
-    "no second shuffle (test_chat_assistant.py:136-177).",
+    doc="E1 chunk-walk collapse + E2/W4 judge projection in one pass "
+    "over the chunk arrays (same l_orderkey grain, so the two "
+    "reference surfaces share the single groupBy shuffle): per-field "
+    "falsy-safe stringify + ', '-join in chunk order, A4 "
+    "declared-total coalesce (test_chat_assistant.py:136-177), and the "
+    "first-12 cap + id sequence that enters the judge prompt "
+    "(test_chat_assistant_with_judge.py:205-216).",
     tags=("refs",),
     bench=True,
 )
@@ -95,35 +101,17 @@ def refs_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     declared = F.when(F.col("l_orderkey") % 3 == 0, F.lit(None).cast("long")).otherwise(
         F.size("chunks").cast("long")
     )
+    capped = chunk_cap(F.col("chunks"), 12)
     return c.select(
         "l_orderkey",
         total_references(declared, F.col("chunks")).alias("total_references"),
         join_chunk_field(F.col("chunks"), "id").alias("chunk_ids"),
         join_chunk_field(F.col("chunks"), "document_name").alias("document_names"),
         join_chunk_field(F.col("chunks"), "similarity").alias("similarities"),
-    )
-
-
-@register(
-    "refs_judge_projection",
-    oracle=f"""
-    WITH c AS ({_CHUNKS_SQL})
-    SELECT l_orderkey,
-           len(chunks[1:12]) AS n_in_prompt,
-           array_to_string(list_transform(chunks[1:12], x -> CAST(x.id AS VARCHAR)), '|') AS prompt_ids
-    FROM c
-    """,
-    doc="E2/W4 judge projection: first-12 cap and the id sequence that "
-    "enters the prompt (test_chat_assistant_with_judge.py:205-216).",
-    tags=("refs",),
-)
-def refs_judge_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _chunks_df(spark, sf_dir)
-    capped = chunk_cap(F.col("chunks"), 12)
-    return c.select(
-        "l_orderkey",
         F.size(capped).alias("n_in_prompt"),
-        F.array_join(F.transform(capped, lambda x: x["id"].cast("string")), "|").alias("prompt_ids"),
+        F.array_join(F.transform(capped, lambda x: x["id"].cast("string")), "|").alias(
+            "prompt_ids"
+        ),
     )
 
 

@@ -78,3 +78,54 @@ def similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
     return hyperplane_lsh_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    WITH seeds AS (
+      SELECT vec_id AS seed_id, embedding AS seed_vec
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    a AS (
+      SELECT e.vec_id, e.embedding, s.seed_id,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.seed_vec[i] AS DOUBLE))
+                  * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.seed_vec[i] AS DOUBLE)))) AS d2
+      FROM embeddings e CROSS JOIN seeds s
+    ),
+    best AS (
+      SELECT vec_id, embedding, seed_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) AS rn
+      FROM a
+    ),
+    ex AS (
+      SELECT b.seed_id AS cluster_id,
+             CAST(u.i - 1 AS INTEGER) AS pos,
+             CAST(round(CAST(b.embedding[u.i] AS DOUBLE) * 10000000) AS BIGINT) AS sv
+      FROM best b, unnest(range(1, len(b.embedding) + 1)) AS u(i)
+      WHERE b.rn = 1
+    )
+    SELECT cluster_id, pos,
+           CAST(sum(sv) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 10000000.0 AS centroid,
+           count(*) AS n_members
+    FROM ex GROUP BY cluster_id, pos
+    """,
+    doc="k-means centroid update (one deterministic Lloyd step): "
+    "shuffle-free nearest-seed assignment (seeds folded into ONE "
+    "broadcast row via a 1-row collect_list aggregate — no driver "
+    "collect; per-seed squared-L2 argmin as array_min over (d2, id) "
+    "structs so each distance is evaluated once), then per-(cluster, "
+    "dimension) element-wise means through the exact-integer pattern "
+    "(associative long sums — shuffle order cannot perturb the hash). "
+    "The training step an IVF ANN index needs; map-side partial "
+    "aggregation caps each executor's update output at k x dim rows.",
+    tags=("similarity", "scale"),
+    bench=True,
+    tier=1,
+)
+def embedding_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.similarity import embedding_centroids
+
+    emb = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
+    return embedding_centroids(emb, "vec_id", "embedding", k=8)

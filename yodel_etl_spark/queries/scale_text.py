@@ -29,55 +29,27 @@ _STOP = "['the', 'a', 'and', 'of']"
 @register(
     "text_token_stats",
     oracle=f"""
-    SELECT doc_id,
-           length(text) AS n_chars,
-           len({TOK_SQL}) AS n_tokens,
-           len(list_distinct({TOK_SQL})) AS n_uniq_tokens,
-           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
-           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
-           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
-           len(list_filter({TOK_SQL}, t -> list_contains({_STOP}, lower(t)))) AS n_stopwords,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_ish
-    FROM documents
-    """,
-    doc="Token/char/punct/stopword counters plus the BPE-ish "
-    "pre-tokenizer count (letter runs / digit runs / single marks) — "
-    "the raw material of corpus quality filters, one narrow pass.",
-    tags=("textstats",),
-    bench=True,
-)
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-    staged = docs.select("doc_id", "text", tokens(F.col("text")).alias("tk"))
-    stats = token_stats(F.col("text"), F.col("tk"))
-    return staged.select(
-        "doc_id",
-        *[c.alias(n) for n, c in stats.items()],
-        bpe_ish_count(F.col("text")).alias("n_bpe_ish"),
-    )
-
-
-@register(
-    "text_quality_score",
-    oracle=f"""
     WITH s AS (
-      SELECT doc_id,
+      SELECT doc_id, text, {TOK_SQL} AS tk FROM documents
+    ),
+    c AS (
+      SELECT doc_id, text, tk,
              length(text) AS n_chars,
-             len({TOK_SQL}) AS n_tokens,
+             len(tk) AS n_tokens,
+             len(list_distinct(tk)) AS n_uniq_tokens,
              length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
              length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
-             len(list_filter({TOK_SQL}, t -> list_contains({_STOP}, lower(t)))) AS n_stopwords
-      FROM documents
-    )
-    , g AS (
-      SELECT doc_id,
+             len(list_filter(tk, t -> list_contains({_STOP}, lower(t)))) AS n_stopwords,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_ish,
              list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
                i -> array_to_string(tk[i:i+1], ' ')) AS g2,
              list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
                i -> array_to_string(tk[i:i+2], ' ')) AS g3
-      FROM (SELECT doc_id, {TOK_SQL} AS tk FROM documents)
+      FROM s
     )
-    SELECT s.doc_id,
+    SELECT doc_id, n_chars, n_tokens, n_uniq_tokens, n_alpha, n_digit,
+           n_punct, n_stopwords, n_bpe_ish,
            greatest(least(
              CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 1.0 ELSE 0.0 END * 0.4
              + CASE WHEN CAST(n_tokens AS DOUBLE) > 0
@@ -93,27 +65,32 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN len(g3) > 0
                 THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE)
                 ELSE 0.0 END AS rep_3gram_frac
-    FROM s JOIN g ON s.doc_id = g.doc_id
+    FROM c
     """,
-    doc="Deterministic [0,1] quality heuristic (length band, stopword "
-    "presence, alpha ratio, punct penalty) plus Gopher/MassiveText-"
-    "style repetition signals (fraction of repeated word 2-/3-gram "
-    "windows — boilerplate and machine-generated text score high) — "
-    "per-row doubles, bit-identical across engines, one narrow pass.",
+    doc="Token/char/punct/stopword counters, the BPE-ish pre-tokenizer "
+    "count, the deterministic [0,1] quality heuristic (length band, "
+    "stopword presence, alpha ratio, punct penalty) and the "
+    "Gopher/MassiveText-style repetition signals (fraction of repeated "
+    "word 2-/3-gram windows) — the full raw-signal surface of corpus "
+    "quality filtering, same doc grain, one narrow pass (merged from "
+    "the former text_quality_score: identical grain, shared token "
+    "staging, so two registry slots were one scan apart).",
     tags=("textstats",),
+    bench=True,
 )
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     staged = docs.select("doc_id", "text", tokens(F.col("text")).alias("tk"))
     grams = staged.select(
-        "doc_id",
-        "text",
-        "tk",
+        "*",
         word_ngrams(F.col("tk"), 2).alias("g2"),
         word_ngrams(F.col("tk"), 3).alias("g3"),
     )
+    stats = token_stats(F.col("text"), F.col("tk"))
     return grams.select(
         "doc_id",
+        *[c.alias(n) for n, c in stats.items()],
+        bpe_ish_count(F.col("text")).alias("n_bpe_ish"),
         quality_score(F.col("text"), F.col("tk")).alias("quality"),
         repetition_frac(F.col("g2")).alias("rep_2gram_frac"),
         repetition_frac(F.col("g3")).alias("rep_3gram_frac"),

@@ -77,17 +77,47 @@ def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ROWS UNBOUNDED PRECEDING) AS session_no
       FROM g
     )
-    SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts, count(*) AS n_events
-    FROM isl GROUP BY user_id, session_no
+    , sess AS (
+      SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts, count(*) AS n_events
+      FROM isl GROUP BY user_id, session_no
+    )
+    SELECT s.user_id, s.first_ts, s.last_ts, s.n_events,
+           count(*) AS n_in_interval
+    FROM sess s JOIN events e
+      ON e.user_id = s.user_id AND e.ts BETWEEN s.first_ts AND s.last_ts
+    GROUP BY 1, 2, 3, 4
     """,
-    doc="Per-user session windows (30-min inactivity gap) — "
-    "session_window in Spark vs. gaps-and-islands oracle.",
-    tags=("window", "streaming", "sessionize"),
+    doc="Per-user session windows (30-min inactivity gap; session_window "
+    "in Spark vs. gaps-and-islands oracle) + the range "
+    "(interval-containment) join counting each session's events via the "
+    "time-bucketed equi-join rewrite — a raw BETWEEN join plans as a "
+    "nested-loop O(points × intervals); binning turns it into one "
+    "shuffle on (user, bucket) with exact containment in the join "
+    "condition (oracle: the literal BETWEEN join).  Same session grain, "
+    "so both operators share one registry slot; n_in_interval == "
+    "n_events is the built-in cross-check that the rewrite loses "
+    "nothing (sessions partition each user's events).",
+    tags=("window", "streaming", "sessionize", "join"),
     bench=True,
 )
 def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.ops.interval import interval_join
+
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    return session_windows(ev, "30 minutes")
+    sessions = session_windows(ev, "30 minutes")  # user_id, first_ts, last_ts, n_events
+    pts = ev.select("user_id", "ts", "event_id")
+    joined = interval_join(
+        pts,
+        sessions,
+        pt_col="ts",
+        start_col="first_ts",
+        end_col="last_ts",
+        keys=("user_id",),
+        bucket_seconds=1800,
+    )
+    return joined.groupBy("user_id", "first_ts", "last_ts", "n_events").agg(
+        F.count(F.lit(1)).alias("n_in_interval")
+    )
 
 
 @register(
@@ -148,57 +178,6 @@ def events_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id", "event_type").agg(
         F.min("ts").alias("first_ts"),
         F.min_by("event_id", order).alias("first_event_id"),
-    )
-
-
-@register(
-    "events_in_session_intervals",
-    oracle="""
-    WITH g AS (
-      SELECT user_id, ts,
-             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
-      FROM events
-    ), isl AS (
-      SELECT user_id, ts,
-             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-                            ROWS UNBOUNDED PRECEDING) AS session_no
-      FROM g
-    ), sess AS (
-      SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
-      FROM isl GROUP BY user_id, session_no
-    )
-    SELECT s.user_id, s.first_ts, count(*) AS n_in_interval
-    FROM sess s JOIN events e
-      ON e.user_id = s.user_id AND e.ts BETWEEN s.first_ts AND s.last_ts
-    GROUP BY 1, 2
-    """,
-    doc="Range (interval-containment) join: events ⋈ their user's "
-    "session intervals via time-bucketed equi-join rewrite — a raw "
-    "BETWEEN join plans as a nested-loop O(points × intervals); "
-    "binning turns it into one shuffle on (user, bucket) with exact "
-    "containment in the join condition.  Oracle is the literal "
-    "BETWEEN join in DuckDB.",
-    tags=("join", "window"),
-    bench=True,
-)
-def events_in_session_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yodel_etl_spark.ops.interval import interval_join
-
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    sessions = session_windows(ev, "30 minutes")  # user_id, first_ts, last_ts, n_events
-    pts = ev.select("user_id", "ts", "event_id")
-    joined = interval_join(
-        pts,
-        sessions.select("user_id", "first_ts", "last_ts"),
-        pt_col="ts",
-        start_col="first_ts",
-        end_col="last_ts",
-        keys=("user_id",),
-        bucket_seconds=1800,
-    )
-    return joined.groupBy("user_id", "first_ts").agg(
-        F.count(F.lit(1)).alias("n_in_interval")
     )
 
 

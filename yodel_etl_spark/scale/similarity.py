@@ -243,3 +243,80 @@ def hyperplane_lsh_pairs(
     )
     # cache lifetime is the caller's: session.release(out) frees the sketch
     return register_persisted(out, sk)
+
+
+def kmeans_assign(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 8
+) -> DataFrame:
+    """Assign every vector to its nearest of ``k`` deterministic seed
+    centroids (the ``k`` smallest-id vectors): one Lloyd assignment
+    step, fully deterministic so the result is engine-exact.
+
+    Scale shape: the seeds are folded into ONE broadcast row holding a
+    ``k``-element array (a 1-row ``collect_list`` aggregate — never a
+    driver collect), so assignment is a narrow crossJoin-broadcast map:
+    zero shuffle, zero row multiplication.  The per-seed squared-L2
+    argmin uses ``array_min`` over ``struct(d2, seed_id)`` — each
+    distance evaluated once (the lang_id lesson: a CASE fold would
+    duplicate the distance expressions exponentially), ties broken
+    toward the smaller seed id.  Returns ``(id, vec, cluster_id)``.
+    """
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    seeds = (
+        v.orderBy("id")
+        .limit(k)
+        .select(F.col("id").alias("seed_id"), F.col("vec").alias("seed_vec"))
+    )
+    seed_arr = seeds.agg(
+        F.sort_array(F.collect_list(F.struct("seed_id", "seed_vec"))).alias("__seeds")
+    )
+    with_seeds = v.crossJoin(F.broadcast(seed_arr))
+    d2 = lambda s: F.aggregate(  # noqa: E731 — index-order fold, bit-identical across engines
+        F.zip_with(
+            F.col("vec"),
+            s["seed_vec"],
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    best = F.array_min(
+        F.transform(F.col("__seeds"), lambda s: F.struct(d2(s).alias("d2"), s["seed_id"].alias("seed_id")))
+    )
+    return with_seeds.select("id", "vec", best["seed_id"].alias("cluster_id"))
+
+
+def embedding_centroids(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 8, scale: int = 10**7
+) -> DataFrame:
+    """Per-cluster element-wise mean after one deterministic Lloyd
+    assignment step — the centroid-update half of k-means, and the
+    training step IVF-style ANN indexes need at scale.
+
+    Returns ``(cluster_id, pos, centroid, n_members)`` — exploded
+    (cluster, dimension) grain, ``k × dim`` rows.
+
+    Determinism: element sums go through the exact-integer pattern
+    (``sum(cast(round(x·10^7) as long))``, associative, so shuffle
+    order cannot perturb the result); the mean is two IEEE double ops
+    on exact operands.  Scale shape: assignment is shuffle-free
+    (see :func:`kmeans_assign`); the update shuffles ``(cluster, pos,
+    scaled-long)`` rows with map-side partial aggregation, so each
+    executor emits at most ``k × dim`` partials regardless of corpus
+    size."""
+    assigned = kmeans_assign(df, id_col, vec_col, k)
+    comp = assigned.select(
+        "cluster_id", F.posexplode("vec").alias("pos", "x")
+    )
+    return (
+        comp.groupBy("cluster_id", "pos")
+        .agg(
+            (
+                F.sum(F.round(F.col("x").cast("double") * scale).cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(float(scale))
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
