@@ -301,3 +301,37 @@ def test_streaming_curate_signals_equal_batch(spark, tmp_path):
         q.stop()
     assert got == batch
     assert got[1] is None and got[2] == "low_quality" and got[3] == "repetitive_2gram"
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_small, tmp_path):
+    from yodel_etl_spark.streaming.events import correlate_streams
+
+    ev = load_tables(spark, sf_small, ("events",))["events"]
+    batch = {
+        (r["user_id"], r["l_id"], r["r_id"])
+        for r in correlate_streams(ev, ev).collect()
+    }
+    assert len(batch) > 0
+
+    src = str(tmp_path / "ss_join_src")
+    ev.write.mode("overwrite").parquet(src)
+    left = spark.readStream.schema(ev.schema).parquet(src)
+    right = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        correlate_streams(left, right)
+        .writeStream.format("memory")
+        .queryName("ss_join_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["l_id"], r["r_id"])
+            for r in spark.sql("SELECT * FROM ss_join_test").collect()
+        }
+    finally:
+        q.stop()
+    # a single micro-batch sees all data before any watermark advances,
+    # so append mode emits every joined pair: exact equality
+    assert got == batch

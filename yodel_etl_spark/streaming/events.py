@@ -177,3 +177,56 @@ def stateful_last_event(
         .groupBy(key_col)
         .applyInPandasWithState(update, out_schema, state_schema, "update", "NoTimeout")
     )
+
+
+def correlate_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    lookback: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream–stream inner join with a time-interval condition: each
+    left event pairs with the same key's right events in
+    ``(left.ts - lookback, left.ts]`` — the click-to-impression /
+    action-to-trigger correlation shape.
+
+    Both sides carry a watermark and the join condition bounds
+    ``right.ts`` relative to ``left.ts`` from BOTH directions, which is
+    exactly what Structured Streaming needs to compute how long each
+    side's state must be retained (watermark + interval ⇒ eviction
+    horizon; an unbounded condition would grow state forever).  At
+    100 TB/day the state store holds only ``lookback + watermark`` of
+    per-key events — independent of stream length.
+
+    Works identically in batch (the oracle-checkable form: a plain
+    self-join with the same predicate — asserted streaming ≡ batch in
+    tests/test_streaming.py).  Output: left (event_id, ts) + right
+    (event_id, ts) pairs per key, strictly-earlier right events only,
+    self-pairs excluded.
+    """
+    l = left.select(
+        F.col(key_col).alias("k"),
+        F.col("event_id").alias("l_id"),
+        F.col(ts_col).alias("l_ts"),
+    )
+    r = right.select(
+        F.col(key_col).alias("rk"),
+        F.col("event_id").alias("r_id"),
+        F.col(ts_col).alias("r_ts"),
+    )
+    if left.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+    if right.isStreaming:
+        r = r.withWatermark("r_ts", watermark)
+    cond = (
+        (l["k"] == r["rk"])
+        & (r["r_ts"] >= l["l_ts"] - F.expr(f"INTERVAL {lookback}"))
+        & (r["r_ts"] < l["l_ts"])
+    )
+    return (
+        l.join(r, cond, "inner")
+        .select("k", "l_id", "l_ts", "r_id", "r_ts")
+        .withColumnRenamed("k", key_col)
+    )
