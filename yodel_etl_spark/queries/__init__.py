@@ -11,6 +11,7 @@ from yodel_etl_spark.queries import (  # noqa: F401
     classify,
     curate_q,
     decontam_q,
+    dq_q,
     grouping,
     judge,
     pipelines_q,

@@ -1,0 +1,82 @@
+"""Data-quality expectations: declarative row-level constraints folded
+into ONE aggregation pass — the validation gate a production pipeline
+runs before shipping a corpus or publishing a table (Deequ/Great-
+Expectations shape, engine-native).
+
+Scale posture: every row-level rule compiles to a ``sum(violation)``
+term inside a single global aggregate, so N rules cost one narrow scan
+with map-side partial aggregation (one partial row per partition — no
+shuffle of data rows, only of N-term partials).  Uniqueness is the one
+rule that inherently needs the key's global view; it rides the same
+output frame via ``count(*) - count(DISTINCT key)``.  At 100 TB swap
+the exact distinct for the salted two-phase form (``scale/skew.py``)
+or ``approx_count_distinct`` when the gate only needs a threshold.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """A named row-level constraint: ``condition`` must hold on every
+    row (NULL condition counts as a violation — SQL three-valued logic
+    would otherwise let NULLs slip through a ``value > 0`` check)."""
+
+    name: str
+    condition: Column
+
+
+def expect_report(
+    df: DataFrame,
+    rules: list[Expectation],
+    unique_key: str | None = None,
+) -> DataFrame:
+    """Violation report: ``(rule, n_violations, n_rows, pass_frac)``,
+    one row per rule, ``pass_frac`` rounded to 6 dp after exact integer
+    counts (deterministic across engines).
+
+    All rules evaluate in one aggregate over one scan; ``unique_key``
+    adds a ``unique:<key>`` rule counting duplicate-key rows
+    (``count(*) - count(DISTINCT key)``; NULL keys count toward the
+    violation tally since DISTINCT ignores them — pair with a not-null
+    rule to attribute them separately).
+    """
+    terms = [
+        F.sum(
+            F.when(F.coalesce(r.condition, F.lit(False)), 0).otherwise(1)
+        ).alias(f"v_{i}")
+        for i, r in enumerate(rules)
+    ]
+    if unique_key is not None:
+        terms.append(F.count_distinct(F.col(unique_key)).alias("v_uniq"))
+    agg = df.agg(F.count(F.lit(1)).alias("n_rows"), *terms)
+
+    pairs = [
+        F.struct(F.lit(r.name).alias("rule"), F.col(f"v_{i}").alias("n_violations"))
+        for i, r in enumerate(rules)
+    ]
+    if unique_key is not None:
+        pairs.append(
+            F.struct(
+                F.lit(f"unique:{unique_key}").alias("rule"),
+                (F.col("n_rows") - F.col("v_uniq")).alias("n_violations"),
+            )
+        )
+    exploded = agg.select(
+        "n_rows", F.explode(F.array(*pairs)).alias("e")
+    )
+    return exploded.select(
+        F.col("e.rule").alias("rule"),
+        F.col("e.n_violations").alias("n_violations"),
+        F.col("n_rows").alias("n_rows"),
+        F.round(
+            (F.col("n_rows") - F.col("e.n_violations")).cast("double")
+            / F.col("n_rows").cast("double"),
+            6,
+        ).alias("pass_frac"),
+    )
