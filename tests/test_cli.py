@@ -110,3 +110,28 @@ def test_curate_main_end_to_end(spark, tmp_path):
     assert kept == [1]  # 2 low quality, 3 contaminated
     reasons = {r["doc_id"]: r["drop_reason"] for r in spark.read.parquet(str(aud)).collect()}
     assert reasons[1] is None and reasons[2] == "low_quality"
+
+
+def test_dq_main_reports_and_gates(spark, tmp_path, capsys):
+    from yodel_etl_spark.cli import dq_main
+
+    df = spark.createDataFrame(
+        [(1, "ok"), (2, ""), (2, "dup"), (None, "x")],
+        "id long, text string",
+    )
+    src = tmp_path / "tbl"
+    df.write.parquet(str(src))
+    rep = tmp_path / "report"
+    rc = dq_main(
+        ["--input", str(src), "--key", "id", "--not-null", "id",
+         "--non-empty", "text", "--output", str(rep)]
+    )
+    assert rc == 1  # violations present, default threshold 0
+    out = capsys.readouterr().out
+    assert "not_null:id: 1/4" in out
+    assert "non_empty:text: 1/4" in out
+    assert "unique:id: 2/4" in out
+    rows = {r.rule for r in spark.read.parquet(str(rep)).collect()}
+    assert rows == {"not_null:id", "non_empty:text", "unique:id"}
+    # lenient threshold passes
+    assert dq_main(["--input", str(src), "--key", "id", "--max-violations", "5"]) == 0

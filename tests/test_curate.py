@@ -75,3 +75,55 @@ def test_no_cartesian_and_semi_anti_shape(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_guarded_filter_blocks_signal_inlining(spark, sf_small):
+    """Regression pin for the pushdown fence: PushPredicateThroughNonJoin
+    only requires a deterministic PROJECT LIST, so a nondeterministic
+    predicate alone pushes through and re-inlines the staged signal
+    expressions (86 tokenizer copies below the exchange before the
+    fence-column fix).  The fixed plan evaluates the tokenizer exactly
+    twice (text + lowered text) and keeps the filter above the signal
+    projections, referencing plain columns."""
+    from yodel_etl_spark.pipelines.curate import (
+        CurateConfig,
+        _guarded_filter,
+        _keep_condition,
+        with_signals,
+    )
+    from yodel_etl_spark.session import load_tables
+
+    docs = load_tables(spark, sf_small, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    plan = (
+        _guarded_filter(with_signals(docs), _keep_condition(CurateConfig()))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("split(") == 2, plan.count("split(")
+    filter_lines = [ln for ln in plan.splitlines() if "Filter" in ln and "__fence" in ln]
+    assert filter_lines and all("split(" not in ln for ln in filter_lines)
+
+
+def test_lang_id_plan_is_linear(spark):
+    """Regression pin for the argmax shape: the CASE-WHEN fold embedded
+    the running best twice per step (O(2^langs) copies, ~60 array
+    scans/row at 5 languages); array_max over (hits, rank) structs
+    references each per-language counter exactly once."""
+    from pyspark.sql import functions as F
+
+    from yodel_etl_spark.scale.textstats import LANG_MARKERS, lang_id, tokens
+
+    df = spark.createDataFrame([("the quick fox",)], ["text"])
+    staged = df.select(tokens(F.lower(F.col("text"))).alias("tkl"))
+    plan = (
+        staged.select(lang_id(F.col("tkl")).alias("lang"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one filter(...) per language plus the tokenizer's empty-drop,
+    # none duplicated
+    assert plan.count("filter(") <= len(LANG_MARKERS) + 1, plan.count("filter(")

@@ -224,6 +224,57 @@ def curate_main(argv: Sequence[str] | None = None) -> int:
     return 0
 
 
+def dq_main(argv: Sequence[str] | None = None) -> int:
+    """Data-quality gate (engine extension, no reference analogue):
+    evaluate not-null / non-empty / length / uniqueness expectations
+    over a parquet table and print the violation report; non-zero exit
+    when any rule fails — the shape a pipeline wires before publish."""
+    p = argparse.ArgumentParser(
+        prog="yodel-dq",
+        description="Run a data-quality expectations report over a parquet table.",
+    )
+    p.add_argument("--input", "-i", required=True, help="Input parquet path")
+    p.add_argument("--key", help="Column that must be unique")
+    p.add_argument(
+        "--not-null", default="", help="Comma-separated columns that must be non-null"
+    )
+    p.add_argument(
+        "--non-empty", default="", help="Comma-separated string columns that must be non-empty"
+    )
+    p.add_argument("--output", "-o", help="Also write the report to this parquet dir")
+    p.add_argument(
+        "--max-violations", type=int, default=0,
+        help="Exit 1 when any rule exceeds this violation count",
+    )
+    args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from yodel_etl_spark.scale.dq import Expectation, expect_report
+
+    spark = _spark("yodel-dq")
+    df = spark.read.parquet(args.input)
+    rules = [
+        Expectation(f"not_null:{c}", F.col(c).isNotNull())
+        for c in args.not_null.split(",") if c
+    ] + [
+        Expectation(f"non_empty:{c}", F.col(c).isNotNull() & (F.length(c) > 0))
+        for c in args.non_empty.split(",") if c
+    ]
+    if not rules and not args.key:
+        p.error("give at least one of --key / --not-null / --non-empty")
+    report = expect_report(df, rules, unique_key=args.key)
+    rows = report.collect()
+    worst = 0
+    for r in rows:
+        print(f"{r.rule}: {r.n_violations}/{r.n_rows} violations (pass {r.pass_frac})")
+        worst = max(worst, r.n_violations)
+    if args.output:
+        report.write.mode("overwrite").parquet(args.output)
+        print(f"Wrote report to {args.output}")
+    return 1 if worst > args.max_violations else 0
+
+
 def main(argv: Sequence[str] | None = None) -> int:
     """Umbrella dispatcher: ``python -m yodel_etl_spark <cmd> ...``."""
     cmds = {
@@ -232,6 +283,7 @@ def main(argv: Sequence[str] | None = None) -> int:
         "chat-qa": chat_qa_main,
         "qa-eval": qa_eval_main,
         "curate": curate_main,
+        "dq": dq_main,
     }
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] not in cmds:

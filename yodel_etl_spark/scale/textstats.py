@@ -92,28 +92,31 @@ def lang_id(toks_lower: Column) -> Column:
     Shape matters: a CASE-WHEN fold (``best = when(h > best, …)``)
     embeds the running best expression twice per step, so the plan grew
     O(2^langs) copies of the hit counters (~60 array scans/row at 5
-    languages).  ``array_max`` over ``struct(hits, rank)`` references
-    each counter exactly once: struct ordering is lexicographic, so the
-    max is the highest hit count, and ``rank`` (descending with
-    alphabetical order) resolves ties toward the earlier language —
-    identical semantics, linear plan."""
+    languages).  ``array_max`` over ``struct(hits, rank, code)``
+    references each counter exactly once: struct ordering is
+    lexicographic, so the max is the highest hit count, and ``rank``
+    (descending with alphabetical order) resolves ties toward the
+    earlier language.  The 'und' fallback rides the array as a sentinel
+    element ``(0, len(langs), 'und')`` — it outranks every zero-hit
+    language and loses to any real hit — so the result is ONE field
+    access of the argmax (a ``when(best.h > 0, …)`` guard would
+    reference ``best`` twice and inline the whole argmax per
+    reference; plan linearity is pinned by a test)."""
     langs = sorted(LANG_MARKERS)
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    lang_hits(toks_lower, lang).alias("h"),
-                    F.lit(len(langs) - 1 - i).alias("r"),
-                )
-                for i, lang in enumerate(langs)
-            ]
+    elems = [
+        F.struct(
+            lang_hits(toks_lower, lang).alias("h"),
+            F.lit(len(langs) - 1 - i).alias("r"),
+            F.lit(lang).alias("code"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    elems.append(
+        F.struct(
+            F.lit(0).alias("h"), F.lit(len(langs)).alias("r"), F.lit("und").alias("code")
         )
     )
-    code = F.element_at(
-        F.array(*[F.lit(lang) for lang in langs]),
-        (F.lit(len(langs)) - best["r"]).cast("int"),
-    )
-    return F.when(best["h"] > 0, code).otherwise(F.lit("und"))
+    return F.array_max(F.array(*elems))["code"]
 
 
 def word_ngrams(toks: Column, n: int) -> Column:
