@@ -100,3 +100,29 @@ def test_null_keys_excluded(spark):
     )
     got = approx_top_k(df, "k", k=10, capacity=16).collect()
     assert {r["item"]: r["count_lo"] for r in got} == {"a": 2, "None": 1}
+
+
+def test_hll_rollup_accuracy_and_mergeability(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from yodel_etl_spark.scale.sketch import hll_distinct_rollup
+    from yodel_etl_spark.session import load_tables
+
+    ev = load_tables(spark, sf_small, ("events",))["events"].withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    est = {
+        r["event_type"]: (r["approx_distinct"], r["n_partials"])
+        for r in hll_distinct_rollup(ev, ["event_type"], "user_id", "day").collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for t, (e, n_parts) in est.items():
+        # lg_k=12 -> ~1.6% relative standard error; assert 5%
+        assert abs(e - exact[t]) <= max(2, 0.05 * exact[t]), (t, e, exact[t])
+        assert n_parts > 1  # genuinely rolled up from multiple day partials

@@ -137,3 +137,27 @@ def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("bin_fill").alias("bin_fill"),
         F.max(F.col("over_budget").cast("int")).cast("boolean").alias("over_budget"),
     )
+
+
+@register(
+    "events_hll_users",
+    oracle=None,  # DataSketches HLL has no DuckDB twin — accuracy vs
+    # exact distinct asserted in tests/test_sketch.py; rows-only tail
+    # so it never displaces an oracle-backed query from the window
+    doc="Mergeable approximate-distinct rollup: per-(event_type, day) "
+    "HLL sketches (hll_sketch_agg) unioned to per-type distinct-user "
+    "estimates (hll_union_agg).  Unlike approx_count_distinct's "
+    "per-group scalars, the fine sketches COMBINE losslessly — daily "
+    "partials answer weekly/monthly/all-time questions without "
+    "rescanning raw events, and map-side partials merge the same way, "
+    "so the shuffle carries one small binary per partition per group.",
+    tags=("sketch", "agg", "scale"),
+    bench=True,
+)
+def events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.sketch import hll_distinct_rollup
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    return hll_distinct_rollup(ev, ["event_type"], "user_id", "day")

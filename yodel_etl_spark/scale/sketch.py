@@ -122,3 +122,37 @@ def approx_top_k(
 
     ship_package(df.sparkSession)
     return merge_partials(mg_partials(df, key_col, capacity), k)
+
+
+def hll_distinct_rollup(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    rollup_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Mergeable approximate-distinct rollup (Apache DataSketches HLL,
+    built into Spark 4): per-``(keys, rollup_col)`` sketches via
+    ``hll_sketch_agg``, then ``hll_union_agg`` over the rollup column —
+    the continuous-aggregate pattern for distinct counts at 100 TB.
+
+    Why not plain ``approx_count_distinct``: its per-group estimates
+    cannot be COMBINED — a day-level distinct-user table is useless for
+    month-level questions because distincts don't sum.  HLL sketches
+    union losslessly, so the fine partials (one small binary per (key,
+    day)) answer every coarser grain without rescanning raw data; the
+    same property merges map-side partials, so the shuffle carries one
+    sketch per partition per group, never raw values.
+
+    Returns one row per ``keys``: the unioned estimate plus the number
+    of fine partials merged.  Estimate error ≈ 1.04/sqrt(2^lg_k)
+    (~1.6 % at the default lg_k=12); accuracy vs exact distinct is
+    asserted in tests.
+    """
+    partials = df.groupBy(*keys, rollup_col).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sketch")
+    )
+    return partials.groupBy(*keys).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias("approx_distinct"),
+        F.count(F.lit(1)).alias("n_partials"),
+    )
