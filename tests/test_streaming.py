@@ -335,3 +335,45 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_small, tmp_path):
     # a single micro-batch sees all data before any watermark advances,
     # so append mode emits every joined pair: exact equality
     assert got == batch
+
+
+def test_stateful_scd2_multibatch_equals_batch(spark, sf_small, tmp_path):
+    """Closed intervals emitted across a two-batch time-ordered drain
+    equal the batch SCD2 history's non-current rows."""
+    from yodel_etl_spark.ops.scd import scd2_history
+    from yodel_etl_spark.streaming.events import stateful_scd2
+
+    ev = load_tables(spark, sf_small, ("events",))["events"]
+    batch_closed = {
+        (str(r["user_id"]), r["event_type"], r["valid_from"], r["valid_to"])
+        for r in scd2_history(ev, "user_id", "ts", "event_type", tiebreak_col="event_id")
+        .where(~F.col("is_current"))
+        .collect()
+    }
+    assert len(batch_closed) > 0
+
+    # feed in two event-time-ordered chunks (the CDC shape)
+    cut = ev.selectExpr("percentile(cast(ts as double), 0.5) p").first()["p"]
+    src = str(tmp_path / "scd2_src")
+    first = ev.where(F.col("ts").cast("double") <= cut)
+    second = ev.where(F.col("ts").cast("double") > cut)
+    first.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        stateful_scd2(stream)
+        .writeStream.format("memory")
+        .queryName("scd2_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        second.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["event_type"], r["valid_from"], r["valid_to"])
+            for r in spark.sql("SELECT * FROM scd2_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch_closed

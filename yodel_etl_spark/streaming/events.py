@@ -230,3 +230,79 @@ def correlate_streams(
         .select("k", "l_id", "l_ts", "r_id", "r_ts")
         .withColumnRenamed("k", key_col)
     )
+
+
+def stateful_scd2(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Incremental SCD2: maintain each key's type-2 history over a
+    stream, emitting an interval the moment it CLOSES (append mode);
+    the open run lives in the state store, one constant-size row per
+    key — 100 TB of history costs state ∝ distinct keys.
+
+    The streaming twin of ``ops/scd.scd2_history``: on a time-ordered
+    feed the emitted closed intervals equal the batch history's
+    non-current rows exactly (asserted across a multi-batch drain in
+    tests/test_streaming.py).  Precondition: per key, batches arrive in
+    event-time order (the change-log/CDC shape); an out-of-order feed
+    needs watermark buffering in front (``with_watermark`` +
+    sort-within-batch covers intra-batch disorder, which this operator
+    handles by sorting each batch on (ts, tiebreak)).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField(attr_col, T.StringType()),
+            T.StructField("valid_from", T.TimestampType()),
+            T.StructField("valid_to", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("attr", T.StringType()),
+            T.StructField("valid_from", T.TimestampType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        cur_attr, cur_from = state.get if state.exists else (None, None)
+        have_run = state.exists
+        closed_attr, closed_from, closed_to = [], [], []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values([ts_col, tiebreak_col], kind="mergesort")
+        for ts, attr in zip(batch[ts_col], batch[attr_col]):
+            a = None if attr is None or (isinstance(attr, float) and pd.isna(attr)) else str(attr)
+            if not have_run:
+                cur_attr, cur_from, have_run = a, ts, True
+            elif a != cur_attr:
+                closed_attr.append(cur_attr)
+                closed_from.append(cur_from)
+                closed_to.append(ts)
+                cur_attr, cur_from = a, ts
+        state.update((cur_attr, cur_from))
+        if closed_attr:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(closed_attr),
+                    attr_col: closed_attr,
+                    "valid_from": closed_from,
+                    "valid_to": closed_to,
+                }
+            )
+
+    return (
+        df.select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.col(ts_col),
+            F.col(attr_col).cast("string").alias(attr_col),
+            F.col(tiebreak_col).cast("long").alias(tiebreak_col),
+        )
+        .groupBy(key_col)
+        .applyInPandasWithState(update, out_schema, state_schema, "append", "NoTimeout")
+    )
