@@ -36,3 +36,22 @@ def test_trigram_windows_counted_independently(spark):
     assert _fracs(spark, "a b c d", n=3) == 0.0
     # "a b a b a b": windows [a b a, b a b, a b a, b a b] -> 2 distinct of 4
     assert _fracs(spark, "a b a b a b", n=3) == pytest.approx(2 / 4)
+
+
+def test_normalize_text_unicode_fixtures(spark):
+    """NFC + lower + whitespace collapse on genuinely non-ASCII input
+    (the sf testdata is ASCII, so the Unicode path is pinned here)."""
+    from yodel_etl_spark.scale.textstats import normalize_text
+
+    rows = [
+        (1, "école   PRIVÉE"),     # combining accents -> NFC
+        (2, "  Straße\tzum\nSee "),       # sharp s, tabs/newlines
+        (3, None),
+        (4, "ÉCOLE"),                     # precomposed upper
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.text_norm for r in normalize_text(df).collect()}
+    assert got[1] == "école privée"  # composed, lowered, collapsed
+    assert got[2] == "straße zum see"
+    assert got[3] is None
+    assert got[4] == "école"

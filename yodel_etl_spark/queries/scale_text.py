@@ -250,3 +250,30 @@ def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     return tf_idf_top_terms(docs, "doc_id", "text", top_n=5)
+
+
+@register(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))
+             AS text_norm
+    FROM documents
+    """,
+    doc="Unicode canonicalization for corpus prep: NFC normalize → "
+    "lower → collapse whitespace runs → strip.  One of the few "
+    "legitimately-Python text ops (no JVM Unicode-normalize "
+    "expression): vectorized pandas str kernels over Arrow batches, "
+    "pruned to (id, text) before the opaque map.  Oracle twin is "
+    "DuckDB nfc_normalize (codepoint-identical to Python "
+    "unicodedata; non-ASCII behavior pinned by unit fixtures since "
+    "the testdata is ASCII).",
+    tags=("textstats", "scale"),
+    bench=True,
+    tier=2,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.textstats import normalize_text
+
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    return normalize_text(docs)

@@ -240,3 +240,52 @@ def rolling_hashes(toks_lower: Column, window: int = 5) -> Column:
         F.array().cast("array<int>")
     )
     return F.transform(idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i, window), " ")))
+
+
+def normalized_text_map(id_col: str, text_col: str):
+    """Arrow-batched Unicode canonicalization for corpus prep: NFC
+    normalize → casefold(lower) → collapse whitespace runs → strip.
+    Returns a ``mapInPandas`` function + output schema producing
+    ``(id, text_norm)``.
+
+    This is one of the few legitimately-Python text ops (the JVM side
+    has no Unicode-normalization expression); it follows the engine's
+    Python-boundary rules — vectorized pandas ``str`` kernels over
+    Arrow batches, never per-row Python, placed after column pruning so
+    only (id, text) crosses the boundary.  DuckDB's ``nfc_normalize``
+    is the oracle twin (Python ``unicodedata.normalize('NFC', …)``
+    matches it codepoint-for-codepoint).
+    """
+    import pandas as pd  # noqa: F401 — executor-side import
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("text_norm", T.StringType()),
+        ]
+    )
+
+    def run(batches):
+        import unicodedata
+
+        for pdf in batches:
+            t = pdf[text_col].map(
+                lambda s: unicodedata.normalize("NFC", s) if s is not None else None
+            )
+            t = (
+                t.str.lower()
+                .str.replace(r"\s+", " ", regex=True)
+                .str.strip()
+            )
+            yield pd.DataFrame({id_col: pdf[id_col], "text_norm": t})
+
+    return run, schema
+
+
+def normalize_text(df, id_col: str = "doc_id", text_col: str = "text"):
+    """``(id, text_norm)`` via :func:`normalized_text_map` — prune to
+    two columns BEFORE the opaque map (Catalyst cannot prune through
+    mapInPandas)."""
+    run, schema = normalized_text_map(id_col, text_col)
+    return df.select(id_col, text_col).mapInPandas(run, schema)
