@@ -65,20 +65,42 @@ def _is_star_set(e: DataFrame) -> bool:
 
     Checking the CURRENT edge set replaces the run-until-unchanged
     probe, which needed one extra full contraction round (two star
-    passes + a set difference) purely to confirm the fixpoint — on a
-    converged graph this test is two small probe jobs over the
-    checkpointed id pairs instead."""
-    per_src = e.groupBy("u").agg(
-        F.count_distinct("v").alias("k"),
-        F.max((F.col("v") > F.col("u")).cast("int")).alias("up"),
+    passes + a set difference) purely to confirm the fixpoint.  All
+    three conditions fold into ONE probe job: a union tags each edge's
+    endpoints with source/target roles, a per-node aggregate collects
+    (distinct targets, was-source, was-target, any-upward-edge), and a
+    global aggregate reduces the violations to one row."""
+    roles = e.select(
+        F.col("u").alias("node"),
+        F.lit(1).alias("src"),
+        F.lit(0).alias("tgt"),
+        F.col("v").alias("tgt_node"),
+        (F.col("v") > F.col("u")).cast("int").alias("up"),
+    ).union(
+        e.select(
+            F.col("v").alias("node"),
+            F.lit(0).alias("src"),
+            F.lit(1).alias("tgt"),
+            F.lit(None).cast(e.schema["v"].dataType).alias("tgt_node"),
+            F.lit(0).alias("up"),
+        )
     )
-    bad = per_src.where((F.col("k") > 1) | (F.col("up") == 1))
-    if not bad.isEmpty():
-        return False
-    chained = e.select("u").join(
-        e.select(F.col("v").alias("u")), "u", "left_semi"
+    per_node = roles.groupBy("node").agg(
+        F.count_distinct("tgt_node").alias("k"),  # distinct targets as a source
+        F.max("src").alias("is_src"),
+        F.max("tgt").alias("is_tgt"),
+        F.max("up").alias("up"),
     )
-    return chained.isEmpty()
+    row = per_node.agg(
+        F.max(
+            (
+                (F.col("k") > 1)  # source with two roots
+                | ((F.col("is_src") == 1) & (F.col("is_tgt") == 1))  # chain node
+                | (F.col("up") == 1)  # upward edge (root not the minimum)
+            ).cast("int")
+        ).alias("bad")
+    ).first()
+    return row["bad"] == 0
 
 
 def _small_star(e: DataFrame) -> DataFrame:
@@ -102,9 +124,13 @@ def connected_components(
     ``pairs``; component = min node id reachable through the pair graph.
 
     Alternating large-star/small-star contraction.  Convergence is
-    detected structurally (:func:`_is_star_set` — exact, two probe
-    jobs over the narrow checkpointed edge list), so a converged graph
-    costs zero extra contraction rounds.  ``max_iter`` is a hard cap far above the
+    detected structurally (:func:`_is_star_set` — exact, ONE probe job
+    over the narrow checkpointed edge list).  The loop contracts
+    BEFORE its first check: candidate-pair graphs (LSH band output)
+    are essentially never star-shaped on arrival, and a contraction of
+    an already-converged star set is the identity, so the reorder
+    saves one probe on the common path at zero correctness cost.
+    ``max_iter`` is a hard cap far above the
     O(log² n) bound (2^25 nodes per component before it binds); hitting
     it raises rather than returning a half-contracted map.
 
@@ -121,9 +147,9 @@ def connected_components(
         return edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
 
     for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
         if _is_star_set(edges):
             break
-        edges = _small_star(_large_star(edges)).localCheckpoint()
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
