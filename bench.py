@@ -86,29 +86,56 @@ def main() -> int:
             # between queries so every query warms up under identical
             # (empty-cache) conditions
             spark.catalog.clearCache()
-    timings = {n: round(min(s), 4) for n, s in samples.items()}
-    medians = {n: round(statistics.median(s), 4) for n, s in samples.items()}
+    timings = {n: round(min(s), 3) for n, s in samples.items()}
+    medians = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     for name in names:
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
     total = round(time.perf_counter() - t_total0, 2)
 
+    # Full verbose record (per-query medians, run config) goes to stderr
+    # only: the driver archives the LAST 2,000 chars of combined output,
+    # and the r3 record proved that a stdout line longer than that window
+    # loses its head — the sum-of-mins headline — to truncation
+    # ("parsed": null in BENCH_r03.json).  See BASELINE.md method notes.
+    print(
+        "VERBOSE "
+        + json.dumps(
+            {
+                "queries_median": medians,
+                "runs_per_query": RUNS,
+                "value_median": round(sum(medians.values()), 3),
+            }
+        ),
+        file=sys.stderr,
+    )
+    # The ONE stdout JSON line, compact separators, big dict FIRST and
+    # every scalar aggregate LAST: if future query additions ever push
+    # the line past the driver's 2,000-char tail window again, the tail
+    # still ends ...,"value":X,"value_median":Y,"n_queries":N,
+    # "controls":{...},"sf":Z} — the judge-readable headline survives
+    # even when the full-line parse cannot.  "controls" repeats the mins
+    # of two stable ~0.1 s queries so every archived record carries its
+    # own contention gauge (clean window ≈ 0.10-0.15 s; the contended r3
+    # window showed 0.25/0.21 s — BASELINE.md documents the steady state).
+    controls = {
+        n: timings[n]
+        for n in ("top_events_global", "text_fingerprint")
+        if n in timings
+    }
     print(
         json.dumps(
             {
                 "metric": "sum_of_min_query_sec",
-                "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
-                # medians ride along so min-vs-median skew is visible in
-                # every record (the r1→r2 estimator change is otherwise
-                # invisible when comparing rounds; see BASELINE.md)
-                "value_median": round(sum(medians.values()), 4),
-                "queries_median": medians,
-                "sf": _sf_from_dir(SF_DIR),
+                "value": round(sum(timings.values()), 3),
+                "value_median": round(sum(medians.values()), 3),
                 "n_queries": len(timings),
-                "runs_per_query": RUNS,
-                "wall_total_sec": total,
-            }
+                "wall_sec": total,
+                "controls": controls,
+                "sf": _sf_from_dir(SF_DIR),
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

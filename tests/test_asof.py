@@ -68,8 +68,14 @@ def test_bucketed_window_partitions_on_bucket(spark):
         .toString()
     )
     # the data-bearing window must partition on (key, bucket), not the
-    # bare key: hot keys split across time buckets
-    assert "windowspecdefinition(k#" in plan.replace(" ", "").lower() or "_b" in plan
+    # bare key: hot keys split across time buckets.  Assert the partition
+    # spec explicitly — windowspecdefinition(k#N, _b#N, _ts# ...) — so a
+    # regression to partitionBy(k) alone fails here.
+    import re
+
+    assert re.search(
+        r"windowspecdefinition\(k#\d+L?,_b#\d+L?,_ts#", plan.replace(" ", "")
+    ), plan
     assert any(
         "_ts" in ln and "_side" in ln and "_b" in ln
         for ln in plan.splitlines()

@@ -35,5 +35,45 @@ def test_bench_emits_valid_json_line():
     assert set(rec["queries"]) == {"top_events_global", "distinct_counts"}
     assert rec["sf"] == 0.001
     assert rec["n_queries"] == 2
-    assert set(rec["queries_median"]) == set(rec["queries"])
-    assert rec["value"] > 0 and rec["wall_total_sec"] > 0
+    assert rec["value"] > 0 and rec["wall_sec"] > 0
+    # contention gauge rides in the headline (only registered controls
+    # present in this filtered run)
+    assert rec["controls"] == {"top_events_global": rec["queries"]["top_events_global"]}
+    # tail-safety contract (BENCH_r03 lost its headline to the driver's
+    # 2,000-char tail capture): every scalar aggregate must serialize
+    # AFTER the per-query dict so a truncated tail still ends with the
+    # judge-readable headline, and the line itself must leave headroom.
+    line = lines[0]
+    assert line.index('"queries"') < line.index('"value"')
+    assert line.index('"value"') < line.index('"controls"') < line.index('"sf"')
+    # per-query medians live on stderr now, never on the stdout line
+    assert '"queries_median"' not in line
+    assert any(ln.startswith("VERBOSE {") for ln in proc.stderr.splitlines())
+
+
+def test_bench_full_line_fits_driver_tail_window():
+    """Project the stdout line length for the FULL registry: the driver
+    archives the last 2,000 chars of output, so the line (plus the
+    preceding stderr fragment it shares the window with) must fit or the
+    per-round record loses its parse.  Guard at authoring time — this is
+    exactly the regression that nulled BENCH_r03's parse."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from yodel_etl_spark.registry import load_all
+
+    names = sorted(load_all())
+    mock = {
+        "metric": "sum_of_min_query_sec",
+        "unit": "sec",
+        "queries": {n: 12.345 for n in names},  # pessimistic 5-sig-digit widths
+        "value": 1234.567,
+        "value_median": 1234.567,
+        "n_queries": len(names),
+        "wall_sec": 12345.67,
+        "controls": {"top_events_global": 12.345, "text_fingerprint": 12.345},
+        "sf": 0.001,
+    }
+    line = json.dumps(mock, separators=(",", ":"))
+    assert len(line) <= 1960, (
+        f"bench stdout line projects to {len(line)} chars; the driver tail "
+        "window is 2,000 — shorten query names or trim headline keys"
+    )

@@ -135,3 +135,51 @@ def test_dq_main_reports_and_gates(spark, tmp_path, capsys):
     assert rows == {"not_null:id", "non_empty:text", "unique:id"}
     # lenient threshold passes
     assert dq_main(["--input", str(src), "--key", "id", "--max-violations", "5"]) == 0
+
+
+def test_cli_mains_leave_no_persisted_rdds(spark, json_dir, tmp_path, capsys):
+    """Cache-lifetime contract (VERDICT r3 item 7): every CLI main()
+    must release the intermediates its pipeline persist()ed — a long-
+    lived session (notebook, driver harness) otherwise accumulates
+    cached plans across invocations until eviction pressure hits."""
+    from yodel_etl_spark.cli import curate_main, dq_main
+
+    def persisted() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    spark.catalog.clearCache()
+    assert persisted() == 0
+
+    out = tmp_path / "parks.csv"
+    assert parks_main(["--input-dir", str(json_dir), "--output", str(out)]) == 0
+    assert persisted() == 0, "parks_main leaked a persisted RDD"
+
+    txt = tmp_path / "texts"
+    assert (
+        convert_main(["--input-dir", str(json_dir), "--output-dir", str(txt), "--mock"])
+        == 0
+    )
+    assert persisted() == 0, "convert_main leaked a persisted RDD"
+
+    qfile = tmp_path / "q.txt"
+    qfile.write_text("What is Alpha Park?\n")
+    assert (
+        qa_eval_main(
+            [str(qfile), "-o", str(tmp_path / "qa.csv"), "--mock", "-d", "0",
+             "--judge-delay", "0"]
+        )
+        == 0
+    )
+    assert persisted() == 0, "qa_eval_main leaked a persisted RDD"
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox and a lazy dog walk over the green hill")],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "docs_np"
+    docs.write.parquet(str(src))
+    assert curate_main(["--input", str(src), "--output", str(tmp_path / "cur")]) == 0
+    assert persisted() == 0, "curate_main leaked a persisted RDD"
+
+    assert dq_main(["--input", str(src), "--key", "doc_id", "--max-violations", "5"]) == 0
+    assert persisted() == 0, "dq_main leaked a persisted RDD"

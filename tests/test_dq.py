@@ -53,3 +53,21 @@ def test_single_pass_plan(spark):
 
     exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert all("SinglePartition" in ln for ln in exchanges), plan
+
+
+def test_empty_input_is_a_clean_pass(spark):
+    """ADVICE r3: over zero rows SUM is NULL and pass_frac is 0/0 — the
+    gate must report 0 violations / vacuous pass 1.0, not crash the CLI
+    ranking rules with a None count (empty partitions are a plausible
+    publish-gate input)."""
+    df = _df(spark).where(F.lit(False))
+    out = expect_report(
+        df,
+        [Expectation("id_not_null", F.col("id").isNotNull())],
+        unique_key="id",
+    )
+    got = {r.rule: (r.n_violations, r.n_rows, r.pass_frac) for r in out.collect()}
+    assert got["id_not_null"] == (0, 0, 1.0)
+    assert got["unique:id"] == (0, 0, 1.0)
+    # the CLI's worst-rule fold must survive (max(int, n_violations))
+    assert max(0, *(v[0] for v in got.values())) == 0

@@ -21,17 +21,21 @@ from yodel_etl_spark.session import load_tables, spread
     "dq_documents_report",
     oracle="""
     WITH base AS (
+      -- CAST AS BIGINT: DuckDB SUM over ints is HUGEINT, which pandas
+      -- renders as float ('0.0' vs Spark's '0') — same class of oracle
+      -- artifact fixed for judge_parse_chain in r2
       SELECT count(*) AS n_rows,
-             sum(CASE WHEN doc_id IS NOT NULL THEN 0 ELSE 1 END) AS v0,
-             sum(CASE WHEN text IS NOT NULL AND length(text) > 0 THEN 0 ELSE 1 END) AS v1,
-             sum(CASE WHEN length(text) <= 100000 THEN 0 ELSE 1 END) AS v2,
-             sum(CASE WHEN lang IN ('en','de','fr','es','zh') THEN 0 ELSE 1 END) AS v3,
+             coalesce(CAST(sum(CASE WHEN doc_id IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT), 0) AS v0,
+             coalesce(CAST(sum(CASE WHEN text IS NOT NULL AND length(text) > 0 THEN 0 ELSE 1 END) AS BIGINT), 0) AS v1,
+             coalesce(CAST(sum(CASE WHEN length(text) <= 100000 THEN 0 ELSE 1 END) AS BIGINT), 0) AS v2,
+             coalesce(CAST(sum(CASE WHEN lang IN ('en','de','fr','es','zh') THEN 0 ELSE 1 END) AS BIGINT), 0) AS v3,
              count(*) - count(DISTINCT doc_id) AS v4
       FROM documents
     )
     SELECT rule, n_violations, n_rows,
-           round(CAST(n_rows - n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
-             AS pass_frac
+           CASE WHEN n_rows = 0 THEN 1.0
+                ELSE round(CAST(n_rows - n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+           END AS pass_frac
     FROM (
       SELECT 'doc_id_not_null' AS rule, v0 AS n_violations, n_rows FROM base
       UNION ALL SELECT 'text_not_empty', v1, n_rows FROM base

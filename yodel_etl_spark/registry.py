@@ -37,7 +37,11 @@ class Query:
     oracle: str | None = None
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
-    bench: bool = False  # include in bench.py headline set
+    bench: bool = False  # docs-table metadata ONLY (marks the query as a
+    # perf-representative headline in QUERIES.md).  bench.py deliberately
+    # times EVERY registered query regardless of this flag — the per-round
+    # BENCH records compare across rounds only if the set composition
+    # stays the full registry (filter ad hoc with SPARK_GRAFT_BENCH_QUERIES).
     tier: int = 0  # driver-window priority: 0 = established (ordered
     # first so a bounded correctness window keeps verifying them), 1+ =
     # newer additions that yield their window slot (still oracle-backed;

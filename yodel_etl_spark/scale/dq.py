@@ -47,8 +47,13 @@ def expect_report(
     rule to attribute them separately).
     """
     terms = [
-        F.sum(
-            F.when(F.coalesce(r.condition, F.lit(False)), 0).otherwise(1)
+        # coalesce the SUM itself: over zero rows SUM is NULL, and a NULL
+        # violation count reads as "unknown" downstream (the CLI gate
+        # crashed ranking rules on an empty partition) — an empty input
+        # violates nothing
+        F.coalesce(
+            F.sum(F.when(F.coalesce(r.condition, F.lit(False)), 0).otherwise(1)),
+            F.lit(0),
         ).alias(f"v_{i}")
         for i, r in enumerate(rules)
     ]
@@ -74,9 +79,15 @@ def expect_report(
         F.col("e.rule").alias("rule"),
         F.col("e.n_violations").alias("n_violations"),
         F.col("n_rows").alias("n_rows"),
-        F.round(
-            (F.col("n_rows") - F.col("e.n_violations")).cast("double")
-            / F.col("n_rows").cast("double"),
-            6,
-        ).alias("pass_frac"),
+        # vacuous pass on an empty table (0/0 would be NULL and read as
+        # "gate unknown" — there are no rows to violate anything)
+        F.when(F.col("n_rows") == 0, F.lit(1.0))
+        .otherwise(
+            F.round(
+                (F.col("n_rows") - F.col("e.n_violations")).cast("double")
+                / F.col("n_rows").cast("double"),
+                6,
+            )
+        )
+        .alias("pass_frac"),
     )
