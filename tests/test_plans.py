@@ -46,7 +46,7 @@ def test_global_topk_avoids_full_sort(spark, sf_small):
 def test_no_cartesian_products_in_registry(spark, sf_small):
     """Cross joins are allowed only where declared (broadcast brute-force
     similarity); everything else must plan without a cartesian product."""
-    allowed = {"similarity_topk", "dedup_embedding_cosine", "similarity_topk_ivf",
+    allowed = {"similarity_topk", "similarity_topk_ivf",
                "similarity_lsh_pairs", "pipeline_chat_qa"}
     bad = []
     for name, q in load_all().items():
@@ -82,3 +82,19 @@ def test_session_windows_interval_join_keeps_equi_keys(spark, sf_small):
     assert any(
         re.search(r"\[_ib#\d+L?, user_id#\d+L?\]", ln) for ln in join_lines
     ), "\n".join(join_lines) or plan
+
+
+def test_embedding_cosine_dedup_is_lsh_not_broadcast_brute(spark, sf_small):
+    """VERDICT r3 item 2: the registered embedding near-dup query must
+    plan as LSH band-join + exact verify — NOT the r1-r3 form that
+    crossJoin-broadcast the entire corpus (exact, but a full-table
+    broadcast is a scale-killer at 100x).  The brute form survives only
+    as the DuckDB oracle / cosine_pairs API."""
+    import re
+
+    q = load_all()["dedup_embedding_cosine"].build(spark, sf_small)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the candidate generator is an equi self-join on (block, key)
+    assert re.search(r"(HashJoin|SortMergeJoin) \[block#\d+, key#\d+L?\]", plan), plan

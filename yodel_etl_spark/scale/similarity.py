@@ -195,6 +195,59 @@ def hyperplane_sketch(
     return proj.select("id", *keys)
 
 
+def hyperplane_sketch_banded_np(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    blocks: int,
+    seed: int = 0x5EED,
+) -> DataFrame:
+    """Band keys ``(id, block, key)`` via ONE Arrow-batched numpy matmul
+    per batch — the wide-sketch path.
+
+    The codegen sketch (:func:`hyperplane_sketch`) is the right shape up
+    to ~tens of planes, but at 128+ planes Catalyst spends 10+ s
+    *planning* the 192-aggregate expression tree and the generated code
+    blows past the whole-stage-codegen budget into interpreted mode.  A
+    sign matrix ``S`` (dim × n_planes, seeded RandomState — numpy
+    guarantees a stable stream, so every partition regenerates the
+    identical matrix) turns the whole sketch into ``(V @ S) > 0`` plus a
+    bit-pack: vectorized, linear, and embarrassingly parallel — the
+    100 TB shape for wide cosine sketches.  Emits ``blocks`` narrow rows
+    per vector, pre-exploded for the band self-join."""
+    width = n_planes // blocks
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        S = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+            if S is None:
+                rs = np.random.RandomState(seed)
+                S = np.sign(rs.standard_normal((V.shape[1], n_planes)))
+                S[S == 0] = 1.0
+                weights = 1 << np.arange(width, dtype=np.int64)
+            bits = (V @ S) > 0
+            keys = np.empty((len(pdf), blocks), dtype=np.int64)
+            for b in range(blocks):
+                keys[:, b] = bits[:, b * width : (b + 1) * width] @ weights
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(), blocks),
+                    "block": np.tile(np.arange(blocks, dtype=np.int32), len(pdf)),
+                    "key": keys.reshape(-1),
+                }
+            )
+
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    return v.mapInPandas(gen, schema="id long, block int, key long")
+
+
 def hyperplane_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -202,6 +255,7 @@ def hyperplane_lsh_pairs(
     threshold: float,
     n_planes: int = 16,
     blocks: int = 4,
+    vectorized_sketch: bool = False,
 ) -> DataFrame:
     """Cosine-LSH candidate generation + exact verify.  Exact cosine
     verify keeps precision at 1; recall follows the banding curve.
@@ -210,20 +264,31 @@ def hyperplane_lsh_pairs(
     self-join and the pair ``distinct`` — vectors are joined back onto
     the deduplicated candidate list afterwards, so the shuffles carry
     narrow rows (the naive form shuffles every vector ``blocks`` times
-    and deduplicates rows carrying two full embeddings)."""
+    and deduplicates rows carrying two full embeddings).
+
+    ``vectorized_sketch=True`` swaps the codegen projection sums for
+    the numpy-matmul sketch (:func:`hyperplane_sketch_banded_np`) —
+    required past ~tens of planes, where Catalyst's expression-tree
+    cost dwarfs the data."""
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).withColumn(
         "nrm", norm(F.col("vec"))
     )
     # persisted: the band self-join's broadcast side is planned as a
     # separate pipeline (no exchange reuse), which would re-run the
-    # sketch aggregation; one (id, blocks×long) row per vector
-    sk = hyperplane_sketch(df, id_col, vec_col, n_planes, blocks).persist()
-    banded = sk.select(
-        "id",
-        F.posexplode(F.array(*[F.col(f"k{b}") for b in range(blocks)])).alias(
-            "block", "key"
-        ),
-    )
+    # sketch; narrow (id, block, key) rows only
+    if vectorized_sketch:
+        banded = hyperplane_sketch_banded_np(
+            df, id_col, vec_col, n_planes, blocks
+        ).persist()
+        sk = banded
+    else:
+        sk = hyperplane_sketch(df, id_col, vec_col, n_planes, blocks).persist()
+        banded = sk.select(
+            "id",
+            F.posexplode(F.array(*[F.col(f"k{b}") for b in range(blocks)])).alias(
+                "block", "key"
+            ),
+        )
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["block", "key"])
