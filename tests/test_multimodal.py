@@ -48,3 +48,145 @@ def test_decode_meta_then_resize_compose(spark):
     r = {x["media_id"]: x for x in out}[1]
     assert r["width"] == _fake_decode(bytes(r["content"]))[0]
     assert len(r["resized"]) == 4 * 2 * r["r_channels"]
+
+
+# ---------- real-format header parse + pure-stdlib PNG decode ----------
+
+def _png_bytes(px, color_type=2, filters=None, palette=None):
+    """Minimal PNG encoder for fixtures: real chunks, real CRCs, real
+    zlib stream, per-row filter bytes actually APPLIED (so the decoder's
+    unfilter path is exercised, not just filter 0)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape[:2]
+    nch = 1 if px.ndim == 2 else px.shape[2]
+    flat = px.reshape(h, w * nch).astype(np.int32)
+    filters = filters or [0] * h
+    bpp = nch
+    lines = []
+    for y in range(h):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * nch, dtype=np.int32)
+        f = filters[y]
+        enc = np.empty(w * nch, dtype=np.int32)
+        for x in range(w * nch):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            enc[x] = (cur[x] - pred) & 0xFF
+        lines.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(palette))
+    out += chunk(b"IDAT", zlib.compress(b"".join(lines)))
+    return out + chunk(b"IEND", b"")
+
+
+def test_parse_real_image_headers():
+    import struct
+
+    import numpy as np
+
+    from yodel_etl_spark.scale.multimodal import parse_image_header
+
+    png = _png_bytes(np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3))
+    assert parse_image_header(png) == (7, 5, 3)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00" + b"\x00" * 8
+    assert parse_image_header(gif) == (320, 200, 3)
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 150, 0, 0, 54)
+        + struct.pack("<IiiHH", 40, 640, -480, 1, 24) + b"\x00" * 30
+    )
+    assert parse_image_header(bmp) == (640, 480, 3)  # negative h = top-down
+    jpeg = (
+        b"\xff\xd8\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 480, 640, 3) + b"\x00" * 6
+        + b"\xff\xd9"
+    )
+    assert parse_image_header(jpeg) == (640, 480, 3)
+    # text and garbage must NOT parse: the synthetic corpus depends on it
+    assert parse_image_header(b"BMW makes cars, not bitmaps, truly") is None
+    assert parse_image_header("some utf-8 text éé".encode()) is None
+    assert parse_image_header(b"") is None
+
+
+def test_png_pixels_roundtrip_all_filters():
+    """Encode with every filter type (None/Sub/Up/Average/Paeth) and
+    recover the exact pixel array — byte-for-byte, no codec library."""
+    import numpy as np
+
+    from yodel_etl_spark.scale.multimodal import decode_png_pixels
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    blob = _png_bytes(px, filters=[0, 1, 2, 3, 4])
+    assert np.array_equal(decode_png_pixels(blob), px)
+    # grayscale and palette variants
+    gray = rng.randint(0, 256, size=(4, 4), dtype=np.uint8)
+    assert np.array_equal(
+        decode_png_pixels(_png_bytes(gray, color_type=0, filters=[4, 3, 2, 1])),
+        gray.reshape(4, 4, 1),
+    )
+    idx = rng.randint(0, 4, size=(3, 3), dtype=np.uint8)
+    pal = bytes(rng.randint(0, 256, size=12, dtype=np.uint8))
+    got = decode_png_pixels(_png_bytes(idx, color_type=3, palette=pal))
+    want = np.frombuffer(pal, dtype=np.uint8).reshape(4, 3)[idx]
+    assert np.array_equal(got, want)
+
+
+def test_decode_meta_real_png_in_dataframe(spark):
+    """End-to-end through the mapInPandas kernel: a REAL PNG's header
+    dims come out exact while synthetic text blobs keep the
+    deterministic fake dims (the oracle contract)."""
+    import numpy as np
+
+    ship_package(spark)
+    png = _png_bytes(np.zeros((12, 34, 3), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [Row(doc_id=1, content=bytearray(png)),
+         Row(doc_id=2, content=bytearray(b"plain text blob"))]
+    )
+    rows = {r["doc_id"]: r for r in decode_meta(df, "content").collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (34, 12, 3)
+    exp = _fake_decode(b"plain text blob")
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["channels"]) == exp
+
+
+def test_resize_real_png_uses_decoded_pixels(spark):
+    """resize_media on a real PNG must sample the true pixel plane:
+    a constant-color image resizes to that exact color everywhere."""
+    import numpy as np
+
+    ship_package(spark)
+    px = np.full((16, 16, 3), 200, dtype=np.uint8)
+    png = _png_bytes(px)
+    df = spark.createDataFrame([Row(doc_id=1, content=bytearray(png))])
+    row = resize_media(df, "content", width=4, height=4).collect()[0]
+    assert row["r_channels"] == 3
+    assert bytes(row["resized"]) == bytes([200] * (4 * 4 * 3))

@@ -57,8 +57,11 @@ _BIN_SUMS = ",\n           ".join(
     FROM documents d LEFT JOIN hist h USING (doc_id)
     """,
     doc="Binary-column plumbing end-to-end: mapInPandas decode "
-    "(byte_len/sha256 + fake header dims — real codec honestly stubbed "
-    "in scale.multimodal.try_real_decode), 4-point frame sampling as "
+    "(byte_len/sha256 + header dims — real magic-byte parse for "
+    "PNG/GIF/BMP/JPEG via scale.multimodal.parse_image_header, "
+    "deterministic fake for unrecognized blobs like this text-as-bytes "
+    "corpus, which valid UTF-8 can never false-positive out of), "
+    "4-point frame sampling as "
     "pure column algebra, and an 8-bin byte histogram via numpy "
     "bincount per Arrow batch (the shape a CLIP/audio embedding UDF "
     "would have).  Raw counts, not ratios, so the char-exploded SQL "

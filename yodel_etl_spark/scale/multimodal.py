@@ -3,10 +3,14 @@
 Posture: media are opaque ``BINARY`` columns + typed metadata structs;
 decode / feature-extraction / resize / frame-sampling run as
 Arrow-batched Pandas UDFs over ``mapInPandas`` so bytes never cross a
-row-at-a-time Python boundary.  The real codecs (PIL/libav/…) are NOT
-in this container, so the decode kernels are deterministic fakes behind
-``try``-imports with clearly-marked stubs — the Spark-side plumbing
-(schema, batching, partitioning, UDF signature) is real and tested.
+row-at-a-time Python boundary.  Header metadata (width/height/channels)
+parses REAL image formats dependency-free (:func:`parse_image_header`:
+PNG/GIF/BMP/JPEG magic bytes) and PNG pixels decode via pure
+stdlib zlib + unfilter (:func:`decode_png_pixels`); blobs that are not
+a recognized format (the synthetic text-as-bytes corpus) fall back to
+a deterministic fake the SQL oracle can reproduce.  Full-codec formats
+(JPEG/video pixels) remain honestly gated on PIL/pyav in
+:func:`try_real_decode`.
 
 At 100 TB: binaries dominate partition size — set
 ``spark.sql.files.maxPartitionBytes`` down (e.g. 32 MB) so a partition
@@ -36,9 +40,9 @@ MEDIA_META_SCHEMA = T.StructType(
 
 
 def _fake_decode(blob: bytes) -> tuple[int, int, int]:
-    """Deterministic stand-in for an image-header parse: dimensions
-    derived from the first bytes.  STUB — replace with PIL/pyav when the
-    codec libraries exist in the runtime."""
+    """Deterministic stand-in dims for blobs that are NOT a recognized
+    image format (the synthetic text-as-bytes corpus): derived from the
+    first bytes so the SQL oracle can reproduce them."""
     if not blob:
         return (0, 0, 0)
     b0 = blob[0]
@@ -46,21 +50,178 @@ def _fake_decode(blob: bytes) -> tuple[int, int, int]:
     return (b0 % 64 + 1, b1 % 64 + 1, 3)
 
 
-def try_real_decode(blob: bytes):  # pragma: no cover - container lacks codecs
-    """The real decode path, gated on the codec library being present."""
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+#: PNG color type -> samples per pixel (spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: JPEG start-of-frame markers that carry dimensions (SOF0-15 minus
+#: DHT/JPG/DAC which share the 0xC range)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+#: valid DIB header sizes (CORE, INFO, V2-V5) — doubles as the BMP
+#: validity check: the field's upper bytes are NUL, so no UTF-8 text
+#: blob can false-positive as BMP
+_BMP_DIB_SIZES = frozenset({12, 40, 52, 56, 64, 108, 124})
+
+
+def parse_image_header(blob: bytes) -> tuple[int, int, int] | None:
+    """Dependency-free (width, height, channels) from real image magic
+    bytes — PNG IHDR, GIF logical screen descriptor, BMP DIB header,
+    JPEG SOF marker walk.  Returns None for anything unrecognized, so
+    callers fall back to the deterministic fake for synthetic blobs.
+
+    Validation is strict enough that valid-UTF-8 text can never parse
+    as an image: PNG's \\x89 and JPEG's \\xff are illegal UTF-8 lead
+    bytes, BMP requires NUL bytes inside the DIB-size field, and GIF
+    requires the exact 6-byte version magic (no English text starts
+    'GIF87a'/'GIF89a')."""
+    import struct
+
+    if len(blob) < 16:
+        return None
+    if blob[:8] == _PNG_MAGIC and blob[12:16] == b"IHDR" and len(blob) >= 26:
+        w, h = struct.unpack(">II", blob[16:24])
+        color_type = blob[25]
+        ch = _PNG_CHANNELS.get(color_type)
+        return (w, h, ch) if ch and w and h else None
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", blob[6:10])
+        return (w, h, 3) if w and h else None
+    if blob[:2] == b"BM" and len(blob) >= 30:
+        (dib,) = struct.unpack("<I", blob[14:18])
+        if dib not in _BMP_DIB_SIZES:
+            return None
+        if dib == 12:  # BITMAPCOREHEADER: uint16 dims
+            w, h = struct.unpack("<HH", blob[18:22])
+            (bpp,) = struct.unpack("<H", blob[24:26])
+        else:  # BITMAPINFOHEADER and later: int32 dims (h<0 = top-down)
+            w, h = struct.unpack("<ii", blob[18:26])
+            (bpp,) = struct.unpack("<H", blob[28:30])
+            h = abs(h)
+        ch = max(1, bpp // 8)
+        return (w, h, ch) if w and h else None
+    if blob[:3] == b"\xff\xd8\xff":
+        # marker walk to the first SOF segment
+        i = 2
+        while i + 9 <= len(blob):
+            if blob[i] != 0xFF:
+                return None
+            marker = blob[i + 1]
+            if marker in _JPEG_SOF:
+                h, w = struct.unpack(">HH", blob[i + 5 : i + 9])
+                ncomp = blob[i + 9] if i + 9 < len(blob) else 0
+                return (w, h, ncomp) if w and h and ncomp else None
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            (seglen,) = struct.unpack(">H", blob[i + 2 : i + 4])
+            i += 2 + seglen
+        return None
+    return None
+
+
+def decode_png_pixels(blob: bytes):
+    """Pure-stdlib PNG decode to an ``(h, w, channels)`` uint8 numpy
+    array: zlib inflate + per-scanline unfilter (None/Sub/Up/Average/
+    Paeth) + palette expansion — no codec library involved.
+
+    Supports the overwhelmingly common profile: bit depth 8,
+    non-interlaced, color types 0/2/3/4/6.  Raises ValueError on
+    anything else (16-bit, Adam7) — callers fall back or fail loudly,
+    never silently mis-decode."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if blob[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, idat, plte = 8, b"", None
+    w = h = depth = color_type = interlace = None
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color_type, _, _, interlace = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + crc
+    if w is None:
+        raise ValueError("missing IHDR")
+    if depth != 8 or interlace != 0:
+        raise ValueError(f"unsupported PNG profile: depth={depth} interlace={interlace}")
+    nch = _PNG_CHANNELS.get(color_type)
+    if nch is None:
+        raise ValueError(f"unsupported color type {color_type}")
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    stride = w * nch + 1
+    if len(raw) != h * stride:
+        raise ValueError("IDAT size mismatch")
+    rows = raw.reshape(h, stride)
+    out = np.zeros((h, w * nch), dtype=np.uint8)
+    bpp = nch  # bytes per pixel at depth 8
+    for y in range(h):
+        filt, line = rows[y, 0], rows[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(w * nch, dtype=np.int32)
+        if filt == 0:
+            cur = line
+        elif filt == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif filt in (1, 3, 4):  # Sub/Average/Paeth need left-to-right
+            cur = np.empty(w * nch, dtype=np.int32)
+            for x in range(w * nch):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if filt == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif filt == 3:
+                    cur[x] = (line[x] + (a + b) // 2) & 0xFF
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter byte {filt}")
+        out[y] = cur.astype(np.uint8)
+    px = out.reshape(h, w, nch)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette image without PLTE")
+        px = plte[px[:, :, 0]]
+    return px
+
+
+def try_real_decode(blob: bytes):
+    """Real pixel decode: PIL when present, else the pure-stdlib PNG
+    path; other formats without a codec library raise — never a silent
+    fake."""
     try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "real image decode requires PIL, which is not in this runtime; "
-            "use the deterministic fake (decode_meta) for plumbing tests"
-        ) from exc
-    import io
+        import io
 
-    from PIL import Image
+        from PIL import Image
 
-    img = Image.open(io.BytesIO(blob))
-    return img
+        return Image.open(io.BytesIO(blob))  # pragma: no cover - no PIL here
+    except ImportError:
+        pass
+    if blob[:8] == _PNG_MAGIC:
+        return decode_png_pixels(blob)
+    raise NotImplementedError(
+        "pixel decode for non-PNG formats requires PIL/pyav, absent from "
+        "this runtime; header metadata still parses via parse_image_header"
+    )
+
+
+def _decode(blob: bytes) -> tuple[int, int, int]:
+    """Header dims: real parse for recognized image magics, the
+    deterministic fake otherwise (synthetic text-as-bytes corpus)."""
+    if not blob:
+        return (0, 0, 0)
+    return parse_image_header(blob) or _fake_decode(blob)
 
 
 def decode_meta(df: DataFrame, binary_col: str = "content") -> DataFrame:
@@ -79,7 +240,7 @@ def decode_meta(df: DataFrame, binary_col: str = "content") -> DataFrame:
             pdf["sha256"] = blobs.map(
                 lambda b: hashlib.sha256(b).hexdigest() if b is not None else ""
             )
-            dims = blobs.map(lambda b: _fake_decode(b or b""))
+            dims = blobs.map(lambda b: _decode(b or b""))
             pdf["width"] = dims.map(lambda d: d[0]).astype("int32")
             pdf["height"] = dims.map(lambda d: d[1]).astype("int32")
             pdf["channels"] = dims.map(lambda d: d[2]).astype("int32")
@@ -107,12 +268,13 @@ def resize_media(
     """Image resize plumbing: blob → fixed ``width×height×channels`` raw
     buffer via nearest-neighbor index sampling (numpy, per Arrow batch).
 
-    The "decode" uses the same deterministic fake header parse as
-    :func:`decode_meta` (real codec honestly stubbed in
-    :func:`try_real_decode`); everything else — batch shape, binary
-    output column, dimension metadata, index math — is exactly what a
-    PIL/libav-backed resize would run, so swapping the codec in touches
-    one line.  Empty/NULL blobs yield empty output (fail-soft)."""
+    Real PNGs decode for real (:func:`decode_png_pixels` — pure-stdlib
+    inflate + unfilter); unrecognized blobs use the deterministic fake
+    plane (:func:`_fake_decode` dims, raw bytes cycled into the pixel
+    grid) so the synthetic corpus stays oracle-reproducible.  Batch
+    shape, binary output column, dimension metadata, and index math are
+    identical across both paths.  Empty/NULL blobs yield empty output
+    (fail-soft)."""
     import numpy as np
 
     out_schema = T.StructType(
@@ -134,9 +296,13 @@ def resize_media(
                     resized.append(b"")
                     chans.append(0)
                     continue
-                w, h, c = _fake_decode(b)
-                # cycle the raw bytes into the fake W×H×C pixel plane
-                px = np.resize(np.frombuffer(b, dtype=np.uint8), w * h * c).reshape(h, w, c)
+                if b[:8] == _PNG_MAGIC:
+                    px = decode_png_pixels(bytes(b))
+                    h, w, c = px.shape
+                else:
+                    w, h, c = _fake_decode(b)
+                    # cycle the raw bytes into the fake W×H×C pixel plane
+                    px = np.resize(np.frombuffer(b, dtype=np.uint8), w * h * c).reshape(h, w, c)
                 yi = np.arange(height) * h // height  # nearest-neighbor rows
                 xi = np.arange(width) * w // width  # nearest-neighbor cols
                 resized.append(px[yi][:, xi].tobytes())
