@@ -267,3 +267,29 @@ def test_python_datasource_paginated_rest(spark):
     assert len(rows) == 12  # 4 pages × 3 records
     assert {r["page"] for r in rows} == {1, 2, 3, 4}
     assert json.loads(rows[0]["record"])["id"].startswith("rec")
+
+
+def test_python_datasource_fanout_rest(spark):
+    """S4 as a readable format: (parent x page) grid partitions, same
+    fail-soft columns as fetch_fanout, import-path fetcher resolution."""
+    from yodel_etl_spark.io.rest import FanoutRestDataSource, register_rest_datasources
+
+    if FanoutRestDataSource is None:
+        pytest.skip("Python Data Source API not available")
+    register_rest_datasources(spark)
+    register_rest_datasources(spark)  # idempotent
+    df = (
+        spark.read.format("fanout_rest")
+        .option("fetcher", "yodel_etl_spark.io.rest:demo_fetch_sessions")
+        .option("parents", "chatA,chatB,chatC")
+        .option("maxPagesPerParent", "4")
+        .option("numPartitions", "4")
+        .load()
+    )
+    rows = df.collect()
+    # 3 parents x 2 non-empty pages x 2 records
+    assert len(rows) == 12
+    assert {r["parent_id"] for r in rows} == {"chatA", "chatB", "chatC"}
+    assert all(r["error"] is None for r in rows)
+    got = {json.loads(r["record"])["session"] for r in rows}
+    assert "chatA-s1-0" in got and "chatC-s2-1" in got

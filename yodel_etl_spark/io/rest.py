@@ -246,6 +246,14 @@ def demo_fetch_page(page: int) -> list[dict]:
     return [{"id": f"rec{page}-{i}", "page": page} for i in range(3)]
 
 
+def demo_fetch_sessions(parent_id: str, page: int) -> list[dict]:
+    """Deterministic demo fan-out fetcher (sessions-per-chat shape) for
+    the ``fanout_rest`` Data Source; doubles as the test fixture."""
+    if page > 2:
+        return []
+    return [{"session": f"{parent_id}-s{page}-{i}"} for i in range(2)]
+
+
 # --------------------------------------------------------------------------
 # Spark 4 Python Data Source wrapper (spark.read.format interface)
 # --------------------------------------------------------------------------
@@ -255,6 +263,14 @@ try:  # pragma: no cover - exercised only where the API exists
     class _PagePartition(InputPartition):
         def __init__(self, start: int, end: int):
             self.start, self.end = start, end
+
+    def _resolve_fetcher(spec: str):
+        """Import-path resolution (``pkg.mod:fn``) — executors re-import
+        instead of unpickling, so the source works from pure SQL too."""
+        import importlib
+
+        mod, _, fn = spec.rpartition(":")
+        return getattr(importlib.import_module(mod), fn)
 
     class PaginatedRestReader(DataSourceReader):
         def __init__(self, options):
@@ -270,11 +286,10 @@ try:  # pragma: no cover - exercised only where the API exists
             ]
 
         def read(self, partition):
-            import importlib
-
-            mod, _, fn = self.options["fetcher"].rpartition(":")
-            fetch = getattr(importlib.import_module(mod), fn)
+            fetch = _resolve_fetcher(self.options["fetcher"])
+            bucket = _TokenBucket(float(self.options.get("ratepersec", 0)) or None)
             for page in range(partition.start, partition.end):
+                bucket.wait()
                 try:
                     records = fetch(page)
                 except Exception as exc:  # noqa: BLE001 - fail-soft error row
@@ -298,5 +313,77 @@ try:  # pragma: no cover - exercised only where the API exists
         def reader(self, schema):
             return PaginatedRestReader(self.options)
 
+    class _GridPartition(InputPartition):
+        def __init__(self, items: list[tuple[str, int]]):
+            self.items = items
+
+    class FanoutRestReader(DataSourceReader):
+        """(parent × page) grid chunks — the distributed form of the
+        reference's nested sessions-per-chat loop
+        (extract_chat_qa_tsv.py:69-81)."""
+
+        def __init__(self, options):
+            self.options = options
+            self.parents = [p for p in options.get("parents", "").split(",") if p]
+            self.max_pages = int(options.get("maxpagesperparent", 10))
+            self.n_parts = int(options.get("numpartitions", 8))
+
+        def partitions(self):
+            grid = [
+                (p, pg) for p in self.parents for pg in range(1, self.max_pages + 1)
+            ]
+            if not grid:
+                return [_GridPartition([])]
+            per = max(1, -(-len(grid) // self.n_parts))  # ceil division
+            return [
+                _GridPartition(grid[i : i + per]) for i in range(0, len(grid), per)
+            ]
+
+        def read(self, partition):
+            fetch = _resolve_fetcher(self.options["fetcher"])
+            bucket = _TokenBucket(float(self.options.get("ratepersec", 0)) or None)
+            for parent_id, page in partition.items:
+                bucket.wait()
+                try:
+                    records = fetch(parent_id, page)
+                except Exception as exc:  # noqa: BLE001 - fail-soft error row
+                    yield (parent_id, page, None, f"{type(exc).__name__}: {exc}")
+                    continue
+                for rec in records:
+                    yield (parent_id, page, json.dumps(rec, sort_keys=True), None)
+
+    class FanoutRestDataSource(DataSource):
+        """``spark.read.format("fanout_rest").option("fetcher",
+        "pkg.mod:fn").option("parents", "c1,c2")
+        .option("maxPagesPerParent", "5").load()`` — S4 as a first-class
+        readable format (parent ids are a control-plane-sized option;
+        frame-shaped parent lists use :func:`fetch_fanout` directly)."""
+
+        @classmethod
+        def name(cls):
+            return "fanout_rest"
+
+        def schema(self):
+            return "parent_id string, page int, record string, error string"
+
+        def reader(self, schema):
+            return FanoutRestReader(self.options)
+
+    def register_rest_datasources(spark: SparkSession) -> None:
+        """Idempotently register both REST formats on this session."""
+        from yodel_etl_spark.session import ship_package
+
+        ship_package(spark)  # executors import the fetcher's module
+        for src in (PaginatedRestDataSource, FanoutRestDataSource):
+            try:
+                spark.dataSource.register(src)
+            except Exception as exc:  # noqa: BLE001 - already-registered race
+                if "already" not in str(exc).lower():
+                    raise
+
 except ImportError:  # pragma: no cover
     PaginatedRestDataSource = None  # type: ignore[assignment]
+    FanoutRestDataSource = None  # type: ignore[assignment]
+
+    def register_rest_datasources(spark: SparkSession) -> None:
+        raise NotImplementedError("Python Data Source API requires Spark 4+")
