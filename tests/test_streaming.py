@@ -377,3 +377,103 @@ def test_stateful_scd2_multibatch_equals_batch(spark, sf_small, tmp_path):
     finally:
         q.stop()
     assert got == batch_closed
+
+
+def test_live_sse_stream_source_with_checkpoint_restart(spark, tmp_path):
+    """VERDICT r3 item 5: the LIVE SSE adapter — a real HTTP endpoint
+    polled by the sse_stream Python Data Source with Last-Event-ID
+    resume — must (a) match the batch transcript result, and (b) resume
+    exactly from a checkpoint after the query is killed and the server
+    has streamed further events (no replayed or lost lines)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from yodel_etl_spark.io.sse import SseStreamDataSource, final_answers, parse_events
+    from yodel_etl_spark.streaming.events import sse_answer_stream
+
+    if SseStreamDataSource is None:
+        pytest.skip("Python Data Source API not available")
+
+    phase1 = [
+        "event: ping",
+        'data: {"code": 0, "message": "", "data": {"answer": "partial", "session_id": "sid1"}}',
+        "data: not json {{{",
+        'data: {"code": 1, "message": "err", "data": {"answer": "SKIP ME"}}',
+        'data: {"code": 0, "message": "", "data": {"answer": "live final", "session_id": "sid1"}}',
+    ]
+    phase2 = [
+        "data: true",
+        'data: {"code": 0, "message": "", "data": {"answer": "post restart", "session_id": "sid1"}}',
+        "data: [DONE]",
+    ]
+
+    class Replay(BaseHTTPRequestHandler):
+        lines = list(phase1)
+
+        def do_GET(self):  # noqa: N802 - stdlib handler contract
+            start = int(self.headers.get("Last-Event-ID", 0))
+            body = "".join(ln + "\n\n" for ln in type(self).lines[start:]).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Replay)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_port}/stream"
+    ckpt = str(tmp_path / "sse_ckpt")
+
+    def run_query(name):
+        return (
+            sse_answer_stream(spark, url, stream_id="live1")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    try:
+        q = run_query("sse_live1")
+        try:
+            q.processAllAvailable()
+            got = {
+                r["stream_id"]: r["answer"]
+                for r in spark.sql("SELECT * FROM sse_live1").collect()
+            }
+        finally:
+            q.stop()
+        assert got == {"live1": "live final"}
+
+        # batch equivalence on the same transcript
+        rows = [("live1", i, ln) for i, ln in enumerate(phase1)]
+        lines = spark.createDataFrame(rows, "stream_id string, seq long, raw string")
+        batch = {
+            r["stream_id"]: r["answer"]
+            for r in final_answers(parse_events(lines), ["stream_id"], "seq").collect()
+        }
+        assert batch == got
+
+        # server streams on while the query is down; restart resumes
+        # from the checkpointed offset via Last-Event-ID
+        Replay.lines = phase1 + phase2
+        q = run_query("sse_live2")
+        try:
+            q.processAllAvailable()
+            got2 = {
+                r["stream_id"]: r["answer"]
+                for r in spark.sql("SELECT * FROM sse_live2").collect()
+            }
+            progress = q.recentProgress
+        finally:
+            q.stop()
+        assert got2 == {"live1": "post restart"}
+        # the restarted query must NOT have re-read phase1 rows
+        n_in = sum(p["numInputRows"] for p in progress)
+        assert n_in <= len(phase2)
+    finally:
+        srv.shutdown()

@@ -306,3 +306,24 @@ def stateful_scd2(
         .groupBy(key_col)
         .applyInPandasWithState(update, out_schema, state_schema, "append", "NoTimeout")
     )
+
+
+def sse_answer_stream(spark, url: str, stream_id: str | None = None) -> DataFrame:
+    """Live SSE endpoint → streaming last-value-wins answers: the
+    ``sse_stream`` source (io/sse.py — driver-side micro-batch polls
+    with ``Last-Event-ID`` resume) feeding ``parse_events`` →
+    ``final_answers`` unchanged — the same column expressions the batch
+    transcript path runs (SURVEY §2 S5/A5), now over a socket.  Use
+    ``outputMode('complete'|'update')``: last-wins is a streaming agg."""
+    from yodel_etl_spark.io.sse import (
+        final_answers,
+        parse_events,
+        register_sse_stream_source,
+    )
+
+    register_sse_stream_source(spark)
+    reader = spark.readStream.format("sse_stream").option("url", url)
+    if stream_id is not None:
+        reader = reader.option("streamid", stream_id)
+    lines = reader.load()
+    return final_answers(parse_events(lines), ["stream_id"], "seq")
