@@ -53,63 +53,42 @@ _TRISTATE_COLS_SQL = ",\n           ".join(
 @register(
     "classify_tristate",
     oracle=f"""
+    WITH flagged AS (
+      SELECT doc_id, text,
+             {_TRISTATE_COLS_SQL}
+      FROM documents
+    )
     SELECT doc_id,
-           {_TRISTATE_COLS_SQL}
-    FROM documents
+           {", ".join(_FLAGS)},
+           CASE WHEN NOT coalesce(
+                    regexp_matches(lower(text), '{"|".join(kw for sub in ENGINE_FLAGS.values() for kw in sub)}'),
+                    false)
+                THEN text END AS other_engine,
+           concat_ws(', ',
+             {", ".join(f"CASE WHEN {flag} = 'Yes' THEN '{flag.replace('_', ' ')}' END" for flag in _FLAGS)}
+           ) AS features
+    FROM flagged
     """,
-    doc="P5 tristate keyword classifier over documents.text — 7 flags in "
-    "one select; yes-before-no branch order preserved.",
+    doc="P5+P6+P7 in one scan, same doc_id grain (the r3 same-grain-merge "
+    "convention — refs_collapse/E2 precedent): the 7-flag tristate "
+    "classifier (yes-before-no branch order), the residual column (text "
+    "kept only when NO keyword of the whole map matched — unescaped, "
+    "unbounded regex, reference parity normalize_parks_json.py:173-175), "
+    "and the active-feature roll-up (comma-joined names of Yes flags, "
+    "underscores→spaces, '' when none).  The flags materialize once in "
+    "their own projection (multiply-referenced aliases are not "
+    "re-inlined), so the merge adds two cheap derived columns to P5's "
+    "regex pass instead of two more table scans — and frees two driver "
+    "correctness-window slots (VERDICT r3 item 6).",
     tags=("classify",),
     bench=True,
 )
 def classify_tristate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return docs.select(
-        "doc_id", *[tristate("text", kws).alias(flag) for flag, kws in ENGINE_FLAGS.items()]
+    flagged = apply_flag_map(docs, "text", ENGINE_FLAGS, "other_engine")
+    return flagged.select(
+        "doc_id", *_FLAGS, "other_engine", active_features(_FLAGS).alias("features")
     )
-
-
-@register(
-    "classify_flags_residual",
-    oracle=f"""
-    SELECT doc_id,
-           {_TRISTATE_COLS_SQL},
-           CASE WHEN NOT coalesce(
-                    regexp_matches(lower(text), '{"|".join(kw for sub in ENGINE_FLAGS.values() for kw in sub)}'),
-                    false)
-                THEN text END AS other_engine
-    FROM documents
-    """,
-    doc="P6 map-driven flag expansion + residual column: source text kept "
-    "only when no keyword of the whole map matched (unescaped, unbounded "
-    "regex — reference parity normalize_parks_json.py:173-175).",
-    tags=("classify",),
-)
-def classify_flags_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    out = apply_flag_map(docs, "text", ENGINE_FLAGS, "other_engine")
-    return out.select("doc_id", *_FLAGS, "other_engine")
-
-
-@register(
-    "classify_active_features",
-    oracle=f"""
-    SELECT doc_id,
-           concat_ws(', ',
-             {", ".join(f"CASE WHEN {_tristate_sql(kws)} = 'Yes' THEN '{flag.replace('_', ' ')}' END" for flag, kws in ENGINE_FLAGS.items())}
-           ) AS features
-    FROM documents
-    """,
-    doc="P7 active-feature roll-up: comma-joined names (underscores→spaces) "
-    "of Yes flags, '' when none — concat_ws(when…), no UDF.",
-    tags=("classify",),
-)
-def classify_active_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    flagged = docs.select(
-        "doc_id", *[tristate("text", kws).alias(flag) for flag, kws in ENGINE_FLAGS.items()]
-    )
-    return flagged.select("doc_id", active_features(_FLAGS).alias("features"))
 
 
 @register(
