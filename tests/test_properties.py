@@ -121,3 +121,34 @@ def test_tristate_matches_reference_select(spark, keywords, texts):
     got = {r["i"]: r["cls"] for r in df.select("i", tristate("txt", keywords).alias("cls")).collect()}
     for i, t in enumerate(texts):
         assert got[i] == model_tristate(t, keywords), f"{t!r} vs {keywords!r}"
+
+
+def test_chunk_tokens_invariants(spark, sf_small):
+    """Chunking invariants: (a) concatenating each doc's chunks with the
+    overlap removed reproduces the doc's token stream exactly; (b) every
+    chunk except the last has exactly chunk_size tokens; (c) a short doc
+    yields one chunk; (d) (doc_id, chunk_id) is a key."""
+    from yodel_etl_spark.scale.textstats import chunk_tokens, tokens
+    from yodel_etl_spark.session import load_tables
+
+    docs = load_tables(spark, sf_small, ("documents",))["documents"]
+    out = chunk_tokens(docs, "doc_id", "text", chunk_size=64, overlap=16).collect()
+    truth = {
+        r["doc_id"]: r["tk"]
+        for r in docs.select("doc_id", tokens(F.col("text")).alias("tk")).collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(truth)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        assert [r["chunk_id"] for r in rows] == list(range(len(rows)))  # key + dense
+        rebuilt: list[str] = []
+        for i, r in enumerate(rows):
+            toks = r["chunk_text"].split() if r["chunk_text"] else []
+            assert r["n_tokens"] == len(toks)
+            if i < len(rows) - 1:
+                assert len(toks) == 64
+            rebuilt.extend(toks if i == 0 else toks[16:])
+        assert rebuilt == truth[doc_id], doc_id

@@ -277,3 +277,41 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     return normalize_text(docs)
+
+
+@register(
+    "text_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+      FROM documents
+    ), s AS (
+      SELECT doc_id, tk, len(tk) AS n,
+             1 + CAST(ceil(greatest(len(tk) - 64, 0) / 48.0) AS INT) AS nc
+      FROM t
+    )
+    SELECT doc_id,
+           u.i - 1 AS chunk_id,
+           array_to_string(list_slice(tk, (u.i - 1) * 48 + 1, (u.i - 1) * 48 + 64), ' ')
+             AS chunk_text,
+           CAST(least(n - (u.i - 1) * 48, 64) AS INT) AS n_tokens
+    FROM s, unnest(range(1, nc + 1)) AS u(i)
+    """,
+    doc="Overlapping token-window chunking (64-token windows, 16-token "
+    "overlap — the RAG-indexing / pretraining-window op): chunk i "
+    "covers tokens [i*48, i*48+64), final chunk is the remainder, a "
+    "short doc yields exactly one chunk.  Map-only explode, no "
+    "shuffle; deterministic (doc_id, chunk_id) grain for exactly-once "
+    "re-chunking.  Registered at tier 3: yields its bounded driver-"
+    "window slot to the established set — parity pinned by the pytest "
+    "oracle suite and the driver-sim at sf0.01 instead.",
+    tags=("textstats", "scale"),
+    bench=True,
+    tier=3,
+)
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.textstats import chunk_tokens
+
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    return chunk_tokens(docs, "doc_id", "text", chunk_size=64, overlap=16)

@@ -289,3 +289,55 @@ def normalize_text(df, id_col: str = "doc_id", text_col: str = "text"):
     mapInPandas)."""
     run, schema = normalized_text_map(id_col, text_col)
     return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    RAG-indexing / pretraining-window op: chunk ``i`` covers tokens
+    ``[i·(size−overlap), i·(size−overlap)+size)``; the final chunk is
+    the remainder (never empty, never duplicated — a doc shorter than
+    one window yields exactly one chunk).
+
+    Pure column algebra: one tokenizer pass materialized in its own
+    projection (expression-hygiene rule), ``posexplode(sequence(...))``
+    for the window index — a narrow per-row explode, no shuffle, no
+    Python.  At 100 TB chunking is a map-only stage whose output is
+    ~``1/(1−overlap/size)``× the input tokens; downstream ops see
+    (doc_id, chunk_id) grain with deterministic ids for exactly-once
+    re-chunking."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    step = chunk_size - overlap
+    staged = df.select(
+        F.col(id_col), F.col(text_col), tokens(F.col(text_col)).alias("_tk")
+    ).select(
+        id_col,
+        "_tk",
+        F.size("_tk").alias("_n"),
+        # number of windows: 1 + ceil(max(0, n - size) / step)
+        (
+            F.lit(1)
+            + F.ceil(
+                F.greatest(F.size("_tk") - chunk_size, F.lit(0)) / F.lit(step)
+            ).cast("int")
+        ).alias("_nc"),
+    )
+    exploded = staged.select(
+        id_col,
+        "_tk",
+        "_n",
+        F.posexplode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_id", "_i"),
+    )
+    start = F.col("chunk_id") * step
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(F.slice("_tk", start + 1, chunk_size), " ").alias("chunk_text"),
+        F.least(F.col("_n") - start, F.lit(chunk_size)).cast("int").alias("n_tokens"),
+    )
