@@ -19,12 +19,10 @@ from pyspark.sql import functions as F
 
 from yodel_etl_spark.registry import register
 from yodel_etl_spark.scale.dedup import (
-    exact_groups,
     jaccard_pairs,
     minhash_lsh_pairs,
     simhash_pairs,
 )
-from yodel_etl_spark.scale.similarity import cosine_pairs
 from yodel_etl_spark.session import load_tables, spread
 
 _SHINGLES_SQL = """
@@ -62,17 +60,49 @@ _JACCARD_BRUTE_SQL = (
 @register(
     "dedup_exact_groups",
     oracle="""
-    SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_members
-    FROM documents GROUP BY md5(text)
+    WITH b AS (
+      SELECT doc_id, text,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS bk
+      FROM documents
+    )
+    SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_members,
+           CAST(sum(CASE WHEN bk < 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus,
+           CAST(sum(CASE WHEN bk >= 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_incoming,
+           (sum(CASE WHEN bk < 80 THEN 1 ELSE 0 END) = 0) AS novel
+    FROM b GROUP BY md5(text)
     """,
-    doc="Exact dedup: hash-groupBy on the md5 digest (shuffle 32-byte "
-    "keys, not documents), canonical min-id member per group.",
-    tags=("dedup",),
+    doc="Exact dedup + incremental-novelty in ONE scan: hash-groupBy on "
+    "the md5 digest (shuffle 32-byte keys, not documents) with the "
+    "canonical min-id member per group, plus per-digest corpus/incoming "
+    "membership counts under the deterministic hash split — a digest "
+    "with n_corpus = 0 is exactly the daily-ingest 'novel' set the old "
+    "dedup_incremental_novel query anti-joined for (r4 same-scan merge; "
+    "the two-table dedup_against operator keeps its own pytest "
+    "coverage).  The split label is a narrow md5-bucket projection, so "
+    "the merged query still does one scan + one digest-keyed exchange.",
+    tags=("dedup", "scale"),
     bench=True,
 )
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.sampling import hash_split
+
     docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
-    return exact_groups(docs, "doc_id", "text")
+    split = hash_split(docs, "doc_id")
+    d = split.select(
+        "doc_id",
+        F.md5("text").alias("digest"),
+        (F.col("split") == "train").alias("in_corpus"),
+    )
+    return (
+        d.groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.when(F.col("in_corpus"), 1).otherwise(0)).alias("n_corpus"),
+            F.sum(F.when(~F.col("in_corpus"), 1).otherwise(0)).alias("n_incoming"),
+        )
+        .withColumn("novel", F.col("n_corpus") == 0)
+    )
 
 
 @register(
@@ -235,36 +265,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_incremental_novel",
-    oracle="""
-    WITH b AS (
-      SELECT doc_id, text,
-             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS bk
-      FROM documents
-    ),
-    corpus AS (SELECT DISTINCT md5(text) AS digest FROM b WHERE bk < 80),
-    inc AS (SELECT doc_id, text FROM b WHERE bk >= 80)
-    SELECT i.doc_id, length(i.text) AS n_chars
-    FROM inc i
-    WHERE md5(i.text) NOT IN (SELECT digest FROM corpus)
-    """,
-    doc="Incremental dedup: the daily-ingest shape — filter incoming "
-    "docs (hash-split val+test slice) whose text already exists in the "
-    "corpus (train slice).  Both sides reduce to md5 digests before "
-    "the anti join (digests shuffle, never documents; corpus digests "
-    "pre-distincted).  md5 is bit-identical across engines, so the "
-    "oracle checks the actual novel set.",
-    tags=("dedup", "scale"),
-    bench=True,
-)
-def dedup_incremental_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yodel_etl_spark.scale.dedup import dedup_against
-    from yodel_etl_spark.scale.sampling import hash_split
-
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    split = hash_split(docs, "doc_id")
-    corpus = split.where(F.col("split") == "train")
-    incoming = split.where(F.col("split") != "train").select("doc_id", "text")
-    novel = dedup_against(corpus, incoming, "doc_id", "text")
-    return novel.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+# dedup_incremental_novel merged into dedup_exact_groups in r4 (same
+# documents scan, same digest exchange; novel == (n_corpus = 0)).  The
+# two-table dedup_against operator it demonstrated remains covered by
+# tests/test_scale_dedup.py.

@@ -303,12 +303,11 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "covers tokens [i*48, i*48+64), final chunk is the remainder, a "
     "short doc yields exactly one chunk.  Map-only explode, no "
     "shuffle; deterministic (doc_id, chunk_id) grain for exactly-once "
-    "re-chunking.  Registered at tier 3: yields its bounded driver-"
-    "window slot to the established set — parity pinned by the pytest "
-    "oracle suite and the driver-sim at sf0.01 instead.",
+    "re-chunking.  Promoted to tier 0 in r4: the dedup_exact_groups/"
+    "dedup_incremental_novel same-scan merge freed its driver-window "
+    "slot.",
     tags=("textstats", "scale"),
     bench=True,
-    tier=3,
 )
 def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yodel_etl_spark.scale.textstats import chunk_tokens
