@@ -314,3 +314,82 @@ def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     return chunk_tokens(docs, "doc_id", "text", chunk_size=64, overlap=16)
+
+
+@register(
+    "text_gopher_rules",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk,
+             string_split(text, chr(10)) AS ln
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(tk, x -> len(x))), 0) AS BIGINT)
+               AS n_word_chars,
+             CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+               AS n_alpha_words,
+             CAST((len(text) - len(replace(text, '#', '')))
+                  + (len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT)
+               AS n_symbols,
+             CAST(len(ln) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(ln, l -> regexp_matches(trim(l), '^[-*•]'))) AS BIGINT)
+               AS n_bullet_lines,
+             CAST(len(list_filter(ln, l -> ends_with(l, '...'))) AS BIGINT)
+               AS n_ellipsis_lines,
+             CAST(len(list_intersect(list_transform(tk, x -> lower(x)),
+                    ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+               AS n_stop_hits
+      FROM t
+    ), r AS (
+      SELECT doc_id, n_words,
+             round(CASE WHEN n_words > 0
+                        THEN CAST(n_word_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+                        ELSE 0.0 END, 6) AS mean_word_len,
+             n_stop_hits,
+             (n_words BETWEEN 50 AND 100000) AS ok_word_count,
+             (CASE WHEN n_words > 0
+                   THEN CAST(n_word_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+                   ELSE 0.0 END >= 3.0
+              AND CASE WHEN n_words > 0
+                       THEN CAST(n_word_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+                       ELSE 0.0 END <= 10.0) AS ok_mean_word_len,
+             (CASE WHEN n_words > 0
+                   THEN CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.1
+                   ELSE FALSE END) AS ok_symbol_ratio,
+             (CAST(n_bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) < 0.9)
+               AS ok_bullet_lines,
+             (CAST(n_ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) < 0.3)
+               AS ok_ellipsis_lines,
+             (CASE WHEN n_words > 0
+                   THEN CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8
+                   ELSE FALSE END) AS ok_alpha_words,
+             (n_stop_hits >= 2) AS ok_stopwords
+      FROM c
+    )
+    SELECT *,
+           (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+            AND ok_bullet_lines AND ok_ellipsis_lines AND ok_alpha_words
+            AND ok_stopwords) AS pass_gopher
+    FROM r
+    """,
+    doc="Gopher-style quality-rule gate (Rae et al. 2021, App. A — "
+    "public paper): word-count band, mean-word-length band, "
+    "symbol-to-word ratio, bullet/ellipsis line fractions, alpha-word "
+    "fraction, stop-word floor — per-rule booleans + the conjunction a "
+    "pretraining pipeline filters on.  Pure column expressions: one "
+    "WholeStageCodegen pass over the scan pruned to (doc_id, text), no "
+    "shuffle.  Tier 2: yields its driver-window slot to the "
+    "established set; parity pinned by the pytest oracle suite and the "
+    "driver-sim at sf0.01.",
+    tags=("textstats", "scale", "quality"),
+    bench=True,
+    tier=2,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.quality import gopher_rules
+
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    return gopher_rules(docs, "doc_id", "text")
