@@ -268,4 +268,44 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_incremental_novel merged into dedup_exact_groups in r4 (same
 # documents scan, same digest exchange; novel == (n_corpus = 0)).  The
 # two-table dedup_against operator it demonstrated remains covered by
-# tests/test_scale_dedup.py.
+# tests/test_scale_dedup.py and is the exactness anchor for
+# dedup_bloom_novel below.
+
+
+@register(
+    "dedup_bloom_novel",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS bk
+      FROM documents
+    ),
+    corpus AS (SELECT DISTINCT md5(text) AS digest FROM b WHERE bk < 80),
+    inc AS (SELECT doc_id, text FROM b WHERE bk >= 80)
+    SELECT i.doc_id, length(i.text) AS n_chars
+    FROM inc i
+    WHERE md5(i.text) NOT IN (SELECT digest FROM corpus)
+    """,
+    doc="Incremental dedup via a Bloom prefilter: the corpus reduces "
+    "once to a 2^17-bit bloom (map-side-combined bit_or word partials "
+    "— shuffle O(words × partitions), never O(corpus)); incoming rows "
+    "failing any probe are definitely-novel and skip the join "
+    "entirely; only the might-contain sliver pays the exact anti-join "
+    "that kills false positives.  Output is therefore the EXACT novel "
+    "set — same oracle as the plain anti-join form it replaces, "
+    "pinned equal to dedup_against in pytest.  Tier 2: yields its "
+    "driver-window slot; parity via pytest oracle suite + driver-sim.",
+    tags=("dedup", "scale"),
+    bench=True,
+    tier=2,
+)
+def dedup_bloom_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.dedup import bloom_novel
+    from yodel_etl_spark.scale.sampling import hash_split
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    split = hash_split(docs, "doc_id")
+    corpus = split.where(F.col("split") == "train")
+    incoming = split.where(F.col("split") != "train").select("doc_id", "text")
+    novel = bloom_novel(corpus, incoming, "doc_id", "text")
+    return novel.select("doc_id", F.length("text").cast("long").alias("n_chars"))

@@ -395,3 +395,112 @@ def simhash_pairs(
     dist = cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
     out = dist.where(F.col("hamming") <= max_distance).select("doc_a", "doc_b", "hamming")
     return register_persisted(out, sims)
+
+
+# ---------------------------------------------------------- bloom filter
+def bloom_build(keys: DataFrame, key_col: str, m_bits: int = 1 << 17, k: int = 5) -> DataFrame:
+    """Distributed Bloom filter over a key column, as ONE dense row.
+
+    Build: every key explodes into ``k`` probe positions
+    (``pmod(xxhash64(key, i), m)``); positions reduce to 64-bit words
+    via a ``bit_or`` aggregation.  bit_or is associative, so the map
+    side combines each partition down to at most ``m/64`` word rows
+    before the exchange — shuffle volume is O(words × partitions)
+    regardless of corpus size, the textbook mergeable-sketch posture
+    (Spark's own runtime bloom joins build theirs the same way).  The
+    word rows then densify into a single array<long> row (zero-filled
+    missing words) ready to broadcast into a probe plan.
+
+    Returns a 1-row DataFrame ``(bloom: array<long>, m_bits: int,
+    k: int)``.
+    """
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    n_words = m_bits // 64
+    pos = (
+        keys.select(F.col(key_col).alias("_k"))
+        .select(
+            F.explode(
+                F.array(*[F.pmod(F.xxhash64("_k", F.lit(i)), F.lit(m_bits)) for i in range(k)])
+            ).alias("pos")
+        )
+    )
+    words = pos.select(
+        (F.col("pos") / 64).cast("int").alias("word"),
+        # F.shiftleft takes only a literal shift — the SQL form accepts a column
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("mask"),
+    ).groupBy("word").agg(F.bit_or("mask").alias("bits"))
+    dense = words.agg(
+        F.map_from_arrays(F.collect_list("word"), F.collect_list("bits")).alias("_m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda w: F.coalesce(F.element_at("_m", w), F.lit(0).cast("long")),
+        ).alias("bloom"),
+        F.lit(m_bits).alias("m_bits"),
+        F.lit(k).alias("k"),
+    )
+    return dense
+
+
+def bloom_might_contain(df: DataFrame, key_col: str, bloom: DataFrame, m_bits: int, k: int, out_col: str = "maybe_seen") -> DataFrame:
+    """Tag each row with the Bloom membership verdict for ``key_col``.
+
+    The 1-row bloom joins in via broadcast crossJoin (an array<long> of
+    m/64 words — 16 KiB at the default size); the k probe checks are
+    row-local codegen expressions, so the probe side adds NO shuffle
+    and no Python.  False positives possible (hence *maybe*), false
+    negatives impossible."""
+    hit = None
+    for i in range(k):
+        # Column-valued shift needs the SQL shiftleft (F.shiftleft only
+        # takes a literal shift amount)
+        h = (
+            F.expr(
+                f"element_at(bloom, CAST(pmod(xxhash64({key_col}, {i}), {m_bits}) / 64 AS INT) + 1)"
+                f" & shiftleft(CAST(1 AS BIGINT),"
+                f"             CAST(pmod(xxhash64({key_col}, {i}), {m_bits}) % 64 AS INT))"
+            )
+            != 0
+        )
+        hit = h if hit is None else (hit & h)
+    return (
+        df.crossJoin(F.broadcast(bloom.select("bloom")))
+        .withColumn(out_col, hit)
+        .drop("bloom")
+    )
+
+
+def bloom_novel(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    m_bits: int = 1 << 17,
+    k: int = 5,
+) -> DataFrame:
+    """Incremental exact dedup with a Bloom prefilter — same result as
+    :func:`dedup_against` (exact novel set), different scale shape.
+
+    ``dedup_against`` anti-joins EVERY incoming digest against the
+    distinct corpus digests — at 100 TB that shuffles the full
+    incoming digest set plus the (semi-join-pruned) corpus side every
+    ingest.  Here the corpus reduces once to a Bloom bitmap (m/64
+    longs, built with map-side-combined bit_or partials), incoming
+    rows failing ANY probe are *definitely novel* and never shuffle at
+    all, and only the might-contain sliver (true dupes + ~FP-rate of
+    the novel) pays the exact anti-join that removes false positives.
+    With the default 2^17 bits / k=5 the FP rate at 10k corpus keys is
+    ~1e-5; callers size ``m_bits`` to the corpus (the partial-agg
+    build holds for any size).  Exactness: bloom negatives cannot be
+    corpus members (no false negatives), and candidates are verified
+    exactly — so output == dedup_against output, row for row.
+    """
+    seen = corpus.select(F.md5(F.col(text_col)).alias("digest")).distinct()
+    bloom = bloom_build(seen, "digest", m_bits=m_bits, k=k)
+    inc = incoming.withColumn("digest", F.md5(F.col(text_col)))
+    tagged = bloom_might_contain(inc, "digest", bloom, m_bits=m_bits, k=k)
+    definite = tagged.where(~F.col("maybe_seen"))
+    candidates = tagged.where(F.col("maybe_seen"))
+    verified = candidates.join(seen, "digest", "left_anti")
+    return definite.unionByName(verified).drop("digest", "maybe_seen")
