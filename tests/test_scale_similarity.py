@@ -53,3 +53,46 @@ def test_embedding_near_dup_lsh_exact_equivalence(spark, sf_small):
     # the harness planted one twin per 10th vector — result is non-vacuous
     n_twins = corpus.where("vec_id >= 1000000").count()
     assert len(lsh) == n_twins > 0
+
+
+def test_semantic_dedup_precision_and_recall(spark, sf_small):
+    """SemDeDup verdicts vs the clustering-free brute-force truth:
+    precision 1 (every dropped id really has a >= theta partner with a
+    smaller id) and the only misses are cross-cluster pairs — the
+    documented SemDeDup trade-off, bounded here on the planted corpus."""
+    from yodel_etl_spark.queries.scale_dedup import _with_planted_twins
+    from yodel_etl_spark.scale.similarity import kmeans_assign, semantic_dedup
+
+    emb = spread(load_tables(spark, sf_small, ("embeddings",))["embeddings"])
+    corpus = _with_planted_twins(emb)
+    brute = cosine_pairs(corpus, "vec_id", "embedding", 0.9).collect()
+    true_dups = {r["id_b"] for r in brute}  # larger id of every pair
+    verdict = {r["id"]: r for r in semantic_dedup(corpus, "vec_id", "embedding").collect()}
+    dropped = {i for i, r in verdict.items() if not r["kept"]}
+    # precision 1: a dropped id is always a genuine near-dup
+    assert dropped <= true_dups
+    # misses are exactly the pairs whose members landed in different
+    # clusters (assignment is deterministic, so recompute and check)
+    cl = {r["id"]: r["cluster_id"] for r in
+          kmeans_assign(corpus, "vec_id", "embedding", 8).collect()}
+    same_cluster = {r["id_b"] for r in brute if cl[r["id_a"]] == cl[r["id_b"]]}
+    assert dropped == same_cluster
+    # and the clustering actually catches the bulk of the planted twins
+    if true_dups:
+        assert len(dropped) / len(true_dups) >= 0.8
+
+
+def test_semantic_dedup_releases_cache(spark, sf_small):
+    """The persisted assignment table is registered on the result so
+    release() frees it — no cache leak across operator calls."""
+    from yodel_etl_spark.queries.scale_dedup import _with_planted_twins
+    from yodel_etl_spark.scale.similarity import semantic_dedup
+    from yodel_etl_spark.session import release
+
+    emb = spread(load_tables(spark, sf_small, ("embeddings",))["embeddings"])
+    out = semantic_dedup(_with_planted_twins(emb), "vec_id", "embedding")
+    out.count()
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert before > 0
+    release(out)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() < before

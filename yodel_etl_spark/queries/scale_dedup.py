@@ -240,6 +240,76 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_semantic",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    t AS (
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(range(1, len(embedding) + 1),
+               i -> 0.98 * CAST(embedding[i] AS DOUBLE)
+                    + 0.02 * CAST(embedding[(i % len(embedding)) + 1] AS DOUBLE))
+               AS embedding
+      FROM e WHERE vec_id % 10 = 0
+    ),
+    u AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM e
+      UNION ALL SELECT * FROM t
+    ),
+    seeds AS (
+      SELECT vec_id AS seed_id, embedding AS seed_vec
+      FROM u ORDER BY vec_id LIMIT 8
+    ),
+    a AS (
+      SELECT u.vec_id, u.embedding, s.seed_id,
+             list_sum(list_transform(range(1, len(u.embedding) + 1),
+               i -> (u.embedding[i] - s.seed_vec[i])
+                  * (u.embedding[i] - s.seed_vec[i]))) AS d2
+      FROM u CROSS JOIN seeds s
+    ),
+    best AS (
+      SELECT vec_id, embedding, seed_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) AS rn
+      FROM a
+    ),
+    v AS (
+      SELECT vec_id AS id, embedding AS vec, seed_id AS cluster_id,
+             sqrt(list_sum(list_transform(embedding, x -> x * x))) AS nrm
+      FROM best WHERE rn = 1
+    ),
+    p AS (
+      SELECT DISTINCT y.id AS dup_id
+      FROM v x JOIN v y ON x.cluster_id = y.cluster_id AND x.id < y.id
+      WHERE list_sum(list_transform(range(1, len(x.vec) + 1),
+              i -> x.vec[i] * y.vec[i])) / (x.nrm * y.nrm) >= 0.9
+    )
+    SELECT v.id, v.cluster_id,
+           (v.id NOT IN (SELECT dup_id FROM p)) AS kept
+    FROM v
+    """,
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023, public "
+    "paper) on the twin-planted embedding corpus: shuffle-free k-means "
+    "assignment (broadcast seeds), then cosine pairs ONLY within a "
+    "cluster — Σ|cluster|² work instead of n², with cluster count the "
+    "scale knob — and greedy min-id retention.  Every vector gets a "
+    "(id, cluster_id, kept) verdict; the planted twins (cos ≈ 0.9998 "
+    "vs their originals) are exactly the dropped set whenever the "
+    "twin lands in its original's cluster — asserted against the "
+    "clustering-free LSH ground truth in pytest.  Tier 2: yields its "
+    "driver-window slot; parity via pytest oracle suite + driver-sim.",
+    tags=("dedup", "similarity", "scale"),
+    bench=True,
+    tier=2,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.similarity import semantic_dedup
+
+    emb = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
+    corpus = _with_planted_twins(emb)
+    return semantic_dedup(corpus, "vec_id", "embedding", threshold=0.9, k=8)
+
+
+@register(
     "dedup_clusters",
     oracle=None,  # transitive closure — not single-statement SQL; pytest
     # pins parity against a union-find oracle on the (separately

@@ -385,3 +385,65 @@ def embedding_centroids(
             F.count(F.lit(1)).alias("n_members"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    k: int = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 —
+    public paper): cluster embeddings, then compare pairs ONLY within
+    a cluster and greedily drop the larger-id member of every pair with
+    cosine ≥ ``threshold``.
+
+    Returns a per-vector verdict ``(id, cluster_id, kept)``.
+
+    Scale shape: this is the practical answer to "near-dup detection
+    needs all-pairs cosine" — clustering first makes the pair space
+    Σ|cluster|² instead of n², and the cluster count is the knob that
+    bounds it (SemDeDup runs k ≈ 100k on web-scale corpora so clusters
+    stay ~thousands).  Assignment is the shuffle-free broadcast-seed
+    argmin of :func:`kmeans_assign`; the pair join shuffles each
+    vector ONCE keyed by cluster_id (assignment output persisted so
+    the self-join's two sides reuse it rather than recompute); a
+    pathologically hot cluster is the skew case — mitigate with larger
+    k or an in-cluster LSH band key, exactly like the salted-join
+    rewrite in scale/skew.py.  Greedy min-id retention (not transitive
+    closure): every pair drops its larger id, so chains keep only
+    their smallest member — deterministic, oracle-expressible, and the
+    semantics SemDeDup's per-cluster pruning uses.
+    """
+    assigned = kmeans_assign(df, id_col, vec_col, k)
+    v = assigned.select(
+        "id", "cluster_id", "vec", norm(F.col("vec")).alias("nrm")
+    ).persist()
+    x = v.select(
+        F.col("id").alias("_xa"),
+        F.col("cluster_id").alias("cluster_id"),
+        F.col("vec").alias("_va"),
+        F.col("nrm").alias("_na"),
+    )
+    y = v.select(
+        F.col("id").alias("_xb"),
+        F.col("cluster_id").alias("cluster_id"),
+        F.col("vec").alias("_vb"),
+        F.col("nrm").alias("_nb"),
+    )
+    dup_ids = (
+        x.join(y, "cluster_id")
+        .where(F.col("_xa") < F.col("_xb"))
+        .where(dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")) >= threshold)
+        .select(F.col("_xb").alias("id"))
+        .distinct()
+    )
+    verdict = (
+        v.select("id", "cluster_id")
+        .join(dup_ids.withColumn("_dup", F.lit(True)), "id", "left")
+        .select("id", "cluster_id", F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"))
+    )
+    from yodel_etl_spark.session import register_persisted
+
+    return register_persisted(verdict, v)
