@@ -81,6 +81,33 @@ def similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_topk_pq",
+    oracle=None,  # ADC scores are PQ-approximate by design — recall
+    # and determinism pinned in tests/test_pq.py against exact L2
+    doc="Product-quantization ANN (Jégou et al. 2011, public paper): "
+    "4 subspaces × 16 codes trained with one deterministic Lloyd step "
+    "(exact-integer means), corpus encoded to 4 small codes per "
+    "vector (16× index compression at dim 64), queries answered by "
+    "asymmetric distance — an m × kc LUT per query broadcast with the "
+    "query batch, every candidate scored as m array lookups instead "
+    "of a dim-length dot product — then the ADC shortlist (10·topk "
+    "per query) exact-L2 re-ranked, the standard production PQ "
+    "pipeline (recall@5 0.74 on the isotropic corpus, pinned in "
+    "tests/test_pq.py).  The codebook/update shuffles only m·kc·dsub "
+    "partial rows; encode and scoring are narrow maps; the exact pass "
+    "touches only shortlist survivors.  The billion-vector-index "
+    "answer ANN needs when raw vectors no longer fit the cluster.",
+    tags=("similarity", "scale"),
+    bench=True,
+)
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.similarity import pq_topk
+
+    emb = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
+    return pq_topk(emb, "vec_id", "embedding", F.col("id") < 10, topk=5, m=4, kc=16)
+
+
+@register(
     "embedding_centroids",
     oracle="""
     WITH seeds AS (

@@ -447,3 +447,243 @@ def semantic_dedup(
     from yodel_etl_spark.session import register_persisted
 
     return register_persisted(verdict, v)
+
+
+# ---------------------------------------------------- product quantization
+def _sub(vec: Column, j: Column | int, dsub: Column) -> Column:
+    """Subvector ``j`` (0-based) of ``vec``: elements [j·dsub+1, (j+1)·dsub]."""
+    return F.slice(vec, (F.lit(j) * dsub + 1).cast("int"), dsub.cast("int"))
+
+
+def _d2(a: Column, b: Column) -> Column:
+    """Squared L2 between two equal-length arrays — index-order fold,
+    bit-identical across runs (same pattern as kmeans_assign)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def pq_codebook(df: DataFrame, id_col: str, vec_col: str, m: int = 4, kc: int = 16) -> DataFrame:
+    """Train product-quantization codebooks (Jégou et al. 2011, public
+    paper): split each vector into ``m`` subspaces and learn ``kc``
+    centroids per subspace with one deterministic Lloyd step (seed
+    subvectors = the ``kc`` smallest-id vectors, exact-integer means —
+    same determinism recipe as :func:`embedding_centroids`).
+
+    Returns ONE row ``(codebook: array<array<array<double>>>, m, kc)``
+    — an m × kc × (dim/m) nest small enough to broadcast (m·kc·dsub
+    doubles; 4·16·16 = 4 KiB at dim 64), built entirely with
+    map-side-combined aggregates: the update shuffles (subspace, code,
+    pos, scaled-long) partials capped at m·kc·dsub rows per executor,
+    never vectors.  A code cell that loses every member to a duplicate
+    seed keeps its seed subvector (left-join coalesce), so the
+    codebook is always dense."""
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    dsub = (F.size("vec") / m).cast("int")
+    seeds = v.orderBy("id").limit(kc).select(
+        F.col("id").alias("seed_ord"), F.col("vec").alias("seed_vec")
+    )
+    # per-subspace seed subvectors, re-keyed 0..kc-1 by seed id order
+    seed_sub = (
+        seeds.withColumn(
+            "c",
+            F.row_number().over(Window.orderBy("seed_ord")) - 1,
+        )
+        .select(
+            "c",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda j: F.struct(
+                        j.alias("j"),
+                        _sub(F.col("seed_vec"), j, (F.size("seed_vec") / m).cast("int")).alias(
+                            "svec"
+                        ),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select(F.col("e.j").alias("j"), "c", F.col("e.svec").alias("svec"))
+    )
+    seed_arr = seed_sub.groupBy("j").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("c", "svec"))), lambda s: s["svec"]
+        ).alias("book0")
+    )
+    books0 = seed_arr.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("j", "book0"))), lambda s: s["book0"]
+        ).alias("codebook0")
+    )
+    # one Lloyd step: assign every subvector to its nearest seed code
+    sub_rows = (
+        v.crossJoin(F.broadcast(books0))
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda j: F.struct(
+                        j.alias("j"), _sub(F.col("vec"), j, dsub).alias("svec")
+                    ),
+                )
+            ).alias("e"),
+            "codebook0",
+        )
+        .select(
+            F.col("e.j").alias("j"),
+            F.col("e.svec").alias("svec"),
+            F.element_at("codebook0", F.col("e.j") + 1).alias("book0"),
+        )
+        .withColumn(
+            "c",
+            F.array_min(
+                F.transform(
+                    F.col("book0"),
+                    lambda cv, i: F.struct(_d2(F.col("svec"), cv).alias("d2"), (i).alias("c")),
+                )
+            )["c"],
+        )
+    )
+    scale = 10**7
+    upd = (
+        sub_rows.select("j", "c", F.posexplode("svec").alias("pos", "x"))
+        .groupBy("j", "c", "pos")
+        .agg(
+            (
+                F.sum(F.round(F.col("x").cast("double") * scale).cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(float(scale))
+            ).alias("val")
+        )
+    )
+    cent = upd.groupBy("j", "c").agg(
+        F.transform(F.sort_array(F.collect_list(F.struct("pos", "val"))), lambda s: s["val"]).alias(
+            "cvec"
+        )
+    )
+    dense = (
+        seed_sub.join(cent, ["j", "c"], "left")
+        .select("j", "c", F.coalesce("cvec", F.col("svec")).alias("cvec"))
+    )
+    books = dense.groupBy("j").agg(
+        F.transform(F.sort_array(F.collect_list(F.struct("c", "cvec"))), lambda s: s["cvec"]).alias(
+            "book"
+        )
+    )
+    return books.agg(
+        F.transform(F.sort_array(F.collect_list(F.struct("j", "book"))), lambda s: s["book"]).alias(
+            "codebook"
+        ),
+        F.lit(m).alias("m"),
+        F.lit(kc).alias("kc"),
+    )
+
+
+def pq_encode(df: DataFrame, id_col: str, vec_col: str, codebook: DataFrame, m: int) -> DataFrame:
+    """Encode every vector as ``m`` small codes (argmin code per
+    subspace against the broadcast codebook).  Narrow map — zero
+    shuffle; at 100 TB this is the point of PQ: the corpus index
+    stores m bytes per vector instead of dim floats (dim·4/m ×
+    compression), and encode runs once, streamed."""
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    dsub = (F.size("vec") / m).cast("int")
+    return (
+        v.crossJoin(F.broadcast(codebook.select("codebook")))
+        .select(
+            "id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.array_min(
+                    F.transform(
+                        F.element_at("codebook", j + 1),
+                        lambda cv, i: F.struct(
+                            _d2(_sub(F.col("vec"), j, dsub), cv).alias("d2"), i.alias("c")
+                        ),
+                    )
+                )["c"],
+            ).alias("codes"),
+        )
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: Column,
+    topk: int = 5,
+    m: int = 4,
+    kc: int = 16,
+    rerank: int = 10,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC) with
+    exact re-ranking: each query precomputes an m × kc lookup table of
+    subspace distances to every code centroid, every encoded corpus
+    vector scores as m table lookups — O(m) per (query, candidate)
+    instead of O(dim), on an index 1/(dim·4/m) the size of the raw
+    vectors — and the ADC shortlist (``rerank``·topk candidates per
+    query) is re-scored with exact L2 on the raw vectors before the
+    final cut.  This is the standard production PQ pipeline (shortlist
+    from the compressed index, rerank the few survivors): the exact
+    pass touches only rerank·topk·|queries| vectors, so the 100 TB
+    cost stays the O(m)-per-candidate scan.  Queries (and their 4 KiB
+    LUTs) broadcast; the corpus side is a narrow scan of (id, codes);
+    ranking is deterministic by (rounded distance asc, id).  Recall vs
+    exact L2 is measured in tests — raw-ADC recall on an isotropic
+    corpus is inherently modest (distances concentrate; real embedding
+    corpora cluster), which is exactly why the rerank stage exists.
+    Set ``rerank=1`` for pure-ADC behavior."""
+    cb = pq_codebook(df, id_col, vec_col, m=m, kc=kc)
+    enc = pq_encode(df, id_col, vec_col, cb, m=m)
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    dsub = (F.size("vec") / m).cast("int")
+    qlut = (
+        v.where(query_ids)
+        .crossJoin(F.broadcast(cb.select("codebook")))
+        .select(
+            F.col("id").alias("query_id"),
+            F.transform(
+                F.col("codebook"),
+                lambda book, j: F.transform(book, lambda cv: _d2(_sub(F.col("vec"), j, dsub), cv)),
+            ).alias("lut"),
+        )
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(qlut))
+        .where(F.col("id") != F.col("query_id"))
+        .withColumn(
+            "adc",
+            F.aggregate(
+                F.zip_with(
+                    F.col("lut"), F.col("codes"), lambda l, c: F.element_at(l, c + 1)
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+        )
+        .withColumn("adc_r", F.round("adc", 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_r").asc(), F.col("id"))
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk * rerank)
+        .select("query_id", "id")
+    )
+    # exact re-rank: raw vectors join back for the shortlist only
+    # (rerank·topk rows per query), queries re-broadcast with vectors
+    qv = v.where(query_ids).select(F.col("id").alias("query_id"), F.col("vec").alias("qv"))
+    exact = (
+        shortlist.join(v, "id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("d2_r", F.round(_d2(F.col("vec"), F.col("qv")), 6))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("d2_r").asc(), F.col("id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= topk)
+        .select("query_id", F.col("id").alias("neighbor_id"), "rank", "d2_r")
+    )
