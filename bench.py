@@ -88,6 +88,12 @@ def main() -> int:
             spark.catalog.clearCache()
     timings = {n: round(min(s), 3) for n, s in samples.items()}
     medians = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    # stdout carries per-query mins at TWO decimals: 10 ms precision is
+    # already below cross-run noise on this shared host, and the saved
+    # char/query keeps the one-line record inside the driver's 2,000-char
+    # tail window as the registry grows (full 3-decimal values stay on
+    # stderr in the VERBOSE record)
+    timings2 = {n: round(v, 2) for n, v in timings.items()}
     for name in names:
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
     total = round(time.perf_counter() - t_total0, 2)
@@ -101,6 +107,7 @@ def main() -> int:
         "VERBOSE "
         + json.dumps(
             {
+                "queries_min": timings,
                 "queries_median": medians,
                 "runs_per_query": RUNS,
                 "value_median": round(sum(medians.values()), 3),
@@ -118,16 +125,16 @@ def main() -> int:
     # own contention gauge (clean window ≈ 0.10-0.15 s; the contended r3
     # window showed 0.25/0.21 s — BASELINE.md documents the steady state).
     controls = {
-        n: timings[n]
+        n: timings2[n]
         for n in ("top_events_global", "text_fingerprint")
-        if n in timings
+        if n in timings2
     }
     print(
         json.dumps(
             {
                 "metric": "sum_of_min_query_sec",
                 "unit": "sec",
-                "queries": timings,
+                "queries": timings2,
                 "value": round(sum(timings.values()), 3),
                 "value_median": round(sum(medians.values()), 3),
                 "n_queries": len(timings),

@@ -64,7 +64,9 @@ def test_bench_full_line_fits_driver_tail_window():
     mock = {
         "metric": "sum_of_min_query_sec",
         "unit": "sec",
-        "queries": {n: 12.345 for n in names},  # pessimistic 5-sig-digit widths
+        # per-query stdout values are 2-decimal (bench.py timings2):
+        # pessimistic width is a two-digit-integer-part value
+        "queries": {n: 12.34 for n in names},
         "value": 1234.567,
         "value_median": 1234.567,
         "n_queries": len(names),

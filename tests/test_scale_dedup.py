@@ -46,3 +46,28 @@ def test_release_frees_operator_caches(spark, sf_small):
     release(pairs)
     assert cm.isEmpty()
     release(pairs)  # idempotent
+
+
+def test_span_scrub_golden(spark):
+    """Hand-computed fixture: a 3-token span shared by two docs survives
+    only in the min-id keeper; within-doc repeats are untouched; clean
+    docs come back byte-identical; row count is preserved."""
+    from yodel_etl_spark.scale.dedup import span_scrub
+    from yodel_etl_spark.session import release
+
+    rows = [
+        (1, "a b c x y z"),          # keeper of "a b c"
+        (2, "a b c q r s"),          # loses "a b c"
+        (3, "q r s q r s"),          # within-doc repeat only -> kept whole
+        (4, "lone words here"),      # clean
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = span_scrub(docs, "doc_id", "text", w=3)
+    got = {r["doc_id"]: (r["n_segs"], r["n_dropped"], r["text_clean"]) for r in out.collect()}
+    release(out)
+    # doc 2's "q r s" span also occurs in doc 3 (twice); keeper is doc 2
+    assert got[1] == (2, 0, "a b c x y z")
+    assert got[2] == (2, 1, "q r s")
+    assert got[3] == (2, 2, "")
+    assert got[4] == (1, 0, "lone words here")
+    assert set(got) == {1, 2, 3, 4}

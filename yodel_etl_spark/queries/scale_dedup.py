@@ -379,3 +379,51 @@ def dedup_bloom_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = split.where(F.col("split") != "train").select("doc_id", "text")
     novel = bloom_novel(corpus, incoming, "doc_id", "text")
     return novel.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+
+
+@register(
+    "dedup_span_scrub",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), seg AS (
+      SELECT doc_id,
+             unnest(range(CAST(ceil(len(tk) / 3.0) AS BIGINT))) AS seg,
+             unnest(list_transform(range(CAST(ceil(len(tk) / 3.0) AS BIGINT)),
+                    s -> array_to_string(tk[s * 3 + 1 : s * 3 + 3], ' '))) AS seg_text
+      FROM base
+    ), hashed AS (
+      SELECT doc_id, seg, seg_text, md5(seg_text) AS h FROM seg
+    ), stats AS (
+      SELECT h, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper
+      FROM hashed GROUP BY h
+    ), verdict AS (
+      SELECT x.doc_id, x.seg, x.seg_text,
+             (t.n_docs > 1 AND x.doc_id <> t.keeper) AS dropped
+      FROM hashed x JOIN stats t USING (h)
+    )
+    SELECT b.doc_id,
+           CAST(ceil(len(b.tk) / 3.0) AS BIGINT) AS n_segs,
+           CAST(sum(CASE WHEN v.dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           coalesce(string_agg(CASE WHEN v.dropped THEN NULL ELSE v.seg_text END,
+                               ' ' ORDER BY v.seg), '') AS text_clean
+    FROM base b JOIN verdict v USING (doc_id)
+    GROUP BY b.doc_id, len(b.tk)
+    """,
+    doc="C4-style duplicated-span scrub (Raffel et al. 2020 §2.2, at "
+    "w=3-token granularity): a span occurring in >1 document survives "
+    "only in its min-id keeper doc; every doc row comes back with "
+    "rebuilt text + n_segs/n_dropped accounting.  The only data-sized "
+    "shuffle is the (md5, id) frequency count — clean text never moves; "
+    "the rebuild is an index-aware filter lambda over the original "
+    "token array against tiny broadcast drop lists.  Tier 2: yields its "
+    "driver-window slot; parity via pytest oracle suite + driver-sim.",
+    tags=("dedup", "scale", "text"),
+    bench=True,
+    tier=2,
+)
+def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.dedup import span_scrub
+
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    return span_scrub(docs, "doc_id", "text", w=3)

@@ -504,3 +504,78 @@ def bloom_novel(
     candidates = tagged.where(F.col("maybe_seen"))
     verified = candidates.join(seen, "digest", "left_anti")
     return definite.unionByName(verified).drop("digest", "maybe_seen")
+
+
+# ------------------------------------------------------- span scrub (C4)
+def span_scrub(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 3,
+) -> DataFrame:
+    """Cross-document duplicated-span removal, the C4 move ("we removed
+    any [span] that occurred more than once in the data set" — Raffel et
+    al. 2020 §2.2 do it at three-sentence granularity; here the unit is
+    a non-overlapping ``w``-token window, the natural analogue for text
+    without sentence boundaries).  A span whose exact text occurs in
+    more than one document survives only in its keeper (min-id) doc and
+    is cut everywhere else; per-doc output is the rebuilt text plus
+    ``n_segs``/``n_dropped`` accounting, one row per input row.
+
+    Scale shape — clean text never shuffles:
+      * segmentation is a narrow higher-order projection (no explode of
+        the text past its own stage): ``transform(sequence(...))`` over
+        the staged token array;
+      * the frequency count shuffles ONLY (md5, id) pairs — fixed-width
+        digests, never span text;
+      * the decision join keyed on the digest yields just the *dropped*
+        (id, seg) coordinates — rare by construction — which group into
+        tiny per-doc drop lists;
+      * the rebuild joins docs against those drop lists (AQE broadcasts
+        the small side) and cuts spans with an index-aware ``filter``
+        lambda — a second narrow pass over the original text.
+    So the only data-sized shuffle in the plan is the digest count, the
+    same irreducible exchange exact dedup pays.
+    """
+    tk = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        tk.alias("_tk"),
+        F.ceil(F.size(tk) / F.lit(w)).cast("int").alias("_nseg"),
+    )
+    seg_texts = F.transform(
+        F.sequence(F.lit(0), F.col("_nseg") - 1),
+        lambda s: F.array_join(F.slice(F.col("_tk"), s * w + 1, w), " "),
+    )
+    ex = base.select(
+        F.col(id_col),
+        F.posexplode(seg_texts).alias("seg", "_seg_text"),
+    ).select(id_col, "seg", F.md5("_seg_text").alias("h"))
+    ex = ex.persist()
+    stats = ex.groupBy("h").agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+        F.min(id_col).alias("keeper"),
+    )
+    drops = (
+        ex.join(stats, "h")
+        .where((F.col("n_docs") > 1) & (F.col(id_col) != F.col("keeper")))
+        .select(id_col, "seg")
+    )
+    drop_sets = drops.groupBy(id_col).agg(F.collect_set("seg").alias("_drop"))
+    rebuilt = base.join(drop_sets, id_col, "left").select(
+        F.col(id_col),
+        F.col("_nseg").cast("long").alias("n_segs"),
+        F.coalesce(F.size("_drop"), F.lit(0)).cast("long").alias("n_dropped"),
+        F.array_join(
+            F.filter(
+                seg_texts,
+                lambda x, i: ~F.coalesce(
+                    F.array_contains(F.coalesce(F.col("_drop"), F.array().cast("array<int>")), i.cast("int")),
+                    F.lit(False),
+                ),
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    return register_persisted(rebuilt, ex)
