@@ -118,9 +118,9 @@ def main() -> int:
     # The ONE stdout JSON line, compact separators, big dict FIRST and
     # every scalar aggregate LAST: if future query additions ever push
     # the line past the driver's 2,000-char tail window again, the tail
-    # still ends ...,"value":X,"value_median":Y,"n_queries":N,
-    # "controls":{...},"sf":Z} — the judge-readable headline survives
-    # even when the full-line parse cannot.  "controls" repeats the mins
+    # still ends ...,"value":X,"med":Y,"nq":N,"controls":{...},"sf":Z}
+    # — the judge-readable headline survives even when the full-line
+    # parse cannot.  "controls" repeats the mins
     # of two stable ~0.1 s queries so every archived record carries its
     # own contention gauge (clean window ≈ 0.10-0.15 s; the contended r3
     # window showed 0.25/0.21 s — BASELINE.md documents the steady state).
@@ -136,9 +136,13 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings2,
                 "value": round(sum(timings.values()), 3),
-                "value_median": round(sum(medians.values()), 3),
-                "n_queries": len(timings),
-                "wall_sec": total,
+                # short keys on purpose: med = sum of per-query medians,
+                # nq = query count, wall = harness wall-clock sec — every
+                # byte here trades against registry growth inside the
+                # driver's 2,000-char tail window (see BASELINE.md)
+                "med": round(sum(medians.values()), 3),
+                "nq": len(timings),
+                "wall": total,
                 "controls": controls,
                 "sf": _sf_from_dir(SF_DIR),
             },

@@ -34,8 +34,8 @@ def test_bench_emits_valid_json_line():
     assert rec["metric"] == "sum_of_min_query_sec"
     assert set(rec["queries"]) == {"top_events_global", "distinct_counts"}
     assert rec["sf"] == 0.001
-    assert rec["n_queries"] == 2
-    assert rec["value"] > 0 and rec["wall_sec"] > 0
+    assert rec["nq"] == 2
+    assert rec["value"] > 0 and rec["wall"] > 0 and rec["med"] > 0
     # contention gauge rides in the headline (only registered controls
     # present in this filtered run)
     assert rec["controls"] == {"top_events_global": rec["queries"]["top_events_global"]}
@@ -68,14 +68,16 @@ def test_bench_full_line_fits_driver_tail_window():
         # pessimistic width is a two-digit-integer-part value
         "queries": {n: 12.34 for n in names},
         "value": 1234.567,
-        "value_median": 1234.567,
-        "n_queries": len(names),
-        "wall_sec": 12345.67,
-        "controls": {"top_events_global": 12.345, "text_fingerprint": 12.345},
+        "med": 1234.567,
+        "nq": len(names),
+        "wall": 12345.67,
+        "controls": {"top_events_global": 12.34, "text_fingerprint": 12.34},
         "sf": 0.001,
     }
     line = json.dumps(mock, separators=(",", ":"))
-    assert len(line) <= 1960, (
+    # 2,000-char window minus the trailing newline and a scalar-width
+    # margin; r3's artifact shows the capture is stdout-only
+    assert len(line) <= 1985, (
         f"bench stdout line projects to {len(line)} chars; the driver tail "
         "window is 2,000 — shorten query names or trim headline keys"
     )

@@ -98,3 +98,30 @@ def test_embedding_cosine_dedup_is_lsh_not_broadcast_brute(spark, sf_small):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     # the candidate generator is an equi self-join on (block, key)
     assert re.search(r"(HashJoin|SortMergeJoin) \[block#\d+, key#\d+L?\]", plan), plan
+
+
+def test_span_scrub_shuffles_digests_not_text(spark, sf_small):
+    """The span scrub's exchanges must be keyed on the md5 digest and
+    the doc id — the decision join broadcasts only dup hashes and the
+    rebuild join broadcasts only per-doc drop lists.  A regression that
+    joins span TEXT (or plans a nested-loop) fails here."""
+    import re
+
+    q = load_all()["dedup_span_scrub"].build(spark, sf_small)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # decision join keyed on the digest; rebuild join keyed on the id
+    assert re.search(r"HashJoin \[h#\d+\]", plan), plan
+    assert re.search(r"HashJoin \[doc_id#\d+L\], \[doc_id#\d+L\], LeftOuter", plan), plan
+
+
+def test_domain_mix_prunes_scan_and_broadcasts_rates(spark, sf_small):
+    """The mixing filter's data path must stay narrow: the documents
+    scan reads only (doc_id, source) and the per-domain rates arrive by
+    broadcast — no data-sized exchange anywhere."""
+    q = load_all()["sample_domain_mix"].build(spark, sf_small)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,source:string>" in plan, plan
+    assert "CartesianProduct" not in plan, plan

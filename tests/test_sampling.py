@@ -68,3 +68,25 @@ def test_registered_sampling_queries_build(spark, sf_small):
     qs = load_all()
     for name in ("split_documents_counts", "events_type_profile"):
         assert qs[name].build(spark, sf_small).count() > 0
+
+
+def test_domain_mix_caps_rare_and_downsamples_big(spark):
+    """α=0.5 behavior on a skewed mix: the rare domain keeps every row
+    (rate capped at 10000 bp), the dominant domain lands near its
+    analytic rate, and the decision is deterministic across calls."""
+    from yodel_etl_spark.scale.sampling import domain_mix_resample
+
+    rows = [(i, "rare" if i < 16 else "big") for i in range(16 + 1600)]
+    df = spark.createDataFrame(rows, "k long, dom string")
+    out = domain_mix_resample(df, "k", "dom", budget_pct=50)
+    got = {r["dom"]: r["n"] for r in out.groupBy("dom").count().withColumnRenamed("count", "n").collect()}
+    rates = {r["dom"]: r["rate_bp"] for r in out.select("dom", "rate_bp").distinct().collect()}
+    # rare: w=4e6, big: w=40e6; W=44e6, N=1616
+    # rare rate = 5000*1616*4e6/(44e6*16) = 45,909bp -> capped 10000
+    assert rates["rare"] == 10000 and got["rare"] == 16
+    # big rate = 5000*1616*40e6/(44e6*1600) = 4590bp -> ~45.9% of 1600
+    assert rates["big"] == 4590
+    assert abs(got["big"] - 0.459 * 1600) < 0.05 * 1600
+    again = {r["dom"]: r["n"] for r in domain_mix_resample(df, "k", "dom", budget_pct=50)
+             .groupBy("dom").count().withColumnRenamed("count", "n").collect()}
+    assert again == got

@@ -161,3 +161,58 @@ def events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", F.date_trunc("day", F.col("ts"))
     )
     return hll_distinct_rollup(ev, ["event_type"], "user_id", "day")
+
+
+@register(
+    "sample_domain_mix",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN source IN ('src0','src1','src2','src3') THEN source
+                  ELSE 'rest' END AS domain
+      FROM documents
+    ), c AS (
+      SELECT domain, count(*) AS n_s FROM d GROUP BY domain
+    ), w AS (
+      SELECT domain, n_s,
+             CAST(floor(sqrt(CAST(n_s AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_s
+      FROM c
+    ), t AS (
+      SELECT sum(n_s) AS n_tot, sum(w_s) AS w_tot FROM w
+    ), r AS (
+      SELECT domain,
+             least(10000, CAST(floor(5000.0 * CAST(n_tot AS DOUBLE) * CAST(w_s AS DOUBLE)
+                   / (CAST(w_tot AS DOUBLE) * CAST(n_s AS DOUBLE))) AS BIGINT)) AS rate_bp
+      FROM w, t
+    )
+    SELECT d.doc_id, d.domain, r.rate_bp
+    FROM d JOIN r USING (domain)
+    WHERE CAST(('0x' || substr(md5(d.domain || '|' || CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+          % 10000 < r.rate_bp
+    """,
+    doc="Temperature-based domain mixing (α = 0.5 sampling of "
+    "multilingual BERT / mT5) on a deliberately skewed derived domain "
+    "(4 named sources vs a 16×-larger 'rest' pool): per-domain "
+    "keep-rates ∝ √n_s/n_s under a 50% token budget, so the rare "
+    "domains survive whole (rate caps at 1) while the dominant pool "
+    "downsamples ~3×.  Membership is a pure md5 lattice function of "
+    "(domain, key) — append-stable, shuffle-free on the data path "
+    "(domain stats are a broadcast 5-row aggregate) — and the oracle "
+    "checks the actual sampled membership row for row.  Tier 2: "
+    "yields its driver-window slot; parity via pytest oracle suite + "
+    "driver-sim.",
+    tags=("sampling", "scale"),
+    bench=True,
+    tier=2,
+)
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.sampling import domain_mix_resample
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    domain = F.when(
+        F.col("source").isin("src0", "src1", "src2", "src3"), F.col("source")
+    ).otherwise(F.lit("rest"))
+    d = docs.select("doc_id", domain.alias("domain"))
+    return domain_mix_resample(d, "doc_id", "domain", budget_pct=50).select(
+        "doc_id", "domain", "rate_bp"
+    )

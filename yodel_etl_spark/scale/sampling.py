@@ -83,3 +83,65 @@ def hash_split(
         hi += pct
         expr = F.when(b < hi, F.lit(label)) if expr is None else expr.when(b < hi, F.lit(label))
     return df.withColumn(split_col, expr)
+
+
+def domain_mix_resample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    budget_pct: int = 50,
+) -> DataFrame:
+    """Temperature-based domain rebalancing (the α-sampling of
+    multilingual BERT / mT5, α = 0.5): per-domain keep-rates
+    ∝ n_s^α / n_s, so over-represented domains downsample hard while
+    rare domains survive (rate capped at 1) — the standard pretraining
+    data-mixing stage, made deterministic.
+
+    rate_s = min(1, β·N·√n_s / (Σ_t √n_t · n_s)) with β = budget_pct %,
+    applied as ``hash_bucket(domain|key, 10000) < rate_bp`` — the same
+    append-stable md5 lattice as :func:`stratified_hash_sample`, so
+    membership is a pure function of the key and re-runs/appends never
+    reshuffle the sample.
+
+    Cross-engine exactness: weights are ``floor(√n_s · 10^6)`` — IEEE
+    sqrt is correctly rounded, so the floored integer weights (and
+    their integer sum) are bit-identical in Spark and DuckDB; the only
+    float division happens once per DOMAIN (not per row) and lands on
+    a 10^4 lattice.  Scale shape: the domain stats are a tiny
+    aggregate (one row per domain) broadcast back; the data path is a
+    narrow filter — no data-sized shuffle anywhere.  Domains with
+    α ≠ 0.5 would need pow(), which IEEE does not promise correctly
+    rounded — keep α = ½ for oracle-portable plans.
+    """
+    if not 0 <= budget_pct <= 100:
+        raise ValueError(f"budget_pct must be 0..100, got {budget_pct}")
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_s"))
+    w = counts.withColumn(
+        "w_s",
+        F.floor(F.sqrt(F.col("n_s").cast("double")) * F.lit(1000000.0)).cast("long"),
+    )
+    tot = w.agg(
+        F.sum("n_s").alias("n_tot"),
+        F.sum("w_s").alias("w_tot"),
+    )
+    rates = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "rate_bp",
+            F.least(
+                F.lit(10000).cast("long"),
+                F.floor(
+                    F.lit(float(budget_pct * 100))
+                    * F.col("n_tot").cast("double")
+                    * F.col("w_s").cast("double")
+                    / (F.col("w_tot").cast("double") * F.col("n_s").cast("double"))
+                ).cast("long"),
+            ),
+        )
+        .select(domain_col, "rate_bp")
+    )
+    b = hash_bucket(
+        F.concat_ws("|", F.col(domain_col).cast("string"), F.col(key_col).cast("string")),
+        10000,
+    )
+    return df.join(F.broadcast(rates), domain_col).where(b < F.col("rate_bp"))
