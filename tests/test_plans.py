@@ -125,3 +125,20 @@ def test_domain_mix_prunes_scan_and_broadcasts_rates(spark, sf_small):
     assert "BroadcastHashJoin" in plan, plan
     assert "ReadSchema: struct<doc_id:bigint,source:string>" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ppl_buckets_scoring_join_is_keyed(spark, sf_small):
+    """LM scoring must be an equi join on (w1, w2) — broadcast at test
+    scale, shuffle-hash at vocabulary scale — and the per-doc
+    aggregation must carry integer micro-nat partials
+    (order-insensitive), visible as partial_sum of a bigint column.
+    (The BroadcastNestedLoopJoin/Cross nodes in this plan are the
+    1-row vocab/total broadcasts — the documented control-plane
+    pattern, not data-sized nested loops.)"""
+    import re
+
+    q = load_all()["text_ppl_buckets"].build(spark, sf_small)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"HashJoin \[w1#\d+, w2#\d+\]", plan), plan
+    assert re.search(r"partial_sum\(nats#\d+L\)", plan), plan

@@ -65,3 +65,40 @@ def test_single_narrow_pass(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+
+def test_ppl_buckets_golden(spark):
+    """Fixture LM math by hand: corpus 'a b' x3 + 'a c' + 'x y z'.
+    Bigrams: (a,b):3 (a,c):1 (x,y):1 (y,z):1; c1: a=4, x=1, y=1; V=3.
+    p(b|a)=(3+1)/(4+3)=4/7, p(c|a)=2/7, p(y|x)=p(z|y)=2/4=0.5.
+    Scores (avg ln p): doc1-3 = ln(4/7) = -0.559616, doc4 = ln(2/7)
+    = -1.252763, doc5 = ln(.5) = -0.693147.  Rank desc: docs 1,2,3
+    (tie -> id), then 5, then 4; head_n = tail_n = floor(5*0.3) = 1."""
+    from yodel_etl_spark.scale.lm import perplexity_buckets
+    from yodel_etl_spark.session import release
+
+    rows = [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c"), (5, "x y z")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = perplexity_buckets(docs, "doc_id", "text", head_pct=30, tail_pct=30)
+    got = {r["doc_id"]: (r["n_grams"], r["score"], r["bucket"]) for r in out.collect()}
+    release(out)
+    assert got[1] == (1, -0.559616, "head")
+    assert got[2] == (1, -0.559616, "middle")
+    assert got[3] == (1, -0.559616, "middle")
+    assert got[5] == (2, -0.693147, "middle")
+    assert got[4] == (1, -1.252763, "tail")
+
+
+def test_ppl_buckets_short_docs_excluded(spark):
+    """Docs with <2 tokens have no bigrams and produce no row."""
+    from yodel_etl_spark.scale.lm import perplexity_buckets
+    from yodel_etl_spark.session import release
+
+    docs = spark.createDataFrame(
+        [(1, "only"), (2, "two words"), (3, "")], "doc_id long, text string"
+    )
+    out = perplexity_buckets(docs, "doc_id", "text")
+    ids = {r["doc_id"] for r in out.collect()}
+    release(out)
+    assert ids == {2}

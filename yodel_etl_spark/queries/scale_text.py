@@ -393,3 +393,64 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     return gopher_rules(docs, "doc_id", "text")
+
+
+@register(
+    "text_ppl_buckets",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+             unnest(list_transform(range(1, len(tk)), i -> tk[i + 1])) AS w2
+      FROM toks WHERE len(tk) >= 2
+    ), big AS (
+      SELECT w1, w2, count(*) AS c12 FROM g GROUP BY w1, w2
+    ), uni AS (
+      SELECT w1, sum(c12) AS c1 FROM big GROUP BY w1
+    ), vv AS (
+      SELECT count(*) AS v FROM uni
+    ), lm AS (
+      SELECT w1, w2,
+             CAST(round(ln((c12 + 1.0) / CAST(c1 + v AS DOUBLE)) * 1000000.0) AS BIGINT) AS nats
+      FROM big JOIN uni USING (w1), vv
+    ), sc AS (
+      SELECT g.doc_id, count(*) AS n_grams, sum(l.nats) AS s
+      FROM g JOIN lm l USING (w1, w2) GROUP BY g.doc_id
+    ), scored AS (
+      SELECT doc_id, n_grams,
+             round(CAST(s AS DOUBLE) / 1000000.0 / n_grams, 6) AS score
+      FROM sc
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM scored
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, score,
+           CASE WHEN rn <= floor(n * 30 / 100) THEN 'head'
+                WHEN rn > n - floor(n * 30 / 100) THEN 'tail'
+                ELSE 'middle' END AS bucket
+    FROM ranked
+    """,
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020): train "
+    "an add-one-smoothed word-bigram LM on the corpus itself, score "
+    "every doc by average log-probability, and cut head/middle/tail "
+    "(30/40/30) by deterministic rank.  Per-doc sums are exact integer "
+    "micro-nats so shuffle order can never flip the oracle hash; LM "
+    "training is two gram-keyed shuffles and doc scoring is a "
+    "broadcast join that degrades to a (w1,w2) shuffle join at "
+    "vocabulary scale.  The global rank cut is doc-grain; the 100 TB "
+    "swap is approx-quantile thresholds.  Tier 2: yields its "
+    "driver-window slot; parity via pytest oracle suite + driver-sim.",
+    tags=("text", "scale", "quality"),
+    bench=True,
+    tier=2,
+)
+def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.lm import perplexity_buckets
+
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    return perplexity_buckets(docs, "doc_id", "text", head_pct=30, tail_pct=30)
