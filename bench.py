@@ -118,9 +118,9 @@ def main() -> int:
     # The ONE stdout JSON line, compact separators, big dict FIRST and
     # every scalar aggregate LAST: if future query additions ever push
     # the line past the driver's 2,000-char tail window again, the tail
-    # still ends ...,"value":X,"med":Y,"nq":N,"controls":{...},"sf":Z}
+    # still ends ...,"value":X,"med":Y,"nq":N,"ctl":{...},"sf":Z}
     # — the judge-readable headline survives even when the full-line
-    # parse cannot.  "controls" repeats the mins
+    # parse cannot.  "ctl" repeats the mins
     # of two stable ~0.1 s queries so every archived record carries its
     # own contention gauge (clean window ≈ 0.10-0.15 s; the contended r3
     # window showed 0.25/0.21 s — BASELINE.md documents the steady state).
@@ -132,7 +132,9 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": "sum_of_min_query_sec",
+                # short label on purpose (was sum_of_min_query_sec):
+                # metric = sum over queries of per-query min sample
+                "metric": "sum_min_sec",
                 "unit": "sec",
                 "queries": timings2,
                 "value": round(sum(timings.values()), 3),
@@ -143,7 +145,7 @@ def main() -> int:
                 "med": round(sum(medians.values()), 3),
                 "nq": len(timings),
                 "wall": total,
-                "controls": controls,
+                "ctl": controls,
                 "sf": _sf_from_dir(SF_DIR),
             },
             separators=(",", ":"),

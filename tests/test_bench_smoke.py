@@ -31,21 +31,21 @@ def test_bench_emits_valid_json_line():
     lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
     assert len(lines) == 1, proc.stdout
     rec = json.loads(lines[0])
-    assert rec["metric"] == "sum_of_min_query_sec"
+    assert rec["metric"] == "sum_min_sec"
     assert set(rec["queries"]) == {"top_events_global", "distinct_counts"}
     assert rec["sf"] == 0.001
     assert rec["nq"] == 2
     assert rec["value"] > 0 and rec["wall"] > 0 and rec["med"] > 0
     # contention gauge rides in the headline (only registered controls
     # present in this filtered run)
-    assert rec["controls"] == {"top_events_global": rec["queries"]["top_events_global"]}
+    assert rec["ctl"] == {"top_events_global": rec["queries"]["top_events_global"]}
     # tail-safety contract (BENCH_r03 lost its headline to the driver's
     # 2,000-char tail capture): every scalar aggregate must serialize
     # AFTER the per-query dict so a truncated tail still ends with the
     # judge-readable headline, and the line itself must leave headroom.
     line = lines[0]
     assert line.index('"queries"') < line.index('"value"')
-    assert line.index('"value"') < line.index('"controls"') < line.index('"sf"')
+    assert line.index('"value"') < line.index('"ctl"') < line.index('"sf"')
     # per-query medians live on stderr now, never on the stdout line
     assert '"queries_median"' not in line
     assert any(ln.startswith("VERBOSE {") for ln in proc.stderr.splitlines())
@@ -62,7 +62,7 @@ def test_bench_full_line_fits_driver_tail_window():
 
     names = sorted(load_all())
     mock = {
-        "metric": "sum_of_min_query_sec",
+        "metric": "sum_min_sec",
         "unit": "sec",
         # per-query stdout values are 2-decimal (bench.py timings2):
         # pessimistic width is a two-digit-integer-part value
@@ -71,7 +71,7 @@ def test_bench_full_line_fits_driver_tail_window():
         "med": 1234.567,
         "nq": len(names),
         "wall": 12345.67,
-        "controls": {"top_events_global": 12.34, "text_fingerprint": 12.34},
+        "ctl": {"top_events_global": 12.34, "text_fingerprint": 12.34},
         "sf": 0.001,
     }
     line = json.dumps(mock, separators=(",", ":"))

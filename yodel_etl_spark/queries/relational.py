@@ -275,3 +275,58 @@ def top_events_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("event_id", "event_type", F.round("value", 2).alias("value_r"))
     )
+
+
+@register(
+    "supplier_topk",
+    oracle="""
+    SELECT n_name, s_name, revenue, rk
+    FROM (
+      SELECT n.n_name, s.s_name,
+             CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+               / 100.0 AS revenue,
+             row_number() OVER (
+               PARTITION BY n.n_name
+               ORDER BY SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) DESC,
+                        s.s_suppkey
+             ) AS rk
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation   n ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name, s.s_name, s.s_suppkey
+    ) WHERE rk <= 3
+    """,
+    doc="Supplier-side star probe (TPC-H Q5/Q15 shape): top-3 suppliers "
+    "by lineitem revenue within each nation.  supplier and nation "
+    "broadcast so the fact table never shuffles for the joins; the "
+    "fact-sized exchange is the (nation, supplier) aggregate — the "
+    "rank window then repartitions only supplier-grain rows; exact "
+    "integer cents keep the hash shuffle-order-proof.  Tier 2: yields its "
+    "driver-window slot; parity via pytest oracle suite + driver-sim.",
+    tags=("join", "agg", "window"),
+    bench=True,
+    tier=2,
+)
+def supplier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    revenue_cents = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    agg = (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "s_name", "s_suppkey")
+        .agg(F.sum(revenue_cents).alias("_rev_cents"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("_rev_cents"), F.col("s_suppkey"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "n_name",
+            "s_name",
+            (F.col("_rev_cents") / 100.0).alias("revenue"),
+            "rk",
+        )
+    )
