@@ -152,3 +152,97 @@ def test_chunk_tokens_invariants(spark, sf_small):
                 assert len(toks) == 64
             rebuilt.extend(toks if i == 0 else toks[16:])
         assert rebuilt == truth[doc_id], doc_id
+
+
+# ---------------------------------------------------- span scrub model
+def model_span_scrub(docs: list[tuple[int, str]], w: int = 3):
+    """Direct Python model: non-overlapping w-token windows (split on a
+    single literal space, empties kept — Spark split(' ') semantics); a
+    span in >1 doc survives only in the min-id owner."""
+    from collections import defaultdict
+
+    per_doc = {}
+    for did, text in docs:
+        toks = text.split(" ")
+        n = (len(toks) + w - 1) // w
+        per_doc[did] = [" ".join(toks[s * w : (s + 1) * w]) for s in range(n)]
+    owners = defaultdict(set)
+    for did, segs in per_doc.items():
+        for s in segs:
+            owners[s].add(did)
+    out = {}
+    for did, segs in per_doc.items():
+        kept = [s for s in segs if len(owners[s]) == 1 or did == min(owners[s])]
+        out[did] = (len(segs), len(segs) - len(kept), " ".join(kept))
+    return out
+
+
+_span_word = st.sampled_from(["a", "b", "ab"])
+_span_text = st.lists(_span_word, min_size=1, max_size=9).map(" ".join)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_span_text, min_size=1, max_size=8))
+def test_span_scrub_matches_model(spark, texts):
+    """Tiny 2-letter alphabet forces heavy span collisions — the model
+    and the operator must agree on every doc: counts AND rebuilt text."""
+    from yodel_etl_spark.scale.dedup import span_scrub
+    from yodel_etl_spark.session import release
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = span_scrub(df, "doc_id", "text", w=3)
+    got = {
+        r["doc_id"]: (r["n_segs"], r["n_dropped"], r["text_clean"])
+        for r in out.collect()
+    }
+    release(out)
+    assert got == model_span_scrub(docs)
+
+
+# -------------------------------------------------- domain mix model
+def model_domain_mix(rows: list[tuple[int, str]], budget_pct: int = 50):
+    """Direct Python model of domain_mix_resample: integer sqrt-weight
+    lattice, per-domain basis-point rates, md5 bucket membership."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    n_s = Counter(d for _, d in rows)
+    w_s = {d: int(math.floor(math.sqrt(float(n)) * 1000000.0)) for d, n in n_s.items()}
+    n_tot, w_tot = sum(n_s.values()), sum(w_s.values())
+    rate = {
+        d: min(
+            10000,
+            int(
+                math.floor(
+                    float(budget_pct * 100) * float(n_tot) * float(w_s[d])
+                    / (float(w_tot) * float(n_s[d]))
+                )
+            ),
+        )
+        for d in n_s
+    }
+    kept = set()
+    for k, d in rows:
+        b = int(hashlib.md5(f"{d}|{k}".encode()).hexdigest()[:4], 16) % 10000
+        if b < rate[d]:
+            kept.add(k)
+    return kept, rate
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.sampled_from(["x", "y", "zz"]), min_size=1, max_size=40),
+    st.sampled_from([0, 25, 50, 100]),
+)
+def test_domain_mix_matches_model(spark, domains, budget_pct):
+    from yodel_etl_spark.scale.sampling import domain_mix_resample
+
+    rows = list(enumerate(domains))
+    df = spark.createDataFrame(rows, "k long, dom string")
+    out = domain_mix_resample(df, "k", "dom", budget_pct=budget_pct)
+    got = {(r["k"], r["rate_bp"]) for r in out.select("k", "rate_bp").collect()}
+    kept, rate = model_domain_mix(rows, budget_pct)
+    assert {k for k, _ in got} == kept
+    assert all(rb == rate[dict(rows)[k]] for k, rb in got)
