@@ -96,3 +96,36 @@ def test_semantic_dedup_releases_cache(spark, sf_small):
     assert before > 0
     release(out)
     assert spark.sparkContext._jsc.getPersistentRDDs().size() < before
+
+
+def test_ivf_index_roundtrip_reproduces_inline_search(spark, sf_small, tmp_path):
+    """Build-once/query-many: an index written to parquet and reloaded
+    must reproduce the single-job ivf_topk results row for row (doubles
+    are bit-exact through parquet; the ranking is deterministic)."""
+    from pyspark.sql import functions as F
+
+    from yodel_etl_spark.scale.similarity import (
+        ivf_index_read,
+        ivf_index_write,
+        ivf_search,
+        ivf_topk,
+    )
+    from yodel_etl_spark.session import load_tables
+
+    emb = load_tables(spark, sf_small, ("embeddings",))["embeddings"].select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    inline = ivf_topk(
+        emb, "vec_id", "embedding", F.col("id") < 10, topk=5, centroid_every=50, nprobe=3
+    )
+    expected = {tuple(r) for r in inline.collect()}
+
+    path = str(tmp_path / "ivf_index")
+    ivf_index_write(emb, "vec_id", "embedding", path, centroid_every=50)
+    assign, cents = ivf_index_read(spark, path)
+    queries = assign.where(F.col("id") < 10).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qv")
+    )
+    served = ivf_search(assign, cents, queries, topk=5, nprobe=3)
+    assert {tuple(r) for r in served.collect()} == expected
+    assert expected  # non-vacuous

@@ -121,24 +121,24 @@ def assign_ivf_cells(
     return assign, cents
 
 
-def ivf_topk(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    query_ids: Column,
+def ivf_search(
+    assign: DataFrame,
+    cents: DataFrame,
+    queries: DataFrame,
     topk: int = 5,
-    centroid_every: int = 50,
     nprobe: int = 3,
 ) -> DataFrame:
-    """Approximate top-k: probe only the ``nprobe`` nearest IVF cells
-    per query.  Candidate count ≈ n·nprobe/C — the 100 TB path.  Same
-    deterministic ranking as brute force; recall measured in tests."""
-    assign, cents = assign_ivf_cells(df, id_col, vec_col, centroid_every)
-    q = assign.where(query_ids).select(
-        F.col("id").alias("query_id"), F.col("vec").alias("qv")
-    )
+    """Serve approximate top-k from a PRE-BUILT IVF index — the
+    build-once/query-many split a real deployment runs (the index is a
+    pair of plain DataFrames, so it persists as parquet and reloads in
+    any later session; see :func:`ivf_index_write`/:func:`ivf_index_read`).
+
+    ``assign`` is the (id, vec, cell) posting table, ``cents`` the
+    (cell, cvec) centroid table, ``queries`` an external (query_id, qv)
+    batch — query vectors need not be index members; index members are
+    excluded from their own result list."""
     qcells = (
-        q.crossJoin(F.broadcast(cents))
+        queries.crossJoin(F.broadcast(cents))
         .withColumn("sim", cosine(F.col("qv"), F.col("cvec")))
         .withColumn(
             "rk", F.row_number().over(Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cell")))
@@ -156,6 +156,52 @@ def ivf_topk(
         .where(F.col("rank") <= topk)
         .select("query_id", F.col("id").alias("neighbor_id"), "rank", "cosine_r")
     )
+
+
+def ivf_index_write(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    centroid_every: int = 50,
+) -> None:
+    """Materialize the IVF index to ``path`` (two parquet tables:
+    ``assignments`` and ``centroids``).  At 100 TB this is the build
+    phase that runs once per corpus snapshot; doubles stay bit-exact
+    through parquet, so a reloaded index reproduces search results
+    row for row."""
+    assign, cents = assign_ivf_cells(df, id_col, vec_col, centroid_every)
+    assign.write.mode("overwrite").parquet(f"{path}/assignments")
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_index_read(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Reload an index written by :func:`ivf_index_write`."""
+    return (
+        spark.read.parquet(f"{path}/assignments"),
+        spark.read.parquet(f"{path}/centroids"),
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: Column,
+    topk: int = 5,
+    centroid_every: int = 50,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Approximate top-k: probe only the ``nprobe`` nearest IVF cells
+    per query.  Candidate count ≈ n·nprobe/C — the 100 TB path.  Same
+    deterministic ranking as brute force; recall measured in tests.
+    Single-job convenience over :func:`ivf_search` (index built inline;
+    queries drawn from the corpus by the ``query_ids`` predicate)."""
+    assign, cents = assign_ivf_cells(df, id_col, vec_col, centroid_every)
+    q = assign.where(query_ids).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qv")
+    )
+    return ivf_search(assign, cents, q, topk=topk, nprobe=nprobe)
 
 
 def hyperplane_sketch(
