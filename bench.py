@@ -111,6 +111,7 @@ def main() -> int:
                 "queries_median": medians,
                 "runs_per_query": RUNS,
                 "value_median": round(sum(medians.values()), 3),
+                "wall_sec": total,
             }
         ),
         file=sys.stderr,
@@ -144,7 +145,6 @@ def main() -> int:
                 # driver's 2,000-char tail window (see BASELINE.md)
                 "med": round(sum(medians.values()), 3),
                 "nq": len(timings),
-                "wall": total,
                 "ctl": controls,
                 "sf": _sf_from_dir(SF_DIR),
             },

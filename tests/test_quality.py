@@ -102,3 +102,28 @@ def test_ppl_buckets_short_docs_excluded(spark):
     ids = {r["doc_id"] for r in out.collect()}
     release(out)
     assert ids == {2}
+
+
+def test_html_extract_golden(spark):
+    """Edge cases: uppercase tags, multi-line script with quotes and
+    angle brackets, entity decode order (&amp;lt; must become the
+    LITERAL '&lt;' i.e. decode &amp; last, not twice)."""
+    from pyspark.sql import functions as F
+
+    from yodel_etl_spark.scale.textstats import html_extract
+
+    rows = [
+        (1, '<P>hello</P>\n<SCRIPT lang="js">\nif (a<b) { x("</p>"); }\n</SCRIPT>world'),
+        (2, "a &amp;lt; b &nbsp; c&#39;s &quot;q&quot;"),
+        (3, "<style>body { margin: 0 }</style>plain"),
+        (4, "no markup at all"),
+    ]
+    df = spark.createDataFrame(rows, "i long, h string")
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", html_extract(F.col("h")).alias("t")).collect()
+    }
+    assert got[1] == "hello world"
+    assert got[2] == 'a &lt; b c\'s "q"'
+    assert got[3] == "plain"
+    assert got[4] == "no markup at all"

@@ -454,3 +454,67 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     return perplexity_buckets(docs, "doc_id", "text", head_pct=30, tail_pct=30)
+
+
+@register(
+    "text_html_strip",
+    oracle=r"""
+    WITH raw AS (
+      SELECT doc_id,
+             '<html><head><title>d' || CAST(doc_id AS VARCHAR)
+             || '</title><style type="text/css">p { color: red; }</style></head>'
+             || '<body class="main"><h1>Doc &quot;' || CAST(doc_id AS VARCHAR)
+             || '&quot;</h1><p>' || text
+             || '</p><script type="text/javascript">if (a < b) { alert("x"); }</script>'
+             || '<p>tail &lt;marker&gt; &amp; done</p></body></html>' AS html
+      FROM documents
+    ), stripped AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<[^>]*>', ' ', 'g') AS t
+      FROM raw
+    ), decoded AS (
+      SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(t,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+               '&nbsp;', ' '), '&amp;', '&') AS t
+      FROM stripped
+    )
+    SELECT doc_id,
+           trim(regexp_replace(t, '\s+', ' ', 'g')) AS extracted,
+           CAST(length(trim(regexp_replace(t, '\s+', ' ', 'g'))) AS BIGINT) AS n_chars
+    FROM decoded
+    """,
+    doc="WET-style HTML text extraction: documents wrapped in a "
+    "deterministic HTML envelope (style + script blocks, attributes, "
+    "entities) and recovered by the codegen regexp chain — script/style "
+    "dropped wholesale, tags stripped, five standard entities decoded "
+    "with &amp; last, whitespace collapsed.  Patterns live in the "
+    "RE2 ∩ Java-regex dialect so the oracle runs the identical chain.  "
+    "Narrow scan-stage map, no shuffle.  Tier 2: yields its "
+    "driver-window slot; parity via pytest oracle suite + driver-sim.",
+    tags=("text", "scale"),
+    bench=True,
+    tier=2,
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.textstats import html_extract
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><head><title>d'), did,
+        F.lit('</title><style type="text/css">p { color: red; }</style></head>'),
+        F.lit('<body class="main"><h1>Doc &quot;'), did,
+        F.lit('&quot;</h1><p>'), F.col("text"),
+        F.lit('</p><script type="text/javascript">if (a < b) { alert("x"); }</script>'),
+        F.lit('<p>tail &lt;marker&gt; &amp; done</p></body></html>'),
+    )
+    staged = docs.select("doc_id", html.alias("_html"))
+    ex = html_extract(F.col("_html"))
+    return staged.select("doc_id", ex.alias("extracted")).withColumn(
+        "n_chars", F.length("extracted").cast("long")
+    )

@@ -341,3 +341,29 @@ def chunk_tokens(
         F.array_join(F.slice("_tk", start + 1, chunk_size), " ").alias("chunk_text"),
         F.least(F.col("_n") - start, F.lit(chunk_size)).cast("int").alias("n_tokens"),
     )
+
+
+# -------------------------------------------------------- HTML extract
+def html_extract(col: Column) -> Column:
+    """Plain text from raw HTML — the WET-style extraction a web-corpus
+    pipeline runs before any text analysis: drop <script>/<style>
+    blocks wholesale, strip remaining tags, decode the five standard
+    entities (&amp; LAST so it cannot double-decode), collapse
+    whitespace.  A chain of codegen ``regexp_replace`` in the
+    RE2 ∩ Java-regex dialect (same portability rule as scale.redact):
+    ``(?s)`` dotall + lazy ``.*?`` are both dialect-safe, so the DuckDB
+    oracle runs the identical patterns.  Narrow, shuffle-free, and
+    whole-stage-codegen'd — at 100 TB this is a pure scan-stage map."""
+    out = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]*>", " ")
+    for ent, rep in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
