@@ -183,3 +183,27 @@ def test_cli_mains_leave_no_persisted_rdds(spark, json_dir, tmp_path, capsys):
 
     assert dq_main(["--input", str(src), "--key", "doc_id", "--max-violations", "5"]) == 0
     assert persisted() == 0, "dq_main leaked a persisted RDD"
+
+
+def test_run_main_writes_and_releases(spark, tmp_path, capsys):
+    from yodel_etl_spark.cli import run_main
+
+    spark.catalog.clearCache()
+    out = tmp_path / "res"
+    assert run_main([
+        "dedup_exact_groups", "--sf-dir", "/root/testdata/sf0.001",
+        "--output", str(out), "--format", "parquet",
+    ]) == 0
+    assert spark.read.parquet(str(out)).count() > 0
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    # count mode
+    assert run_main(["distinct_counts", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    assert "5 rows" in capsys.readouterr().out
+
+
+def test_explain_main_prints_plan(spark, capsys):
+    from yodel_etl_spark.cli import explain_main
+
+    assert explain_main(["top_events_global", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    assert "TakeOrderedAndProject" in capsys.readouterr().out
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0

@@ -275,6 +275,69 @@ def dq_main(argv: Sequence[str] | None = None) -> int:
     return 1 if worst > args.max_violations else 0
 
 
+def run_main(argv: Sequence[str] | None = None) -> int:
+    """Execute any registered query (engine extension): the whole
+    QUERIES.md surface as a runnable tool — write the result as
+    parquet/CSV or preview rows, releasing operator caches on exit."""
+    p = argparse.ArgumentParser(
+        prog="yodel-run",
+        description="Run a registered query against a scale-factor directory.",
+    )
+    p.add_argument("query", help="Registered query name (see QUERIES.md)")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="Input table directory")
+    p.add_argument("--output", "-o", help="Write result here (default: print row count)")
+    p.add_argument("--format", choices=("parquet", "csv"), default="parquet")
+    p.add_argument("--show", type=int, default=0, help="Preview N rows instead of writing")
+    args = p.parse_args(argv)
+
+    from yodel_etl_spark.registry import load_all
+    from yodel_etl_spark.session import release
+
+    qs = load_all()
+    if args.query not in qs:
+        p.error(f"unknown query {args.query!r}; choose from: {', '.join(sorted(qs))}")
+    spark = _spark("yodel-run")
+    df = qs[args.query].build(spark, args.sf_dir)
+    try:
+        if args.show:
+            df.show(args.show, truncate=80)
+        elif args.output:
+            w = df.write.mode("overwrite")
+            if args.format == "csv":
+                w.option("header", True).csv(args.output)
+            else:
+                w.parquet(args.output)
+            print(f"Wrote {args.query} to {args.output}")
+        else:
+            print(f"{args.query}: {df.count()} rows")
+    finally:
+        release(df)
+    return 0
+
+
+def explain_main(argv: Sequence[str] | None = None) -> int:
+    """Print a registered query's physical plan — the audit surface
+    PLANS.md snapshots, on demand for any query/SF."""
+    p = argparse.ArgumentParser(
+        prog="yodel-explain",
+        description="Show the executed physical plan of a registered query.",
+    )
+    p.add_argument("query")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    args = p.parse_args(argv)
+
+    from yodel_etl_spark.registry import load_all
+    from yodel_etl_spark.session import release
+
+    qs = load_all()
+    if args.query not in qs:
+        p.error(f"unknown query {args.query!r}; choose from: {', '.join(sorted(qs))}")
+    df = qs[args.query].build(_spark("yodel-explain"), args.sf_dir)
+    print(df._jdf.queryExecution().executedPlan().toString())
+    release(df)
+    return 0
+
+
 def main(argv: Sequence[str] | None = None) -> int:
     """Umbrella dispatcher: ``python -m yodel_etl_spark <cmd> ...``."""
     cmds = {
@@ -284,6 +347,8 @@ def main(argv: Sequence[str] | None = None) -> int:
         "qa-eval": qa_eval_main,
         "curate": curate_main,
         "dq": dq_main,
+        "run": run_main,
+        "explain": explain_main,
     }
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] not in cmds:
