@@ -129,3 +129,30 @@ def test_ivf_index_roundtrip_reproduces_inline_search(spark, sf_small, tmp_path)
     served = ivf_search(assign, cents, queries, topk=5, nprobe=3)
     assert {tuple(r) for r in served.collect()} == expected
     assert expected  # non-vacuous
+
+
+def test_topk_update_equals_full_recompute(spark, sf_small):
+    """Incremental maintenance is exact: base top-k merged with a
+    scored delta must equal brute-force top-k over the full corpus,
+    ranks and all (appends only displace, never resurrect)."""
+    from pyspark.sql import functions as F
+
+    from yodel_etl_spark.scale.similarity import brute_force_topk, topk_update
+    from yodel_etl_spark.session import load_tables
+
+    emb = load_tables(spark, sf_small, ("embeddings",))["embeddings"].select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    delta = emb.where(F.col("vec_id") % 5 == 0)
+    queries = base.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    qpred = (F.col("id") < 8) & (F.col("id") % 5 != 0)  # queries live in base
+    prev = brute_force_topk(base, "vec_id", "embedding", qpred, topk=5)
+    inc = topk_update(prev, queries, delta, "vec_id", "embedding", topk=5)
+    full = brute_force_topk(emb, "vec_id", "embedding", qpred, topk=5)
+    assert {tuple(r) for r in inc.collect()} == {tuple(r) for r in full.collect()}
+    assert inc.count() > 0
+    # and the delta genuinely displaced something (non-vacuous merge)
+    assert {tuple(r) for r in prev.collect()} != {tuple(r) for r in full.collect()}

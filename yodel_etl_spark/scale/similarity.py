@@ -733,3 +733,48 @@ def pq_topk(
         .where(F.col("rank") <= topk)
         .select("query_id", F.col("id").alias("neighbor_id"), "rank", "d2_r")
     )
+
+
+def topk_update(
+    prev: DataFrame,
+    queries: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    vec_col: str,
+    topk: int = 5,
+) -> DataFrame:
+    """Incremental exact top-k maintenance under corpus growth (the
+    interactive-session pattern of the EDBT 2020 incremental top-k
+    similarity work): when ΔC arrives, score ONLY ΔC against the query
+    batch and merge with the previous per-query top-k — exact, because
+    appends can only displace old neighbors, never resurrect ones that
+    already ranked below k.  Per ingest the work is |ΔC|·|Q| instead of
+    |C|·|Q|; the merge re-ranks k·|Q| + |ΔC|·|Q| narrow rows.
+
+    ``prev`` is a prior (query_id, neighbor_id, rank, cosine_r) result
+    (e.g. from :func:`brute_force_topk`); ``queries`` is (query_id, qv);
+    ``delta`` the new corpus rows.  Result schema matches
+    :func:`brute_force_topk`, and equals a full recompute row for row
+    (same deterministic tie order)."""
+    q = queries.select("query_id", "qv").withColumn("qn", norm(F.col("qv")))
+    d = delta.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).withColumn(
+        "nrm", norm(F.col("vec"))
+    )
+    scored_delta = (
+        d.crossJoin(F.broadcast(q))
+        .where(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(
+                dot(F.col("vec"), F.col("qv")) / (F.col("nrm") * F.col("qn")), 6
+            ).alias("cosine_r"),
+        )
+    )
+    merged = prev.select("query_id", "neighbor_id", "cosine_r").unionByName(scored_delta)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_r").desc(), F.col("neighbor_id"))
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "rank", "cosine_r")
+    )
