@@ -683,7 +683,10 @@ def pq_topk(
     corpus is inherently modest (distances concentrate; real embedding
     corpora cluster), which is exactly why the rerank stage exists.
     Set ``rerank=1`` for pure-ADC behavior."""
-    cb = pq_codebook(df, id_col, vec_col, m=m, kc=kc)
+    # the 1-row codebook broadcasts into BOTH the corpus encode and the
+    # query LUT build — persist it or its multi-stage training pipeline
+    # (scan + Lloyd step) runs once per broadcast
+    cb = pq_codebook(df, id_col, vec_col, m=m, kc=kc).persist()
     enc = pq_encode(df, id_col, vec_col, cb, m=m)
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     dsub = (F.size("vec") / m).cast("int")
@@ -728,11 +731,12 @@ def pq_topk(
         .withColumn("d2_r", F.round(_d2(F.col("vec"), F.col("qv")), 6))
     )
     w2 = Window.partitionBy("query_id").orderBy(F.col("d2_r").asc(), F.col("id"))
-    return (
+    out = (
         exact.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= topk)
         .select("query_id", F.col("id").alias("neighbor_id"), "rank", "d2_r")
     )
+    return register_persisted(out, cb)
 
 
 def topk_update(
