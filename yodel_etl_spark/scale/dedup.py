@@ -496,14 +496,18 @@ def bloom_novel(
     corpus members (no false negatives), and candidates are verified
     exactly — so output == dedup_against output, row for row.
     """
-    seen = corpus.select(F.md5(F.col(text_col)).alias("digest")).distinct()
+    # ``seen`` is a full distinct shuffle consumed twice (bloom build +
+    # exact verify), and ``tagged`` is read by both the definite-novel
+    # and candidate branches — persist both or each runs per consumer
+    seen = corpus.select(F.md5(F.col(text_col)).alias("digest")).distinct().persist()
     bloom = bloom_build(seen, "digest", m_bits=m_bits, k=k)
     inc = incoming.withColumn("digest", F.md5(F.col(text_col)))
-    tagged = bloom_might_contain(inc, "digest", bloom, m_bits=m_bits, k=k)
+    tagged = bloom_might_contain(inc, "digest", bloom, m_bits=m_bits, k=k).persist()
     definite = tagged.where(~F.col("maybe_seen"))
     candidates = tagged.where(F.col("maybe_seen"))
     verified = candidates.join(seen, "digest", "left_anti")
-    return definite.unionByName(verified).drop("digest", "maybe_seen")
+    out = definite.unionByName(verified).drop("digest", "maybe_seen")
+    return register_persisted(out, seen, tagged)
 
 
 # ------------------------------------------------------- span scrub (C4)
