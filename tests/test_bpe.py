@@ -1,0 +1,74 @@
+"""BPE training parity: the iterative Spark trainer must reproduce a
+literal single-process BPE (Sennrich et al. 2016) on the same corpus —
+merge list, order, and encodings."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from yodel_etl_spark.scale.bpe import bpe_tokenize, encode_word, learn_bpe
+
+
+def _model_learn(texts: list[str], k: int, min_count: int = 2):
+    wf = Counter(w for t in texts for w in t.lower().split())
+    words = {w: list(w) for w in wf}
+    merges = []
+    for _ in range(k):
+        pc: Counter = Counter()
+        for w, sym in words.items():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += wf[w]
+        if not pc:
+            break
+        (a, b), cnt = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        if cnt < min_count:
+            break
+        merges.append((a, b))
+        words = {w: encode_word_with(sym, a, b) for w, sym in words.items()}
+    return merges
+
+
+def encode_word_with(sym, a, b):
+    out, i = [], 0
+    while i < len(sym):
+        if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return out
+
+
+def test_learn_bpe_matches_reference_trainer(spark):
+    rows = [
+        (0, "low low low lower lower newest newest newest newest widest widest"),
+        (1, "newest widest low newest"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = learn_bpe(docs, "text", n_merges=10)
+    assert merges == _model_learn([r[1] for r in rows], 10)
+    assert len(merges) == 10  # corpus supports a full run
+
+
+def test_learn_bpe_on_documents_matches_model(spark, sf_small):
+    from yodel_etl_spark.session import load_tables
+
+    docs = load_tables(spark, sf_small, ("documents",))["documents"]
+    texts = [r["text"] for r in docs.select("text").collect()]
+    merges = learn_bpe(docs, "text", n_merges=12)
+    assert merges == _model_learn(texts, 12)
+    assert merges  # non-vacuous
+
+
+def test_bpe_tokenize_roundtrip_and_counts(spark):
+    rows = [(0, "low lower"), (1, ""), (2, "newest")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = learn_bpe(docs, "text", n_merges=6, min_count=1)
+    got = {r["doc_id"]: r for r in bpe_tokenize(docs, "doc_id", "text", merges).collect()}
+    # token concatenation reconstructs the lowercased words
+    for did, text in rows:
+        assert "".join(got[did]["tokens"]) == text.lower().replace(" ", "")
+        assert got[did]["n_tokens"] == len(got[did]["tokens"])
+    # and per-word encodings match the pure encoder
+    assert got[0]["tokens"] == encode_word("low", merges) + encode_word("lower", merges)

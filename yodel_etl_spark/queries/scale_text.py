@@ -518,3 +518,30 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.select("doc_id", ex.alias("extracted")).withColumn(
         "n_chars", F.length("extracted").cast("long")
     )
+
+
+@register(
+    "text_bpe_merges",
+    oracle=None,  # iterative training is not single-statement SQL —
+    # parity vs a literal single-process BPE trainer (merge list, order,
+    # encodings) pinned in tests/test_bpe.py; rows-only registry tail
+    doc="Learned BPE subword merges (Sennrich et al. 2016): iterative "
+    "Spark training in the k-means/connected-components family — the "
+    "corpus reduces once to a (word, count) table, each round is one "
+    "explode+groupBy over adjacent symbol pairs with the 1-row argmax "
+    "collected (control plane) and the merge applied as a narrow fold, "
+    "localCheckpoint-truncated per round.  Deterministic (frequency "
+    "ties break lexicographically).  Returns the ordered merge table.",
+    tags=("text", "scale"),
+    bench=True,
+    tier=2,
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.bpe import learn_bpe
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    merges = learn_bpe(docs, "text", n_merges=16)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string, merged string",
+    )

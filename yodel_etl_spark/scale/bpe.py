@@ -1,0 +1,175 @@
+"""Byte-pair-encoding tokenizer training (Sennrich et al. 2016, public
+paper) — the learned-subword stage of a pretraining pipeline, as an
+iterative Spark algorithm in the same family as k-means and connected
+components.
+
+Scale shape:
+  * the corpus reduces ONCE to a (word, count) frequency table — the
+    only corpus-sized pass; everything after runs on the distinct-word
+    table (heavy-tailed: ~10^6 rows for web-scale corpora, and a
+    ``min_count`` floor bounds it further);
+  * each merge round is one explode → groupBy(sum) over adjacent
+    symbol pairs of that small table, with the single winning pair
+    collected to the driver (a 1-row control-plane read, same
+    convention as the REST page probe) and the merge applied as a
+    narrow fold over the symbol arrays;
+  * plans are ``localCheckpoint``-truncated per round (the k-means /
+    large-star precedent) so k rounds stay O(k) cost, not O(k²)
+    lineage;
+  * applying a trained merge table to the corpus is an Arrow-batched
+    ``mapInPandas`` with a per-batch word cache — encode is a pure
+    function of the word, so the cache hit-rate IS the corpus word
+    redundancy.
+
+Determinism: ties in pair frequency break lexicographically, so the
+merge sequence — and therefore the tokenizer — is a pure function of
+the corpus.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from yodel_etl_spark.scale.textstats import tokens
+
+
+def word_freq_table(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, n) counts of the lowercased whitespace words — the one
+    corpus-sized aggregation in BPE training."""
+    return (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _adjacent_pairs(sym: Column) -> Column:
+    left = F.slice(sym, 1, F.size(sym) - 1)
+    right = F.slice(sym, 2, F.size(sym) - 1)
+    return F.zip_with(left, right, lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+
+
+def _merge_pass(sym: Column, a: str, b: str) -> Column:
+    """One greedy left-to-right merge pass replacing adjacent (a, b)
+    with a+b — fold form, equivalent to the textbook two-pointer walk
+    (a freshly merged token can only re-merge if it literally equals
+    ``a``, which needs an empty ``b``)."""
+    merged = F.array(F.lit(a + b))
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), merged),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def learn_bpe(
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int = 24,
+    min_count: int = 2,
+    checkpoint_every: int = 4,
+) -> list[tuple[str, str]]:
+    """Train ``n_merges`` BPE merges on the corpus; returns the ordered
+    merge list.  Stops early when the best pair's weighted frequency
+    falls below ``min_count`` (no compression value left).
+
+    Lineage is truncated every ``checkpoint_every`` rounds rather than
+    every round: each round's per-round cost is scheduling-dominated
+    (the word table is tiny), so nesting a few merge folds between
+    checkpoints roughly halves the job count without letting the plan
+    grow superlinearly."""
+    words = word_freq_table(docs, text_col).select(
+        F.split(F.col("word"), "").alias("symbols"), "n"
+    )
+    words = words.localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    pending = 0
+    for _ in range(n_merges):
+        # argmax via orderBy().limit(1): plans as TakeOrderedAndProject
+        # (map-side partial top-1 + driver merge — no sort exchange)
+        best = (
+            words.select(F.explode(_adjacent_pairs(F.col("symbols"))).alias("p"), "n")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_count:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        words = words.select(
+            _merge_pass(F.col("symbols"), a, b).alias("symbols"), "n"
+        )
+        pending += 1
+        if pending >= checkpoint_every:
+            words = words.localCheckpoint(eager=True)
+            pending = 0
+    return merges
+
+
+def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Reference encoder: apply the merge list in training order."""
+    sym = list(word)
+    for a, b in merges:
+        out: list[str] = []
+        i = 0
+        while i < len(sym):
+            if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Encode every document with a trained merge table: Arrow-batched
+    ``mapInPandas`` with a per-batch word cache (encode is a pure
+    per-word function, so repeated words — the overwhelming majority of
+    a natural corpus — hit the cache).  Returns
+    (id, tokens: array<string>, n_tokens)."""
+    import pandas as pd
+
+    out_schema = f"{id_col} long, tokens array<string>, n_tokens long"
+    frozen = list(merges)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cache: dict[str, list[str]] = {}
+
+        def enc(text: str) -> list[str]:
+            toks: list[str] = []
+            for w in (text or "").lower().split():
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = encode_word(w, frozen)
+                toks.extend(got)
+            return toks
+
+        for pdf in batches:
+            encoded = pdf[text_col].map(enc)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "tokens": encoded,
+                    "n_tokens": encoded.map(len),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema=out_schema)
