@@ -148,18 +148,22 @@ def test_cli_mains_leave_no_persisted_rdds(spark, json_dir, tmp_path, capsys):
         return spark.sparkContext._jsc.getPersistentRDDs().size()
 
     spark.catalog.clearCache()
-    assert persisted() == 0
+    # baseline-delta, not absolute zero: earlier suite tests may leave
+    # localCheckpoint RDDs pending the async ContextCleaner, which
+    # clearCache does not touch; the contract here is that CLI mains
+    # add NOTHING on top
+    base = persisted()
 
     out = tmp_path / "parks.csv"
     assert parks_main(["--input-dir", str(json_dir), "--output", str(out)]) == 0
-    assert persisted() == 0, "parks_main leaked a persisted RDD"
+    assert persisted() <= base, "parks_main leaked a persisted RDD"
 
     txt = tmp_path / "texts"
     assert (
         convert_main(["--input-dir", str(json_dir), "--output-dir", str(txt), "--mock"])
         == 0
     )
-    assert persisted() == 0, "convert_main leaked a persisted RDD"
+    assert persisted() <= base, "convert_main leaked a persisted RDD"
 
     qfile = tmp_path / "q.txt"
     qfile.write_text("What is Alpha Park?\n")
@@ -170,7 +174,7 @@ def test_cli_mains_leave_no_persisted_rdds(spark, json_dir, tmp_path, capsys):
         )
         == 0
     )
-    assert persisted() == 0, "qa_eval_main leaked a persisted RDD"
+    assert persisted() <= base, "qa_eval_main leaked a persisted RDD"
 
     docs = spark.createDataFrame(
         [(1, "the quick brown fox and a lazy dog walk over the green hill")],
@@ -179,23 +183,27 @@ def test_cli_mains_leave_no_persisted_rdds(spark, json_dir, tmp_path, capsys):
     src = tmp_path / "docs_np"
     docs.write.parquet(str(src))
     assert curate_main(["--input", str(src), "--output", str(tmp_path / "cur")]) == 0
-    assert persisted() == 0, "curate_main leaked a persisted RDD"
+    assert persisted() <= base, "curate_main leaked a persisted RDD"
 
     assert dq_main(["--input", str(src), "--key", "doc_id", "--max-violations", "5"]) == 0
-    assert persisted() == 0, "dq_main leaked a persisted RDD"
+    assert persisted() <= base, "dq_main leaked a persisted RDD"
 
 
 def test_run_main_writes_and_releases(spark, tmp_path, capsys):
     from yodel_etl_spark.cli import run_main
 
     spark.catalog.clearCache()
+    # assert no NET cache growth, not an absolute zero: earlier suite
+    # tests may have localCheckpoint RDDs pending the async
+    # ContextCleaner, which clearCache does not touch
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
     out = tmp_path / "res"
     assert run_main([
         "dedup_exact_groups", "--sf-dir", "/root/testdata/sf0.001",
         "--output", str(out), "--format", "parquet",
     ]) == 0
     assert spark.read.parquet(str(out)).count() > 0
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before
     # count mode
     assert run_main(["distinct_counts", "--sf-dir", "/root/testdata/sf0.001"]) == 0
     assert "5 rows" in capsys.readouterr().out
@@ -204,6 +212,7 @@ def test_run_main_writes_and_releases(spark, tmp_path, capsys):
 def test_explain_main_prints_plan(spark, capsys):
     from yodel_etl_spark.cli import explain_main
 
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert explain_main(["top_events_global", "--sf-dir", "/root/testdata/sf0.001"]) == 0
     assert "TakeOrderedAndProject" in capsys.readouterr().out
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before
