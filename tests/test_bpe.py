@@ -72,3 +72,14 @@ def test_bpe_tokenize_roundtrip_and_counts(spark):
         assert got[did]["n_tokens"] == len(got[did]["tokens"])
     # and per-word encodings match the pure encoder
     assert got[0]["tokens"] == encode_word("low", merges) + encode_word("lower", merges)
+
+
+def test_distributed_and_local_paths_agree(spark, sf_small):
+    """Forcing the distributed loop (threshold 0) must reproduce the
+    local fast path exactly — same merge list, same order."""
+    from yodel_etl_spark.session import load_tables
+
+    docs = load_tables(spark, sf_small, ("documents",))["documents"]
+    local = learn_bpe(docs, "text", n_merges=10)
+    dist = learn_bpe(docs, "text", n_merges=10, local_vocab_threshold=0)
+    assert local == dist

@@ -525,13 +525,14 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # iterative training is not single-statement SQL —
     # parity vs a literal single-process BPE trainer (merge list, order,
     # encodings) pinned in tests/test_bpe.py; rows-only registry tail
-    doc="Learned BPE subword merges (Sennrich et al. 2016): iterative "
-    "Spark training in the k-means/connected-components family — the "
-    "corpus reduces once to a (word, count) table, each round is one "
-    "explode+groupBy over adjacent symbol pairs with the 1-row argmax "
-    "collected (control plane) and the merge applied as a narrow fold, "
-    "localCheckpoint-truncated per round.  Deterministic (frequency "
-    "ties break lexicographically).  Returns the ordered merge table.",
+    doc="Learned BPE subword merges (Sennrich et al. 2016), two-phase: "
+    "the corpus-sized work is the distributed (word, count) reduction; "
+    "the merge loop runs in-process on the vocabulary-sized table (the "
+    "production-tokenizer split), falling back to a fully distributed "
+    "per-round explode+groupBy+argmax loop above a vocab threshold — "
+    "both paths implement the identical greedy algorithm and are "
+    "pinned equal in tests.  Deterministic (frequency ties break "
+    "lexicographically).  Returns the ordered merge table.",
     tags=("text", "scale"),
     bench=True,
     tier=2,

@@ -70,26 +70,84 @@ def _merge_pass(sym: Column, a: str, b: str) -> Column:
     )
 
 
+def _train_local(wf: list[tuple[str, int]], n_merges: int, min_count: int):
+    """Merge loop over a collected (word, count) table — the same
+    algorithm the distributed loop runs, in-process.  This is how every
+    production tokenizer trainer works: the corpus-sized work is the
+    word-count reduction (distributed, upstream); the merge loop only
+    ever touches the vocabulary."""
+    words = {w: list(w) for w, _ in wf}
+    counts = dict(wf)
+    merges: list[tuple[str, str]] = []
+    from collections import Counter
+
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for w, sym in words.items():
+            n = counts[w]
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += n
+        if not pc:
+            break
+        (a, b), cnt = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        if cnt < min_count:
+            break
+        merges.append((a, b))
+        for w in words:
+            words[w] = _merge_word_local(words[w], a, b)
+    return merges
+
+
+def _merge_word_local(sym: list[str], a: str, b: str) -> list[str]:
+    out: list[str] = []
+    i = 0
+    while i < len(sym):
+        if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return out
+
+
 def learn_bpe(
     docs: DataFrame,
     text_col: str,
     n_merges: int = 24,
     min_count: int = 2,
     checkpoint_every: int = 4,
+    local_vocab_threshold: int = 200_000,
 ) -> list[tuple[str, str]]:
     """Train ``n_merges`` BPE merges on the corpus; returns the ordered
     merge list.  Stops early when the best pair's weighted frequency
     falls below ``min_count`` (no compression value left).
 
-    Lineage is truncated every ``checkpoint_every`` rounds rather than
-    every round: each round's per-round cost is scheduling-dominated
-    (the word table is tiny), so nesting a few merge folds between
-    checkpoints roughly halves the job count without letting the plan
-    grow superlinearly."""
-    words = word_freq_table(docs, text_col).select(
-        F.split(F.col("word"), "").alias("symbols"), "n"
-    )
-    words = words.localCheckpoint(eager=True)
+    Two-phase shape: the corpus-sized work is always the distributed
+    (word, count) reduction.  When the distinct vocabulary fits
+    ``local_vocab_threshold`` (it almost always does — heavy-tailed
+    corpora plateau around 10^6 words, and ``min_count`` prunes the
+    tail), the merge loop runs in-process on the collected table — the
+    standard production-tokenizer split.  Above the threshold the loop
+    stays distributed: per round, one pair-count aggregation with a
+    1-row argmax (control plane) and a narrow merge fold, with lineage
+    truncated every ``checkpoint_every`` rounds.  Both paths implement
+    the identical greedy algorithm and are pinned equal in tests."""
+    freqs = word_freq_table(docs, text_col)
+    if local_vocab_threshold > 0:
+        # cheap distinct count decides the path; the collect below is
+        # vocabulary-sized, never corpus-sized
+        if freqs.count() <= local_vocab_threshold:
+            wf = [(r["word"], r["n"]) for r in freqs.collect()]
+            return _train_local(wf, n_merges, min_count)
+    words = freqs.select(F.split(F.col("word"), "").alias("symbols"), "n")
+    # the distinct-word table is orders of magnitude smaller than the
+    # corpus but inherits the corpus aggregation's partition count —
+    # every training round would schedule that many tasks twice.
+    # Compact it once; rounds are control-plane-latency-bound, so fewer,
+    # fuller tasks win.
+    target = max(1, min(8, words.rdd.getNumPartitions()))
+    words = words.coalesce(target).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     pending = 0
     for _ in range(n_merges):
