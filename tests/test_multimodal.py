@@ -190,3 +190,37 @@ def test_resize_real_png_uses_decoded_pixels(spark):
     row = resize_media(df, "content", width=4, height=4).collect()[0]
     assert row["r_channels"] == 3
     assert bytes(row["resized"]) == bytes([200] * (4 * 4 * 3))
+
+
+def test_resize_is_fail_soft_on_unsupported_png(spark):
+    """A PNG-magic blob outside the supported decode profile (here: a
+    truncated header) must fall back to the fake plane like any other
+    blob — one bad byte stream never aborts the resize job."""
+    import struct
+    import zlib
+
+    from yodel_etl_spark.scale.multimodal import resize_media
+
+    # valid magic + IHDR declaring 16-bit depth (unsupported profile)
+    ihdr = struct.pack(">II", 4, 4) + bytes([16, 0, 0, 0, 0])
+    chunk = struct.pack(">I", 13) + b"IHDR" + ihdr + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    blob = b"\x89PNG\r\n\x1a\n" + chunk
+    df = spark.createDataFrame([(1, bytearray(blob)), (2, bytearray(b"notapng"))],
+                               "id long, content binary")
+    rows = {r["id"]: r for r in resize_media(df, "content", width=4, height=4).collect()}
+    assert rows[1]["r_channels"] > 0 and len(rows[1]["resized"]) > 0
+    assert rows[2]["r_channels"] > 0
+
+
+def test_jpeg_header_walk_skips_fill_bytes(spark):
+    """JPEG spec B.1.1.2: 0xFF fill bytes may pad any marker — the
+    header walk must skip them, not misread a length."""
+    import struct
+
+    from yodel_etl_spark.scale.multimodal import parse_image_header
+
+    sof = b"\xff\xc0" + struct.pack(">H", 11) + bytes([8]) + struct.pack(">HH", 7, 9) + bytes([3, 0, 0, 0])
+    # SOI + APP0 with two fill bytes before it + fill byte before SOF
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    blob = b"\xff\xd8" + b"\xff" + app0 + b"\xff" + sof
+    assert parse_image_header(blob) == (9, 7, 3)

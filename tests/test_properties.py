@@ -225,8 +225,8 @@ def model_domain_mix(rows: list[tuple[int, str]], budget_pct: int = 50):
     }
     kept = set()
     for k, d in rows:
-        b = int(hashlib.md5(f"{d}|{k}".encode()).hexdigest()[:4], 16) % 10000
-        if b < rate[d]:
+        h16 = int(hashlib.md5(f"{d}|{k}".encode()).hexdigest()[:4], 16)
+        if h16 * 10000 < rate[d] * 65536:
             kept.add(k)
     return kept, rate
 

@@ -90,3 +90,18 @@ def test_domain_mix_caps_rare_and_downsamples_big(spark):
     again = {r["dom"]: r["n"] for r in domain_mix_resample(df, "k", "dom", budget_pct=50)
              .groupBy("dom").count().withColumnRenamed("count", "n").collect()}
     assert again == got
+
+
+def test_domain_mix_null_domain_is_its_own_stratum(spark):
+    """NULL-domain rows must be sampled at their own rate, not silently
+    dropped by the rate equi-join (they also count in the totals)."""
+    from yodel_etl_spark.scale.sampling import domain_mix_resample
+
+    rows = [(i, None if i < 8 else "big") for i in range(8 + 800)]
+    df = spark.createDataFrame(rows, "k long, dom string")
+    out = domain_mix_resample(df, "k", "dom", budget_pct=50)
+    by_dom = {r["dom"]: r["n"] for r in out.groupBy("dom").count()
+              .withColumnRenamed("count", "n").collect()}
+    # the rare NULL stratum caps at rate 1 -> all 8 rows survive
+    assert by_dom.get(None) == 8
+    assert 0 < by_dom["big"] < 800

@@ -188,14 +188,16 @@ def events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id, d.domain, r.rate_bp
     FROM d JOIN r USING (domain)
     WHERE CAST(('0x' || substr(md5(d.domain || '|' || CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
-          % 10000 < r.rate_bp
+          * 10000 < r.rate_bp * 65536
     """,
     doc="Temperature-based domain mixing (α = 0.5 sampling of "
     "multilingual BERT / mT5) on a deliberately skewed derived domain "
     "(4 named sources vs a 16×-larger 'rest' pool): per-domain "
     "keep-rates ∝ √n_s/n_s under a 50% token budget, so the rare "
     "domains survive whole (rate caps at 1) while the dominant pool "
-    "downsamples ~3×.  Membership is a pure md5 lattice function of "
+    "downsamples ~3×.  Membership cross-multiplies the raw 16-bit md5 "
+    "prefix against the basis-point lattice (no modulo bias) as a pure "
+    "function of "
     "(domain, key) — append-stable, shuffle-free on the data path "
     "(domain stats are a broadcast 5-row aggregate) — and the oracle "
     "checks the actual sampled membership row for row.  Tier 2: "

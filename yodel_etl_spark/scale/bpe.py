@@ -133,21 +133,30 @@ def learn_bpe(
     1-row argmax (control plane) and a narrow merge fold, with lineage
     truncated every ``checkpoint_every`` rounds.  Both paths implement
     the identical greedy algorithm and are pinned equal in tests."""
-    freqs = word_freq_table(docs, text_col)
-    if local_vocab_threshold > 0:
-        # cheap distinct count decides the path; the collect below is
-        # vocabulary-sized, never corpus-sized
-        if freqs.count() <= local_vocab_threshold:
-            wf = [(r["word"], r["n"]) for r in freqs.collect()]
-            return _train_local(wf, n_merges, min_count)
-    words = freqs.select(F.split(F.col("word"), "").alias("symbols"), "n")
-    # the distinct-word table is orders of magnitude smaller than the
-    # corpus but inherits the corpus aggregation's partition count —
-    # every training round would schedule that many tasks twice.
-    # Compact it once; rounds are control-plane-latency-bound, so fewer,
-    # fuller tasks win.
-    target = max(1, min(8, words.rdd.getNumPartitions()))
-    words = words.coalesce(target).localCheckpoint(eager=True)
+    # persisted: the path-deciding count() and the collect()/symbol
+    # build both read it — unpersisted, the corpus-sized explode+groupBy
+    # would run twice ("the corpus reduces ONCE" is the whole contract)
+    freqs = word_freq_table(docs, text_col).persist()
+    try:
+        if local_vocab_threshold > 0:
+            # cheap distinct count decides the path; the collect below
+            # is vocabulary-sized, never corpus-sized
+            if freqs.count() <= local_vocab_threshold:
+                wf = [(r["word"], r["n"]) for r in freqs.collect()]
+                return _train_local(wf, n_merges, min_count)
+        words = freqs.select(F.split(F.col("word"), "").alias("symbols"), "n")
+        # the distinct-word table is orders of magnitude smaller than
+        # the corpus but inherits the corpus aggregation's partition
+        # count — every training round would schedule that many tasks
+        # twice.  Compact it once; rounds are control-plane-latency-
+        # bound, so fewer, fuller tasks win.
+        target = max(1, min(8, words.rdd.getNumPartitions()))
+        words = words.coalesce(target).localCheckpoint(eager=True)
+    finally:
+        # the checkpoint (or the local collect) materialized everything
+        # the loop needs; the training function returns a plain list,
+        # so nothing escapes that could still read the cache
+        freqs.unpersist()
     merges: list[tuple[str, str]] = []
     pending = 0
     for _ in range(n_merges):
@@ -176,19 +185,12 @@ def learn_bpe(
 
 
 def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
-    """Reference encoder: apply the merge list in training order."""
+    """Reference encoder: apply the merge list in training order (one
+    :func:`_merge_word_local` pass per merge — the single source of the
+    merge-pass semantics)."""
     sym = list(word)
     for a, b in merges:
-        out: list[str] = []
-        i = 0
-        while i < len(sym):
-            if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
-                out.append(a + b)
-                i += 2
-            else:
-                out.append(sym[i])
-                i += 1
-        sym = out
+        sym = _merge_word_local(sym, a, b)
     return sym
 
 

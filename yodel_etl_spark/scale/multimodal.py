@@ -105,6 +105,12 @@ def parse_image_header(blob: bytes) -> tuple[int, int, int] | None:
             if blob[i] != 0xFF:
                 return None
             marker = blob[i + 1]
+            if marker == 0xFF:
+                # spec B.1.1.2: any number of 0xFF fill bytes may pad a
+                # marker — skip them or the walk misreads the real
+                # marker byte as a segment length
+                i += 1
+                continue
             if marker in _JPEG_SOF:
                 h, w = struct.unpack(">HH", blob[i + 5 : i + 9])
                 ncomp = blob[i + 9] if i + 9 < len(blob) else 0
@@ -296,10 +302,18 @@ def resize_media(
                     resized.append(b"")
                     chans.append(0)
                     continue
+                px = None
                 if b[:8] == _PNG_MAGIC:
-                    px = decode_png_pixels(bytes(b))
-                    h, w, c = px.shape
-                else:
+                    # fail-soft: a PNG outside the supported profile
+                    # (16-bit, Adam7, truncated IDAT) falls back to the
+                    # fake plane like any other blob — one bad byte
+                    # stream must never abort the whole resize job
+                    try:
+                        px = decode_png_pixels(bytes(b))
+                        h, w, c = px.shape
+                    except Exception:
+                        px = None
+                if px is None:
                     w, h, c = _fake_decode(b)
                     # cycle the raw bytes into the fake W×H×C pixel plane
                     px = np.resize(np.frombuffer(b, dtype=np.uint8), w * h * c).reshape(h, w, c)

@@ -107,15 +107,25 @@ def domain_mix_resample(
     sqrt is correctly rounded, so the floored integer weights (and
     their integer sum) are bit-identical in Spark and DuckDB; the only
     float division happens once per DOMAIN (not per row) and lands on
-    a 10^4 lattice.  Scale shape: the domain stats are a tiny
-    aggregate (one row per domain) broadcast back; the data path is a
-    narrow filter — no data-sized shuffle anywhere.  Domains with
-    α ≠ 0.5 would need pow(), which IEEE does not promise correctly
-    rounded — keep α = ½ for oracle-portable plans.
+    a 10^4 lattice.  The membership test cross-multiplies the raw
+    16-bit md5 prefix against that lattice (``h16·10^4 < rate_bp·2^16``,
+    all integers) — ``hash_bucket(·, 10000)`` would fold 65536 lattice
+    points onto 10000 buckets and systematically over-keep by up to
+    ~7% relative (buckets 0..5535 receive 7 preimages, the rest 6).
+    Rows with a NULL domain form their own stratum (internal sentinel
+    key) rather than silently dropping out of the equi-join.  Scale
+    shape: the domain stats are a tiny aggregate (one row per domain)
+    broadcast back; the data path is a narrow filter — no data-sized
+    shuffle anywhere.  Domains with α ≠ 0.5 would need pow(), which
+    IEEE does not promise correctly rounded — keep α = ½ for
+    oracle-portable plans.
     """
     if not 0 <= budget_pct <= 100:
         raise ValueError(f"budget_pct must be 0..100, got {budget_pct}")
-    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_s"))
+    d = df.withColumn(
+        "_dom", F.coalesce(F.col(domain_col).cast("string"), F.lit("\x00NULL\x00"))
+    )
+    counts = d.groupBy("_dom").agg(F.count(F.lit(1)).alias("n_s"))
     w = counts.withColumn(
         "w_s",
         F.floor(F.sqrt(F.col("n_s").cast("double")) * F.lit(1000000.0)).cast("long"),
@@ -138,10 +148,17 @@ def domain_mix_resample(
                 ).cast("long"),
             ),
         )
-        .select(domain_col, "rate_bp")
+        .select("_dom", "rate_bp")
     )
-    b = hash_bucket(
-        F.concat_ws("|", F.col(domain_col).cast("string"), F.col(key_col).cast("string")),
-        10000,
+    h16 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("_dom"), F.col(key_col).cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("int")
+    return (
+        d.join(F.broadcast(rates), "_dom")
+        .where(h16 * 10000 < F.col("rate_bp") * 65536)
+        .drop("_dom")
     )
-    return df.join(F.broadcast(rates), domain_col).where(b < F.col("rate_bp"))

@@ -301,8 +301,11 @@ def chunk_tokens(
     """Split documents into overlapping token-window chunks — the
     RAG-indexing / pretraining-window op: chunk ``i`` covers tokens
     ``[i·(size−overlap), i·(size−overlap)+size)``; the final chunk is
-    the remainder (never empty, never duplicated — a doc shorter than
-    one window yields exactly one chunk).
+    the remainder (never duplicated — a doc shorter than one window
+    yields exactly one chunk; the zero-token edge case — empty or
+    all-whitespace text — still emits ONE row with ``chunk_text = ''``
+    and ``n_tokens = 0``, preserving row-per-doc accounting; filter on
+    ``n_tokens > 0`` if empty chunks are unwelcome downstream).
 
     Pure column algebra: one tokenizer pass materialized in its own
     projection (expression-hygiene rule), ``posexplode(sequence(...))``
