@@ -126,3 +126,54 @@ def test_hll_rollup_accuracy_and_mergeability(spark, sf_small):
         # lg_k=12 -> ~1.6% relative standard error; assert 5%
         assert abs(e - exact[t]) <= max(2, 0.05 * exact[t]), (t, e, exact[t])
         assert n_parts > 1  # genuinely rolled up from multiple day partials
+
+
+def test_cms_never_undercounts_and_exact_when_wide(spark, sf_small):
+    """CMS guarantees: est >= true for every key, and a sketch wide
+    enough to avoid collisions is exact."""
+    from pyspark.sql import functions as F
+
+    from yodel_etl_spark.scale.sketch import cms_build, cms_query
+    from yodel_etl_spark.session import load_tables
+
+    ev = load_tables(spark, sf_small, ("events",))["events"]
+    truth = {r["user_id"]: r["n"] for r in ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    keys = ev.select("user_id").distinct()
+    # narrow sketch: upper bounds only
+    sk = cms_build(ev, "user_id", depth=4, width=64)
+    est = {r["user_id"]: r["est"] for r in cms_query(sk, keys, "user_id", 4, 64).collect()}
+    assert set(est) == set(truth)
+    assert all(est[k] >= truth[k] for k in truth)
+    # wide sketch: collision-free at this cardinality -> exact
+    skw = cms_build(ev, "user_id", depth=6, width=1 << 16)
+    estw = {r["user_id"]: r["est"] for r in cms_query(skw, keys, "user_id", 6, 1 << 16).collect()}
+    assert estw == truth
+
+
+def test_cms_merge_equals_sketch_of_union(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from yodel_etl_spark.scale.sketch import cms_build, cms_merge
+    from yodel_etl_spark.session import load_tables
+
+    ev = load_tables(spark, sf_small, ("events",))["events"]
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    merged = {(r["d"], r["bucket"]): r["cnt"]
+              for r in cms_merge(cms_build(a, "user_id"), cms_build(b, "user_id")).collect()}
+    whole = {(r["d"], r["bucket"]): r["cnt"] for r in cms_build(ev, "user_id").collect()}
+    assert merged == whole
+
+
+def test_cms_unknown_key_estimates_bounded(spark, sf_small):
+    """A key absent from the data gets est = 0 when its cells are
+    empty, and never a negative value."""
+    from yodel_etl_spark.scale.sketch import cms_build, cms_query
+    from yodel_etl_spark.session import load_tables
+
+    ev = load_tables(spark, sf_small, ("events",))["events"]
+    sk = cms_build(ev, "user_id", depth=4, width=1 << 16)
+    ghost = spark.createDataFrame([(987654321,)], "user_id long")
+    est = cms_query(sk, ghost, "user_id", 4, 1 << 16).collect()[0]["est"]
+    assert est == 0

@@ -218,3 +218,28 @@ def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_mix_resample(d, "doc_id", "domain", budget_pct=50).select(
         "doc_id", "domain", "rate_bp"
     )
+
+
+@register(
+    "events_cms",
+    oracle=None,  # xxhash64 cell coordinates have no DuckDB twin —
+    # never-undercount / exact-when-wide / merge==whole guarantees
+    # pinned in tests/test_sketch.py; rows-only registry tail
+    doc="Count-Min sketch point-frequency estimates: the key column "
+    "explodes into depth×(xxhash64 mod width) coordinates and the "
+    "build is one map-side-combined count over at most depth·width "
+    "cells — bounded shuffle state for ANY key cardinality, mergeable "
+    "cell-wise across batches/days (unlike a groupBy count, partial "
+    "sketches combine losslessly).  Query side re-derives coordinates "
+    "and takes the per-key min over a broadcast counter table.",
+    tags=("sketch", "agg", "scale"),
+    bench=True,
+    tier=2,
+)
+def events_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.sketch import cms_build, cms_query
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    sketch = cms_build(ev, "user_id", depth=4, width=4096)
+    probe = ev.select("user_id").distinct().where(F.col("user_id") < 20)
+    return cms_query(sketch, probe, "user_id", depth=4, width=4096)

@@ -156,3 +156,86 @@ def hll_distinct_rollup(
         F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias("approx_distinct"),
         F.count(F.lit(1)).alias("n_partials"),
     )
+
+
+# ------------------------------------------------------ count-min sketch
+def cms_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005, public paper) of
+    a key column as a plain (d, bucket, cnt) counter table — pure
+    column algebra, no Python in the row path.
+
+    Each row explodes into ``depth`` narrow coordinates
+    ``(d, xxhash64(d, key) mod width)`` and the build is one
+    map-side-combined count over ``depth·width`` possible cells — the
+    shuffle carries at most that many rows per partition, independent
+    of input size or key cardinality (the same bounded-state rationale
+    as Misra-Gries, but answering point frequency queries for ANY key
+    instead of only the heavy ones).  Sketches MERGE by unioning the
+    counter tables and summing per cell (see :func:`cms_merge`), so the
+    operator serves batch, foreachBatch accumulation, and hierarchical
+    rollups alike.  Guarantee: estimates never undercount; an estimate
+    exceeds the true count by more than 2n/width with probability
+    ≤ 2^-depth."""
+    coords = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.pmod(
+                        F.xxhash64(F.lit(d), F.col(key_col).cast("string")), width
+                    ).alias("bucket"),
+                )
+                for d in range(depth)
+            ]
+        )
+    )
+    return (
+        df.select(coords.alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of counter tables — exact: merged sketch ==
+    sketch of the concatenated inputs, row for row."""
+    it = iter(sketches)
+    out = next(it)
+    for s in it:
+        out = out.unionByName(s)
+    return out.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_query(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency upper bounds for a key batch: re-derive each
+    key's ``depth`` coordinates, left-join the (broadcast — ≤
+    depth·width rows) counter table, and take the per-key MIN across
+    depths; a missing cell is a hard zero.  Returns (key, est)."""
+    coords = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.pmod(
+                        F.xxhash64(F.lit(d), F.col(key_col).cast("string")), width
+                    ).alias("bucket"),
+                )
+                for d in range(depth)
+            ]
+        )
+    )
+    ex = keys.select(F.col(key_col), coords.alias("c")).select(
+        key_col, F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket")
+    )
+    joined = ex.join(F.broadcast(sketch), ["d", "bucket"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
+    )
