@@ -477,3 +477,68 @@ def test_live_sse_stream_source_with_checkpoint_restart(spark, tmp_path):
         assert n_in <= len(phase2)
     finally:
         srv.shutdown()
+
+
+def test_foreachbatch_incremental_dedup_ingest(spark, tmp_path):
+    """The daily-ingest loop end to end: a document stream lands in an
+    accumulating corpus through foreachBatch, each micro-batch exact-
+    deduped against everything already landed (dedup_against) — so a
+    text seen in any earlier batch never lands twice, while within-
+    stream order and novel docs survive.  This is the streaming twin of
+    the dedup_bloom_novel/dedup_against batch pair."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from yodel_etl_spark.scale.dedup import dedup_against
+    from yodel_etl_spark.session import release
+
+    src = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    def land(batch, _bid):
+        batch = batch.dropDuplicates(["text"])  # in-batch exact dedup
+        spark_ = batch.sparkSession
+        try:
+            seen = spark_.read.parquet(corpus)
+            novel = dedup_against(seen, batch, "doc_id", "text")
+        except Exception:  # first batch: corpus dir does not exist yet
+            novel = batch
+        novel.write.mode("append").parquet(corpus)
+
+    def drain():
+        q = (
+            spark.readStream.schema(b1.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    first = spark.read.parquet(corpus)
+    assert first.count() == 2  # in-batch dup of "alpha beta" collapsed
+
+    # second ingest: one replay of an already-landed text + one novel
+    b2 = spark.createDataFrame(
+        [(10, "gamma delta"), (11, "epsilon zeta")],
+        "doc_id long, text string",
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    final = spark.read.parquet(corpus)
+    texts = sorted(r["text"] for r in final.collect())
+    assert texts == ["alpha beta", "epsilon zeta", "gamma delta"]
+    # exactly-once landing: no text duplicated across batches
+    assert final.select("text").distinct().count() == final.count()
