@@ -142,3 +142,16 @@ def test_ppl_buckets_scoring_join_is_keyed(spark, sf_small):
     assert "CartesianProduct" not in plan, plan
     assert re.search(r"HashJoin \[w1#\d+, w2#\d+\]", plan), plan
     assert re.search(r"partial_sum\(nats#\d+L\)", plan), plan
+
+
+def test_cms_build_is_bounded_and_query_broadcasts(spark, sf_small):
+    """The CMS build's exchange carries at most depth×width cell rows
+    (map-side partial count before the shuffle) and the query side
+    joins the counter table by broadcast."""
+    import re
+
+    q = load_all()["events_cms"].build(spark, sf_small)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan, plan
+    assert re.search(r"partial_count", plan), plan
+    assert "CartesianProduct" not in plan, plan
