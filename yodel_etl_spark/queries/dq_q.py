@@ -64,3 +64,55 @@ def dq_documents_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         Expectation("lang_known", F.col("lang").isin("en", "de", "fr", "es", "zh")),
     ]
     return expect_report(docs, rules, unique_key="doc_id")
+
+
+@register(
+    "profile_documents",
+    oracle="""
+    WITH unp AS (
+      SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS val FROM documents
+      UNION ALL SELECT 'text', text FROM documents
+      UNION ALL SELECT 'lang', lang FROM documents
+      UNION ALL SELECT 'source', source FROM documents
+      UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+    ),
+    vc AS (SELECT col_name, val, count(*) AS cnt FROM unp GROUP BY col_name, val),
+    agg AS (
+      SELECT col_name,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             coalesce(CAST(sum(CASE WHEN val IS NULL THEN cnt END) AS BIGINT), 0) AS n_null,
+             CAST(sum(CASE WHEN val IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct,
+             min(val) AS min_s, max(val) AS max_s,
+             round(min(try_cast(val AS DOUBLE)), 6) AS num_min,
+             round(max(try_cast(val AS DOUBLE)), 6) AS num_max,
+             min(CASE WHEN val IS NOT NULL
+                      THEN lpad(CAST(999999999999 - cnt AS VARCHAR), 12, '0') || '|' || val END) AS k
+      FROM vc GROUP BY col_name
+    )
+    SELECT col_name, n_rows, n_null, n_distinct, min_s, max_s, num_min, num_max,
+           substr(k, 14) AS top_value,
+           999999999999 - CAST(substr(k, 1, 12) AS BIGINT) AS top_count
+    FROM agg
+    """,
+    doc="ANALYZE-style column profiler: per-column row/null/distinct "
+    "counts, lexical min/max of the canonical string form, numeric "
+    "bounds via try_cast, and the deterministic top value (highest "
+    "count, ties to the smallest value) — the statistics pass that "
+    "tells you which DQ rules to write and which joins broadcast.  One "
+    "unpivot + one map-side-combined (column, value) count + one "
+    "rollup of combinable aggregates; the top value rides a fixed-width "
+    "inverted-count composite key reduced with plain min(), so no "
+    "per-column value funnel or window sort exists anywhere in the "
+    "plan.  100 TB swaps documented in scale/profile.py: HLL distincts "
+    "and Misra-Gries top-k (both in-repo) when a column's value set "
+    "outgrows the count shuffle.  Tier 2: yields its driver-window "
+    "slot; parity via pytest oracle suite + driver-sim.",
+    tags=("dq", "scale", "grouping"),
+    bench=True,
+    tier=2,
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.profile import profile_table
+
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    return profile_table(docs, ("doc_id", "text", "lang", "source", "n_chars"))
