@@ -83,3 +83,24 @@ def test_distributed_and_local_paths_agree(spark, sf_small):
     local = learn_bpe(docs, "text", n_merges=10)
     dist = learn_bpe(docs, "text", n_merges=10, local_vocab_threshold=0)
     assert local == dist
+
+
+def test_bpe_encode_query_deterministic_and_bounded(spark, sf_small):
+    """Registered train→apply query: two independent builds produce
+    identical digests (the merge table and encode are pure functions of
+    the corpus), and per-doc token counts are bounded below by the
+    whitespace word count (each word yields ≥1 token)."""
+    from pyspark.sql import functions as F
+
+    from yodel_etl_spark.registry import load_all
+    from yodel_etl_spark.scale.textstats import tokens
+
+    build = load_all()["text_bpe_encode"].build
+    a = {r["doc_id"]: r for r in build(spark, sf_small).collect()}
+    b = {r["doc_id"]: r for r in build(spark, sf_small).collect()}
+    assert a == b
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id", F.size(tokens(F.lower(F.col("text")))).alias("nw")
+    )
+    for r in docs.collect():
+        assert a[r["doc_id"]]["n_tokens"] >= r["nw"]

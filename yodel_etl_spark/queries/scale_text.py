@@ -546,3 +546,39 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
         "rank long, left string, right string, merged string",
     )
+
+
+@register(
+    "text_bpe_encode",
+    oracle=None,  # the merge table is data-dependent and its application
+    # iterative — not single-statement SQL; per-word encode parity vs the
+    # textbook single-process encoder is pinned in tests/test_bpe.py
+    doc="Tokenize the corpus with the trained BPE merge table — the "
+    "apply half of the train→apply tokenizer pair (text_bpe_merges "
+    "trains; this encodes every document and reports token counts and "
+    "the md5 of the token stream).  The merge table is control-plane "
+    "data (16 rows) closed over an Arrow-batched mapInPandas whose "
+    "per-batch word cache turns corpus word redundancy directly into "
+    "cache hits; the encode pass is narrow (no shuffle — the scan "
+    "prunes to (doc_id, text) and each batch writes its own rows).  "
+    "The n_tokens column is what pack_sequences_bins and "
+    "sample_domain_mix budget against — trained-tokenizer counts, not "
+    "the whitespace proxy.  Tier 2: yields its driver-window slot; "
+    "rows-only with per-word parity + roundtrip invariants in pytest.",
+    tags=("text", "scale"),
+    bench=True,
+    tier=2,
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.bpe import bpe_tokenize, learn_bpe
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    merges = learn_bpe(docs, "text", n_merges=16)
+    enc = bpe_tokenize(docs, "doc_id", "text", merges)
+    # md5 over the joined stream: a value-stable digest the driver can
+    # hash without a top-level array column (drivers sort rows by value)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.array_join("tokens", " ")).alias("tokens_md5"),
+    )
