@@ -155,3 +155,19 @@ def test_cms_build_is_bounded_and_query_broadcasts(spark, sf_small):
     assert "BroadcastHashJoin" in plan, plan
     assert re.search(r"partial_count", plan), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_profile_rollup_is_combinable_no_value_funnel(spark, sf_small):
+    """The profiler's per-column rollup must be two-phase (partial_min /
+    partial_sum BEFORE the column-key exchange, merge after) with no
+    Window — the deterministic top value rides min() over the composite
+    key, so no per-column value funnel exists.  (String min/max forces
+    SortAggregate — a per-partition group-key sort, not a funnel; the
+    partial phase upstream of the exchange is the property that scales.)"""
+    q = load_all()["profile_documents"].build(spark, sf_small)
+    plan = _plan(q)
+    head, _, tail = plan.partition("Exchange hashpartitioning(col_name")
+    assert tail, "expected a col_name-keyed exchange between the agg phases"
+    assert "partial_min" in tail and "partial_sum" in tail  # map-side partials
+    assert "partial_min" not in head  # final merge above the exchange
+    assert "Window" not in plan and "CartesianProduct" not in plan
