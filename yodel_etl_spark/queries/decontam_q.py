@@ -71,3 +71,91 @@ def decontam_train_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_g = eval_gram_set(grams.where(F.col("split") == "test"))
     corpus = grams.where(F.col("split") == "train")
     return contaminated_docs(corpus, eval_g, "doc_id")
+
+
+_SEMANTIC_ORACLE = """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    t AS (
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(range(1, len(embedding) + 1),
+               i -> 0.98 * CAST(embedding[i] AS DOUBLE)
+                    + 0.02 * CAST(embedding[(i % len(embedding)) + 1] AS DOUBLE))
+               AS embedding
+      FROM e WHERE vec_id % 10 = 0
+    ),
+    u AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM e
+      UNION ALL SELECT * FROM t
+    ),
+    n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> x * x))) AS nrm,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS bk
+      FROM u
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bk AS ba, b.bk AS bb,
+             round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                     i -> a.embedding[i] * b.embedding[i]))
+                   / (a.nrm * b.nrm), 6) AS cosine_r
+      FROM n a, n b
+      WHERE a.vec_id < b.vec_id
+        AND list_sum(list_transform(range(1, len(a.embedding) + 1),
+              i -> a.embedding[i] * b.embedding[i]))
+            / (a.nrm * b.nrm) >= 0.9
+    )
+    SELECT CASE WHEN ba < 90 THEN id_a ELSE id_b END AS vec_id,
+           count(*) AS n_eval_hits, max(cosine_r) AS max_cosine
+    FROM p WHERE (ba >= 90) <> (bb >= 90)
+    GROUP BY 1
+"""
+
+
+@register(
+    "decontam_semantic",
+    oracle=_SEMANTIC_ORACLE,
+    doc="Embedding-level benchmark decontamination — the semantic twin "
+    "of the lexical n-gram scrub (paraphrased eval leakage that shares "
+    "no 5-gram still has cos ≈ 1 to its source): corpus vectors whose "
+    "cosine to ANY held-out eval vector (md5 bucket ≥ 90 — the same "
+    "pure-function split the sampling family uses, so membership needs "
+    "no join) reaches 0.9, found via the banded hyperplane-LSH "
+    "candidate path (12 × 16-bit bands, recall 1 at this threshold — "
+    "same parameters and argument as dedup_embedding_cosine) + exact "
+    "cosine verify, then filtered to cross-split pairs and rolled up "
+    "per corpus vector (hit count, worst cosine).  Candidates stay "
+    "O(n); no full-corpus broadcast anywhere.  The oracle is the "
+    "brute-force cross join at driver SF.  Tier 2: yields its "
+    "driver-window slot; parity via pytest oracle suite + driver-sim.",
+    tags=("decontam", "similarity", "scale"),
+    bench=True,
+    tier=2,
+)
+def decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.queries.scale_dedup import _with_planted_twins
+    from yodel_etl_spark.scale.sampling import hash_bucket
+    from yodel_etl_spark.scale.similarity import hyperplane_lsh_pairs
+
+    emb = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
+    corpus = _with_planted_twins(emb)
+    pairs = hyperplane_lsh_pairs(
+        corpus,
+        "vec_id",
+        "embedding",
+        threshold=0.9,
+        n_planes=192,
+        blocks=12,
+        vectorized_sketch=True,
+    )
+    ba = hash_bucket(F.col("id_a"), 100)
+    bb = hash_bucket(F.col("id_b"), 100)
+    cross = pairs.where((ba >= 90) != (bb >= 90))
+    contaminated = cross.select(
+        F.when(ba < 90, F.col("id_a")).otherwise(F.col("id_b")).alias("vec_id"),
+        "cosine_r",
+    )
+    return contaminated.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_eval_hits"),
+        F.max("cosine_r").alias("max_cosine"),
+    )
