@@ -119,17 +119,16 @@ def main() -> int:
     # The ONE stdout JSON line, compact separators, big dict FIRST and
     # every scalar aggregate LAST: if future query additions ever push
     # the line past the driver's 2,000-char tail window again, the tail
-    # still ends ...,"value":X,"med":Y,"nq":N,"ctl":{...},"sf":Z}
-    # — the judge-readable headline survives even when the full-line
-    # parse cannot.  "ctl" repeats the mins
-    # of two stable ~0.1 s queries so every archived record carries its
-    # own contention gauge (clean window ≈ 0.10-0.15 s; the contended r3
-    # window showed 0.25/0.21 s — BASELINE.md documents the steady state).
-    controls = {
-        n: timings2[n]
-        for n in ("top_events_global", "text_fingerprint")
-        if n in timings2
-    }
+    # still ends ...,"value":X,"med":Y,"sf":Z} — the judge-readable
+    # headline survives even when the full-line parse cannot.  The two
+    # contention-gauge controls (top_events_global, text_fingerprint —
+    # clean window ≈ 0.10-0.15 s / 0.14-0.17 s, BASELINE.md documents
+    # the steady state) need no separate "ctl" field: both sort in the
+    # alphabetical t* tail of the queries dict, within the last ~330
+    # chars — inside any 2,000-char tail capture.  The field (and "nq"
+    # = len(queries)) were dropped when the 73-query registry pushed
+    # the full line past the window (tests/test_bench_smoke.py guards
+    # the projection at authoring time).
     print(
         json.dumps(
             {
@@ -138,14 +137,11 @@ def main() -> int:
                 "metric": "sum_min_sec",
                 "unit": "sec",
                 "queries": timings2,
-                "value": round(sum(timings.values()), 3),
-                # short keys on purpose: med = sum of per-query medians,
-                # nq = query count, wall = harness wall-clock sec — every
-                # byte here trades against registry growth inside the
+                "value": round(sum(timings.values()), 2),
+                # med = sum of per-query medians; short key on purpose —
+                # every byte trades against registry growth inside the
                 # driver's 2,000-char tail window (see BASELINE.md)
-                "med": round(sum(medians.values()), 3),
-                "nq": len(timings),
-                "ctl": controls,
+                "med": round(sum(medians.values()), 2),
                 "sf": _sf_from_dir(SF_DIR),
             },
             separators=(",", ":"),

@@ -34,19 +34,20 @@ def test_bench_emits_valid_json_line():
     assert rec["metric"] == "sum_min_sec"
     assert set(rec["queries"]) == {"top_events_global", "distinct_counts"}
     assert rec["sf"] == 0.001
-    assert rec["nq"] == 2
     assert rec["value"] > 0 and rec["med"] > 0
     assert "wall" not in rec  # harness wall-clock lives on stderr (VERBOSE) only
-    # contention gauge rides in the headline (only registered controls
-    # present in this filtered run)
-    assert rec["ctl"] == {"top_events_global": rec["queries"]["top_events_global"]}
+    # "ctl"/"nq" were dropped at 73 queries (the controls sort in the
+    # t* tail of the queries dict, inside any 2,000-char tail capture;
+    # nq = len(queries)) — pin their absence so they don't creep back
+    # and re-blow the window budget
+    assert "ctl" not in rec and "nq" not in rec
     # tail-safety contract (BENCH_r03 lost its headline to the driver's
     # 2,000-char tail capture): every scalar aggregate must serialize
     # AFTER the per-query dict so a truncated tail still ends with the
     # judge-readable headline, and the line itself must leave headroom.
     line = lines[0]
     assert line.index('"queries"') < line.index('"value"')
-    assert line.index('"value"') < line.index('"ctl"') < line.index('"sf"')
+    assert line.index('"value"') < line.index('"med"') < line.index('"sf"')
     # per-query medians live on stderr now, never on the stdout line
     assert '"queries_median"' not in line
     assert any(ln.startswith("VERBOSE {") for ln in proc.stderr.splitlines())
@@ -71,10 +72,8 @@ def test_bench_full_line_fits_driver_tail_window():
         # window budget (and the 2x-of-baseline bar) long before this
         # guard matters
         "queries": {n: 9.99 for n in names},
-        "value": 1234.567,
-        "med": 1234.567,
-        "nq": len(names),
-        "ctl": {"top_events_global": 12.34, "text_fingerprint": 12.34},
+        "value": 999.99,
+        "med": 999.99,
         "sf": 0.001,
     }
     line = json.dumps(mock, separators=(",", ":"))
@@ -84,3 +83,8 @@ def test_bench_full_line_fits_driver_tail_window():
         f"bench stdout line projects to {len(line)} chars; the driver tail "
         "window is 2,000 — shorten query names or trim headline keys"
     )
+    # with "ctl" gone, the contention gauges must keep sorting into the
+    # truncation-safe zone: both control entries (and everything after
+    # them, through the scalar headline) inside the last ~1,990 chars
+    for ctl in ("top_events_global", "text_fingerprint"):
+        assert len(line) - line.rindex(f'"{ctl}"') <= 1990, ctl
