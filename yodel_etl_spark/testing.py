@@ -38,6 +38,24 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def frame_sig(pdf: pd.DataFrame) -> str:
+    """Order-insensitive value hash — the driver's weak gate, verbatim.
+
+    Single shared implementation for BOTH local replicas of the driver's
+    correctness check (tools/driver_sim.py and compare_frames below), so
+    the two gates cannot drift: columns sorted by name, nulls normalized
+    to a sentinel, rows stringified then sorted, md5 over the csv."""
+    import hashlib
+
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    # normalize null spellings (Spark None vs DuckDB NaN) before stringify
+    pdf = pdf.astype(object).where(pdf.notna(), "<NULL>")
+    csv = pdf.astype(str).to_csv(index=False, header=True)
+    rows = csv.splitlines()
+    body = sorted(rows[1:])
+    return hashlib.md5(("\n".join([rows[0]] + body)).encode()).hexdigest()
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -85,6 +103,14 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -
                 return ParityResult(
                     name, False, f"value mismatch col={c} row={i}: spark={a!r} duck={b!r}"
                 )
+    # Also run the driver's weaker stringify-hash through the shared
+    # implementation, so the pytest gate subsumes driver_sim's check and
+    # stringify-level divergences (e.g. float repr) surface here first.
+    ss, ds = frame_sig(spark_pdf), frame_sig(duck_pdf)
+    if ss != ds:
+        return ParityResult(
+            name, False, f"values equal but driver-style frame_sig differs: {ss} != {ds}"
+        )
     return ParityResult(name, True)
 
 
