@@ -84,7 +84,15 @@ def test_bench_full_line_fits_driver_tail_window():
         "window is 2,000 — shorten query names or trim headline keys"
     )
     # with "ctl" gone, the contention gauges must keep sorting into the
-    # truncation-safe zone: both control entries (and everything after
-    # them, through the scalar headline) inside the last ~1,990 chars
+    # truncation-safe zone even if the registry outgrows the window one
+    # day: pad the mock with hypothetical queries ALPHABETICALLY BEFORE
+    # the controls until the line exceeds the 2,000-char capture, then
+    # require both control entries (and the scalar headline after them)
+    # inside the final 1,990 chars.  (The un-padded form of this check
+    # was vacuous: line <= 1985 made the distance bound always true.)
+    pad = [f"padding_query_{i:02d}" for i in range(60)]
+    mock["queries"] = {n: 9.99 for n in sorted(names + pad)}
+    padded_line = json.dumps(mock, separators=(",", ":"))
+    assert len(padded_line) > 2000  # the scenario the guard exists for
     for ctl in ("top_events_global", "text_fingerprint"):
-        assert len(line) - line.rindex(f'"{ctl}"') <= 1990, ctl
+        assert len(padded_line) - padded_line.rindex(f'"{ctl}"') <= 1990, ctl

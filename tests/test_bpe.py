@@ -104,3 +104,27 @@ def test_bpe_encode_query_deterministic_and_bounded(spark, sf_small):
     )
     for r in docs.collect():
         assert a[r["doc_id"]]["n_tokens"] >= r["nw"]
+
+
+def test_train_and_encode_agree_on_unicode_whitespace(spark):
+    """ADVICE r4: word boundaries must match between the JVM train-side
+    split (\\s+ = ASCII whitespace only) and the Python encoder.  U+00A0
+    (NBSP) and U+2028 (line separator) are whitespace to Python
+    str.split() but NOT to the JVM regex — both sides must keep them
+    inside the word."""
+    from yodel_etl_spark.scale.bpe import split_words, word_freq_table
+
+    text = "low low lower lowest\tlow"
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    jvm_words = sorted(
+        r["word"] for r in word_freq_table(docs, "text").collect()
+    )
+    assert jvm_words == sorted(split_words(text))
+    assert "low low" in jvm_words  # NBSP stays inside the word
+    # and the registered encoder tokenizes through the same splitter:
+    merges = [("l", "o"), ("lo", "w")]
+    out = bpe_tokenize(docs, "doc_id", "text", merges).collect()[0]
+    expect = [
+        t for w in split_words(text) for t in encode_word(w, merges)
+    ]
+    assert list(out["tokens"]) == expect

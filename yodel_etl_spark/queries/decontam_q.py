@@ -121,8 +121,14 @@ _SEMANTIC_ORACLE = """
     "cosine to ANY held-out eval vector (md5 bucket ≥ 90 — the same "
     "pure-function split the sampling family uses, so membership needs "
     "no join) reaches 0.9, found via the banded hyperplane-LSH "
-    "candidate path (12 × 16-bit bands, recall 1 at this threshold — "
-    "same parameters and argument as dedup_embedding_cosine) + exact "
+    "candidate path (12 × 16-bit bands; recall 1 holds on THIS corpus's "
+    "bimodal cosine gap — planted twins ≈ 0.9998, everything else "
+    "< 0.6, as _with_planted_twins documents.  At band parameters "
+    "12 × 16 a true pair sitting right at cos 0.9 is caught only ~65% "
+    "of the time; a real-data distribution with near-threshold pairs "
+    "needs more/shorter bands — e.g. 32 × 8-bit lifts recall at "
+    "cos 0.9 above 0.999, at materially higher random-pair candidate "
+    "volume, all absorbed by the exact verify) + exact "
     "cosine verify, then filtered to cross-split pairs and rolled up "
     "per corpus vector (hit count, worst cosine).  Candidates stay "
     "O(n); no full-corpus broadcast anywhere.  The oracle is the "

@@ -28,12 +28,29 @@ the corpus.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from yodel_etl_spark.scale.textstats import tokens
+
+# Python twin of the train-side tokenizer: word_freq_table splits with the
+# JVM regex \s+, which (without UNICODE_CHARACTER_CLASS) matches ONLY the
+# ASCII whitespace class [ \t\n\x0b\f\r].  The encoder must segment words
+# identically or merges are learned on different boundaries than they are
+# applied to (e.g. U+00A0 NBSP: a word separator to Python str.split(),
+# but part of the word to the JVM split).  Casefold choice: plain
+# Unicode-default lowercase on both sides (Spark `lower` / Python
+# str.lower()) — no locale-sensitive mapping on either engine.
+_WS_ASCII = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def split_words(text: str | None) -> list[str]:
+    """Lowercased words of ``text`` under the SAME boundary rules as the
+    distributed :func:`word_freq_table` (ASCII whitespace only)."""
+    return [w for w in _WS_ASCII.split((text or "").lower()) if w]
 
 
 def word_freq_table(docs: DataFrame, text_col: str) -> DataFrame:
@@ -215,7 +232,7 @@ def bpe_tokenize(
 
         def enc(text: str) -> list[str]:
             toks: list[str] = []
-            for w in (text or "").lower().split():
+            for w in split_words(text):  # train-identical boundaries
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = encode_word(w, frozen)
