@@ -30,7 +30,7 @@ component, so output is deterministic for the driver's value-hash check.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -39,14 +39,35 @@ def _dedup_edges(e: DataFrame) -> DataFrame:
     return e.where(F.col("u") != F.col("v")).distinct()
 
 
+def _sym(e: DataFrame) -> DataFrame:
+    """Both orientations of every edge as ONE generator node.
+
+    ``union(e, e.swapped)`` embeds the child plan TWICE; across an
+    iterative algorithm that doubles the tree Catalyst must re-analyze
+    per round, and driver-side plan work is a real cost at interactive
+    scale (measured ~0.6 s/round on this loop's plans).  The explode
+    form keeps a single child and emits the same two rows per edge."""
+    pair = F.array(
+        F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+        F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+    )
+    return e.select(F.explode(pair).alias("e")).select("e.u", "e.v")
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """For each node u: connect every LARGER neighbor to u's min
-    neighborhood label m(u) = min(Γ(u) ∪ {u})."""
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    m = sym.groupBy("u").agg(F.min("v").alias("mn"))
-    m = m.select("u", F.least("u", "mn").alias("m"))
-    return _dedup_edges(
-        sym.join(m, "u")
+    neighborhood label m(u) = min(Γ(u) ∪ {u}).
+
+    Window form: ``min(v) over (partition by u)`` attaches the group
+    minimum to every edge in ONE exchange — the groupBy+self-join form
+    shuffles the symmetric edge list twice for the same result.  Output
+    may contain duplicate edges but never self-loops (m ≤ u < v), and
+    duplicates are harmless to the next min pass, so the per-round
+    distinct runs once, after small-star (see connected_components)."""
+    m = F.least(F.col("u"), F.min("v").over(Window.partitionBy("u")))
+    return (
+        _sym(e)
+        .withColumn("m", m)
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
     )
@@ -70,21 +91,25 @@ def _is_star_set(e: DataFrame) -> bool:
     endpoints with source/target roles, a per-node aggregate collects
     (distinct targets, was-source, was-target, any-upward-edge), and a
     global aggregate reduces the violations to one row."""
-    roles = e.select(
-        F.col("u").alias("node"),
-        F.lit(1).alias("src"),
-        F.lit(0).alias("tgt"),
-        F.col("v").alias("tgt_node"),
-        (F.col("v") > F.col("u")).cast("int").alias("up"),
-    ).union(
-        e.select(
+    vt = e.schema["v"].dataType.simpleString()
+    role_pair = F.array(
+        F.struct(
+            F.col("u").alias("node"),
+            F.lit(1).alias("src"),
+            F.lit(0).alias("tgt"),
+            F.col("v").alias("tgt_node"),
+            (F.col("v") > F.col("u")).cast("int").alias("up"),
+        ),
+        F.struct(
             F.col("v").alias("node"),
             F.lit(0).alias("src"),
             F.lit(1).alias("tgt"),
-            F.lit(None).cast(e.schema["v"].dataType).alias("tgt_node"),
+            F.lit(None).cast(vt).alias("tgt_node"),
             F.lit(0).alias("up"),
-        )
+        ),
     )
+    # single-generator form of the two-role union (see _sym for why)
+    roles = e.select(F.explode(role_pair).alias("r")).select("r.*")
     per_node = roles.groupBy("node").agg(
         F.count_distinct("tgt_node").alias("k"),  # distinct targets as a source
         F.max("src").alias("is_src"),
@@ -100,18 +125,28 @@ def _is_star_set(e: DataFrame) -> bool:
             ).cast("int")
         ).alias("bad")
     ).first()
-    return row["bad"] == 0
+    # bad is NULL on an empty edge set — the empty set IS a disjoint
+    # union of stars, and folding that case here lets the caller skip a
+    # dedicated isEmpty() pre-flight job.
+    return row["bad"] is None or row["bad"] == 0
 
 
 def _small_star(e: DataFrame) -> DataFrame:
     """For each node u: connect every SMALLER-or-equal neighbor (and u
-    itself) to m(u) = min(Γ≤(u) ∪ {u})."""
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    down = sym.where(F.col("v") < F.col("u"))  # edges pointing to smaller ids
-    m = down.groupBy("u").agg(F.min("v").alias("m"))
-    moved = down.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
-    kept = m.select(F.col("u"), F.col("m").alias("v"))
-    return _dedup_edges(moved.union(kept))
+    itself) to m(u) = min(Γ≤(u) ∪ {u}).
+
+    Same window rewrite as :func:`_large_star` — one exchange instead of
+    groupBy + self-join.  Each down-edge (u, v) emits its moved form
+    (v, m) and its kept form (u, m) through one generator (no
+    plan-doubling union); ``distinct`` is deferred to the caller's
+    single per-round pass."""
+    down = _sym(e).where(F.col("v") < F.col("u"))  # edges pointing to smaller ids
+    withm = down.withColumn("m", F.min("v").over(Window.partitionBy("u")))
+    both = F.array(
+        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),  # moved
+        F.struct(F.col("u").alias("u"), F.col("m").alias("v")),  # kept
+    )
+    return withm.select(F.explode(both).alias("e")).select("e.u", "e.v")
 
 
 def connected_components(
@@ -138,16 +173,31 @@ def connected_components(
     map scales with the duplicate-pair graph, not the corpus.  Use
     ``attach_components`` to default them to their own id.
     """
+    # No checkpoint on the input edge list: only round 1 ever reads it
+    # (round 2+ and the final star read round checkpoints), so a
+    # checkpoint here would buy nothing and cost an extra physical-
+    # planning pass + shuffle-file write.
     edges = _dedup_edges(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
             F.col(src).isNotNull() & F.col(dst).isNotNull()
         )
-    ).localCheckpoint()
-    if edges.isEmpty():
-        return edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    )
 
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        # One ACTION per round: every localCheckpoint is LAZY, so the
+        # round's convergence probe is the job that materializes the
+        # input checkpoint and the round's edge set in one go (the r4
+        # shape ran an eager checkpoint job + a probe job + an isEmpty
+        # pre-flight; on the common converges-in-one-round candidate
+        # graph that was 3 scheduler round-trips where 1 suffices —
+        # _is_star_set treats the empty set as converged, which is what
+        # subsumes the isEmpty job).  One distinct per round, after both
+        # star passes — the stars emit no self-loops and duplicate edges
+        # are transparent to their min aggregations, so the intermediate
+        # _dedup_edges bought nothing but an extra exchange.
+        edges = _dedup_edges(_small_star(_large_star(edges))).localCheckpoint(
+            eager=False
+        )
         if _is_star_set(edges):
             break
     else:
