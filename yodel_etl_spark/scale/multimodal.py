@@ -5,12 +5,13 @@ decode / feature-extraction / resize / frame-sampling run as
 Arrow-batched Pandas UDFs over ``mapInPandas`` so bytes never cross a
 row-at-a-time Python boundary.  Header metadata (width/height/channels)
 parses REAL image formats dependency-free (:func:`parse_image_header`:
-PNG/GIF/BMP/JPEG magic bytes) and PNG pixels decode via pure
-stdlib zlib + unfilter (:func:`decode_png_pixels`); blobs that are not
-a recognized format (the synthetic text-as-bytes corpus) fall back to
-a deterministic fake the SQL oracle can reproduce.  Full-codec formats
-(JPEG/video pixels) remain honestly gated on PIL/pyav in
-:func:`try_real_decode`.
+PNG/GIF/BMP/JPEG magic bytes), and PIXELS decode pure-stdlib for all
+four via :func:`decode_pixels` — PNG (zlib + unfilter, here), baseline
+JPEG (Huffman + IDCT, ``scale/jpeg.py``), GIF (LZW) and BI_RGB BMP
+(``scale/codecs.py``); blobs that are not a recognized format (the
+synthetic text-as-bytes corpus) fall back to a deterministic fake the
+SQL oracle can reproduce.  Video/audio pixels remain honestly gated on
+pyav in :func:`try_real_decode`.
 
 At 100 TB: binaries dominate partition size — set
 ``spark.sql.files.maxPartitionBytes`` down (e.g. 32 MB) so a partition
@@ -202,10 +203,37 @@ def decode_png_pixels(blob: bytes):
     return px
 
 
+def decode_pixels(blob: bytes):
+    """Pure-stdlib pixel decode to a ``(h, w, channels)`` uint8 array
+    for every image format :func:`parse_image_header` recognizes.
+    Raises (ValueError for unsupported profiles, NotImplementedError for
+    non-image formats) — never a silent fake."""
+    if blob[:8] == _PNG_MAGIC:
+        return decode_png_pixels(blob)
+    if blob[:3] == b"\xff\xd8\xff":
+        from yodel_etl_spark.scale.jpeg import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(blob)
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        from yodel_etl_spark.scale.codecs import decode_gif_pixels
+
+        return decode_gif_pixels(blob)
+    if blob[:2] == b"BM":
+        from yodel_etl_spark.scale.codecs import decode_bmp_pixels
+
+        return decode_bmp_pixels(blob)
+    raise NotImplementedError(
+        "pixel decode for video/audio requires pyav, absent from this "
+        "runtime; every image format parse_image_header recognizes "
+        "(PNG/JPEG/GIF/BMP) decodes pure-stdlib above (unsupported "
+        "profiles — progressive JPEG, RLE BMP, 16-bit/Adam7 PNG — "
+        "raise ValueError, never a silent fake)"
+    )
+
+
 def try_real_decode(blob: bytes):
-    """Real pixel decode: PIL when present, else the pure-stdlib PNG
-    path; other formats without a codec library raise — never a silent
-    fake."""
+    """Real pixel decode: PIL when present (returns a PIL Image), else
+    the pure-stdlib :func:`decode_pixels` array paths."""
     try:
         import io
 
@@ -214,12 +242,7 @@ def try_real_decode(blob: bytes):
         return Image.open(io.BytesIO(blob))  # pragma: no cover - no PIL here
     except ImportError:
         pass
-    if blob[:8] == _PNG_MAGIC:
-        return decode_png_pixels(blob)
-    raise NotImplementedError(
-        "pixel decode for non-PNG formats requires PIL/pyav, absent from "
-        "this runtime; header metadata still parses via parse_image_header"
-    )
+    return decode_pixels(blob)
 
 
 def _decode(blob: bytes) -> tuple[int, int, int]:
@@ -302,17 +325,16 @@ def resize_media(
                     resized.append(b"")
                     chans.append(0)
                     continue
-                px = None
-                if b[:8] == _PNG_MAGIC:
-                    # fail-soft: a PNG outside the supported profile
-                    # (16-bit, Adam7, truncated IDAT) falls back to the
-                    # fake plane like any other blob — one bad byte
-                    # stream must never abort the whole resize job
-                    try:
-                        px = decode_png_pixels(bytes(b))
-                        h, w, c = px.shape
-                    except Exception:
-                        px = None
+                # fail-soft: a blob outside the supported profile
+                # (16-bit/Adam7 PNG, progressive JPEG, RLE BMP,
+                # truncated stream) falls back to the fake plane like
+                # any other blob — one bad byte stream must never abort
+                # the whole resize job
+                try:
+                    px = decode_pixels(bytes(b))
+                    h, w, c = px.shape
+                except Exception:
+                    px = None
                 if px is None:
                     w, h, c = _fake_decode(b)
                     # cycle the raw bytes into the fake W×H×C pixel plane
