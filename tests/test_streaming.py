@@ -542,3 +542,19 @@ def test_foreachbatch_incremental_dedup_ingest(spark, tmp_path):
     assert texts == ["alpha beta", "epsilon zeta", "gamma delta"]
     # exactly-once landing: no text duplicated across batches
     assert final.select("text").distinct().count() == final.count()
+
+
+def test_events_stream_replay_equals_batch(spark, sf_small):
+    """The registered streaming micro-bench (file-source replay →
+    session_windows → memory sink) must produce EXACTLY the batch
+    twin's session grain — the bounded-replay ≡ batch contract that
+    makes the recorded throughput number meaningful."""
+    from yodel_etl_spark.registry import load_all
+    from yodel_etl_spark.session import load_tables
+    from yodel_etl_spark.streaming.events import session_windows
+
+    got = load_all()["events_replay"].build(spark, sf_small)
+    ev = load_tables(spark, sf_small, ("events",))["events"]
+    want = session_windows(ev, "30 minutes")
+    assert got.schema == want.schema
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()

@@ -258,3 +258,34 @@ def events_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 4).alias("v_min"),
         F.round(F.max("value"), 4).alias("v_max"),
     )
+
+
+@register(
+    "events_replay",
+    oracle=None,  # runs the REAL streaming engine (FileStreamSource +
+    # state store); result ≡ the oracle-backed events_session_windows
+    # session grain, pinned by tests/test_streaming.py's replay
+    # equivalence test — a SQL oracle here would only re-state the
+    # batch twin's, while the interesting surface is the machinery
+    doc="Streaming micro-bench: the events table replayed through a "
+    "bounded file-source stream (readStream + availableNow) into the "
+    "session_windows aggregation and drained to a memory sink — "
+    "records structured-streaming throughput at bench SF as a "
+    "first-class number instead of leaving streaming proofs on tiny "
+    "inline frames.  Complete mode is correct because the replay is "
+    "bounded (final state ≡ batch answer); the sink holds only the "
+    "session grain.  Scale path: same plan over a real file feed with "
+    "update mode + watermark (state bounded by the gap + delay).",
+    tags=("streaming", "events", "bench"),
+    bench=True,
+)
+def events_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.streaming.events import (
+        replay_file_stream,
+        run_replay_to_table,
+    )
+
+    load_tables(spark, sf_dir, ())  # pin runtime confs (nanosAsLong, UTC)
+    stream = replay_file_stream(spark, sf_dir, "events")
+    sess = session_windows(stream, "30 minutes")
+    return run_replay_to_table(sess, "events_replay")

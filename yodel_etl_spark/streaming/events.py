@@ -327,3 +327,68 @@ def sse_answer_stream(spark, url: str, stream_id: str | None = None) -> DataFram
         reader = reader.option("streamid", stream_id)
     lines = reader.load()
     return final_answers(parse_events(lines), ["stream_id"], "seq")
+
+
+def replay_file_stream(
+    spark,
+    sf_dir: str,
+    table: str = "events",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The canonical parquet table as a bounded FILE-SOURCE STREAM — the
+    backfill/replay pattern: ``readStream`` over the scale-factor
+    directory (pathGlobFilter pins the one table; the file source
+    requires a directory) with the same ts normalization
+    ``session.load_tables`` applies to the batch read (TIMESTAMP(NANOS)
+    → long → timestamp_micros, or NTZ → instant).  Run with
+    ``trigger(availableNow=True)`` to drain it as a finite stream
+    through the real streaming machinery (FileStreamSource, offset log,
+    state store)."""
+    schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{table}.parquet")
+        .parquet(sf_dir)
+    )
+    for field in stream.schema.fields:
+        if field.name == ts_col and field.dataType.typeName() in ("long", "bigint"):
+            stream = stream.withColumn(
+                ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+            )
+        elif field.name == ts_col and field.dataType.typeName() == "timestamp_ntz":
+            stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream
+
+
+def run_replay_to_table(result: DataFrame, name: str, timeout_sec: int = 600) -> DataFrame:
+    """Drain a bounded streaming frame into a memory-sink table and
+    return the result as a batch DataFrame.
+
+    ``complete`` output mode is correct BECAUSE the replay is bounded —
+    the final microbatch state equals the batch answer, which is what
+    the equivalence tests pin.  An unbounded production stream would use
+    update/append + watermark instead (state cleanup; see the suite's
+    watermark/append coverage).  The memory sink keeps only the result
+    grain (sessions), never the input, so driver memory scales with the
+    aggregate, not the corpus."""
+    import tempfile
+    import uuid
+
+    spark = result.sparkSession
+    qname = f"{name}_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"{name}_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"replay {qname} did not drain in {timeout_sec}s")
+    out = spark.table(qname)
+    # the plan captured the memory sink's rows at analysis; dropping the
+    # temp view just keeps the catalog from accumulating replay tables
+    spark.catalog.dropTempView(qname)
+    return out
