@@ -33,6 +33,24 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 #: comma-separated allowlist for isolated iteration (empty = all)
 ONLY = {q for q in os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").split(",") if q}
+#: --headline / SPARK_GRAFT_BENCH_HEADLINE=1: run only the queries
+#: registered with bench=True — a quick perf smoke between full runs.
+#: The per-round driver record MUST stay the full registry (cross-round
+#: comparability), so this is strictly an opt-in.
+HEADLINE = (
+    "--headline" in sys.argv or os.environ.get("SPARK_GRAFT_BENCH_HEADLINE") == "1"
+)
+
+
+def select_names(queries, only=frozenset(), headline=False) -> list[str]:
+    """The bench's query selection, factored for unit tests: sorted
+    registry names, optionally restricted to an explicit allowlist
+    and/or the bench=True headline subset."""
+    return [
+        n
+        for n in sorted(queries)
+        if (not only or n in only) and (not headline or queries[n].bench)
+    ]
 
 
 def _sf_from_dir(path: str) -> float:
@@ -57,7 +75,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     queries = load_all()
 
-    names = [n for n in sorted(queries) if not ONLY or n in ONLY]
+    names = select_names(queries, ONLY, HEADLINE)
     samples: dict[str, list[float]] = {n: [] for n in names}
     t_total0 = time.perf_counter()
     # Samples are taken in RUNS complete passes over the whole query

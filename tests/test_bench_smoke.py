@@ -96,3 +96,43 @@ def test_bench_full_line_fits_driver_tail_window():
     assert len(padded_line) > 2000  # the scenario the guard exists for
     for ctl in ("top_events_global", "text_fingerprint"):
         assert len(padded_line) - padded_line.rindex(f'"{ctl}"') <= 1990, ctl
+
+
+def test_headline_selection():
+    """--headline must pick exactly the bench=True subset (a strict,
+    non-empty subset of the registry) and compose with the allowlist."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+    from yodel_etl_spark.registry import load_all
+
+    qs = load_all()
+    all_names = bench.select_names(qs)
+    head = bench.select_names(qs, headline=True)
+    assert head and set(head) < set(all_names)
+    assert all(qs[n].bench for n in head)
+    assert [n for n in all_names if qs[n].bench] == head
+    pick = {head[0], all_names[0]}
+    assert bench.select_names(qs, only=pick, headline=True) == sorted(
+        n for n in pick if qs[n].bench
+    )
+
+
+def test_baseline_table_matches_registry():
+    """The round-5 re-baseline table in BASELINE.md is the 2×-bar
+    denominator — its names must track the live registry exactly, or
+    future comparisons silently lose/misname queries (the drift that
+    made the r1 table need merge-accounting prose)."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from yodel_etl_spark.registry import load_all
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(root, "BASELINE.md")).read()
+    section = text.split("## Per-query baseline — round-5 re-baseline")[1]
+    section = section.split("## ")[0]  # up to the next heading
+    names = set()
+    for ln in section.splitlines():
+        if ln.startswith("| ") and ln.count("|") == 4 and "min_s" not in ln and "---" not in ln:
+            names.add(ln.split("|")[1].strip())
+    assert names == set(load_all()), (
+        sorted(names ^ set(load_all()))
+    )

@@ -37,11 +37,13 @@ class Query:
     oracle: str | None = None
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
-    bench: bool = False  # docs-table metadata ONLY (marks the query as a
-    # perf-representative headline in QUERIES.md).  bench.py deliberately
-    # times EVERY registered query regardless of this flag — the per-round
-    # BENCH records compare across rounds only if the set composition
-    # stays the full registry (filter ad hoc with SPARK_GRAFT_BENCH_QUERIES).
+    bench: bool = False  # marks the query as a perf-representative
+    # headline: listed as such in QUERIES.md, and selected by
+    # `bench.py --headline` (or SPARK_GRAFT_BENCH_HEADLINE=1) for a
+    # quick perf smoke between full runs.  The default bench.py run
+    # still times EVERY registered query — the per-round BENCH records
+    # compare across rounds only if the set composition stays the full
+    # registry (filter ad hoc with SPARK_GRAFT_BENCH_QUERIES).
     tier: int = 0  # driver-window priority: 0 = established (ordered
     # first so a bounded correctness window keeps verifying them), 1+ =
     # newer additions that yield their window slot (still oracle-backed;
