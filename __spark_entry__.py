@@ -50,13 +50,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     count, the losses spread one-per-family instead of silencing
     whichever family registered last (the round-1 failure mode).
 
-    The oracle-backed block is then ROTATED by 10 positions per round
-    (phase = newest CORRECTNESS_r{N}.json counter).  With 60 oracle
-    queries and a 50-row driver window, a static order would leave the
-    same 10 tail queries permanently unwindowed (their parity held only
-    by tests/test_oracle_parity.py); the rotation cycles which 10 yield
+    The oracle-backed block is then ROTATED per round (phase = newest
+    CORRECTNESS_r{N}.json counter).  With more oracle queries than the
+    50-row driver window, a static order would leave the same tail
+    queries permanently unwindowed (their parity held only by
+    tests/test_oracle_parity.py); the rotation cycles which ones yield
     their slot, so every oracle-backed query accumulates driver-green
-    CORRECTNESS rows across rounds (each is windowed 5 rounds in 6)."""
+    CORRECTNESS rows across rounds.  The step equals the out-count
+    ``max(10, n_oracle - 50)``: a query pushed out of the window this
+    round is guaranteed back inside it next round (the step moves it
+    past the whole out-zone), so no query is ever starved two rounds
+    running — the invariant tests/test_oracle_parity.py pins across
+    all phases."""
     from itertools import zip_longest
 
     from yodel_etl_spark.registry import load_all
@@ -77,7 +82,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [n for n, q in qs.items() if q.oracle is not None and q.tier == t]
         )
     if ordered:
-        k = (_round_counter() * 10) % len(ordered)
+        step = max(10, len(ordered) - 50)
+        k = (_round_counter() * step) % len(ordered)
         ordered = ordered[k:] + ordered[:k]
     ordered += [n for n, q in qs.items() if q.oracle is None]
     return {name: qs[name].build for name in ordered}

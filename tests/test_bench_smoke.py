@@ -34,7 +34,9 @@ def test_bench_emits_valid_json_line():
     assert rec["metric"] == "sum_min_sec"
     assert set(rec["queries"]) == {"top_events_global", "distinct_counts"}
     assert rec["sf"] == 0.001
-    assert rec["value"] > 0 and rec["med"] > 0
+    assert rec["value"] > 0
+    assert "med" not in rec  # sum-of-medians was cut from stdout at 76
+    # queries (byte budget) — it rides the stderr VERBOSE record
     assert "wall" not in rec  # harness wall-clock lives on stderr (VERBOSE) only
     # "ctl"/"nq" were dropped at 73 queries (the controls sort in the
     # t* tail of the queries dict, inside any 2,000-char tail capture;
@@ -46,8 +48,7 @@ def test_bench_emits_valid_json_line():
     # AFTER the per-query dict so a truncated tail still ends with the
     # judge-readable headline, and the line itself must leave headroom.
     line = lines[0]
-    assert line.index('"queries"') < line.index('"value"')
-    assert line.index('"value"') < line.index('"med"') < line.index('"sf"')
+    assert line.index('"queries"') < line.index('"value"') < line.index('"sf"')
     # per-query medians live on stderr now, never on the stdout line
     assert '"queries_median"' not in line
     assert any(ln.startswith("VERBOSE {") for ln in proc.stderr.splitlines())
@@ -73,7 +74,6 @@ def test_bench_full_line_fits_driver_tail_window():
         # guard matters
         "queries": {n: 9.99 for n in names},
         "value": 999.99,
-        "med": 999.99,
         "sf": 0.001,
     }
     line = json.dumps(mock, separators=(",", ":"))

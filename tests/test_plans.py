@@ -107,7 +107,7 @@ def test_span_scrub_shuffles_digests_not_text(spark, sf_small):
     joins span TEXT (or plans a nested-loop) fails here."""
     import re
 
-    q = load_all()["dedup_span_scrub"].build(spark, sf_small)
+    q = load_all()["dedup_spans"].build(spark, sf_small)
     plan = _plan(q)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
@@ -137,7 +137,7 @@ def test_ppl_buckets_scoring_join_is_keyed(spark, sf_small):
     pattern, not data-sized nested loops.)"""
     import re
 
-    q = load_all()["text_ppl_buckets"].build(spark, sf_small)
+    q = load_all()["text_ppl"].build(spark, sf_small)
     plan = _plan(q)
     assert "CartesianProduct" not in plan, plan
     assert re.search(r"HashJoin \[w1#\d+, w2#\d+\]", plan), plan
@@ -164,7 +164,7 @@ def test_profile_rollup_is_combinable_no_value_funnel(spark, sf_small):
     key, so no per-column value funnel exists.  (String min/max forces
     SortAggregate — a per-partition group-key sort, not a funnel; the
     partial phase upstream of the exchange is the property that scales.)"""
-    q = load_all()["profile_documents"].build(spark, sf_small)
+    q = load_all()["profile_docs"].build(spark, sf_small)
     plan = _plan(q)
     head, _, tail = plan.partition("Exchange hashpartitioning(col_name")
     assert tail, "expected a col_name-keyed exchange between the agg phases"

@@ -1,6 +1,6 @@
 """Column profiler: edge-case semantics on a handcrafted frame.
 
-The registered ``profile_documents`` query is oracle-checked by
+The registered ``profile_docs`` query is oracle-checked by
 tests/test_oracle_parity.py; these tests pin the corners the clean
 testdata cannot exercise — nulls, all-null columns, top-value ties,
 non-numeric strings.

@@ -105,3 +105,70 @@ def test_domain_mix_null_domain_is_its_own_stratum(spark):
     # the rare NULL stratum caps at rate 1 -> all 8 rows survive
     assert by_dom.get(None) == 8
     assert 0 < by_dom["big"] < 800
+
+
+# ----------------------------------------------- reservoir_per_key
+def test_reservoir_exactly_k_per_key(spark, sf_small):
+    from yodel_etl_spark.scale.sampling import reservoir_per_key
+
+    docs = load_tables(spark, sf_small, ("documents",))["documents"]
+    out = reservoir_per_key(docs, "source", "doc_id", k=3).toPandas()
+    sizes = out.groupby("key").size()
+    key_n = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(sizes.index) == set(key_n)  # every key represented
+    for key, n in key_n.items():
+        assert sizes[key] == min(3, n), (key, n)
+    # ranks are exactly 1..size per key
+    for key, grp in out.groupby("key"):
+        assert sorted(grp["rk"]) == list(range(1, len(grp) + 1))
+
+
+def test_reservoir_deterministic_and_seed_sensitive(spark, sf_small):
+    from yodel_etl_spark.scale.sampling import reservoir_per_key
+
+    docs = load_tables(spark, sf_small, ("documents",))["documents"]
+
+    def draw(seed):
+        return set(
+            map(
+                tuple,
+                reservoir_per_key(docs, "source", "doc_id", k=3, seed=seed)
+                .select("key", "id")
+                .toPandas()
+                .itertuples(index=False),
+            )
+        )
+
+    a1, a2, b = draw("s1"), draw("s1"), draw("s2")
+    assert a1 == a2  # bit-for-bit reproducible
+    assert a1 != b  # a different seed actually redraws
+
+
+def test_reservoir_two_phase_equals_single_window(spark, sf_small):
+    """The salted two-phase form must be EXACTLY the single-window
+    top-k (the skew optimization may not change the sample)."""
+    from pyspark.sql import Window
+
+    from yodel_etl_spark.scale.sampling import reservoir_per_key
+
+    docs = load_tables(spark, sf_small, ("documents",))["documents"]
+    two = reservoir_per_key(docs, "source", "doc_id", k=3, salts=4)
+    rnd = F.md5(F.concat_ws("|", F.lit("r5"), F.col("doc_id").cast("string")))
+    one = (
+        docs.select(F.col("source").alias("key"), F.col("doc_id").alias("id"), rnd.alias("_r"))
+        .withColumn("rk", F.row_number().over(Window.partitionBy("key").orderBy("_r", "id")))
+        .where(F.col("rk") <= 3)
+        .select("key", "id", "rk")
+    )
+    assert sorted(map(tuple, two.collect())) == sorted(map(tuple, one.collect()))
+
+
+def test_reservoir_rejects_bad_k(spark, sf_small):
+    from yodel_etl_spark.scale.sampling import reservoir_per_key
+
+    docs = load_tables(spark, sf_small, ("documents",))["documents"]
+    with pytest.raises(ValueError):
+        reservoir_per_key(docs, "source", "doc_id", k=0)

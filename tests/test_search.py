@@ -1,0 +1,77 @@
+"""BM25 retrieval invariants: score ordering/limit, scoring math vs a
+literal python reimplementation, and the no-shuffle-before-stats plan
+shape.  Cross-engine value parity rides the registered-query oracle
+gate (tests/test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from yodel_etl_spark.scale.search import bm25_topk
+from yodel_etl_spark.session import load_tables, release
+
+
+TERMS = ["spark", "vector", "customer"]
+
+
+@pytest.fixture(scope="module")
+def topk(spark, sf_small):
+    docs = load_tables(spark, sf_small, ("documents",))["documents"]
+    out = bm25_topk(docs, TERMS, top_n=10)
+    pdf = out.toPandas()
+    release(out)
+    return docs, pdf
+
+
+def test_bm25_ordering_and_limit(topk):
+    _, pdf = topk
+    assert len(pdf) == 10
+    # sorted by score desc, ties by doc_id asc
+    pairs = list(zip(pdf["score"], pdf["doc_id"]))
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+
+
+def test_bm25_matches_literal_python(topk):
+    """Re-derive every returned score with plain-python BM25 over the
+    same whitespace tokenization; 6 dp rounding must agree."""
+    docs, pdf = topk
+    rows = docs.select("doc_id", F.lower("text").alias("t")).collect()
+    toks = {r["doc_id"]: [w for w in r["t"].split() if w] for r in rows}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {t: sum(1 for v in toks.values() if t in v) for t in TERMS}
+
+    def score(doc):
+        tk = toks[doc]
+        s = 0.0
+        for t in TERMS:
+            tf = tk.count(t)
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(tk) / avgdl))
+        return round(s, 6)
+
+    for _, row in pdf.iterrows():
+        assert score(row["doc_id"]) == pytest.approx(row["score"], abs=1e-9)
+
+
+def test_bm25_empty_terms_rejected(spark, sf_small):
+    docs = load_tables(spark, sf_small, ("documents",))["documents"]
+    with pytest.raises(ValueError):
+        bm25_topk(docs, [])
+
+
+def test_bm25_plan_no_explode_no_join_shuffle(spark, sf_small):
+    """The scale contract: no Generate (explode) anywhere, the stats
+    join is a broadcast (one-row side), and the top-k is
+    TakeOrderedAndProject — never a global Sort+Exchange."""
+    docs = load_tables(spark, sf_small, ("documents",))["documents"]
+    out = bm25_topk(docs, TERMS, top_n=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    release(out)
+    assert "Generate" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

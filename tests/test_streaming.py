@@ -485,7 +485,7 @@ def test_foreachbatch_incremental_dedup_ingest(spark, tmp_path):
     deduped against everything already landed (dedup_against) — so a
     text seen in any earlier batch never lands twice, while within-
     stream order and novel docs survive.  This is the streaming twin of
-    the dedup_bloom_novel/dedup_against batch pair."""
+    the dedup_bloom/dedup_against batch pair."""
     import os
 
     from pyspark.sql import functions as F

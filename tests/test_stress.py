@@ -25,6 +25,24 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _replicated_docs(spark, tmp_path, n_reps: int = 20):
+    """(small, large) documents frames: large = small replicated
+    ``n_reps``× with distinct ids and per-rep perturbed text, written to
+    parquet so the timed runs read a real file split, not an in-memory
+    crossJoin lineage."""
+    from yodel_etl_spark.session import load_tables, spread
+
+    docs = load_tables(spark, "/root/testdata/sf0.1", ("documents",))["documents"]
+    reps = spark.range(n_reps).select(F.col("id").alias("rep"))
+    big = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" rep"), F.col("rep").cast("string")).alias("text"),
+    )
+    src = str(tmp_path / "big_docs")
+    big.write.mode("overwrite").parquet(src)
+    return spread(docs.select("doc_id", "text")), spread(spark.read.parquet(src))
+
+
 def test_curate_scales_sublinearly(spark, tmp_path):
     from yodel_etl_spark.pipelines.curate import curate
     from yodel_etl_spark.session import load_tables, spread
@@ -89,3 +107,124 @@ def test_span_scrub_scales_sublinearly(spark, tmp_path):
 
     t_small, t_large = timed(small), timed(large)
     assert t_large < t_small * 8, (t_small, t_large)
+
+
+def test_profile_scales_sublinearly(spark, tmp_path):
+    """20× rows through the ANALYZE-style profiler: the unpivot is a
+    narrow scan-stage projection and both aggregations are map-side
+    combinable, so wall must scale far below row count."""
+    from yodel_etl_spark.scale.profile import profile_table
+
+    small, large = _replicated_docs(spark, tmp_path)
+
+    def timed(frame) -> float:
+        p = profile_table(frame, ["doc_id", "text"])
+        _force(p)  # warm
+        t0 = time.perf_counter()
+        _force(p)
+        return time.perf_counter() - t0
+
+    t_small, t_large = timed(small), timed(large)
+    assert t_large < t_small * 8, (t_small, t_large)
+
+
+def test_learn_bpe_distributed_scales_sublinearly(spark, tmp_path):
+    """The DISTRIBUTED merge loop (local_vocab_threshold=0 forces it off
+    the collect path) at 100k docs: corpus-sized work is the one
+    (word, count) reduction; the per-round pair aggregation runs on the
+    distinct-word table, whose size grows far slower than the corpus
+    (the ' repN' suffixes add ~n_reps words)."""
+    from yodel_etl_spark.scale.bpe import learn_bpe
+
+    small, large = _replicated_docs(spark, tmp_path)
+
+    def timed(frame) -> float:
+        t0 = time.perf_counter()
+        merges = learn_bpe(frame, "text", n_merges=8, local_vocab_threshold=0)
+        assert len(merges) == 8
+        return time.perf_counter() - t0
+
+    t_small, t_large = timed(small), timed(large)
+    assert t_large < t_small * 8, (t_small, t_large)
+    # replication preserves word statistics up to the tiny repN tail, so
+    # the learned merge sequences must agree — the scale run is the SAME
+    # algorithm, not a cheaper approximation
+    assert learn_bpe(small, "text", n_merges=8, local_vocab_threshold=0) == learn_bpe(
+        small, "text", n_merges=8
+    )
+
+
+def _twin_planted_embeddings(spark, tmp_path, n_reps: int):
+    """``n_reps``× the sf0.1 embeddings with a CONTROLLED pair
+    structure: replica reps (0,1), (2,3), … share a large hash-derived
+    offset (keyed by (base, rep//2, coord)) plus a tiny per-rep jitter,
+    so each even/odd rep pair is a planted twin (cos ≈ 0.9998) while
+    every other combination — same base across groups, different bases
+    anywhere — decorrelates (cos ≈ 0.01).  True-pair volume is thus
+    EXACTLY rows/2, linear in replication.
+
+    (The first cut of this test added ``rep × const_direction``: past a
+    few reps every vector collapsed onto that one direction, all sign
+    sketches agreed, and one band key carried ~50k vectors — a
+    quadratic single-partition self-join that ran for 18 minutes.
+    Hash-keyed offsets are the fix: no shared direction, no collapse.)"""
+    # NB: the base id must be a DIFFERENTLY-NAMED column than the output
+    # alias — lateral column alias resolution makes a same-select
+    # `F.col("vec_id")` refer to the new (base + rep·10⁶) alias, which
+    # would give every replica a unique offset key and zero twins
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").select(
+        F.col("vec_id").alias("base"), "embedding"
+    )
+    reps = spark.range(n_reps).select(F.col("id").alias("rep"))
+    unit = lambda h: (F.pmod(h, F.lit(2001)) - 1000).cast("double") / 1000.0
+    big = (
+        emb.crossJoin(reps)
+        .withColumn("grp", (F.col("rep") / 2).cast("long"))
+        .select(
+            (F.col("base") + F.col("rep") * 1_000_000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x
+                + 2.0 * unit(F.xxhash64(F.col("base"), F.col("grp"), i))
+                + 0.01 * unit(F.xxhash64(F.col("base"), F.col("rep"), i, F.lit(7))),
+            ).alias("embedding"),
+        )
+    )
+    src = str(tmp_path / f"emb_{n_reps}x")
+    big.write.mode("overwrite").parquet(src)
+    return spark.read.parquet(src)
+
+
+def test_hyperplane_lsh_scales_sublinearly(spark, tmp_path):
+    """100k vectors (50× embeddings, planted-twin replication) through
+    banded cosine LSH + exact verify, vs a 10-rep (20k) run of the same
+    construction: 5× the rows AND 5× the true pairs must cost well
+    under 5× the wall — the sketch is a linear numpy matmul, the band
+    join shuffles narrow (id, block, key) rows, and candidate volume
+    tracks the planted-pair count instead of exploding."""
+    from yodel_etl_spark.scale.similarity import hyperplane_lsh_pairs
+    from yodel_etl_spark.session import release, spread
+
+    small = spread(_twin_planted_embeddings(spark, tmp_path, 10))
+    large = spread(_twin_planted_embeddings(spark, tmp_path, 50))
+
+    def timed(frame):
+        p = hyperplane_lsh_pairs(
+            frame, "vec_id", "embedding", threshold=0.9, n_planes=126, blocks=6,
+            vectorized_sketch=True,
+        )
+        _force(p)  # warm
+        t0 = time.perf_counter()
+        _force(p)
+        n_pairs = p.count()
+        release(p)
+        return time.perf_counter() - t0, n_pairs
+
+    t_small, n_small = timed(small)
+    t_large, n_large = timed(large)
+    # every planted twin found (banding miss prob ~1e-6 per pair), and
+    # false-positive survivors are impossible (exact verify)
+    n_rows_small, n_rows_large = 2000 * 10, 2000 * 50
+    assert n_small == n_rows_small // 2, n_small
+    assert n_large == n_rows_large // 2, n_large
+    assert t_large < t_small * 4, (t_small, t_large)

@@ -18,7 +18,7 @@ from yodel_etl_spark.session import load_tables, spread
 
 
 @register(
-    "dq_documents_report",
+    "dq_report",
     oracle="""
     WITH base AS (
       -- CAST AS BIGINT: DuckDB SUM over ints is HUGEINT, which pandas
@@ -55,7 +55,7 @@ from yodel_etl_spark.session import load_tables, spread
     bench=True,
     tier=2,
 )
-def dq_documents_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     rules = [
         Expectation("doc_id_not_null", F.col("doc_id").isNotNull()),
@@ -67,7 +67,7 @@ def dq_documents_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "profile_documents",
+    "profile_docs",
     oracle="""
     WITH unp AS (
       SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS val FROM documents
@@ -111,7 +111,7 @@ def dq_documents_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     tier=2,
 )
-def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yodel_etl_spark.scale.profile import profile_table
 
     docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])

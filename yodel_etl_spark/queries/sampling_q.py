@@ -243,3 +243,112 @@ def events_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = cms_build(ev, "user_id", depth=4, width=4096)
     probe = ev.select("user_id").distinct().where(F.col("user_id") < 20)
     return cms_query(sketch, probe, "user_id", depth=4, width=4096)
+
+
+@register(
+    "sample_reservoir",
+    oracle="""
+    SELECT source AS key, doc_id AS id, rk
+    FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(concat('r5', '|', CAST(doc_id AS VARCHAR))), doc_id
+             ) AS rk
+      FROM documents
+    )
+    WHERE rk <= 3
+    """,
+    doc="Fixed-size per-key uniform sample: exactly min(3, n) documents "
+    "per source, drawn by md5(seed|id) rank — the deterministic, "
+    "append-auditable counterpart of reservoir sampling (md5 ranks are "
+    "a pure random permutation of ids, so the k smallest are an "
+    "exchangeable uniform draw; re-runs reproduce the sample "
+    "bit-for-bit, changing the seed redraws it).  Skew posture: two "
+    "phases — rank within (key, salt) first so a hot key spreads over "
+    "16 partitions and the final per-key window sees at most 16·k "
+    "candidate rows per key, never the key's full volume.  The oracle "
+    "is the single-window form — exact-equal by the top-k-of-top-k "
+    "argument.  Tier 1: new this round, yields its driver-window "
+    "slot; parity via the pytest oracle gate.",
+    tags=("sampling", "scale"),
+    tier=1,
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.sampling import reservoir_per_key
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return reservoir_per_key(docs, "source", "doc_id", k=3, seed="r5")
+
+
+_DSIR_B = 256
+_DSIR_BUCKET = (
+    "CAST(('0x' || substr(md5({x}), 1, 4)) AS INTEGER) % " + str(_DSIR_B)
+)
+_DSIR_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+
+@register(
+    "sample_dsir",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             {_DSIR_BUCKET.format(x="CAST(doc_id AS VARCHAR)").replace("% 256", "% 100")} >= 95 AS is_tgt,
+             {_DSIR_TOKS} AS tk
+      FROM documents
+    ), grams AS (
+      SELECT is_tgt, {_DSIR_BUCKET.format(x="g")} AS bucket
+      FROM base, unnest(tk) AS u(g)
+    ), counts AS (
+      SELECT bucket,
+             sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS cnt_p,
+             sum(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS cnt_q
+      FROM grams GROUP BY bucket
+    ), fb AS (
+      SELECT CAST(r.range AS INTEGER) AS bucket,
+             coalesce(cnt_p, 0) AS cnt_p, coalesce(cnt_q, 0) AS cnt_q
+      FROM range({_DSIR_B}) r LEFT JOIN counts ON r.range = counts.bucket
+    ), tot AS (
+      SELECT sum(cnt_p) AS np, sum(cnt_q) AS nq FROM fb
+    ), w AS (
+      SELECT bucket,
+             CAST(round(1000000.0 *
+               (ln((CAST(cnt_p AS DOUBLE) + 1.0) / (CAST(np AS DOUBLE) + {_DSIR_B}.0))
+              - ln((CAST(cnt_q AS DOUBLE) + 1.0) / (CAST(nq AS DOUBLE) + {_DSIR_B}.0)))
+             ) AS BIGINT) AS wi
+      FROM fb, tot
+    ), docg AS (
+      SELECT doc_id, {_DSIR_BUCKET.format(x="g")} AS bucket
+      FROM base, unnest(tk) AS u(g) WHERE NOT is_tgt
+    ), sc AS (
+      SELECT b.doc_id, CAST(coalesce(sum(w.wi), 0) AS BIGINT) AS score_micro
+      FROM base b LEFT JOIN docg ON b.doc_id = docg.doc_id
+                  LEFT JOIN w ON docg.bucket = w.bucket
+      WHERE NOT b.is_tgt
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, score_micro FROM sc
+    ORDER BY score_micro DESC, doc_id
+    LIMIT 50
+    """,
+    doc="DSIR-style data selection (Xie et al. 2023, deterministic "
+    "top-k variant): score every raw-pool document by the add-one-"
+    "smoothed log-likelihood ratio of its hashed-unigram bag under the "
+    "target slice (md5 bucket ≥ 95 — the engine's append-stable split) "
+    "vs the raw pool, and keep the top 50.  Per-bucket weights are "
+    "integer micro-nats (the lm.py convention), so the per-doc sum is "
+    "order-insensitive exact arithmetic; the only corpus-sized shuffle "
+    "is the 256-row gram count, the weight table folds to ONE "
+    "broadcast array row, and scoring is a narrow aggregate over the "
+    "token array — no explode, no per-gram join, TakeOrdered top-k.  "
+    "Tier 1: new this round, yields its driver-window slot; parity via "
+    "the pytest oracle gate.",
+    tags=("sampling", "scale", "dsir"),
+    bench=True,
+    tier=1,
+)
+def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.dsir import dsir_select
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dsir_select(docs, "doc_id", "text", target_pct=5, n_buckets=_DSIR_B, top_n=50)

@@ -339,11 +339,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # documents scan, same digest exchange; novel == (n_corpus = 0)).  The
 # two-table dedup_against operator it demonstrated remains covered by
 # tests/test_scale_dedup.py and is the exactness anchor for
-# dedup_bloom_novel below.
+# dedup_bloom below.
 
 
 @register(
-    "dedup_bloom_novel",
+    "dedup_bloom",
     oracle="""
     WITH b AS (
       SELECT doc_id, text,
@@ -369,7 +369,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     tier=2,
 )
-def dedup_bloom_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yodel_etl_spark.scale.dedup import bloom_novel
     from yodel_etl_spark.scale.sampling import hash_split
 
@@ -382,7 +382,7 @@ def dedup_bloom_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_span_scrub",
+    "dedup_spans",
     oracle="""
     WITH base AS (
       SELECT doc_id, string_split(text, ' ') AS tk FROM documents
@@ -422,7 +422,7 @@ def dedup_bloom_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     tier=2,
 )
-def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yodel_etl_spark.scale.dedup import span_scrub
 
     docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])

@@ -317,7 +317,7 @@ def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_gopher_rules",
+    "text_gopher",
     oracle="""
     WITH t AS (
       SELECT doc_id, text,
@@ -388,7 +388,7 @@ def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     tier=2,
 )
-def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yodel_etl_spark.scale.quality import gopher_rules
 
     docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
@@ -396,7 +396,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_ppl_buckets",
+    "text_ppl",
     oracle=r"""
     WITH toks AS (
       SELECT doc_id,
@@ -449,7 +449,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     tier=2,
 )
-def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yodel_etl_spark.scale.lm import perplexity_buckets
 
     docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
@@ -457,7 +457,7 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_html_strip",
+    "text_html",
     oracle=r"""
     WITH raw AS (
       SELECT doc_id,
@@ -500,7 +500,7 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     tier=2,
 )
-def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yodel_etl_spark.scale.textstats import html_extract
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
@@ -582,3 +582,64 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.md5(F.array_join("tokens", " ")).alias("tokens_md5"),
     )
+
+
+_BM25_TERMS = ("spark", "vector", "customer")
+_BM25_TF_SQL = ",\n         ".join(
+    f"len(list_filter(tk, t -> t = '{t}')) AS tf_{t}" for t in _BM25_TERMS
+)
+_BM25_DF_SQL = ",\n         ".join(
+    f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _BM25_TERMS
+)
+#: per-term BM25 contribution, parenthesized exactly as the Spark side
+#: builds it ((idf * (tf * (k1+1))) / (tf + k1*(1-b + b*dl/avgdl))) so
+#: the left-associated double arithmetic matches bit-for-bit
+_BM25_TERM_SQL = """(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_{t} AS DOUBLE) + 0.5)
+           / (CAST(df_{t} AS DOUBLE) + 0.5))
+      * (CAST(tf_{t} AS DOUBLE) * 2.2))
+     / (CAST(tf_{t} AS DOUBLE)
+        + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                 / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"""
+_BM25_SCORE_SQL = "\n   + ".join(_BM25_TERM_SQL.format(t=t) for t in _BM25_TERMS)
+
+
+@register(
+    "text_bm25",
+    oracle=f"""
+    WITH t0 AS (
+      SELECT doc_id, {TOK_LOWER_SQL} AS tk FROM documents
+    ), f AS (
+      SELECT doc_id,
+         len(tk) AS dl,
+         {_BM25_TF_SQL}
+      FROM t0
+    ), s AS (
+      SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+         {_BM25_DF_SQL}
+      FROM f
+    )
+    SELECT doc_id, dl, {", ".join(f"tf_{t}" for t in _BM25_TERMS)},
+           round({_BM25_SCORE_SQL}, 6) AS score
+    FROM f, s
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+    doc="Distributed keyword retrieval: top-20 documents by BM25 "
+    "(Lucene-default plus-one idf, k1=1.2, b=0.75) against a bounded "
+    "query-term set — corpus forensics / topic probes without building "
+    "a serving index.  The scale story is the ABSENT inverted index: "
+    "per-term tf is a narrow size(filter(tokens)) projection in the "
+    "scan stage (no explode, no (doc,term) shuffle), corpus stats "
+    "(N, Σdl, per-term df) are ONE one-row aggregate broadcast back, "
+    "and the top-k is TakeOrderedAndProject — one corpus scan total, "
+    "the same plan at 500 rows and 100 TB.  Tier 1: new this round, "
+    "yields its driver-window slot; parity via the pytest oracle gate.",
+    tags=("text", "scale", "search"),
+    bench=True,
+    tier=1,
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.search import bm25_topk
+
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    return bm25_topk(docs, list(_BM25_TERMS), top_n=20)

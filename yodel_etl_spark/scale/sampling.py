@@ -162,3 +162,59 @@ def domain_mix_resample(
         .where(h16 * 10000 < F.col("rate_bp") * 65536)
         .drop("_dom")
     )
+
+
+def reservoir_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    k: int,
+    seed: str = "r5",
+    salts: int = 16,
+) -> DataFrame:
+    """Exactly ``min(k, n_key)`` rows per key, drawn uniformly and
+    DETERMINISTICALLY — the fixed-size counterpart of the rate-based
+    :func:`stratified_hash_sample` (classic reservoir sampling's
+    guarantee, without its sequential state: rank every row by
+    ``md5(seed|id)`` and keep each key's k smallest, which is an
+    exchangeable uniform draw because md5 ranks are a pure random
+    permutation of the ids).  Re-runs reproduce the sample bit-for-bit;
+    changing ``seed`` redraws it.
+
+    Skew posture (the reason this isn't one window): a single
+    ``row_number() OVER (PARTITION BY key)`` sends every row of a hot
+    key through one reducer.  Phase 1 ranks within ``(key, salt)``
+    (salt = md5-derived, so a hot key spreads over ``salts``
+    partitions) and keeps k per salt-group; any global-top-k row is
+    necessarily in its salt-group's top-k, so phase 2's window on key
+    sees at most ``salts * k`` candidate rows per key — bounded no
+    matter how hot the key.  Output: key, id, ``rk`` (1-based uniform
+    rank within the key's sample).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    rnd = F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string")))
+    salt = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 29, 4), 16, 10).cast(
+            "int"
+        )
+        % salts
+    )
+    ranked = df.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("id"),
+        rnd.alias("_rnd"),
+        salt.alias("_salt"),
+    )
+    part = F.row_number().over(
+        Window.partitionBy("key", "_salt").orderBy("_rnd", "id")
+    )
+    cand = ranked.withColumn("_prk", part).where(F.col("_prk") <= k)
+    final = F.row_number().over(Window.partitionBy("key").orderBy("_rnd", "id"))
+    return (
+        cand.withColumn("rk", final)
+        .where(F.col("rk") <= k)
+        .select("key", "id", "rk")
+    )
