@@ -228,3 +228,25 @@ def test_hyperplane_lsh_scales_sublinearly(spark, tmp_path):
     assert n_small == n_rows_small // 2, n_small
     assert n_large == n_rows_large // 2, n_large
     assert t_large < t_small * 4, (t_small, t_large)
+
+
+def test_quality_clf_scales_sublinearly(spark, tmp_path):
+    """20× rows through 4 GD rounds: per-round cost at this SF is
+    dominated by fixed job/plan overhead and the gradient shuffle is
+    bounded at 513 rows regardless of corpus size, so wall must scale
+    far below row count."""
+    from yodel_etl_spark.scale.classifier import train_quality_lr
+    from yodel_etl_spark.session import release
+
+    small, large = _replicated_docs(spark, tmp_path)
+    label = F.size(F.split(F.col("text"), r"\s+")) >= 40  # pure column
+
+    def timed(frame) -> float:
+        t0 = time.perf_counter()
+        _, scored = train_quality_lr(frame, label, rounds=4, lr=4.0)
+        _force(scored)
+        release(scored)
+        return time.perf_counter() - t0
+
+    t_small, t_large = timed(small), timed(large)
+    assert t_large < t_small * 8, (t_small, t_large)

@@ -53,7 +53,7 @@ def split_documents_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_heavy_hitters",
+    "events_hh",
     oracle=None,  # approximate sketch — exactness asserted in pytest
     # (tests/test_sketch.py: exact-degradation parity vs groupBy +
     # the >n/capacity guarantee under forced decrements); registered
@@ -66,7 +66,7 @@ def split_documents_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "billion-key columns where exact groupBy state is the bottleneck.",
     tags=("sketch", "agg", "scale"),
 )
-def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yodel_etl_spark.scale.sketch import approx_top_k
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
@@ -111,7 +111,7 @@ def sample_stratified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "pack_sequences_bins",
+    "pack_bins",
     oracle=None,  # greedy group-local bin packing is sequential, not
     # SQL-expressible; invariants (fill ≤ budget, exactly-once
     # assignment, determinism, FFD quality bound) pinned in
@@ -123,7 +123,7 @@ def sample_stratified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-bin fill stats.",
     tags=("sampling", "scale"),
 )
-def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yodel_etl_spark.scale.packing import pack_sequences
     from yodel_etl_spark.scale.textstats import tokens
 

@@ -1,0 +1,163 @@
+"""Distributed quality-classifier training: logistic regression over
+hashed unigram features — the fastText-style linear filter that modern
+pretraining pipelines train to score corpus quality (cf. the public
+CCNet/DCLM recipes: a cheap linear model over bag-of-words features,
+trained on a labeled slice, then applied to the whole corpus).
+
+The engine trains ON the cluster with full-batch gradient descent:
+
+  * features: token→bucket via the portable md5 ``hash_bucket`` (the
+    hashing trick; no vocabulary build, no feature shuffle);
+  * the weight vector (``n_buckets`` + bias) is CONTROL-PLANE data —
+    broadcast into each round's scoring scan as a literal array, like
+    the BPE merge table and the k-means seed row;
+  * each round is ONE corpus scan: the per-doc margin is a narrow
+    ``aggregate`` over the token array, the residual reduces through
+    an exploded (bucket, resid) aggregation that map-side-combines
+    onto ``n_buckets`` rows — the only shuffle, vocabulary-sized;
+  * the driver folds the ``n_buckets``-row gradient into the weight
+    update (bounded collect, the kmeans/BPE convention).
+
+Bit-reproducible by construction: per-doc residuals quantize to INTEGER
+micro-units (``round(1e6·(σ(z)−y))``) before aggregation, so gradient
+sums are order-insensitive exact integers — shuffle order can never
+perturb training, and two runs produce identical weights.  (The 1e-6
+quantization is far below the gradient noise floor; a pytest pins exact
+parity against a literal numpy twin of the same quantized recipe.)
+
+At 100 TB: full-batch rounds are T corpus scans; the standard swap is
+mini-batch rounds over the deterministic md5 hash-split (train on
+bucket-slices per round) — same plan shape, corpus-fraction cost.
+Registered rows-only (iterative, not single-statement SQL); invariants
+(loss decrease, accuracy over base rate, determinism, numpy parity) are
+pinned in tests/test_classifier.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from yodel_etl_spark.scale.sampling import hash_bucket
+from yodel_etl_spark.scale.textstats import tokens
+from yodel_etl_spark.session import register_persisted
+
+SCALE = 1_000_000.0
+
+
+def _margin(n_buckets: int) -> Column:
+    """z = bias + (Σ_tokens w[bucket]) / len — MEAN-pooled hashed
+    features (the fastText convention; raw counts make the margin
+    scale with document length and full-batch GD oscillates).
+
+    Reads PRE-BUCKETED token ids (``tb``, computed once when the base
+    caches — md5-hashing every token again in every round doubled the
+    per-round cost) against the weight vector in the broadcast
+    ``warr`` column (buckets first, bias last) — a one-row crossJoin,
+    not a literal array, so each round's plan stays small."""
+    s = F.aggregate(
+        "tb",
+        F.lit(0.0),
+        lambda acc, b: acc + F.element_at(F.col("warr"), b + 1),
+    )
+    return (
+        F.element_at(F.col("warr"), n_buckets + 1)
+        + s / F.greatest(F.size("tb"), F.lit(1))
+    )
+
+
+def _sigmoid(z: Column) -> Column:
+    # clamp before exp: a runaway margin must saturate, not overflow
+    zc = F.greatest(F.least(z, F.lit(30.0)), F.lit(-30.0))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-zc))
+
+
+def train_quality_lr(
+    docs: DataFrame,
+    label: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 512,
+    rounds: int = 8,
+    lr: float = 1.0,
+) -> tuple[list[float], DataFrame]:
+    """Train the hashed-feature logistic model to predict boolean
+    ``label``; returns ``(weights, scored)`` where ``weights`` is the
+    final ``n_buckets + 1`` vector (bias last) and ``scored`` the
+    per-doc frame ``(doc_id, y, score_micro, pred)`` under it
+    (``score_micro = round(1e6·σ(z))`` as BIGINT — exact integer grain,
+    so downstream comparisons are order-insensitive)."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        label.cast("int").alias("y"),
+        # bucket ids, not tokens: md5 runs ONCE per token at cache
+        # time instead of once per token per round
+        F.transform(
+            tokens(F.lower(F.col(text_col))),
+            lambda tok: hash_bucket(tok, n_buckets),
+        ).alias("tb"),
+    ).persist()  # re-scanned every round: cache the bucketed corpus once
+    n = base.count()  # also materializes the cache
+    if n == 0:
+        raise ValueError("empty corpus")
+
+    spark = docs.sparkSession
+
+    def with_w(weights: list[float]) -> DataFrame:
+        wrow = spark.createDataFrame([(list(weights),)], "warr: array<double>")
+        return base.crossJoin(F.broadcast(wrow))
+
+    w = [0.0] * (n_buckets + 1)
+    for _ in range(rounds):
+        sig = _sigmoid(_margin(n_buckets))
+        resid = with_w(w).select(
+            "tb",
+            F.round(F.lit(SCALE) * (sig - F.col("y").cast("double")))
+            .cast("long")
+            .alias("r"),
+        ).withColumn(
+            # mean pooling differentiates to r/len per token instance;
+            # re-quantize so the aggregated gradient stays exact-integer
+            "rl",
+            F.round(F.col("r") / F.greatest(F.size("tb"), F.lit(1))).cast("long"),
+        )
+        # ONE job per round: explode per-token (bucket, r/len) structs
+        # PLUS a per-doc sentinel (-1, r) row, so the bias gradient
+        # (Σ_docs r) rides the same n_buckets-row aggregation as the
+        # feature gradients (Σ_token-instances r/len per bucket)
+        grad = (
+            resid.select(
+                F.explode(
+                    F.concat(
+                        F.transform(
+                            "tb",
+                            lambda b: F.struct(
+                                b.alias("bucket"),
+                                F.col("rl").alias("v"),
+                            ),
+                        ),
+                        F.array(
+                            F.struct(
+                                F.lit(-1).alias("bucket"),
+                                F.col("r").alias("v"),
+                            )
+                        ),
+                    )
+                ).alias("g")
+            )
+            .groupBy("g.bucket")
+            .agg(F.sum("g.v").alias("gsum"))
+            .collect()
+        )
+        step = lr / (n * SCALE)
+        for row in grad:
+            idx = n_buckets if row["bucket"] == -1 else row["bucket"]
+            w[idx] -= step * row["gsum"]
+    sig = _sigmoid(_margin(n_buckets))
+    scored = with_w(w).select(
+        "doc_id",
+        "y",
+        F.round(F.lit(SCALE) * sig).cast("long").alias("score_micro"),
+        (sig >= 0.5).cast("int").alias("pred"),
+    )
+    return w, register_persisted(scored, base)
