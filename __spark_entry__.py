@@ -56,12 +56,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries permanently unwindowed (their parity held only by
     tests/test_oracle_parity.py); the rotation cycles which ones yield
     their slot, so every oracle-backed query accumulates driver-green
-    CORRECTNESS rows across rounds.  The step equals the out-count
-    ``max(10, n_oracle - 50)``: a query pushed out of the window this
-    round is guaranteed back inside it next round (the step moves it
-    past the whole out-zone), so no query is ever starved two rounds
-    running — the invariant tests/test_oracle_parity.py pins across
-    all phases."""
+    CORRECTNESS rows across rounds.  The step is FIXED at 10 (not the
+    out-zone width): a registry-size-dependent step would shift which
+    positions phase 4 covers and silently un-window queries the round-4
+    plan promised driver rows this round.  With out-zone width w and
+    step 10 a query can miss the window at most ceil(w/10) consecutive
+    rounds (2 at the current 64-oracle registry) before the rotation
+    carries it back inside — the bound
+    tests/test_oracle_parity.py pins across a full rotation cycle."""
     from itertools import zip_longest
 
     from yodel_etl_spark.registry import load_all
@@ -82,8 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [n for n, q in qs.items() if q.oracle is not None and q.tier == t]
         )
     if ordered:
-        step = max(10, len(ordered) - 50)
-        k = (_round_counter() * step) % len(ordered)
+        k = (_round_counter() * 10) % len(ordered)
         ordered = ordered[k:] + ordered[:k]
     ordered += [n for n, q in qs.items() if q.oracle is None]
     return {name: qs[name].build for name in ordered}

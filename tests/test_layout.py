@@ -78,3 +78,87 @@ def test_round_trip_values(spark, sf_small, tmp_path):
     a = {r["event_id"] for r in ev.select("event_id").collect()}
     b = {r["event_id"] for r in back.select("event_id").collect()}
     assert a == b
+
+
+# ----------------------------------------------------------- z-order
+def _file_extents(path: str, cols: tuple[str, str]) -> list[dict]:
+    """Per-file (min, max) of each column from the parquet footers —
+    the statistics a scan's skipping actually uses."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        ext = {c: [None, None] for c in cols}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in ext and col.statistics is not None:
+                    mn, mx = col.statistics.min, col.statistics.max
+                    if ext[name][0] is None or mn < ext[name][0]:
+                        ext[name][0] = mn
+                    if ext[name][1] is None or mx > ext[name][1]:
+                        ext[name][1] = mx
+        out.append(ext)
+    return out
+
+
+def test_zorder_bounds_skipping_on_every_dimension(spark, sf_small, tmp_path):
+    """The claim z-order exists to make true: a LINEAR sort on user_id
+    gives perfect file-skipping on user_id and NONE on value (every
+    file spans ~the full value range, so a value-only predicate scans
+    all files); z-order trades a little of the first dimension's
+    selectivity for bounded selectivity on BOTH.  Metric: how many of
+    the 8 files' footer [min, max] ranges contain a probe point, averaged over quantile-spread probes — what parquet stats skipping
+    actually evaluates."""
+    from yodel_etl_spark.io.layout import write_zordered
+
+    ev = load_tables(spark, sf_small, ("events",))["events"].select(
+        "event_id", "user_id", "value"
+    )
+    n_files = 8
+    lin = str(tmp_path / "linear")
+    (
+        ev.repartitionByRange(n_files, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(lin)
+    )
+    zo = str(tmp_path / "zordered")
+    write_zordered(ev, zo, ("user_id", "value"), n_files=n_files)
+
+    cols = {
+        c: sorted(r[c] for r in ev.select(c).collect())
+        for c in ("user_id", "value")
+    }
+    probes = {
+        c: [vals[int(q * len(vals)) // 100] for q in range(5, 100, 10)]
+        for c, vals in ((c, cols[c]) for c in cols)
+    }
+
+    def avg_touched(path: str, col: str) -> float:
+        exts = _file_extents(path, ("user_id", "value"))
+        pts = probes[col]
+        return sum(
+            1
+            for x in pts
+            for e in exts
+            if e[col][0] is not None and e[col][0] <= x <= e[col][1]
+        ) / len(pts)
+
+    lin_u, lin_v = avg_touched(lin, "user_id"), avg_touched(lin, "value")
+    z_u, z_v = avg_touched(zo, "user_id"), avg_touched(zo, "value")
+    # linear: value predicates touch everything
+    assert lin_v > n_files * 0.9, (lin_u, lin_v)
+    # z-order: value predicates now skip most files...
+    assert z_v < lin_v / 2, (z_v, lin_v)
+    # ...and NO dimension degenerates to scan-everything
+    assert max(z_u, z_v) < n_files * 0.8, (z_u, z_v)
+
+    # and the layout is a pure re-ordering — nothing lost or changed
+    back = spark.read.parquet(zo)
+    assert back.count() == ev.count()
+    assert {r["event_id"] for r in back.select("event_id").collect()} == {
+        r["event_id"] for r in ev.select("event_id").collect()
+    }

@@ -42,18 +42,23 @@ def test_contract_shapes(spark):
 def test_driver_window_invariant(spark, monkeypatch):
     """The driver records correctness rows for only the FIRST 50
     queries() entries (observed r1/r2).  Since r5 the oracle-backed
-    block rotates per round (step = out-count) so every oracle query
+    block rotates by a FIXED 10 per round so every oracle query
     accumulates driver-green rows.  Guard the invariants that keep the
     strong check meaningful at every rotation phase: the first 50
     entries are always oracle-backed, the rotation is a permutation of
-    the oracle set, and — because the step equals the out-zone width —
-    a query pushed out of the window at one phase is back inside it at
-    the next (no query is ever starved two consecutive rounds)."""
+    the oracle set, and with out-zone width w a query misses the
+    window at most ceil(w/10) consecutive phases before the step
+    carries it back inside — bounded starvation at ANY registry
+    size."""
+    import math
+
     import __spark_entry__ as e
 
     oracles = set(e.oracle_sql())
-    prev_out: set[str] = set()
-    n_phases = 12  # beyond one full rotation cycle at current sizes
+    w = max(0, len(oracles) - 50)
+    max_miss = math.ceil(w / 10) if w else 0
+    n_phases = 24  # beyond one full rotation cycle at current sizes
+    miss_streak: dict[str, int] = {n: 0 for n in oracles}
     windowed_count: dict[str, int] = {n: 0 for n in oracles}
     for phase in range(n_phases):
         monkeypatch.setattr(e, "_round_counter", lambda p=phase: p)
@@ -63,13 +68,13 @@ def test_driver_window_invariant(spark, monkeypatch):
         assert names[: len(block)] == block  # oracle block leads
         head = names[: min(50, len(names))]
         assert all(n in oracles for n in head), [n for n in head if n not in oracles]
-        out = oracles - set(head)
-        assert not (out & prev_out), (
-            f"starved two consecutive phases: {sorted(out & prev_out)}"
-        )
-        prev_out = out
-        for n in head:
-            windowed_count[n] += 1
+        for n in oracles:
+            if n in set(head):
+                miss_streak[n] = 0
+                windowed_count[n] += 1
+            else:
+                miss_streak[n] += 1
+                assert miss_streak[n] <= max_miss, (n, phase, miss_streak[n])
     # and over the whole horizon everyone accumulates a solid majority
     starved = {n: c for n, c in windowed_count.items() if c < n_phases // 2}
     assert not starved, f"queries starved of driver window slots: {starved}"

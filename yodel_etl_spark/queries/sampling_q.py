@@ -140,7 +140,7 @@ def pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_hll_users",
+    "events_hll",
     oracle=None,  # DataSketches HLL has no DuckDB twin — accuracy vs
     # exact distinct asserted in tests/test_sketch.py; rows-only tail
     # so it never displaces an oracle-backed query from the window
@@ -154,7 +154,7 @@ def pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sketch", "agg", "scale"),
     bench=True,
 )
-def events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yodel_etl_spark.scale.sketch import hll_distinct_rollup
 
     ev = load_tables(spark, sf_dir, ("events",))["events"].withColumn(

@@ -89,3 +89,76 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         *[F.element_at("features", i + 1).cast("long").alias(f"b{i}") for i in range(8)],
     )
+
+
+@register(
+    "audio_wav",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, ((doc_id * 31 + i * 17) % 65536) - 32768 AS v
+      FROM (SELECT doc_id, unnest(range(0, 200 + doc_id % 50)) AS i
+            FROM documents)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           8000 AS sample_rate, 1 AS channels, 16 AS bits,
+           CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq
+    FROM s GROUP BY doc_id
+    """,
+    doc="Audio-column plumbing end-to-end through a REAL RIFF/WAVE "
+    "container: per-doc PCM samples synthesized deterministically from "
+    "doc_id, packed into 16-bit mono WAV blobs (scale.audio.wav_pack), "
+    "then decoded back (chunk-walking header parse + PCM decode, all "
+    "pure-stdlib — MP3/ADPCM stay honestly gated) and reduced to "
+    "EXACT INTEGER features (n_samples, peak |x|, Σ|x|, Σx²) in one "
+    "Arrow-batched mapInPandas pass — no shuffle anywhere, blobs "
+    "never leave their partition.  The oracle reproduces the planted "
+    "sample arithmetic directly, so a hash match proves the whole "
+    "pack→parse→decode→aggregate roundtrip bit-exactly.  Tier 1: "
+    "yields its driver-window slot; parity via the pytest oracle "
+    "gate.",
+    tags=("multimodal", "audio"),
+    tier=1,
+)
+def audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from yodel_etl_spark.scale.audio import audio_features, wav_pack
+    from yodel_etl_spark.session import ship_package
+
+    ship_package(spark)
+
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"]).select(
+        "doc_id"
+    )
+
+    def plant(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            out["content"] = [
+                wav_pack(
+                    ((int(d) * 31 + np.arange(200 + int(d) % 50) * 17) % 65536)
+                    - 32768,
+                    sample_rate=8000,
+                    bits=16,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield out
+
+    blobs = docs.mapInPandas(plant, "doc_id long, content binary")
+    return audio_features(blobs, "content").select(
+        "doc_id",
+        "n_samples",
+        "sample_rate",
+        "channels",
+        "bits",
+        "peak_abs",
+        "sum_abs",
+        "sum_sq",
+    )

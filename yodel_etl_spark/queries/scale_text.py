@@ -154,14 +154,14 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_winnow_hashes",
+    "text_winnow",
     oracle=None,  # xxhash64 has no DuckDB twin -> rows-only
     doc="Winnowing-style fingerprints: xxhash64 over 5-token rolling "
     "windows, reduced to per-doc count + minimum (the band-minimum "
     "that bounds fingerprint volume at corpus scale).",
     tags=("textstats", "dedup"),
 )
-def text_winnow_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yodel_etl_spark.scale.textstats import rolling_hashes
 
     docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])

@@ -1,0 +1,238 @@
+"""Audio (WAV/PCM) column support — the audio half of the multimodal
+posture (see ``scale/multimodal.py``): opaque BINARY blobs + typed
+metadata, decoded pure-stdlib (RIFF/WAVE container, PCM 8/16/32-bit and
+IEEE float32 — the uncompressed formats; MP3/AAC/Opus stay honestly
+gated exactly like progressive JPEG does on the image side).
+
+Feature extraction is Arrow-batched ``mapInPandas`` and emits EXACT
+INTEGER aggregates (peak |sample|, Σ|sample|, Σ sample² as BIGINT), so
+a SQL oracle can reproduce the numbers bit-for-bit — RMS/loudness are
+one deterministic division away downstream.
+
+At 100 TB the same partition-sizing note as images applies: audio blobs
+dominate partition bytes, so shrink ``spark.sql.files.maxPartitionBytes``
+and keep the metadata in separate pruned columns.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+#: metadata + exact-integer features attached by audio_features
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("peak_abs", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+    ]
+)
+
+
+def parse_wav_header(blob: bytes) -> dict | None:
+    """RIFF/WAVE container parse: returns ``{format, channels,
+    sample_rate, bits, data_offset, data_len}`` or None when the blob
+    is not a WAV.  Walks chunks (fmt may not be first — LIST/INFO
+    chunks precede it in the wild); raises ValueError on a recognized
+    but truncated/contradictory container — never a silent fake."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", blob, pos + 4)
+        body = pos + 8
+        if cid == b"fmt ":
+            if clen < 16 or body + 16 > len(blob):
+                raise ValueError("truncated fmt chunk")
+            audio_fmt, ch, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", blob, body
+            )
+            fmt = {
+                "format": audio_fmt,
+                "channels": ch,
+                "sample_rate": rate,
+                "bits": bits,
+            }
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt")
+            if body + clen > len(blob):
+                raise ValueError("truncated data chunk")
+            return {**fmt, "data_offset": body, "data_len": clen}
+        pos = body + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is not None:
+        raise ValueError("WAV without data chunk")
+    return None
+
+
+def decode_wav_samples(blob: bytes):
+    """Decode to an ``(n_frames, channels)`` numpy array.  PCM 8-bit
+    (unsigned → centered int), 16/32-bit (signed little-endian) and
+    IEEE float32; anything else (format 85 = MP3-in-WAV, ADPCM, …)
+    raises NotImplementedError — the honest gate."""
+    import numpy as np
+
+    h = parse_wav_header(blob)
+    if h is None:
+        raise NotImplementedError("not a RIFF/WAVE container")
+    data = blob[h["data_offset"] : h["data_offset"] + h["data_len"]]
+    if h["format"] == 1:  # PCM
+        if h["bits"] == 8:
+            arr = np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
+        elif h["bits"] == 16:
+            arr = np.frombuffer(data, dtype="<i2")
+        elif h["bits"] == 32:
+            arr = np.frombuffer(data, dtype="<i4")
+        else:
+            raise NotImplementedError(f"PCM bits={h['bits']}")
+    elif h["format"] == 3 and h["bits"] == 32:  # IEEE float
+        arr = np.frombuffer(data, dtype="<f4")
+    else:
+        raise NotImplementedError(
+            f"WAV format {h['format']} (compressed audio needs a codec "
+            "library absent from this runtime)"
+        )
+    ch = max(h["channels"], 1)
+    n = len(arr) // ch
+    return arr[: n * ch].reshape(n, ch)
+
+
+def wav_pack(samples, sample_rate: int = 8000, bits: int = 16) -> bytes:
+    """Build a canonical PCM WAV blob from an ``(n, ch)`` int array —
+    the synth side of the roundtrip (tests and the planted query blobs
+    go through the REAL container, not a shortcut)."""
+    import numpy as np
+
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    ch = arr.shape[1]
+    if bits == 16:
+        payload = arr.astype("<i2").tobytes()
+    elif bits == 8:
+        payload = (arr.astype(np.int16) + 128).astype(np.uint8).tobytes()
+    elif bits == 32:
+        payload = arr.astype("<i4").tobytes()
+    else:
+        raise ValueError(f"bits={bits}")
+    block = ch * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * block, block, bits
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def audio_features(df: DataFrame, binary_col: str = "content") -> DataFrame:
+    """Attach AUDIO_FEATURES_SCHEMA columns from a WAV binary column via
+    ``mapInPandas`` — exact integer aggregates over the decoded samples
+    (int64 accumulation: 32-bit samples × realistic lengths stay far
+    from overflow; float32 WAVs quantize to micro-units first so the
+    sums remain exact integers)."""
+    import numpy as np
+
+    out_schema = T.StructType(df.schema.fields + list(AUDIO_FEATURES_SCHEMA))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for blob in pdf[binary_col]:
+                b = bytes(blob)
+                h = parse_wav_header(b)
+                arr = decode_wav_samples(b)
+                if arr.dtype.kind == "f":
+                    arr = np.round(arr.astype(np.float64) * 1e6).astype(np.int64)
+                else:
+                    arr = arr.astype(np.int64)
+                rows.append(
+                    (
+                        int(arr.shape[0]),
+                        int(h["sample_rate"]),
+                        int(h["channels"]),
+                        int(h["bits"]),
+                        int(np.abs(arr).max()) if arr.size else 0,
+                        int(np.abs(arr).sum()),
+                        int((arr * arr).sum()),
+                    )
+                )
+            feat = pd.DataFrame(
+                rows,
+                columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields],
+                index=pdf.index,
+            )
+            yield pd.concat([pdf, feat], axis=1)
+
+    return df.mapInPandas(batches, out_schema)
+
+
+# ------------------------------------------------------------ video (MP4)
+def parse_mp4_boxes(blob: bytes) -> dict | None:
+    """ISO-BMFF (MP4/MOV) metadata parse — the video half of the
+    container story: walks the top-level box tree, returns
+    ``{brand, duration_s, timescale, n_tracks, track_types}`` from
+    ftyp/moov/mvhd/trak/hdlr, or None when the blob is not ISO-BMFF.
+    FRAME decode stays honestly gated (H.264/H.265/AV1 need codec
+    libraries absent from this runtime) — exactly the
+    progressive-JPEG / MP3 posture: metadata real, payload gated.
+    Raises ValueError on a recognized but truncated/contradictory
+    container."""
+    if len(blob) < 12 or blob[4:8] != b"ftyp":
+        return None
+    out: dict = {
+        "brand": blob[8:12].decode("latin-1"),
+        "duration_s": None,
+        "timescale": None,
+        "n_tracks": 0,
+        "track_types": [],
+    }
+
+    def walk(lo: int, hi: int, depth: int = 0) -> None:
+        pos = lo
+        while pos + 8 <= hi:
+            (size,) = struct.unpack_from(">I", blob, pos)
+            box = blob[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                if body + 8 > hi:
+                    raise ValueError("truncated largesize box")
+                (size,) = struct.unpack_from(">Q", blob, body)
+                body += 8
+            elif size == 0:  # box extends to end of enclosing scope
+                size = hi - pos
+            end = pos + size
+            if size < 8 or end > hi:
+                raise ValueError(f"truncated {box!r} box")
+            if box == b"moov":
+                walk(body, end, depth + 1)
+            elif box == b"trak":
+                out["n_tracks"] += 1
+                walk(body, end, depth + 1)
+            elif box in (b"mdia", b"minf"):
+                walk(body, end, depth + 1)
+            elif box == b"mvhd":
+                ver = blob[body]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", blob, body + 20)
+                else:
+                    ts, dur = struct.unpack_from(">II", blob, body + 12)
+                out["timescale"] = ts
+                out["duration_s"] = dur / ts if ts else None
+            elif box == b"hdlr":
+                out["track_types"].append(
+                    blob[body + 8 : body + 12].decode("latin-1")
+                )
+            pos = end
+
+    walk(0, len(blob))
+    return out
