@@ -121,17 +121,32 @@ def main() -> int:
     # and the r3 record proved that a stdout line longer than that window
     # loses its head — the sum-of-mins headline — to truncation
     # ("parsed": null in BENCH_r03.json).  See BASELINE.md method notes.
+    verbose = {
+        "queries_min": timings,
+        "queries_median": medians,
+        "runs_per_query": RUNS,
+        "sf": _sf_from_dir(SF_DIR),
+        "value_median": round(sum(medians.values()), 3),
+        "wall_sec": total,
+    }
+    # ... and, for FULL-registry runs only, to a file next to this
+    # script as the durable full-precision record: the tail window
+    # usually cuts the stderr VERBOSE line, and a full run's per-query
+    # medians are otherwise unrecoverable.  Filtered/headline runs must
+    # not clobber it; the sf suffix keeps smoke-SF runs apart.
+    # Best-effort (a read-only checkout must not fail the bench).
+    if not ONLY and not HEADLINE:
+        try:
+            out_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                f"BENCH_VERBOSE_LOCAL_sf{_sf_from_dir(SF_DIR)}.json",
+            )
+            with open(out_path, "w") as fh:
+                json.dump(verbose, fh, indent=1, sort_keys=True)
+        except OSError:
+            pass
     print(
-        "VERBOSE "
-        + json.dumps(
-            {
-                "queries_min": timings,
-                "queries_median": medians,
-                "runs_per_query": RUNS,
-                "value_median": round(sum(medians.values()), 3),
-                "wall_sec": total,
-            }
-        ),
+        "VERBOSE " + json.dumps(verbose),
         file=sys.stderr,
     )
     # The ONE stdout JSON line, compact separators, big dict FIRST and

@@ -250,3 +250,42 @@ def test_quality_clf_scales_sublinearly(spark, tmp_path):
 
     t_small, t_large = timed(small), timed(large)
     assert t_large < t_small * 8, (t_small, t_large)
+
+
+def test_dsir_scales_sublinearly(spark, tmp_path):
+    """20× rows through DSIR selection: the only corpus-sized shuffle
+    is the 256-row gram count and scoring is a narrow broadcast pass,
+    so wall must scale far below row count."""
+    from yodel_etl_spark.scale.dsir import dsir_select
+    from yodel_etl_spark.session import release
+
+    small, large = _replicated_docs(spark, tmp_path)
+
+    def timed(frame) -> float:
+        t0 = time.perf_counter()
+        s = dsir_select(frame, top_n=50)
+        _force(s)
+        release(s)
+        return time.perf_counter() - t0
+
+    t_small, t_large = timed(small), timed(large)
+    assert t_large < t_small * 8, (t_small, t_large)
+
+
+def test_bm25_scales_sublinearly(spark, tmp_path):
+    """20× rows through BM25 top-k: per-term tf is scan-stage work,
+    stats are a one-row aggregate, top-k is a per-partition heap."""
+    from yodel_etl_spark.scale.search import bm25_topk
+    from yodel_etl_spark.session import release
+
+    small, large = _replicated_docs(spark, tmp_path)
+
+    def timed(frame) -> float:
+        t0 = time.perf_counter()
+        s = bm25_topk(frame, ["spark", "vector", "customer"], top_n=20)
+        _force(s)
+        release(s)
+        return time.perf_counter() - t0
+
+    t_small, t_large = timed(small), timed(large)
+    assert t_large < t_small * 8, (t_small, t_large)
