@@ -156,3 +156,21 @@ def test_decode_pixels_routes_all_four_formats():
     assert (decode_pixels(build_gif(grid, palette)) == palette[grid]).all()
     with pytest.raises(NotImplementedError):
         decode_pixels(b"RIFF....WAVEfmt " + b"\x00" * 32)  # audio, not an image
+
+
+def test_gif_subrect_frame_composites_on_background_index():
+    """A first frame smaller than the logical screen must composite
+    onto the header's BACKGROUND color index (byte 11), not palette
+    slot 0."""
+    from yodel_etl_spark.scale.codecs import decode_gif_pixels
+
+    palette = np.array([[10, 10, 10], [200, 0, 0], [0, 200, 0]], dtype=np.uint8)
+    grid = np.array([[1, 1], [1, 1]], dtype=np.uint8)  # 2x2 red frame
+    blob = bytearray(build_gif(grid, palette))
+    # widen the logical screen to 4x4 and set background index to 2
+    blob[6:10] = struct.pack("<HH", 4, 4)
+    blob[11] = 2
+    px = decode_gif_pixels(bytes(blob))
+    assert px.shape == (4, 4, 3)
+    assert (px[:2, :2] == [200, 0, 0]).all()  # the frame itself
+    assert (px[3, 3] == [0, 200, 0]).all()  # background = index 2, NOT slot 0

@@ -226,3 +226,45 @@ def test_resize_media_decodes_jpeg(spark):
     # nearest-neighbor over a left=160/right=96 image: cols 0-1 from the
     # left half, cols 2-3 from the right half
     assert (arr[:, :2, 0] == 160).all() and (arr[:, 2:, 0] == 96).all()
+
+
+def test_gray_nonstandard_sampling_decodes_raster():
+    """T.81 A.2.3: a single-component scan is NON-interleaved — one
+    block per MCU in raster order over ceil(w/8) x ceil(h/8) blocks,
+    regardless of declared sampling factors.  A 32x16 grayscale with
+    declared 2x2 sampling must decode identically to the same blocks
+    declared 1x1 (the old interleaved reading regrouped the 8 blocks
+    into two 2x2-block MCUs and scrambled their positions)."""
+    from yodel_etl_spark.scale.jpeg import decode_jpeg_pixels
+
+    # distinct DC per raster block position: values 0,16,...,112
+    dcs = [16 * i for i in range(8)]
+    raster_blocks = [[[(0, dc)]] for dc in dcs]  # 8 MCUs x 1 block
+    j22 = build_jpeg(16, 32, [raster_blocks], [(2, 2)])
+    j11 = build_jpeg(16, 32, [raster_blocks], [(1, 1)])
+    px22 = decode_jpeg_pixels(j22)
+    px11 = decode_jpeg_pixels(j11)
+    assert (px22 == px11).all()
+    # and the raster placement is right: block (row r, col c) tile value
+    for i, dc in enumerate(dcs):
+        r, c = divmod(i, 4)
+        tile = px22[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8]
+        want = min(max(dc / 8.0 + 128.0, 0), 255)  # DC scaling + level shift
+        assert (abs(tile.astype(float) - round(want)) <= 1).all(), (i, dc)
+
+
+def test_multiscan_baseline_raises_valueerror():
+    """A baseline color JPEG split into sequential Ns=1 scans must
+    raise the documented ValueError, not a KeyError mid-decode."""
+    from yodel_etl_spark.scale.jpeg import decode_jpeg_pixels
+
+    blocks = [[[[(0, 10)]]], [[[(0, 20)]]], [[[(0, 30)]]]]
+    blob = build_jpeg(8, 8, blocks, [(1, 1)] * 3)
+    i = blob.index(b"\xff\xda")
+    seg_len = struct.unpack(">H", blob[i + 2 : i + 4])[0]
+    new_sos = b"\xff\xda" + struct.pack(">H", 2 + 1 + 2 + 3) + bytes(
+        [1, 1, 0x00, 0, 63, 0]
+    )
+    patched = blob[:i] + new_sos + blob[i + 2 + seg_len :]
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg_pixels(patched)

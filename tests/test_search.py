@@ -75,3 +75,17 @@ def test_bm25_plan_no_explode_no_join_shuffle(spark, sf_small):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_odd_terms_and_duplicates(spark, sf_small):
+    """Terms with '.' must not break column resolution (internal names
+    are positional; pretty tf_{term} names are output-only aliases),
+    and duplicate terms are rejected instead of double-counted."""
+    docs = load_tables(spark, sf_small, ("documents",))["documents"]
+    out = bm25_topk(docs, ["u.s", "spark"], top_n=5)
+    pdf = out.toPandas()
+    release(out)
+    assert list(pdf.columns) == ["doc_id", "dl", "tf_u.s", "tf_spark", "score"]
+    assert (pdf["tf_u.s"] == 0).all()  # token absent from the corpus
+    with pytest.raises(ValueError):
+        bm25_topk(docs, ["spark", "spark"])

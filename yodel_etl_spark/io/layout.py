@@ -61,7 +61,7 @@ def zorder_value(cols, bits: int = 16):
     Column already normalized to an integer in ``[0, 2**bits)``.  Pure
     column algebra (shift/mask/or), so it rides whole-stage codegen.
 
-    Interleave layout: output bit ``k*i + j`` takes bit ``j`` of column
+    Interleave layout: output bit ``k*j + i`` takes bit ``j`` of column
     ``i`` (k = len(cols)) — adjacent z-values are adjacent in every
     dimension, which is the property that makes per-file min/max
     bounding boxes tight in ALL sorted dimensions at once (a linear
@@ -69,6 +69,14 @@ def zorder_value(cols, bits: int = 16):
     from pyspark.sql import functions as F
 
     k = len(cols)
+    if k * bits > 63:
+        # shiftleft past bit 63 silently drops the high coordinate bits
+        # and the files' bounding boxes quietly stop being tight — the
+        # exact property this function exists to provide; fail loud
+        raise ValueError(
+            f"{k} columns x {bits} bits = {k * bits} z-bits > 63; "
+            "reduce bits (write_zordered derives them from `buckets`)"
+        )
     z = F.lit(0).cast("long")
     for i, c in enumerate(cols):
         x = c.cast("long")

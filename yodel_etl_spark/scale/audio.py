@@ -75,14 +75,16 @@ def parse_wav_header(blob: bytes) -> dict | None:
     return None
 
 
-def decode_wav_samples(blob: bytes):
+def decode_wav_samples(blob: bytes, header: dict | None = None):
     """Decode to an ``(n_frames, channels)`` numpy array.  PCM 8-bit
     (unsigned → centered int), 16/32-bit (signed little-endian) and
     IEEE float32; anything else (format 85 = MP3-in-WAV, ADPCM, …)
-    raises NotImplementedError — the honest gate."""
+    raises NotImplementedError — the honest gate.  Pass a pre-parsed
+    ``header`` to skip the chunk walk (audio_features already has one;
+    re-parsing per blob doubled the container work in the hot path)."""
     import numpy as np
 
-    h = parse_wav_header(blob)
+    h = header if header is not None else parse_wav_header(blob)
     if h is None:
         raise NotImplementedError("not a RIFF/WAVE container")
     data = blob[h["data_offset"] : h["data_offset"] + h["data_len"]]
@@ -150,7 +152,7 @@ def audio_features(df: DataFrame, binary_col: str = "content") -> DataFrame:
             for blob in pdf[binary_col]:
                 b = bytes(blob)
                 h = parse_wav_header(b)
-                arr = decode_wav_samples(b)
+                arr = decode_wav_samples(b, header=h)
                 if arr.dtype.kind == "f":
                     arr = np.round(arr.astype(np.float64) * 1e6).astype(np.int64)
                 else:

@@ -110,6 +110,7 @@ def decode_gif_pixels(blob: bytes) -> np.ndarray:
         raise ValueError("not a GIF")
     sw, sh = struct.unpack("<HH", blob[6:10])
     flags = blob[10]
+    bg_index = blob[11]  # background color index (only meaningful with a GCT)
     pos = 13
     gct = None
     if flags & 0x80:
@@ -160,8 +161,11 @@ def decode_gif_pixels(blob: bytes) -> np.ndarray:
                 grid = deinter
             if (left, top, w, h) != (0, 0, sw, sh):
                 # frame 1 smaller than the logical screen: place it on a
-                # screen-sized canvas (background index 0)
-                canvas = np.zeros((sh, sw), dtype=np.uint8)
+                # screen-sized canvas filled with the header's
+                # BACKGROUND color index (byte 11) — index 0 is just
+                # whatever the palette's first slot holds
+                bg = bg_index if bg_index < len(ct) else 0
+                canvas = np.full((sh, sw), bg, dtype=np.uint8)
                 canvas[top : top + h, left : left + w] = grid
                 grid = canvas
             return ct[grid]

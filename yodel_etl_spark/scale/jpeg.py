@@ -215,8 +215,25 @@ def _decode_scan(blob, start, frame, scan_tables, qt, huff_dc, huff_ac, restart_
     h, w, comps = frame
     if not comps or len(comps) not in (1, 3):
         raise ValueError(f"unsupported component count {len(comps)}")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
+    if len(scan_tables) != len(comps):
+        # T.81 allows a baseline frame split into sequential Ns=1 scans
+        # (one per component); supporting it needs multi-scan plumbing —
+        # raise the documented ValueError, never a KeyError mid-decode
+        raise ValueError(
+            "sequential (multi-scan) baseline JPEG not supported — "
+            f"scan covers {len(scan_tables)} of {len(comps)} components"
+        )
+    if len(comps) == 1:
+        # T.81 A.2.3: a single-component scan is NON-interleaved — the
+        # MCU is ONE data unit and blocks cover ceil(w/8) x ceil(h/8)
+        # raster-wise, regardless of the declared sampling factors
+        # (decoding hi x vi > 1 as interleaved would silently scramble
+        # block positions)
+        hmax = vmax = 1
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    else:
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x = (w + mcu_w - 1) // mcu_w
     mcus_y = (h + mcu_h - 1) // mcu_h

@@ -70,24 +70,33 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    if len(set(query_terms)) != len(query_terms):
+        # duplicate terms would create ambiguous tf columns (and
+        # double-count the term's contribution); reject loudly
+        raise ValueError(f"duplicate query terms: {query_terms}")
+
     def _tf(tk: Column, term: str) -> Column:
         # helper (not a default-arg lambda): a two-parameter lambda
         # would be treated as pyspark's (element, index) filter form
         return F.size(F.filter(tk, lambda t: t == F.lit(term)))
 
+    # internal columns are POSITIONAL (tf_0, df_0, …): a term containing
+    # '.' or backticks would break the F.col re-reads of a tf_{term}
+    # name (dot parses as struct-field access); the pretty tf_{term}
+    # names appear only as final output aliases, never re-read
     tk = tokens(F.lower(F.col(text_col)))
     proj = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(tk).alias("dl"),
-        *[_tf(tk, term).alias(f"tf_{term}") for term in query_terms],
+        *[_tf(tk, term).alias(f"tf_{i}") for i, term in enumerate(query_terms)],
     ).persist()
 
     stats = proj.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
         *[
-            F.sum((F.col(f"tf_{t}") > 0).cast("bigint")).alias(f"df_{t}")
-            for t in query_terms
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(query_terms))
         ],
     )
 
@@ -97,17 +106,25 @@ def bm25_topk(
     # hand-written SQL oracle `t0 + t1 + ...` evaluates in the same
     # fp order and reproduces the double bit-for-bit
     score: Column | None = None
-    for t in query_terms:
-        tf = F.col(f"tf_{t}").cast("double")
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf_{i}").cast("double")
         term_score = (
-            _idf(F.col("n_docs"), F.col(f"df_{t}")) * (tf * F.lit(k1 + 1.0))
+            _idf(F.col("n_docs"), F.col(f"df_{i}")) * (tf * F.lit(k1 + 1.0))
         ) / (tf + norm)
         score = term_score if score is None else score + term_score
 
     out = (
         proj.join(F.broadcast(stats))  # one-row stats: broadcast, no shuffle
         .withColumn("score", F.round(score, 6))
-        .select("doc_id", "dl", *[f"tf_{t}" for t in query_terms], "score")
+        .select(
+            "doc_id",
+            "dl",
+            *[
+                F.col(f"tf_{i}").alias(f"tf_{term}")
+                for i, term in enumerate(query_terms)
+            ],
+            "score",
+        )
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(top_n)
     )

@@ -372,21 +372,29 @@ def run_replay_to_table(result: DataFrame, name: str, timeout_sec: int = 600) ->
     grain (sessions), never the input, so driver memory scales with the
     aggregate, not the corpus."""
     import tempfile
+    import shutil
     import uuid
 
     spark = result.sparkSession
     qname = f"{name}_{uuid.uuid4().hex[:8]}"
-    q = (
-        result.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"{name}_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(timeout_sec):
-        q.stop()
-        raise TimeoutError(f"replay {qname} did not drain in {timeout_sec}s")
+    # checkpoint is transient by construction (availableNow drain into a
+    # memory sink) — remove it after termination or every bench build
+    # leaks an offsets/state directory in /tmp (6+ per full bench run)
+    ckpt = tempfile.mkdtemp(prefix=f"{name}_ckpt_")
+    try:
+        q = (
+            result.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(f"replay {qname} did not drain in {timeout_sec}s")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     out = spark.table(qname)
     # the plan captured the memory sink's rows at analysis; dropping the
     # temp view just keeps the catalog from accumulating replay tables
