@@ -558,3 +558,83 @@ def test_events_stream_replay_equals_batch(spark, sf_small):
     want = session_windows(ev, "30 minutes")
     assert got.schema == want.schema
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_stream_stream_left_outer_join_emits_null_padded(spark, tmp_path):
+    """The left-outer stream-stream variant: matched pairs emit like the
+    inner form; an unmatched left row emits NULL-padded only after a
+    later batch pushes the watermark past its eviction horizon — proof
+    that outer results are watermark-gated, not dropped."""
+    from pyspark.sql import Row
+
+    from yodel_etl_spark.streaming.events import correlate_streams
+
+    def ev(eid, uid, minute):
+        return Row(event_id=eid, user_id=uid, ts=f"2024-01-01 10:{minute:02d}:00")
+
+    schema = "event_id long, user_id long, ts string"
+    main = spark.createDataFrame(
+        [
+            ev(1, 7, 0),   # right-side trigger for user 7
+            ev(2, 7, 5),   # left action: matches event 1 (5 min lookback-able)
+            ev(3, 9, 5),   # left action with NO prior trigger → null-padded
+        ],
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # second batch: far-future rows on BOTH sides push the watermark
+    # (30 min delay) past the first batch's event times
+    advance = spark.createDataFrame(
+        [ev(100, 1, 0)], schema
+    ).withColumn(
+        "ts", (F.col("ts").cast("timestamp") + F.expr("INTERVAL 5 HOURS"))
+    )
+
+    src_l = str(tmp_path / "lo_left")
+    src_r = str(tmp_path / "lo_right")
+    main.write.mode("overwrite").parquet(src_l)
+    main.write.mode("overwrite").parquet(src_r)
+    left = spark.readStream.schema(main.schema).parquet(src_l)
+    right = spark.readStream.schema(main.schema).parquet(src_r)
+    q = (
+        correlate_streams(left, right, lookback="15 minutes", how="left_outer")
+        .writeStream.format("memory")
+        .queryName("ss_left_outer")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        advance.write.mode("append").parquet(src_l)
+        advance.write.mode("append").parquet(src_r)
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["l_id"], r["r_id"])
+            for r in spark.sql("SELECT * FROM ss_left_outer").collect()
+        }
+    finally:
+        q.stop()
+    # matched pair present; unmatched left row null-padded; the
+    # advancer rows themselves are NOT yet evictable (nothing has
+    # pushed the watermark past THEM), so they must not appear
+    assert (7, 2, 1) in got
+    assert (9, 3, None) in got
+    assert not any(uid == 1 for uid, _, _ in got)
+    # and the batch twin (same predicate, left_outer) agrees on the
+    # first batch's rows
+    batch = {
+        (r["user_id"], r["l_id"], r["r_id"])
+        for r in correlate_streams(main, main, lookback="15 minutes", how="left_outer").collect()
+    }
+    assert {(u, l, rr) for (u, l, rr) in got} == {
+        (u, l, rr) for (u, l, rr) in batch if u != 1
+    }
+
+
+def test_correlate_streams_rejects_bad_how(spark, sf_small):
+    import pytest
+
+    from yodel_etl_spark.streaming.events import correlate_streams
+
+    ev = load_tables(spark, sf_small, ("events",))["events"]
+    with pytest.raises(ValueError):
+        correlate_streams(ev, ev, how="full_outer")

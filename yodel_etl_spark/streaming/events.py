@@ -186,6 +186,7 @@ def correlate_streams(
     ts_col: str = "ts",
     lookback: str = "15 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream–stream inner join with a time-interval condition: each
     left event pairs with the same key's right events in
@@ -205,7 +206,18 @@ def correlate_streams(
     tests/test_streaming.py).  Output: left (event_id, ts) + right
     (event_id, ts) pairs per key, strictly-earlier right events only,
     self-pairs excluded.
+
+    ``how="left_outer"`` is the audit variant — "which actions had NO
+    prior trigger": matched rows stream out immediately, and an
+    UNMATCHED left row emits null-padded once the watermark passes its
+    eviction horizon (the engine can only then prove no match can
+    still arrive — so outer results trail the watermark by
+    construction, and a final batch's unmatched rows need a later
+    batch to push the watermark past them).  Same bounded state as the
+    inner form.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner or left_outer, got {how!r}")
     l = left.select(
         F.col(key_col).alias("k"),
         F.col("event_id").alias("l_id"),
@@ -226,7 +238,7 @@ def correlate_streams(
         & (r["r_ts"] < l["l_ts"])
     )
     return (
-        l.join(r, cond, "inner")
+        l.join(r, cond, how)
         .select("k", "l_id", "l_ts", "r_id", "r_ts")
         .withColumnRenamed("k", key_col)
     )
