@@ -162,3 +162,29 @@ def test_zorder_bounds_skipping_on_every_dimension(spark, sf_small, tmp_path):
     assert {r["event_id"] for r in back.select("event_id").collect()} == {
         r["event_id"] for r in ev.select("event_id").collect()
     }
+
+
+def test_clustered_orc_roundtrip_and_pushdown(spark, sf_small, tmp_path):
+    """The fmt knob is real: the clustered layout writes ORC with the
+    same partition dirs, values survive the roundtrip, and a sort-key
+    filter reaches the ORC scan as a pushed filter."""
+    ev = load_tables(spark, sf_small, ("events",))["events"].select(
+        "event_id", "user_id", "value", F.to_date("ts").alias("event_date")
+    )
+    out = str(tmp_path / "orc_out")
+    write_clustered(
+        ev, out, partition_by=("event_date",), sort_by=("user_id",), fmt="orc"
+    )
+    back = spark.read.orc(out)
+    assert back.count() == ev.count()
+    assert {r["event_id"] for r in back.select("event_id").collect()} == {
+        r["event_id"] for r in ev.select("event_id").collect()
+    }
+    plan = (
+        back.where(F.col("user_id") == 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "orc" in plan.lower()
+    assert "PushedFilters: [" in plan and "user_id" in plan.split("PushedFilters: [")[1][:80]
