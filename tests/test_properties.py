@@ -246,3 +246,58 @@ def test_domain_mix_matches_model(spark, domains, budget_pct):
     kept, rate = model_domain_mix(rows, budget_pct)
     assert {k for k, _ in got} == kept
     assert all(rb == rate[dict(rows)[k]] for k, rb in got)
+
+
+# ------------------------------------------------------ WAV (pure python)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=200
+    ),
+    channels=st.integers(min_value=1, max_value=4),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_pack_decode_roundtrip_property(samples, channels, rate):
+    """Any int16 sample grid survives pack→parse→decode bit-exactly
+    (trailing partial frames are dropped, never mangled)."""
+    import numpy as np
+
+    from yodel_etl_spark.scale.audio import decode_wav_samples, wav_pack
+
+    n = (len(samples) // channels) * channels
+    arr = np.array(samples[:n], dtype=np.int64).reshape(-1, channels)
+    out = decode_wav_samples(wav_pack(arr, sample_rate=rate, bits=16))
+    assert out.shape == arr.shape
+    assert (out == arr).all()
+
+
+@given(
+    coords=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_zorder_value_matches_python_morton(spark, coords):
+    """The column-algebra bit interleave equals a literal python Morton
+    encode for 2x8-bit coordinates."""
+    from yodel_etl_spark.io.layout import zorder_value
+
+    def morton(a: int, b: int) -> int:
+        z = 0
+        for j in range(8):
+            z |= ((a >> j) & 1) << (2 * j) | ((b >> j) & 1) << (2 * j + 1)
+        return z
+
+    df = spark.createDataFrame(coords, "a int, b int")
+    got = [
+        r["z"]
+        for r in df.select(
+            zorder_value([F.col("a"), F.col("b")], bits=8).alias("z")
+        ).collect()
+    ]
+    assert got == [morton(a, b) for a, b in coords]
