@@ -303,3 +303,51 @@ def test_bm25_scales_sublinearly(spark, tmp_path):
 
     t_small, t_large = timed(small), timed(large)
     assert t_large < t_small * 8, (t_small, t_large)
+
+
+def test_audio_features_scale_linearly(spark, tmp_path):
+    """100k planted WAV blobs (20× the sf0.1 doc count) through
+    pack→decode→features: the whole chain is per-partition mapInPandas
+    (no shuffle), so wall must track rows ~1:1, never worse."""
+    import numpy as np
+    import pandas as pd
+
+    from yodel_etl_spark.scale.audio import audio_features, wav_pack
+    from yodel_etl_spark.session import ship_package, spread
+
+    ship_package(spark)
+
+    def planted(n_rows: int, path: str):
+        ids = spark.range(n_rows).select(F.col("id").alias("doc_id"))
+
+        def plant(it):
+            for pdf in it:
+                out = pdf.copy()
+                out["content"] = [
+                    wav_pack(
+                        ((int(d) * 31 + np.arange(100 + int(d) % 50) * 17) % 65536)
+                        - 32768
+                    )
+                    for d in pdf["doc_id"]
+                ]
+                yield out
+
+        spread(ids).mapInPandas(plant, "doc_id long, content binary").write.mode(
+            "overwrite"
+        ).parquet(path)
+        return spark.read.parquet(path)
+
+    small = planted(5_000, str(tmp_path / "wav_small"))
+    large = planted(100_000, str(tmp_path / "wav_large"))
+
+    def timed(frame) -> float:
+        f = audio_features(frame, "content").drop("content")
+        _force(f)  # warm
+        t0 = time.perf_counter()
+        _force(f)
+        return time.perf_counter() - t0
+
+    t_small, t_large = timed(small), timed(large)
+    # 20x rows: linear → ~20x worst case, but fixed overhead dominates
+    # the small run on local[32]; require comfortably under linear
+    assert t_large < t_small * 12, (t_small, t_large)
