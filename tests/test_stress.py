@@ -72,6 +72,7 @@ def test_curate_scales_sublinearly(spark, tmp_path):
         return time.perf_counter() - t0
 
     t_small, t_large = timed(small), timed(large)
+    print(f"STRESS {t_small:.2f}s -> {t_large:.2f}s ({t_large / t_small:.1f}x)")
     # 20x rows must cost far less than 20x wall (narrow signal pass +
     # digest-only shuffles); observed ~2.2x on local[32]
     assert t_large < t_small * 8, (t_small, t_large)
@@ -106,6 +107,7 @@ def test_span_scrub_scales_sublinearly(spark, tmp_path):
         return time.perf_counter() - t0
 
     t_small, t_large = timed(small), timed(large)
+    print(f"STRESS {t_small:.2f}s -> {t_large:.2f}s ({t_large / t_small:.1f}x)")
     assert t_large < t_small * 8, (t_small, t_large)
 
 
@@ -125,6 +127,7 @@ def test_profile_scales_sublinearly(spark, tmp_path):
         return time.perf_counter() - t0
 
     t_small, t_large = timed(small), timed(large)
+    print(f"STRESS {t_small:.2f}s -> {t_large:.2f}s ({t_large / t_small:.1f}x)")
     assert t_large < t_small * 8, (t_small, t_large)
 
 
@@ -145,6 +148,7 @@ def test_learn_bpe_distributed_scales_sublinearly(spark, tmp_path):
         return time.perf_counter() - t0
 
     t_small, t_large = timed(small), timed(large)
+    print(f"STRESS {t_small:.2f}s -> {t_large:.2f}s ({t_large / t_small:.1f}x)")
     assert t_large < t_small * 8, (t_small, t_large)
     # replication preserves word statistics up to the tiny repN tail, so
     # the learned merge sequences must agree — the scale run is the SAME
@@ -234,6 +238,7 @@ def test_hyperplane_lsh_scales_linearly(spark, tmp_path):
 
     t_small, n_small = timed(small)
     t_large, n_large = timed(large)
+    print(f"STRESS {t_small:.2f}s -> {t_large:.2f}s ({t_large / t_small:.1f}x)")
     # every planted twin found (banding miss prob ~1e-6 per pair), and
     # false-positive survivors are impossible (exact verify)
     n_rows_small, n_rows_large = 2000 * 10, 2000 * 50
@@ -263,6 +268,7 @@ def test_quality_clf_scales_sublinearly(spark, tmp_path):
         return time.perf_counter() - t0
 
     t_small, t_large = timed(small), timed(large)
+    print(f"STRESS {t_small:.2f}s -> {t_large:.2f}s ({t_large / t_small:.1f}x)")
     assert t_large < t_small * 8, (t_small, t_large)
 
 
@@ -283,6 +289,7 @@ def test_dsir_scales_sublinearly(spark, tmp_path):
         return time.perf_counter() - t0
 
     t_small, t_large = timed(small), timed(large)
+    print(f"STRESS {t_small:.2f}s -> {t_large:.2f}s ({t_large / t_small:.1f}x)")
     assert t_large < t_small * 8, (t_small, t_large)
 
 
@@ -302,6 +309,7 @@ def test_bm25_scales_sublinearly(spark, tmp_path):
         return time.perf_counter() - t0
 
     t_small, t_large = timed(small), timed(large)
+    print(f"STRESS {t_small:.2f}s -> {t_large:.2f}s ({t_large / t_small:.1f}x)")
     assert t_large < t_small * 8, (t_small, t_large)
 
 
@@ -348,6 +356,7 @@ def test_audio_features_scale_linearly(spark, tmp_path):
         return time.perf_counter() - t0
 
     t_small, t_large = timed(small), timed(large)
+    print(f"STRESS {t_small:.2f}s -> {t_large:.2f}s ({t_large / t_small:.1f}x)")
     # 20x rows: linear → ~20x worst case, but fixed overhead dominates
     # the small run on local[32]; require comfortably under linear
     assert t_large < t_small * 12, (t_small, t_large)
