@@ -174,3 +174,15 @@ def test_gif_subrect_frame_composites_on_background_index():
     assert px.shape == (4, 4, 3)
     assert (px[:2, :2] == [200, 0, 0]).all()  # the frame itself
     assert (px[3, 3] == [0, 200, 0]).all()  # background = index 2, NOT slot 0
+
+
+def test_lzw_first_code_out_of_range_raises_valueerror():
+    """A corrupt stream whose FIRST code after start/CLEAR is outside
+    the table must raise the module's documented ValueError — the
+    unguarded table[code] lookup used to surface an IndexError."""
+    from yodel_etl_spark.scale.codecs import _lzw_decode
+
+    # min_code_size=2: table has 6 entries (4 literals + CLEAR + END),
+    # 3-bit codes; first code 7 is out of range
+    with pytest.raises(ValueError, match="corrupt LZW stream"):
+        _lzw_decode(2, bytes([0b00000111]), 10)

@@ -268,3 +268,51 @@ def test_multiscan_baseline_raises_valueerror():
     patched = blob[:i] + new_sos + blob[i + 2 + seg_len :]
     with pytest.raises(ValueError, match="multi-scan"):
         decode_jpeg_pixels(patched)
+
+
+def test_bitreader_lone_trailing_ff_raises():
+    """A stream cut at a lone 0xFF has no marker byte: the reader must
+    raise truncation instead of fabricating a 1-fill byte and letting a
+    decode silently complete on a cut-off blob."""
+    from yodel_etl_spark.scale.jpeg import _BitReader
+
+    rdr = _BitReader(b"\x5a\xff", 0)
+    for _ in range(8):
+        rdr.read_bit()
+    with pytest.raises(ValueError, match="truncated entropy-coded"):
+        rdr.read_bit()
+
+
+def test_undefined_quant_table_raises_valueerror():
+    """SOF pointing a component at a quant table no DQT defined must
+    raise ValueError up front, not KeyError mid-decode."""
+    blob = build_jpeg(8, 8, [[[[(0, 256)]]]], [(1, 1)])
+    i = blob.index(b"\xff\xc0")
+    # SOF body: prec(1) h(2) w(2) ncomp(1) then (cid, hv, tq) — tq of
+    # component 0 sits at segment offset 8 (blob offset i+4+8)
+    patched = bytearray(blob)
+    patched[i + 12] = 5
+    with pytest.raises(ValueError, match="undefined quantization table"):
+        decode_jpeg_pixels(bytes(patched))
+
+
+def test_undefined_huffman_table_raises_valueerror():
+    """SOS selecting a Huffman table id no DHT defined must raise
+    ValueError up front, not KeyError mid-decode."""
+    blob = build_jpeg(8, 8, [[[[(0, 256)]]]], [(1, 1)])
+    i = blob.index(b"\xff\xda")
+    # SOS body: ns(1) then (cs, tt) — tt of component 0 at blob i+6
+    patched = bytearray(blob)
+    patched[i + 6] = 0x23  # DC table 2 / AC table 3: neither defined
+    with pytest.raises(ValueError, match="undefined DC Huffman table"):
+        decode_jpeg_pixels(bytes(patched))
+
+
+def test_non_dyadic_sampling_raises_valueerror():
+    """Legal-per-T.81 but unsupported 3:2 sampling ratios must raise
+    the documented ValueError, not a numpy shape error from the
+    repeat-upsample."""
+    blocks = [[[[(0, 10)]] * 6], [[[(0, 20)]] * 2], [[[(0, 30)]]]]
+    blob = build_jpeg(16, 24, blocks, [(3, 2), (2, 1), (1, 1)])
+    with pytest.raises(ValueError, match="non-dyadic sampling"):
+        decode_jpeg_pixels(blob)

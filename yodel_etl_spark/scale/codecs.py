@@ -86,6 +86,12 @@ def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> list[int]:
             if code == end:
                 return out
             if prev is None:
+                # first code after start/CLEAR must be a literal already
+                # in the table — an out-of-range code is corruption and
+                # must raise the module's documented ValueError, not an
+                # IndexError from the bare lookup
+                if code >= len(table):
+                    raise ValueError("corrupt LZW stream")
                 entry = table[code]
             elif code < len(table):
                 entry = table[code]

@@ -77,6 +77,12 @@ class _BitReader:
         self.pos += 1
         if b == 0xFF:
             nxt = self.data[self.pos] if self.pos < len(self.data) else None
+            if nxt is None:
+                # blob ends on a lone 0xFF: there is no marker byte, so
+                # this is truncation — raising here (not fabricating a
+                # 1-fill byte with marker=None) keeps a decode from
+                # silently completing on a cut-off stream
+                raise ValueError("truncated entropy-coded data")
             if nxt == 0x00:
                 self.pos += 1  # stuffed byte: literal 0xFF
             else:
@@ -234,6 +240,27 @@ def _decode_scan(blob, start, frame, scan_tables, qt, huff_dc, huff_ac, restart_
     else:
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
+    # validate the whole table/sampling surface BEFORE decoding: a scan
+    # referencing an undefined quant/Huffman table id would otherwise
+    # KeyError mid-decode, and non-dyadic sampling ratios (legal per
+    # T.81, e.g. 3:2) would surface as numpy shape errors from the
+    # repeat-upsample — both contradict the module's "everything else
+    # raises ValueError" contract
+    for cid, hi, vi, tq in comps:
+        if cid not in scan_tables:
+            raise ValueError(f"scan references unknown component id {cid}")
+        if tq not in qt:
+            raise ValueError(f"undefined quantization table {tq} (component {cid})")
+        dc_t, ac_t = scan_tables[cid]
+        if dc_t not in huff_dc:
+            raise ValueError(f"undefined DC Huffman table {dc_t} (component {cid})")
+        if ac_t not in huff_ac:
+            raise ValueError(f"undefined AC Huffman table {ac_t} (component {cid})")
+        if hi < 1 or vi < 1 or hmax % hi or vmax % vi:
+            raise ValueError(
+                f"non-dyadic sampling factors {hi}x{vi} vs max {hmax}x{vmax} "
+                "— only integer-ratio subsampling is supported"
+            )
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x = (w + mcu_w - 1) // mcu_w
     mcus_y = (h + mcu_h - 1) // mcu_h
