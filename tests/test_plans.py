@@ -171,3 +171,20 @@ def test_profile_rollup_is_combinable_no_value_funnel(spark, sf_small):
     assert "partial_min" in tail and "partial_sum" in tail  # map-side partials
     assert "partial_min" not in head  # final merge above the exchange
     assert "Window" not in plan and "CartesianProduct" not in plan
+
+
+def test_ppl_threshold_form_has_no_window(spark, sf_small):
+    """The threshold cut is the 100 TB form: its whole plan must contain
+    NO window operator (the rank form's global sort funnel) — the cut
+    rides one partial-merged percentile aggregate plus a 1-row
+    broadcast."""
+    from yodel_etl_spark.scale.lm import perplexity_buckets
+    from yodel_etl_spark.session import release
+
+    docs = load_tables(spark, sf_small, ("documents",))["documents"]
+    out = perplexity_buckets(docs, "doc_id", "text", method="threshold")
+    plan = _plan(out)
+    release(out)
+    assert "Window" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

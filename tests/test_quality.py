@@ -127,3 +127,77 @@ def test_html_extract_golden(spark):
     assert got[2] == 'a &lt; b c\'s "q"'
     assert got[3] == "plain"
     assert got[4] == "no markup at all"
+
+
+def test_ppl_threshold_agrees_with_rank_away_from_cuts(spark, sf_small):
+    """The scale-safe threshold cut must agree with the exact rank cut
+    everywhere except the documented tie band: with accuracy >> n the
+    percentile sketch is exact, so any disagreement doc sits AT a
+    cutpoint value or immediately adjacent to the rank boundary (the
+    inclusive-side tie semantics lm.py documents)."""
+    from yodel_etl_spark.scale.lm import perplexity_buckets
+    from yodel_etl_spark.session import load_tables, release
+
+    docs = load_tables(spark, sf_small, ("documents",))["documents"]
+    rank = perplexity_buckets(docs, "doc_id", "text", method="rank")
+    r = {row["doc_id"]: row for row in rank.collect()}
+    release(rank)
+    thr = perplexity_buckets(docs, "doc_id", "text", method="threshold")
+    t = {row["doc_id"]: row for row in thr.collect()}
+    release(thr)
+    assert set(r) == set(t) and len(r) > 50
+    for i in r:
+        assert r[i]["score"] == t[i]["score"]
+    # the boundary tie band: cutpoint scores on the threshold side plus
+    # the two scores straddling each rank boundary
+    n = len(r)
+    desc = sorted(r.values(), key=lambda row: (-row["score"], row["doc_id"]))
+    head_n, tail_n = (n * 30) // 100, (n * 30) // 100
+    band = {
+        min(row["score"] for row in t.values() if row["bucket"] == "head"),
+        max(row["score"] for row in t.values() if row["bucket"] == "tail"),
+        desc[head_n - 1]["score"], desc[head_n]["score"],
+        desc[n - tail_n - 1]["score"], desc[n - tail_n]["score"],
+    }
+    disagree = [i for i in r if r[i]["bucket"] != t[i]["bucket"]]
+    assert all(t[i]["score"] in band for i in disagree), (
+        [(t[i]["score"], r[i]["bucket"], t[i]["bucket"]) for i in disagree],
+        band,
+    )
+    assert len(disagree) / n < 0.1
+    # both forms produce all three buckets at plausible proportions
+    for res in (r, t):
+        sizes = {b: sum(1 for row in res.values() if row["bucket"] == b)
+                 for b in ("head", "middle", "tail")}
+        assert all(sizes.values()), sizes
+        assert abs(sizes["head"] - head_n) <= n // 10, sizes
+
+
+def test_ppl_threshold_tie_band_is_inclusive(spark):
+    """All docs TIED at a cutpoint land on the inclusive side (head at
+    the head cut, tail at the tail cut) — the documented divergence
+    from rank mode, which splits ties by id."""
+    from yodel_etl_spark.scale.lm import perplexity_buckets
+    from yodel_etl_spark.session import release
+
+    # scores: docs 1-3 tie at ln(4/7), doc 5 = ln(.5), doc 4 = ln(2/7)
+    rows = [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c"), (5, "x y z")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = perplexity_buckets(
+        docs, "doc_id", "text", head_pct=30, tail_pct=30, method="threshold"
+    )
+    got = {row["doc_id"]: row["bucket"] for row in out.collect()}
+    release(out)
+    # head cut = 0.7-quantile of 5 scores = the tied top score: ALL
+    # three tied docs are head (rank mode heads only doc 1)
+    assert got[1] == got[2] == got[3] == "head"
+    assert got[4] == "tail"
+
+
+def test_ppl_method_validated():
+    import pytest as _pytest
+
+    from yodel_etl_spark.scale.lm import perplexity_buckets
+
+    with _pytest.raises(ValueError, match="method"):
+        perplexity_buckets(None, method="nope")

@@ -442,8 +442,11 @@ def text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     "micro-nats so shuffle order can never flip the oracle hash; LM "
     "training is two gram-keyed shuffles and doc scoring is a "
     "broadcast join that degrades to a (w1,w2) shuffle join at "
-    "vocabulary scale.  The global rank cut is doc-grain; the 100 TB "
-    "swap is approx-quantile thresholds.  Tier 2: yields its "
+    "vocabulary scale.  The global rank cut is doc-grain and "
+    "oracle-exact; the 100 TB form is method='threshold' (implemented: "
+    "one percentile_approx aggregate, two broadcast cutpoints, NO "
+    "window anywhere — agreement with rank away from cut ties and the "
+    "no-window plan are pinned in pytest).  Tier 2: yields its "
     "driver-window slot; parity via pytest oracle suite + driver-sim.",
     tags=("text", "scale", "quality"),
     bench=True,

@@ -19,11 +19,17 @@ Scale shape:
     (``round(ln(p)·10⁶)`` as BIGINT), so the aggregation is
     order-insensitive — float summation order across partitions can
     never flip a hash comparison against the oracle;
-  * the head/middle/tail cut ranks doc-grain rows (corpus cardinality,
-    not token cardinality) with one global window — the 100 TB swap is
-    approx-quantile score thresholds computed in one pass, trading the
-    exact N·pct boundary for no global sort (same trade percentile
-    queries document elsewhere in this repo).
+  * the head/middle/tail cut has TWO forms (``method=``): the exact
+    ``"rank"`` form ranks doc-grain rows (corpus cardinality, not token
+    cardinality) with one global window — oracle-exact, but a
+    single-task funnel past ~10⁹ docs — and the scale-safe
+    ``"threshold"`` form computes two approx-quantile score cutpoints
+    in ONE aggregate (partial-merge, no sort anywhere), broadcasts
+    them, and buckets by comparison.  The trade is the exact N·pct
+    boundary: threshold buckets agree with rank buckets except inside
+    the tie band AT a cutpoint (every doc tied at the head cut is
+    ``head``; rank splits such ties by id) plus percentile_approx's
+    rank error (≤ corpus_size/accuracy rows around each cut).
 """
 
 from __future__ import annotations
@@ -88,13 +94,30 @@ def perplexity_buckets(
     text_col: str = "text",
     head_pct: int = 30,
     tail_pct: int = 30,
+    method: str = "rank",
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Per-document LM score + CCNet head/middle/tail bucket.
 
     ``score`` is the average log-probability in nats (higher = lower
     perplexity = more in-distribution); the top ``head_pct`` % of docs
     by score are ``head``, the bottom ``tail_pct`` % are ``tail``.
-    Ranking ties break on id, so the cut is deterministic."""
+
+    ``method="rank"`` (exact): one global window ranks the doc-grain
+    frame, ties break on id — deterministic and oracle-checkable, but
+    the rank is a single task at extreme corpus sizes.
+
+    ``method="threshold"`` (scale-safe): ``percentile_approx(score,
+    [tail_pct/100, 1-head_pct/100], accuracy)`` in ONE aggregate, the
+    two cutpoints broadcast back, bucket by comparison — no window, no
+    global sort.  Tie-band semantics: ``score >= head_cut`` is head
+    (checked first), else ``score <= tail_cut`` is tail — so ALL docs
+    tied at a cutpoint land on the inclusive side, where rank mode
+    splits the tie by id; away from the cutpoints (beyond the approx
+    rank error, ≤ n/accuracy rows per cut) both forms agree, which
+    tests/test_quality.py pins."""
+    if method not in ("rank", "threshold"):
+        raise ValueError(f"method={method!r} (expected 'rank' or 'threshold')")
     grams = doc_bigrams(docs, id_col, text_col)
     grams = grams.persist()
     lm = bigram_lm(grams)
@@ -113,10 +136,30 @@ def perplexity_buckets(
             ).alias("score"),
         )
     )
-    # doc-grain and narrow, but read twice (the total count and the
-    # ranked pass) — without the persist the LM join and score agg run
-    # once per consumer
+    # doc-grain and narrow, but read twice (the count/cutpoint aggregate
+    # and the bucketing pass) — without the persist the LM join and
+    # score agg run once per consumer
     scored = scored.persist()
+    if method == "threshold":
+        cuts = scored.agg(
+            F.percentile_approx(
+                "score",
+                F.array(
+                    F.lit(tail_pct / 100.0), F.lit(1.0 - head_pct / 100.0)
+                ),
+                F.lit(accuracy),
+            ).alias("_cuts")
+        )
+        out = scored.crossJoin(F.broadcast(cuts)).select(
+            id_col,
+            "n_grams",
+            "score",
+            F.when(F.col("score") >= F.element_at("_cuts", 2), "head")
+            .when(F.col("score") <= F.element_at("_cuts", 1), "tail")
+            .otherwise("middle")
+            .alias("bucket"),
+        )
+        return register_persisted(out, grams, lm, scored)
     n_total = scored.agg(F.count(F.lit(1)).alias("n"))
     rn = F.row_number().over(Window.orderBy(F.desc("score"), F.col(id_col)))
     ranked = scored.crossJoin(F.broadcast(n_total)).withColumn("_rn", rn)
