@@ -109,3 +109,83 @@ def test_empty_corpus_rejected(spark):
     empty = spark.createDataFrame([], "doc_id long, text string, lang string")
     with pytest.raises(ValueError):
         train_quality_lr(empty, F.col("lang") == "en")
+
+
+def _numpy_twin_minibatch(
+    toks: dict, ys: dict, rounds: int, lr: float, n_slices: int
+):
+    """Literal twin of the n_slices > 1 mini-batch path: round t trains
+    on md5 slice t % n_slices, step normalized by that slice's size."""
+    slices = {d: _bucket(str(d), n_slices) for d in toks}
+    counts: dict[int, int] = {}
+    for s in slices.values():
+        counts[s] = counts.get(s, 0) + 1
+    w = [0.0] * (B + 1)
+    for t in range(rounds):
+        sl = t % n_slices
+        if not counts.get(sl):
+            continue
+        grad = [0] * (B + 1)
+        for d, tk in toks.items():
+            if slices[d] != sl:
+                continue
+            p = _sigmoid(_z(w, tk))
+            r = _py_round_half_up(1e6 * (p - ys[d]))
+            rl = _py_round_half_up(r / max(len(tk), 1))
+            for tok in tk:
+                grad[_bucket(tok, B)] += rl
+            grad[B] += r
+        step = lr / (counts[sl] * 1e6)
+        for b in range(B + 1):
+            w[b] -= step * grad[b]
+    return w
+
+
+def _full_loss(w: list, toks: dict, ys: dict) -> float:
+    eps = 1e-12
+    loss = 0.0
+    for d, tk in toks.items():
+        p = _sigmoid(_z(w, tk))
+        loss -= ys[d] * math.log(p + eps) + (1 - ys[d]) * math.log(1 - p + eps)
+    return loss / len(toks)
+
+
+def test_minibatch_matches_twin_and_descends(spark, sf_small):
+    """The mini-batch scale path: bit-exact weight parity against the
+    literal twin (= determinism: the md5 slice schedule and quantized
+    gradients leave no shuffle-order freedom), and the full-corpus loss
+    after the slice rounds descends from the zero-weight loss."""
+    docs = load_tables(spark, sf_small, ("documents",))["documents"]
+    w, scored = train_quality_lr(
+        docs, F.col("lang") == "en", rounds=8, lr=4.0, n_slices=4
+    )
+    pdf = scored.toPandas()
+    release(scored)
+    rows = docs.select("doc_id", F.lower("text").alias("t"), "lang").collect()
+    toks = {r["doc_id"]: [x for x in r["t"].split() if x] for r in rows}
+    ys = {r["doc_id"]: int(r["lang"] == "en") for r in rows}
+    tw = _numpy_twin_minibatch(toks, ys, rounds=8, lr=4.0, n_slices=4)
+    assert w == tw  # exact float equality, element-wise
+    # scored output is the final weights applied to the WHOLE corpus
+    for _, row in pdf.iterrows():
+        p = _sigmoid(_z(w, toks[row["doc_id"]]))
+        assert _py_round_half_up(1e6 * p) == row["score_micro"]
+    assert _full_loss(w, toks, ys) < _full_loss([0.0] * (B + 1), toks, ys)
+
+
+def test_minibatch_empty_slices_skipped(spark):
+    """A corpus smaller than the slice count leaves some rounds with an
+    empty batch — those rounds are skipped, not a division by zero."""
+    rows = [(1, "aa bb", "en"), (2, "cc dd", "fr")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w, scored = train_quality_lr(
+        docs, F.col("lang") == "en", rounds=6, lr=1.0, n_slices=50
+    )
+    assert len(w) == B + 1 and scored.count() == 2
+    release(scored)
+
+
+def test_n_slices_validated(spark):
+    docs = spark.createDataFrame([(1, "x y", "en")], "doc_id long, text string, lang string")
+    with pytest.raises(ValueError, match="n_slices"):
+        train_quality_lr(docs, F.col("lang") == "en", n_slices=0)

@@ -360,3 +360,30 @@ def test_audio_features_scale_linearly(spark, tmp_path):
     # 20x rows: linear → ~20x worst case, but fixed overhead dominates
     # the small run on local[32]; require comfortably under linear
     assert t_large < t_small * 12, (t_small, t_large)
+
+
+def test_quality_clf_minibatch_beats_full_batch_at_scale(spark, tmp_path):
+    """The mini-batch swap's whole point: at 20× rows, 8 rounds over
+    8 md5 slices should cost materially less wall than 8 full-batch
+    rounds (each slice round scans ~1/8 of the cached corpus), while
+    still descending.  Pin mini-batch wall below full-batch wall on the
+    same large frame."""
+    from yodel_etl_spark.scale.classifier import train_quality_lr
+    from yodel_etl_spark.session import release
+
+    _, large = _replicated_docs(spark, tmp_path)
+    label = F.size(F.split(F.col("text"), r"\s+")) >= 40
+
+    def timed(n_slices: int) -> float:
+        t0 = time.perf_counter()
+        _, scored = train_quality_lr(
+            large, label, rounds=8, lr=4.0, n_slices=n_slices
+        )
+        _force(scored)
+        release(scored)
+        return time.perf_counter() - t0
+
+    t_full, t_mini = timed(1), timed(8)
+    print(f"STRESS full {t_full:.2f}s vs mini {t_mini:.2f}s ({t_full / t_mini:.2f}x)")
+    # generous bound for host noise; steady-state measures well below
+    assert t_mini < t_full, (t_full, t_mini)

@@ -25,12 +25,17 @@ perturb training, and two runs produce identical weights.  (The 1e-6
 quantization is far below the gradient noise floor; a pytest pins exact
 parity against a literal numpy twin of the same quantized recipe.)
 
-At 100 TB: full-batch rounds are T corpus scans; the standard swap is
-mini-batch rounds over the deterministic md5 hash-split (train on
-bucket-slices per round) — same plan shape, corpus-fraction cost.
+At 100 TB: full-batch rounds are T corpus scans; the implemented swap
+is ``n_slices > 1`` — mini-batch rounds over the deterministic md5
+hash-split (round t trains on slice ``t % n_slices``): the identical
+plan shape per round, but each round's scan and gradient carry only a
+corpus-fraction (Catalyst pushes the slice equality into the cached
+scan, so a round reads ~1/n_slices of the cached partitions' rows).
+Still bit-reproducible: the slice assignment is a pure function of the
+id, so two runs see identical batches in identical order.
 Registered rows-only (iterative, not single-statement SQL); invariants
-(loss decrease, accuracy over base rate, determinism, numpy parity) are
-pinned in tests/test_classifier.py.
+(loss decrease, accuracy over base rate, determinism, numpy parity —
+for BOTH batch modes) are pinned in tests/test_classifier.py.
 """
 
 from __future__ import annotations
@@ -80,16 +85,29 @@ def train_quality_lr(
     n_buckets: int = 512,
     rounds: int = 8,
     lr: float = 1.0,
+    n_slices: int = 1,
 ) -> tuple[list[float], DataFrame]:
     """Train the hashed-feature logistic model to predict boolean
     ``label``; returns ``(weights, scored)`` where ``weights`` is the
     final ``n_buckets + 1`` vector (bias last) and ``scored`` the
     per-doc frame ``(doc_id, y, score_micro, pred)`` under it
     (``score_micro = round(1e6·σ(z))`` as BIGINT — exact integer grain,
-    so downstream comparisons are order-insensitive)."""
+    so downstream comparisons are order-insensitive).
+
+    ``n_slices=1`` is full-batch GD (T corpus scans).  ``n_slices > 1``
+    is the mini-batch scale form: round ``t`` trains on the md5
+    hash-split slice ``hash_bucket(doc_id, n_slices) == t % n_slices``
+    — each round's gradient step normalizes by THAT slice's row count,
+    so the step magnitude matches full-batch on a uniformly shuffled
+    corpus.  Deterministic: the slice is a pure id function."""
+    if n_slices < 1:
+        raise ValueError(f"n_slices={n_slices} (expected >= 1)")
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         label.cast("int").alias("y"),
+        # slice id materialized at cache time, like the bucket ids —
+        # the per-round filter is then a pushable integer equality
+        hash_bucket(F.col(id_col), n_slices).alias("sl"),
         # bucket ids, not tokens: md5 runs ONCE per token at cache
         # time instead of once per token per round
         F.transform(
@@ -100,17 +118,33 @@ def train_quality_lr(
     n = base.count()  # also materializes the cache
     if n == 0:
         raise ValueError("empty corpus")
+    if n_slices > 1:
+        # one bounded collect up front: per-slice row counts for the
+        # per-round step normalization (n_slices rows)
+        slice_n = {
+            r["sl"]: r["c"]
+            for r in base.groupBy("sl").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+    else:
+        slice_n = {0: n}
 
     spark = docs.sparkSession
 
-    def with_w(weights: list[float]) -> DataFrame:
+    def with_w(weights: list[float], batch: DataFrame) -> DataFrame:
         wrow = spark.createDataFrame([(list(weights),)], "warr: array<double>")
-        return base.crossJoin(F.broadcast(wrow))
+        return batch.crossJoin(F.broadcast(wrow))
 
     w = [0.0] * (n_buckets + 1)
-    for _ in range(rounds):
+    for t in range(rounds):
+        if n_slices > 1:
+            sl = t % n_slices
+            if not slice_n.get(sl):
+                continue  # empty slice (tiny corpus): nothing to learn from
+            batch, n_round = base.where(F.col("sl") == sl), slice_n[sl]
+        else:
+            batch, n_round = base, n
         sig = _sigmoid(_margin(n_buckets))
-        resid = with_w(w).select(
+        resid = with_w(w, batch).select(
             "tb",
             F.round(F.lit(SCALE) * (sig - F.col("y").cast("double")))
             .cast("long")
@@ -149,12 +183,12 @@ def train_quality_lr(
             .agg(F.sum("g.v").alias("gsum"))
             .collect()
         )
-        step = lr / (n * SCALE)
+        step = lr / (n_round * SCALE)
         for row in grad:
             idx = n_buckets if row["bucket"] == -1 else row["bucket"]
             w[idx] -= step * row["gsum"]
     sig = _sigmoid(_margin(n_buckets))
-    scored = with_w(w).select(
+    scored = with_w(w, base).select(
         "doc_id",
         "y",
         F.round(F.lit(SCALE) * sig).cast("long").alias("score_micro"),
