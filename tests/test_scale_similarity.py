@@ -156,3 +156,53 @@ def test_topk_update_equals_full_recompute(spark, sf_small):
     assert inc.count() > 0
     # and the delta genuinely displaced something (non-vacuous merge)
     assert {tuple(r) for r in prev.collect()} != {tuple(r) for r in full.collect()}
+
+
+def test_lsh_near_threshold_recall_32x8_bands(spark):
+    """The band-parameter knob executed, not prose: pairs planted AT
+    cos = 0.9 (the hard case — the banding curve's cliff).  With the
+    default-ish 12 x 16-bit bands a cos-0.9 pair survives only
+    ~1 - (1 - p^16)^12 = 0.65 (p = 1 - acos(.9)/pi = 0.8564); with
+    32 x 8-bit bands the same pair survives with prob
+    1 - (1 - p^8)^32 = 0.99998.  Cost: shorter bands admit more random
+    candidate pairs into the exact verify — that's the documented
+    recall/candidate-volume trade, and the exact verify keeps precision
+    at 1 either way."""
+    import math
+
+    import numpy as np
+
+    from yodel_etl_spark.scale.similarity import hyperplane_lsh_pairs
+    from yodel_etl_spark.session import release
+
+    rng = np.random.RandomState(7)
+    dim, n_pairs = 32, 120
+    rows = []
+    for i in range(n_pairs):
+        u = rng.standard_normal(dim)
+        u /= np.linalg.norm(u)
+        w = rng.standard_normal(dim)
+        w -= (w @ u) * u
+        w /= np.linalg.norm(w)
+        v = 0.9 * u + math.sqrt(1 - 0.9**2) * w  # exactly cos 0.9 to u
+        rows.append((2 * i, [float(x) for x in u]))
+        rows.append((2 * i + 1, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+
+    def recall(n_planes: int, blocks: int) -> float:
+        pairs = hyperplane_lsh_pairs(
+            df, "id", "vec", threshold=0.89,
+            n_planes=n_planes, blocks=blocks, vectorized_sketch=True,
+        )
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in pairs.collect()
+            if r["id_b"] == r["id_a"] + 1 and r["id_a"] % 2 == 0
+        }
+        release(pairs)
+        return len(got) / n_pairs
+
+    assert recall(256, 32) >= 0.99
+    # contrast: the 16-bit banding misses a large fraction of the same
+    # pairs — the honest number decontam_q.py documents
+    assert recall(192, 12) <= 0.9

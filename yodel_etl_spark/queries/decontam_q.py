@@ -17,6 +17,15 @@ from yodel_etl_spark.session import load_tables, spread
 
 _N = 5
 
+#: hyperplane-LSH banding for decontam_semantic: (bands, bits-per-band).
+#: 12 x 16 is tuned to THIS corpus's bimodal cosine gap (planted twins
+#: ~0.9998); a real near-threshold distribution should flip to 32 x 8 —
+#: recall at cos 0.9 rises ~0.65 -> 0.99998 at higher candidate volume
+#: (both figures pinned executable in
+#: tests/test_scale_similarity.py::test_lsh_near_threshold_recall_32x8_bands).
+SEMANTIC_BANDS = 12
+SEMANTIC_BAND_BITS = 16
+
 _ORACLE = f"""
     WITH toks AS (
       SELECT doc_id,
@@ -126,9 +135,11 @@ _SEMANTIC_ORACLE = """
     "< 0.6, as _with_planted_twins documents.  At band parameters "
     "12 × 16 a true pair sitting right at cos 0.9 is caught only ~65% "
     "of the time; a real-data distribution with near-threshold pairs "
-    "needs more/shorter bands — e.g. 32 × 8-bit lifts recall at "
-    "cos 0.9 above 0.999, at materially higher random-pair candidate "
-    "volume, all absorbed by the exact verify) + exact "
+    "needs more/shorter bands — flip SEMANTIC_BANDS/SEMANTIC_BAND_BITS "
+    "to 32 × 8 to lift recall at cos 0.9 above 0.999 at materially "
+    "higher random-pair candidate volume, all absorbed by the exact "
+    "verify; both recall figures are pinned EXECUTABLE on planted "
+    "cos-0.9 pairs in tests/test_scale_similarity.py) + exact "
     "cosine verify, then filtered to cross-split pairs and rolled up "
     "per corpus vector (hit count, worst cosine).  Candidates stay "
     "O(n); no full-corpus broadcast anywhere.  The oracle is the "
@@ -150,8 +161,8 @@ def decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         threshold=0.9,
-        n_planes=192,
-        blocks=12,
+        n_planes=SEMANTIC_BANDS * SEMANTIC_BAND_BITS,
+        blocks=SEMANTIC_BANDS,
         vectorized_sketch=True,
     )
     ba = hash_bucket(F.col("id_a"), 100)
