@@ -165,3 +165,210 @@ def test_mp4_size_zero_extends_to_end():
     blob = blob[:moov_off] + struct.pack(">I", 0) + blob[moov_off + 4 :]
     m = parse_mp4_boxes(blob)
     assert m["n_tracks"] == 2 and m["duration_s"] == 90.0
+
+
+# ---------------------------------------------------------------- G.711
+def _mulaw_twin(code: int) -> int:
+    """Literal scalar twin of the classic G.711 µ-law decode."""
+    u = ~code & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def _alaw_twin(code: int) -> int:
+    """Literal scalar twin of the classic G.711 A-law decode."""
+    a = code ^ 0x55
+    seg = (a >> 4) & 0x07
+    t = (a & 0x0F) << 4
+    t = t + 8 if seg == 0 else (t + 0x108) << max(seg - 1, 0)
+    return t if (a & 0x80) else -t
+
+
+def _g711_wav(codes: bytes, fmt_tag: int, ch: int = 1, rate: int = 8000) -> bytes:
+    fmt = struct.pack("<HHIIHH", fmt_tag, ch, rate, rate * ch, ch, 8)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(codes)) + codes
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_g711_mulaw_all_codes_match_twin_and_anchors():
+    codes = bytes(range(256))
+    out = decode_wav_samples(_g711_wav(codes, 7))
+    assert out.dtype == np.int16 and out.shape == (256, 1)
+    for c in range(256):
+        assert out[c, 0] == _mulaw_twin(c), c
+    # standard table anchors
+    got = {c: int(out[c, 0]) for c in (0x00, 0x7F, 0x80, 0xFF)}
+    assert got == {0x00: -32124, 0x7F: 0, 0x80: 32124, 0xFF: 0}
+
+
+def test_g711_alaw_all_codes_match_twin_and_anchors():
+    codes = bytes(range(256))
+    out = decode_wav_samples(_g711_wav(codes, 6))
+    assert out.dtype == np.int16 and out.shape == (256, 1)
+    for c in range(256):
+        assert out[c, 0] == _alaw_twin(c), c
+    got = {c: int(out[c, 0]) for c in (0x55, 0xD5)}
+    assert got[0x55] == -8 and got[0xD5] == 8  # the quietest codes
+    # sign symmetry: clearing the sign bit negates every magnitude
+    for c in range(128):
+        assert _alaw_twin(c) == -_alaw_twin(c | 0x80)
+
+
+def test_g711_stereo_interleave():
+    codes = bytes([0x00, 0xFF, 0x80, 0x7F])  # L,R,L,R
+    out = decode_wav_samples(_g711_wav(codes, 7, ch=2))
+    assert out.shape == (2, 2)
+    assert list(out[:, 0]) == [-32124, 32124]
+    assert list(out[:, 1]) == [0, 0]
+
+
+# ----------------------------------------------------------- IMA-ADPCM
+def _ima_twin_decode_block(block: bytes, ch: int):
+    """Literal per-channel twin of the IMA reference decode."""
+    from yodel_etl_spark.scale.audio import _IMA_INDEX_ADJ, _IMA_STEPS
+
+    states, outs = [], []
+    for c in range(ch):
+        pred, idx = struct.unpack_from("<hB", block, 4 * c)
+        states.append([pred, idx])
+        outs.append([pred])
+    payload = block[4 * ch :]
+    for g in range(0, len(payload), 4):
+        c = (g // 4) % ch
+        for b in payload[g : g + 4]:
+            for nib in (b & 0x0F, b >> 4):
+                pred, idx = states[c]
+                step = _IMA_STEPS[idx]
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                if nib & 8:
+                    diff = -diff
+                pred = max(-32768, min(32767, pred + diff))
+                idx = max(0, min(88, idx + _IMA_INDEX_ADJ[nib & 0x07]))
+                states[c] = [pred, idx]
+                outs[c].append(pred)
+    return outs
+
+
+def _ima_wav(blocks: bytes, ch: int, block_align: int, fact: int | None = None) -> bytes:
+    fmt = struct.pack("<HHIIHH", 0x11, ch, 8000, 4000, block_align, 4)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if fact is not None:
+        chunks += b"fact" + struct.pack("<I", 4) + struct.pack("<I", fact)
+    chunks += b"data" + struct.pack("<I", len(blocks)) + blocks
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_ima_adpcm_mono_matches_twin():
+    rng = np.random.RandomState(3)
+    payload = rng.randint(0, 256, 8, dtype=np.uint8).tobytes()
+    block = struct.pack("<hBB", 1234, 20, 0) + payload  # align 12
+    out = decode_wav_samples(_ima_wav(block * 3, 1, 12))
+    twin = []
+    for b in range(3):
+        twin += _ima_twin_decode_block(block, 1)[0]
+    assert out.shape == (51, 1)  # 3 blocks x (1 + 16) samples
+    assert list(out[:, 0]) == twin
+
+
+def test_ima_adpcm_stereo_group_interleave_and_fact():
+    rng = np.random.RandomState(4)
+    payload = rng.randint(0, 256, 16, dtype=np.uint8).tobytes()  # 2 groups/ch
+    block = (
+        struct.pack("<hBB", -500, 10, 0)
+        + struct.pack("<hBB", 700, 35, 0)
+        + payload
+    )  # align = 8 + 16 = 24 -> 1 + 16/2... per-ch: 8 bytes = 16 nibs + header
+    out = decode_wav_samples(_ima_wav(block, 2, 24, fact=15))
+    twin = _ima_twin_decode_block(block, 2)
+    assert out.shape == (15, 2)  # fact truncates 17 -> 15
+    assert list(out[:, 0]) == twin[0][:15]
+    assert list(out[:, 1]) == twin[1][:15]
+
+
+def test_ima_adpcm_encoder_roundtrip_tracks_signal():
+    """Test-side reference IMA encoder on a smooth signal: the decoded
+    wave must track the original closely (ADPCM is lossy; after step
+    adaptation the error is bounded by the local step size)."""
+    from yodel_etl_spark.scale.audio import _IMA_INDEX_ADJ, _IMA_STEPS
+
+    t = np.arange(4096)
+    x = np.round(6000 * np.sin(2 * np.pi * t / 64)).astype(np.int64)
+
+    blocks = bytearray()
+    pred, idx = int(x[0]), 0
+    pos = 0
+    samples_per_block = 505  # align = 4 + 252 -> 4 | (505-1)/2 = 252 bytes
+    while pos < len(x):
+        chunk = x[pos : pos + samples_per_block]
+        if len(chunk) < samples_per_block:
+            break
+        pred = int(chunk[0])
+        blocks += struct.pack("<hBB", pred, idx, 0)
+        nibs = []
+        for s in chunk[1:]:
+            step = _IMA_STEPS[idx]
+            diff = int(s) - pred
+            nib = 0
+            if diff < 0:
+                nib, diff = 8, -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            # decoder-mirror update
+            d = step >> 3
+            if nib & 1:
+                d += step >> 2
+            if nib & 2:
+                d += step >> 1
+            if nib & 4:
+                d += step
+            if nib & 8:
+                d = -d
+            pred = max(-32768, min(32767, pred + d))
+            idx = max(0, min(88, idx + _IMA_INDEX_ADJ[nib & 0x07]))
+            nibs.append(nib)
+        for i in range(0, len(nibs), 2):
+            blocks.append(nibs[i] | (nibs[i + 1] << 4))
+        pos += samples_per_block
+    align = 4 + (samples_per_block - 1) // 2
+    out = decode_wav_samples(_ima_wav(bytes(blocks), 1, align))
+    m = len(out)
+    err = np.abs(out[:, 0].astype(np.int64) - x[:m])
+    assert m >= 4040
+    assert err.mean() < 150 and err.max() < 2500, (err.mean(), err.max())
+
+
+def test_audio_features_over_g711_and_adpcm(spark):
+    """The mapInPandas feature chain consumes the new formats end to
+    end: exact integer aggregates over the table/block decodes."""
+    from yodel_etl_spark.session import ship_package
+
+    ship_package(spark)
+    mu = _g711_wav(bytes([0x00, 0x80, 0xFF]), 7)
+    rng = np.random.RandomState(5)
+    block = struct.pack("<hBB", 77, 15, 0) + rng.randint(
+        0, 256, 8, dtype=np.uint8
+    ).tobytes()
+    ima = _ima_wav(block, 1, 12)
+    df = spark.createDataFrame(
+        [(1, bytearray(mu)), (2, bytearray(ima))], "id long, content binary"
+    )
+    rows = {r["id"]: r for r in audio_features(df, "content").collect()}
+    assert rows[1]["n_samples"] == 3 and rows[1]["bits"] == 8
+    assert rows[1]["peak_abs"] == 32124 and rows[1]["sum_abs"] == 64248
+    twin = _ima_twin_decode_block(block, 1)[0]
+    assert rows[2]["n_samples"] == 17 and rows[2]["bits"] == 4
+    assert rows[2]["sum_abs"] == sum(abs(v) for v in twin)
+    assert rows[2]["sum_sq"] == sum(v * v for v in twin)

@@ -1,8 +1,11 @@
 """Audio (WAV/PCM) column support — the audio half of the multimodal
 posture (see ``scale/multimodal.py``): opaque BINARY blobs + typed
-metadata, decoded pure-stdlib (RIFF/WAVE container, PCM 8/16/32-bit and
-IEEE float32 — the uncompressed formats; MP3/AAC/Opus stay honestly
-gated exactly like progressive JPEG does on the image side).
+metadata, decoded pure-stdlib (RIFF/WAVE container; PCM 8/16/32-bit,
+IEEE float32, G.711 µ-law/A-law [format tags 7/6 — the telephony/ASR
+codecs, 256-entry table decode per the classic G.711 reference
+formulas], and IMA-ADPCM [tag 0x11 — block-structured 4-bit DVI/IMA];
+MP3/AAC/Opus stay honestly gated exactly like progressive JPEG does on
+the image side).
 
 Feature extraction is Arrow-batched ``mapInPandas`` and emits EXACT
 INTEGER aggregates (peak |sample|, Σ|sample|, Σ sample² as BIGINT), so
@@ -47,6 +50,7 @@ def parse_wav_header(blob: bytes) -> dict | None:
         return None
     pos = 12
     fmt = None
+    fact_samples = None
     while pos + 8 <= len(blob):
         cid = blob[pos : pos + 4]
         (clen,) = struct.unpack_from("<I", blob, pos + 4)
@@ -54,32 +58,142 @@ def parse_wav_header(blob: bytes) -> dict | None:
         if cid == b"fmt ":
             if clen < 16 or body + 16 > len(blob):
                 raise ValueError("truncated fmt chunk")
-            audio_fmt, ch, rate, _, _, bits = struct.unpack_from(
+            audio_fmt, ch, rate, _, block_align, bits = struct.unpack_from(
                 "<HHIIHH", blob, body
             )
             fmt = {
                 "format": audio_fmt,
                 "channels": ch,
                 "sample_rate": rate,
+                "block_align": block_align,
                 "bits": bits,
             }
+        elif cid == b"fact" and clen >= 4:
+            # exact frame count for block codecs (the last ADPCM block
+            # may be partial-filled); PCM readers ignore it
+            (fact_samples,) = struct.unpack_from("<I", blob, body)
         elif cid == b"data":
             if fmt is None:
                 raise ValueError("data chunk before fmt")
             if body + clen > len(blob):
                 raise ValueError("truncated data chunk")
-            return {**fmt, "data_offset": body, "data_len": clen}
+            return {
+                **fmt,
+                "fact_samples": fact_samples,
+                "data_offset": body,
+                "data_len": clen,
+            }
         pos = body + clen + (clen & 1)  # chunks are word-aligned
     if fmt is not None:
         raise ValueError("WAV without data chunk")
     return None
 
 
+def _g711_mulaw_table():
+    """256-entry µ-law → linear int16 table (classic G.711 reference
+    decode: invert, bias-expand the segment/mantissa — output range
+    ±32124)."""
+    import numpy as np
+
+    u = ~np.arange(256, dtype=np.int64) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def _g711_alaw_table():
+    """256-entry A-law → linear int16 table (classic G.711 reference
+    decode: xor 0x55, segment expand — output range ±32256)."""
+    import numpy as np
+
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    seg = (a >> 4) & 0x07
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+#: IMA-ADPCM step-size and index-adjust tables (IMA ADPCM reference
+#: algorithm — public spec constants)
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_decode_nibbles(nibbles, predictor: int, index: int):
+    """Reference IMA-ADPCM inner loop: one channel's nibble stream from
+    a block header state → list of int16 samples (the per-nibble
+    feedback makes this inherently sequential; blocks are independent,
+    which is where the parallelism lives)."""
+    out = []
+    for nib in nibbles:
+        step = _IMA_STEPS[index]
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        if nib & 8:
+            diff = -diff
+        predictor = max(-32768, min(32767, predictor + diff))
+        index = max(0, min(88, index + _IMA_INDEX_ADJ[nib & 0x07]))
+        out.append(predictor)
+    return out
+
+
+def _decode_ima_adpcm(data: bytes, channels: int, block_align: int):
+    """IMA-ADPCM (WAV format 0x11) → ``(n, ch)`` int16.  Per block and
+    channel: 4-byte header (predictor int16, step index, reserved),
+    then nibble data in 4-byte per-channel groups (low nibble first).
+    The block header predictor IS the block's first output sample (DVI
+    convention — matches the samples-per-block formula
+    ``(block_align - 4·ch)·2/ch + 1``)."""
+    import numpy as np
+
+    ch = max(channels, 1)
+    if block_align < 4 * ch + 4 * ch or block_align % 4:
+        raise ValueError(f"bad IMA-ADPCM block_align {block_align}")
+    frames: list[list[int]] = [[] for _ in range(ch)]
+    for base in range(0, len(data) - block_align + 1, block_align):
+        block = data[base : base + block_align]
+        states = []
+        for c in range(ch):
+            pred, idx = struct.unpack_from("<hB", block, 4 * c)
+            if idx > 88:
+                raise ValueError(f"IMA-ADPCM step index {idx} > 88")
+            states.append((pred, idx))
+            frames[c].append(pred)  # header predictor = first sample
+        # nibble payload: alternating 4-byte groups per channel
+        payload = block[4 * ch :]
+        per_ch_bytes: list[bytearray] = [bytearray() for _ in range(ch)]
+        for g in range(0, len(payload), 4):
+            per_ch_bytes[(g // 4) % ch] += payload[g : g + 4]
+        for c in range(ch):
+            bs = per_ch_bytes[c]
+            nibs = []
+            for b in bs:
+                nibs.append(b & 0x0F)
+                nibs.append(b >> 4)
+            frames[c].extend(_ima_decode_nibbles(nibs, *states[c]))
+    n = min(len(f) for f in frames) if frames else 0
+    return np.array([f[:n] for f in frames], dtype=np.int16).T
+
+
 def decode_wav_samples(blob: bytes, header: dict | None = None):
     """Decode to an ``(n_frames, channels)`` numpy array.  PCM 8-bit
-    (unsigned → centered int), 16/32-bit (signed little-endian) and
-    IEEE float32; anything else (format 85 = MP3-in-WAV, ADPCM, …)
-    raises NotImplementedError — the honest gate.  Pass a pre-parsed
+    (unsigned → centered int), 16/32-bit (signed little-endian), IEEE
+    float32, G.711 µ-law/A-law (tags 7/6 → int16 via the classic
+    table expand), and IMA-ADPCM (tag 0x11 → int16 block decode);
+    anything else (format 85 = MP3-in-WAV, …) raises
+    NotImplementedError — the honest gate.  Pass a pre-parsed
     ``header`` to skip the chunk walk (audio_features already has one;
     re-parsing per blob doubled the container work in the hot path)."""
     import numpy as np
@@ -99,10 +213,19 @@ def decode_wav_samples(blob: bytes, header: dict | None = None):
             raise NotImplementedError(f"PCM bits={h['bits']}")
     elif h["format"] == 3 and h["bits"] == 32:  # IEEE float
         arr = np.frombuffer(data, dtype="<f4")
+    elif h["format"] in (6, 7):  # G.711 A-law / µ-law
+        table = _g711_alaw_table() if h["format"] == 6 else _g711_mulaw_table()
+        arr = table[np.frombuffer(data, dtype=np.uint8)]
+    elif h["format"] == 0x11:  # IMA-ADPCM
+        out = _decode_ima_adpcm(
+            data, h["channels"], h.get("block_align") or 0
+        )
+        fact = h.get("fact_samples")
+        return out[:fact] if fact else out
     else:
         raise NotImplementedError(
-            f"WAV format {h['format']} (compressed audio needs a codec "
-            "library absent from this runtime)"
+            f"WAV format {h['format']} (MP3/AAC-class compressed audio "
+            "needs a codec library absent from this runtime)"
         )
     ch = max(h["channels"], 1)
     n = len(arr) // ch
