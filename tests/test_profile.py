@@ -66,3 +66,52 @@ def test_no_window_or_cartesian_in_plan(spark):
     df = spark.range(10).selectExpr("id", "cast(id % 3 as string) as v")
     plan = profile_table(df, ("id", "v"))._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "CartesianProduct" not in plan
+
+
+def test_approx_profile_degrades_to_exact_at_capacity(spark, sf_small):
+    """approx=True with capacity ≥ per-partition distinct values: the
+    MG summary never decrements and the top value/count are EXACT;
+    counts/nulls/lexical/numeric bounds are exact by construction;
+    n_distinct is HLL-approximate (±5% at default precision)."""
+    from yodel_etl_spark.session import load_tables, release
+
+    docs = load_tables(spark, sf_small, ("documents",))["documents"]
+    cols = ("lang", "source", "n_chars")
+    exact = {r["col_name"]: r for r in profile_table(docs, cols).collect()}
+    ap = profile_table(docs, cols, approx=True, capacity=100_000)
+    got = {r["col_name"]: r for r in ap.collect()}
+    release(ap)
+    assert set(got) == set(exact)
+    for c in cols:
+        e, g = exact[c], got[c]
+        for f in ("n_rows", "n_null", "min_s", "max_s", "num_min", "num_max",
+                  "top_value", "top_count"):
+            assert g[f] == e[f], (c, f, g[f], e[f])
+        assert abs(g["n_distinct"] - e["n_distinct"]) <= max(
+            1, 0.05 * e["n_distinct"]
+        ), (c, g["n_distinct"], e["n_distinct"])
+
+
+def test_approx_profile_has_no_value_count_shuffle(spark):
+    """The approx plan must contain no (column, value) hash aggregate:
+    its only aggregates are the per-column rollup, the HLL partials,
+    and the bounded MG merge — value-cardinality state never shuffles."""
+    df = spark.range(500).selectExpr("id", "cast(id % 7 as string) v")
+    plan = (
+        profile_table(df, ("id", "v"), approx=True, capacity=64)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # the exact path's signature: an Aggregate keyed on [col_name, val]
+    import re
+
+    assert not re.search(r"Aggregate \[col_name#\d+, val#\d+\]", plan), plan
+
+
+def test_approx_profile_value_containing_separator(spark):
+    """A VALUE containing the \\x1f composite separator must still
+    round-trip through the MG key decomposition."""
+    rows = [("a\x1fb",)] * 5 + [("plain",)] * 3
+    df = spark.createDataFrame(rows, "v string")
+    got = {r["col_name"]: r for r in
+           profile_table(df, ("v",), approx=True, capacity=100).collect()}
+    assert got["v"]["top_value"] == "a\x1fb" and got["v"]["top_count"] == 5
