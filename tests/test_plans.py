@@ -46,8 +46,8 @@ def test_global_topk_avoids_full_sort(spark, sf_small):
 def test_no_cartesian_products_in_registry(spark, sf_small):
     """Cross joins are allowed only where declared (broadcast brute-force
     similarity); everything else must plan without a cartesian product."""
-    allowed = {"similarity_topk", "similarity_topk_ivf",
-               "similarity_lsh_pairs", "pipeline_chat_qa"}
+    allowed = {"similarity_topk", "sim_ivf",
+               "sim_lsh", "pipeline_chat_qa"}
     bad = []
     for name, q in load_all().items():
         if name in allowed:

@@ -16,7 +16,7 @@ def test_hyperplane_lsh_precision_and_recall(spark, sf_small):
     }
     lsh = {
         (r["id_a"], r["id_b"]): r["cosine_r"]
-        for r in load_all()["similarity_lsh_pairs"].build(spark, sf_small).collect()
+        for r in load_all()["sim_lsh"].build(spark, sf_small).collect()
     }
     # precision 1: every LSH pair is a true pair with the same score
     assert set(lsh) <= set(exact)

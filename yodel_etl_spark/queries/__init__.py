@@ -14,6 +14,7 @@ from yodel_etl_spark.queries import (  # noqa: F401
     dq_q,
     grouping,
     judge,
+    layout_q,
     pipelines_q,
     refs,
     relational,

@@ -50,7 +50,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "similarity_topk_ivf",
+    "sim_ivf",  # renamed from similarity_topk_ivf (r6, stdout byte budget)
     oracle=None,  # approximate: recall vs brute force asserted in tests
     doc="IVF top-5: deterministic training-free coarse quantizer "
     "(every 50th vector is a centroid), nprobe=3 — candidates shrink "
@@ -63,7 +63,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "similarity_lsh_pairs",
+    "sim_lsh",  # renamed from similarity_lsh_pairs (r6, stdout byte budget)
     oracle=None,  # banding recall < 1 at this threshold -> rows-only;
     # precision-1 property asserted in tests/test_scale_similarity.py
     doc="Cosine-LSH scale path: 16 deterministic hyperplane sign bits "
