@@ -17,18 +17,29 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _round_counter() -> int:
-    """Highest N among CORRECTNESS_r{N}.json records next to this file.
+    """Highest N among CORRECTNESS_r{N}.json records next to this file,
+    floored by the TRACKED ``ROTATION_PHASE`` file.
 
-    The driver writes one per round, so at round R the newest record is
-    r{R-1}; the value is used only as a deterministic rotation phase for
-    the oracle-backed query order (see ``queries()``).  Returns 0 when no
-    record exists yet (fresh checkout → identity order)."""
+    The driver writes one CORRECTNESS record per round, so at round R
+    the newest record is r{R-1}; the value is used only as a
+    deterministic rotation phase for the oracle-backed query order (see
+    ``queries()``).  The CORRECTNESS artifacts are untracked, so a
+    fresh checkout would silently reset the phase to 0 and break the
+    bounded-starvation coverage promise; ``ROTATION_PHASE`` (committed,
+    bumped each round alongside the round's work) is the durable floor
+    — on a re-clone the rotation resumes from the last committed phase
+    instead of restarting."""
     here = os.path.dirname(os.path.abspath(__file__))
     best = 0
     for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
         if m:
             best = max(best, int(m.group(1)))
+    try:
+        with open(os.path.join(here, "ROTATION_PHASE")) as fh:
+            best = max(best, int(fh.read().strip()))
+    except (OSError, ValueError):
+        pass
     return best
 
 

@@ -94,3 +94,32 @@ def test_round5_rotation_covers_tier2_tail(monkeypatch):
         "dedup_spans",
     ):
         assert name in window, name
+
+
+def test_rotation_phase_file_floors_counter(tmp_path, monkeypatch):
+    """ADVICE r5: the rotation phase must survive a fresh checkout.
+    The tracked ROTATION_PHASE file floors the counter when the
+    untracked CORRECTNESS artifacts are absent (re-clone), and loses to
+    a newer artifact when present."""
+    import importlib
+    import os
+    import shutil
+
+    import __spark_entry__ as e
+
+    root = os.path.dirname(os.path.abspath(e.__file__))
+    committed = int(open(os.path.join(root, "ROTATION_PHASE")).read().strip())
+    assert committed >= 5
+    assert e._round_counter() >= committed
+    # simulate a fresh checkout: entry + phase file, no CORRECTNESS
+    shutil.copy(e.__file__, tmp_path / "__spark_entry__.py")
+    (tmp_path / "ROTATION_PHASE").write_text(f"{committed}\n")
+    spec = importlib.util.spec_from_file_location(
+        "entry_clone", tmp_path / "__spark_entry__.py"
+    )
+    clone = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(clone)
+    assert clone._round_counter() == committed
+    # a newer driver artifact beats the committed floor
+    (tmp_path / f"CORRECTNESS_r{committed + 3}.json").write_text("{}")
+    assert clone._round_counter() == committed + 3
