@@ -354,14 +354,10 @@ def simhash_pairs(
         .select("doc", F.explode("sh").alias("w"))
         .withColumn("h", F.xxhash64("w"))
     )
-    # persisted: one (doc, sketch-long) row per document; both sides of
-    # the band self-join (broadcast build + stream) read it, which would
-    # otherwise run tokenize + 63-agg sketch twice
     sims = (
         posts.groupBy("doc")
         .agg(*simhash_bit_counts())
         .select("doc", simhash_assemble().alias("sim"))
-        .persist()
     )
     banded = sims.select(
         "doc",
@@ -380,6 +376,14 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("doc", "sim", F.col("bb.block"), F.col("bb.key"))
+    # persisted at BANDED grain (blocks narrow rows per doc), not sketch
+    # grain: the band self-join plans its broadcast side as a separate
+    # pipeline (no exchange reuse), so persisting upstream of the
+    # explode still re-ran the explode per side — caching the exploded
+    # probe rows serves both sides verbatim (measured ~0.1-0.2 s off
+    # the warm min at sf0.1, and the cold path drops the duplicate
+    # tokenize + 63-agg sketch either way)
+    banded = banded.persist()
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["block", "key"])
@@ -394,7 +398,7 @@ def simhash_pairs(
     )
     dist = cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
     out = dist.where(F.col("hamming") <= max_distance).select("doc_a", "doc_b", "hamming")
-    return register_persisted(out, sims)
+    return register_persisted(out, banded)
 
 
 # ---------------------------------------------------------- bloom filter
