@@ -292,6 +292,34 @@ def test_ima_adpcm_stereo_group_interleave_and_fact():
     assert list(out[:, 1]) == twin[1][:15]
 
 
+def test_ima_adpcm_trailing_partial_block_decoded():
+    """A short FINAL block (header + fewer nibble groups than
+    block_align implies — how real IMA WAVs end; fact carries the true
+    frame count) must be decoded, not silently dropped."""
+    rng = np.random.RandomState(5)
+    full = struct.pack("<hBB", 1234, 20, 0) + rng.randint(
+        0, 256, 8, dtype=np.uint8
+    ).tobytes()  # align 12 -> 17 samples
+    partial = struct.pack("<hBB", -200, 15, 0) + rng.randint(
+        0, 256, 4, dtype=np.uint8
+    ).tobytes()  # header + ONE 4-byte group = 9 samples
+    out = decode_wav_samples(_ima_wav(full + partial, 1, 12))
+    twin = _ima_twin_decode_block(full, 1)[0] + _ima_twin_decode_block(partial, 1)[0]
+    assert out.shape == (26, 1)  # 17 + 9, not 17
+    assert list(out[:, 0]) == twin
+    # fact still truncates across the partial block
+    out_fact = decode_wav_samples(_ima_wav(full + partial, 1, 12, fact=20))
+    assert list(out_fact[:, 0]) == twin[:20]
+
+
+def test_ima_adpcm_tail_shorter_than_header_raises():
+    """A non-empty tail too short for the per-channel headers carries
+    no decodable sample — honest ValueError, not silence."""
+    block = struct.pack("<hBB", 0, 0, 0) + bytes(8)
+    with pytest.raises(ValueError, match="trailing fragment"):
+        decode_wav_samples(_ima_wav(block + b"\x01\x02", 1, 12))
+
+
 def test_ima_adpcm_encoder_roundtrip_tracks_signal():
     """Test-side reference IMA encoder on a smooth signal: the decoded
     wave must track the original closely (ADPCM is lossy; after step

@@ -161,8 +161,20 @@ def _decode_ima_adpcm(data: bytes, channels: int, block_align: int):
     ch = max(channels, 1)
     if block_align < 4 * ch + 4 * ch or block_align % 4:
         raise ValueError(f"bad IMA-ADPCM block_align {block_align}")
+    tail = len(data) % block_align
+    if tail and tail < 4 * ch:
+        # a non-empty tail too short to hold the per-channel headers
+        # carries no decodable sample — corrupt container, honest gate
+        raise ValueError(
+            f"IMA-ADPCM trailing fragment of {tail} bytes is shorter "
+            f"than the {4 * ch}-byte block header"
+        )
     frames: list[list[int]] = [[] for _ in range(ch)]
-    for base in range(0, len(data) - block_align + 1, block_align):
+    # range over len(data) (not len-block_align+1): real IMA WAVs often
+    # end with a SHORT final block (the fact chunk carries the true
+    # frame count) — decode its header + whatever nibble groups are
+    # present instead of silently dropping those samples
+    for base in range(0, len(data), block_align):
         block = data[base : base + block_align]
         states = []
         for c in range(ch):
