@@ -150,7 +150,7 @@ def test_cms_build_is_bounded_and_query_broadcasts(spark, sf_small):
     joins the counter table by broadcast."""
     import re
 
-    q = load_all()["events_cms"].build(spark, sf_small)
+    q = load_all()["cms"].build(spark, sf_small)
     plan = _plan(q)
     assert "BroadcastHashJoin" in plan, plan
     assert re.search(r"partial_count", plan), plan
@@ -188,3 +188,55 @@ def test_ppl_threshold_form_has_no_window(spark, sf_small):
     assert "Window" not in plan, plan
     assert "windowspecdefinition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ppl_cut_registered_query_stays_window_free(spark, sf_small):
+    """The registered ppl_cut entry (threshold form + bucket rollup)
+    must keep the no-Window/no-global-Sort property end to end — it
+    exists to RECORD the 100 TB plan's cost, so a window creeping in
+    would silently bench the wrong plan."""
+    q = load_all()["ppl_cut"].build(spark, sf_small)
+    plan = _plan(q)
+    assert "Window" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    # the only sorts allowed are SortAggregate's per-partition group
+    # sorts; a global sort would show as a range-partitioned exchange
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_warc_query_has_no_exchange(spark):
+    """Container ingest is file-grain: binaryFile scan → one Arrow
+    mapInPandas decode → codegen extract/tokenize.  Records must never
+    shuffle to be parsed — no Exchange anywhere in the plan."""
+    q = load_all()["warc"].build(spark, "/root/testdata/sf0.001")
+    plan = _plan(q)
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
+
+
+def test_embed_lsh_band_join_carries_narrow_rows(spark, sf_small):
+    """The encoder feeds LSH: the band self-join must flow (id, block,
+    key) rows only — the 64-float vectors join back onto the deduped
+    candidate list, never through the band exchange."""
+    q = load_all()["embed_lsh"].build(spark, sf_small)
+    plan = _plan(q)
+    # the band self-join on (block, key) — broadcast at test SF, a
+    # hash-partitioned exchange at scale; either way the join exists
+    assert (
+        "BroadcastHashJoin [block" in plan
+        or "SortMergeJoin [block" in plan
+        or "Exchange hashpartitioning(block" in plan
+    ), plan
+    assert "CartesianProduct" not in plan
+    # the band join's scan inputs are the persisted (id, block, key)
+    # sketch — the 64-float vectors must never ride the band join (they
+    # join back onto the deduped candidate ids afterwards; the separate
+    # (id, vec) cache feeding THAT verify join is intentional)
+    band_scans = [
+        seg.split("]", 1)[0]
+        for seg in plan.split("InMemoryTableScan [")[1:]
+        if "block#" in seg.split("]", 1)[0]
+    ]
+    assert band_scans, plan
+    for cols in band_scans:
+        assert "vec" not in cols and "embedding" not in cols, cols

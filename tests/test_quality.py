@@ -201,3 +201,25 @@ def test_ppl_method_validated():
 
     with _pytest.raises(ValueError, match="method"):
         perplexity_buckets(None, method="nope")
+
+
+def test_tokens_cjk_mode(spark):
+    """CJK mode: no-space-script codepoints become unigram tokens, latin
+    runs still split on whitespace; default mode is byte-unchanged."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from yodel_etl_spark.scale.textstats import tokens
+
+    df = spark.createDataFrame(
+        [("hello 深度学习 world",), ("ปัญญา ai",), ("  plain   text ",)], ["t"]
+    )
+    out = df.select(
+        tokens(F.col("t"), mode="cjk").alias("c"), tokens(F.col("t")).alias("w")
+    ).collect()
+    assert out[0]["c"] == ["hello", "深", "度", "学", "习", "world"]
+    assert out[0]["w"] == ["hello", "深度学习", "world"]
+    assert out[1]["c"] == ["ป", "ั", "ญ", "ญ", "า", "ai"]
+    assert out[2]["c"] == ["plain", "text"] and out[2]["w"] == ["plain", "text"]
+    with pytest.raises(ValueError, match="unknown tokenizer mode"):
+        tokens(F.col("t"), mode="nope")

@@ -89,3 +89,28 @@ def test_bm25_odd_terms_and_duplicates(spark, sf_small):
     assert (pdf["tf_u.s"] == 0).all()  # token absent from the corpus
     with pytest.raises(ValueError):
         bm25_topk(docs, ["spark", "spark"])
+
+
+def test_bm25_cjk_tokenizer_retrieves_unigrams(spark):
+    """tokenizer='cjk': a Chinese document (no spaces) must match a
+    single-character query term — under the default whitespace split
+    the whole doc is ONE token and tf would be 0 for every term."""
+    rows = [
+        (1, "深度学习模型需要大量训练数据"),
+        (2, "自然言語処理のモデル"),
+        (3, "plain english text about spark"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_topk(docs, ["学", "spark"], top_n=3, tokenizer="cjk")
+    pdf = out.toPandas().set_index("doc_id")
+    release(out)
+    assert pdf.loc[1, "tf_学"] == 1  # the 学 codepoint is one unigram token
+    assert pdf.loc[2, "tf_学"] == 0  # 学習 absent; 学 not in doc 2's text
+    assert pdf.loc[3, "tf_spark"] == 1
+    assert pdf.loc[1, "dl"] == 14  # 14 CJK codepoints -> 14 unigram tokens
+    # whitespace mode on the same corpus: the CJK doc is one giant token
+    ws = bm25_topk(docs, ["学"], top_n=3)
+    wpdf = ws.toPandas().set_index("doc_id")
+    release(ws)
+    assert wpdf.loc[1, "dl"] == 1
+    assert (wpdf["tf_学"] == 0).all()

@@ -553,7 +553,7 @@ def test_events_stream_replay_equals_batch(spark, sf_small):
     from yodel_etl_spark.session import load_tables
     from yodel_etl_spark.streaming.events import session_windows
 
-    got = load_all()["events_replay"].build(spark, sf_small)
+    got = load_all()["replay"].build(spark, sf_small)
     ev = load_tables(spark, sf_small, ("events",))["events"]
     want = session_windows(ev, "30 minutes")
     assert got.schema == want.schema

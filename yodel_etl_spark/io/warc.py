@@ -1,0 +1,230 @@
+"""WARC (ISO 28500) ingest — the step upstream of the whole web-corpus
+curation family: Common-Crawl-style archives → ``(url, ts, warc_type,
+mime, status, payload)`` rows feeding ``html_extract`` → token stats →
+dedup/quality/decontam.
+
+Format (public spec + Common Crawl convention): a WARC file is a
+sequence of records — ``WARC/1.x`` version line, header lines, blank
+line, ``Content-Length`` bytes of block, ``\\r\\n\\r\\n`` separator —
+and a ``.warc.gz`` compresses EACH RECORD as its own gzip member
+(concatenated), so a reader can split members without decompressing the
+whole archive serially per record boundary guesswork.
+
+Scale shape: one archive file = one ``binaryFile`` row = one Arrow
+``mapInPandas`` task — the same per-file decode posture as the
+image/audio codecs (Common Crawl shards are ~1 GB each precisely so
+file-grain parallelism is enough; a 100 TB crawl is ~100k files, which
+spreads over any executor fleet with zero shuffle).  Record parsing is
+pure stdlib (zlib), payloads never leave the executor, and the HTTP
+header strip happens in the same pass, so downstream sees clean bodies.
+
+Reference note: the reference engine (see SURVEY.md §2 sources) has no
+container ingest; this extends its JSON/text scan family (S1/S2) with
+the container format a web-scale text pipeline actually receives.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+#: output schema of :func:`read_warc` (payload = the record block with
+#: any HTTP response header already stripped)
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("src_file", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("ts", T.StringType()),  # WARC-Date, ISO-8601 as written
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("status", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+def split_gzip_members(blob: bytes) -> Iterator[bytes]:
+    """Decompress a concatenated-gzip-member blob, yielding one bytes
+    object per member (the Common Crawl record-per-member convention).
+    Raises ``ValueError`` on a corrupt member — honest gate, matching
+    the codec modules' policy."""
+    pos = 0
+    while pos < len(blob):
+        d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
+        try:
+            out = d.decompress(blob[pos:])
+            out += d.flush()
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip member at offset {pos}: {e}") from e
+        if not d.eof:
+            raise ValueError(f"truncated gzip member at offset {pos}")
+        yield out
+        consumed = len(blob) - pos - len(d.unused_data)
+        if consumed <= 0:  # defensive: zero-progress would loop forever
+            raise ValueError(f"gzip member at offset {pos} consumed no bytes")
+        pos += consumed
+
+
+def parse_warc_records(buf: bytes) -> Iterator[dict]:
+    """Parse every WARC record in a decompressed buffer (a buffer may
+    hold one record — the per-member case — or a whole uncompressed
+    archive).  Yields dicts with the raw block; HTTP handling happens
+    in :func:`_finish_record` so response records expose clean bodies."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        # tolerate inter-record \r\n padding
+        while pos < n and buf[pos : pos + 2] in (b"\r\n", b"\n"):
+            pos += 2 if buf[pos : pos + 2] == b"\r\n" else 1
+        if pos >= n:
+            return
+        if not buf.startswith(b"WARC/", pos):
+            raise ValueError(f"expected WARC/ version line at offset {pos}")
+        hdr_end = buf.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            raise ValueError(f"unterminated WARC header at offset {pos}")
+        headers: dict[str, str] = {}
+        lines = buf[pos:hdr_end].decode("latin-1").split("\r\n")
+        for line in lines[1:]:  # lines[0] is the version line
+            k, _, v = line.partition(":")
+            if _:
+                headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError) as e:
+            raise ValueError(f"bad Content-Length at offset {pos}: {e}") from e
+        block_start = hdr_end + 4
+        if block_start + clen > n:
+            raise ValueError(f"record block at offset {pos} overruns the buffer")
+        yield {"headers": headers, "block": buf[block_start : block_start + clen]}
+        pos = block_start + clen
+
+
+def _finish_record(rec: dict, src_file: str) -> tuple:
+    """Flatten a parsed record to a WARC_SCHEMA tuple.  For
+    ``response`` records the block is an HTTP message: the status line
+    and headers are stripped (and surfaced as ``status`` / ``mime``) so
+    ``payload`` is the body every downstream text operator wants."""
+    h = rec["headers"]
+    block = rec["block"]
+    warc_type = h.get("warc-type", "")
+    mime = h.get("content-type", "")
+    status = None
+    if warc_type == "response" and block[:5] in (b"HTTP/",):
+        split = block.find(b"\r\n\r\n")
+        if split >= 0:
+            http_hdr = block[:split].decode("latin-1", "replace")
+            block = block[split + 4 :]
+            first, *rest = http_hdr.split("\r\n")
+            parts = first.split()
+            if len(parts) >= 2 and parts[1].isdigit():
+                status = int(parts[1])
+            for line in rest:
+                k, _, v = line.partition(":")
+                if k.strip().lower() == "content-type":
+                    mime = v.strip()
+                    break
+    return (
+        src_file,
+        h.get("warc-target-uri"),
+        h.get("warc-date"),
+        warc_type,
+        mime,
+        status,
+        block,
+        len(block),
+    )
+
+
+def _file_to_records(path: str, blob: bytes, record_types) -> list[tuple]:
+    """One archive file → WARC_SCHEMA tuples (executor-side kernel)."""
+    out: list[tuple] = []
+    if blob[:2] == _GZIP_MAGIC:
+        buffers: Iterator[bytes] = split_gzip_members(blob)
+    else:
+        buffers = iter((blob,))
+    for buf in buffers:
+        for rec in parse_warc_records(buf):
+            row = _finish_record(rec, path)
+            if record_types is None or row[3] in record_types:
+                out.append(row)
+    return out
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] | None = ("response",),
+) -> DataFrame:
+    """Read WARC / WARC-gz archives under ``path`` (a ``binaryFile``
+    glob) into :data:`WARC_SCHEMA` rows.
+
+    ``record_types`` filters on ``WARC-Type`` executor-side (default:
+    only ``response`` — the crawl payloads; ``None`` keeps everything,
+    including ``warcinfo``/``request``/``metadata``).  Parallelism is
+    file-grain: each archive decodes in one Arrow task, records never
+    shuffle to be parsed."""
+    from yodel_etl_spark.session import ship_package
+
+    ship_package(spark)  # the kernel closes over package fns (by-ref pickle)
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    wanted = tuple(record_types) if record_types is not None else None
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_SCHEMA.fields]
+        for pdf in it:
+            rows: list[tuple] = []
+            for path_, blob in zip(pdf["path"], pdf["content"]):
+                rows.extend(_file_to_records(path_, bytes(blob), wanted))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(batches, schema=WARC_SCHEMA)
+
+
+def write_warc(records: list[dict], path: str, gzip_members: bool = True) -> None:
+    """Serialize ``records`` (dicts with ``url``, ``ts``, ``payload``
+    bytes, optional ``http`` bool for an HTTP/200 wrapper) to a WARC
+    file — the test-fixture/roundtrip twin of :func:`read_warc`, also
+    handy for re-sharding curated subsets back into the archive format.
+    With ``gzip_members`` each record is its own gzip member (the
+    Common Crawl layout the reader's member splitter expects)."""
+    import gzip
+
+    out = bytearray()
+    for i, rec in enumerate(records):
+        payload = rec["payload"]
+        if rec.get("http", True):
+            body = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: "
+                + rec.get("mime", "text/html").encode()
+                + b"\r\nContent-Length: "
+                + str(len(payload)).encode()
+                + b"\r\n\r\n"
+                + payload
+            )
+            rtype = b"response"
+            ctype = b"application/http; msgtype=response"
+        else:
+            body = payload
+            rtype = rec.get("warc_type", "resource").encode()
+            ctype = rec.get("mime", "text/plain").encode()
+        hdr = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: " + rtype + b"\r\n"
+            b"WARC-Record-ID: <urn:uuid:rec-" + str(i).encode() + b">\r\n"
+            b"WARC-Target-URI: " + rec["url"].encode() + b"\r\n"
+            b"WARC-Date: " + rec["ts"].encode() + b"\r\n"
+            b"Content-Type: " + ctype + b"\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        )
+        record = hdr + body + b"\r\n\r\n"
+        out += gzip.compress(record, mtime=0) if gzip_members else record
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))

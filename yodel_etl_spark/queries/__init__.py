@@ -26,5 +26,6 @@ from yodel_etl_spark.queries import (  # noqa: F401
     scale_text,
     sessionize,
     skew,
+    web_q,
     windows,
 )

@@ -53,7 +53,7 @@ def split_documents_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_hh",
+    "hh",
     oracle=None,  # approximate sketch — exactness asserted in pytest
     # (tests/test_sketch.py: exact-degradation parity vs groupBy +
     # the >n/capacity guarantee under forced decrements); registered
@@ -66,7 +66,7 @@ def split_documents_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "billion-key columns where exact groupBy state is the bottleneck.",
     tags=("sketch", "agg", "scale"),
 )
-def events_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yodel_etl_spark.scale.sketch import approx_top_k
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
@@ -140,7 +140,7 @@ def pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_hll",
+    "hll",
     oracle=None,  # DataSketches HLL has no DuckDB twin — accuracy vs
     # exact distinct asserted in tests/test_sketch.py; rows-only tail
     # so it never displaces an oracle-backed query from the window
@@ -154,7 +154,7 @@ def pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sketch", "agg", "scale"),
     bench=True,
 )
-def events_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yodel_etl_spark.scale.sketch import hll_distinct_rollup
 
     ev = load_tables(spark, sf_dir, ("events",))["events"].withColumn(
@@ -221,7 +221,7 @@ def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_cms",
+    "cms",
     oracle=None,  # xxhash64 cell coordinates have no DuckDB twin —
     # never-undercount / exact-when-wide / merge==whole guarantees
     # pinned in tests/test_sketch.py; rows-only registry tail
@@ -236,7 +236,7 @@ def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     tier=2,
 )
-def events_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yodel_etl_spark.scale.sketch import cms_build, cms_query
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]

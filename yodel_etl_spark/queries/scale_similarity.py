@@ -81,7 +81,7 @@ def similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sim_topk_pq",
+    "pq_knn",
     oracle=None,  # ADC scores are PQ-approximate by design — recall
     # and determinism pinned in tests/test_pq.py against exact L2
     doc="Product-quantization ANN (Jégou et al. 2011, public paper): "
@@ -100,7 +100,7 @@ def similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "scale"),
     bench=True,
 )
-def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yodel_etl_spark.scale.similarity import pq_topk
 
     emb = spread(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])

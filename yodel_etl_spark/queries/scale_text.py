@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 from yodel_etl_spark.registry import register
 from yodel_etl_spark.scale.textstats import (
+    _CJK_CLASS,
+    CJK_TOKEN_RE,
     LANG_MARKERS,
     bpe_ish_count,
     fingerprint,
@@ -154,14 +156,14 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_winnow",
+    "winnow",
     oracle=None,  # xxhash64 has no DuckDB twin -> rows-only
     doc="Winnowing-style fingerprints: xxhash64 over 5-token rolling "
     "windows, reduced to per-doc count + minimum (the band-minimum "
     "that bounds fingerprint volume at corpus scale).",
     tags=("textstats", "dedup"),
 )
-def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+def winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yodel_etl_spark.scale.textstats import rolling_hashes
 
     docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
@@ -460,6 +462,38 @@ def text_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ppl_cut",
+    oracle=None,  # cutpoints come from percentile_approx, so bucket
+    # membership at the cut is engine-specific by design; correctness
+    # anchors are the pytest rank-agreement + inclusive-tie-band pins
+    # (tests/test_quality.py) and the no-Window plan pin
+    # (tests/test_plans.py) — rows-only: 3 bucket rows, stable counts
+    doc="The 100 TB form of perplexity bucketing, as a RECORDED bench "
+    "number: method='threshold' — same corpus-trained bigram LM and "
+    "integer micro-nat scoring as text_ppl, but the head/tail cut is "
+    "two percentile_approx cutpoints computed in ONE partial-merge "
+    "aggregate, broadcast back, bucket by comparison — NO window, no "
+    "global sort, no single-task funnel anywhere (text_ppl's exact "
+    "rank form stays the oracle vehicle; this entry records what the "
+    "scale-safe plan costs across rounds).  Output: bucket, n_docs, "
+    "n_grams summed exactly per bucket.",
+    tags=("text", "scale", "quality"),
+    bench=True,
+)
+def ppl_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.lm import perplexity_buckets
+
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    bucketed = perplexity_buckets(
+        docs, "doc_id", "text", head_pct=30, tail_pct=30, method="threshold"
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_grams").alias("n_grams"),
+    )
+
+
+@register(
     "text_html",
     oracle=r"""
     WITH raw AS (
@@ -524,7 +558,7 @@ def text_html(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_bpe_merges",
+    "bpe_merges",
     oracle=None,  # iterative training is not single-statement SQL —
     # parity vs a literal single-process BPE trainer (merge list, order,
     # encodings) pinned in tests/test_bpe.py; rows-only registry tail
@@ -540,7 +574,7 @@ def text_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     tier=2,
 )
-def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yodel_etl_spark.scale.bpe import learn_bpe
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
@@ -552,12 +586,12 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_bpe_encode",
+    "bpe_encode",
     oracle=None,  # the merge table is data-dependent and its application
     # iterative — not single-statement SQL; per-word encode parity vs the
     # textbook single-process encoder is pinned in tests/test_bpe.py
     doc="Tokenize the corpus with the trained BPE merge table — the "
-    "apply half of the train→apply tokenizer pair (text_bpe_merges "
+    "apply half of the train→apply tokenizer pair (bpe_merges "
     "trains; this encodes every document and reports token counts and "
     "the md5 of the token stream).  The merge table is control-plane "
     "data (16 rows) closed over an Arrow-batched mapInPandas whose "
@@ -572,7 +606,7 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     tier=2,
 )
-def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yodel_etl_spark.scale.bpe import bpe_tokenize, learn_bpe
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
@@ -696,3 +730,87 @@ def quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     release(staged)  # the trainer cached its own bucketed base
     return scored
+
+
+#: planted no-space-script snippets (zh, ja, ko, th) — literal constants
+#: embedded identically in the Spark expression and the DuckDB oracle,
+#: so the tokenizer is exercised on real CJK/Thai text without needing a
+#: CJK column in the synthetic testdata
+_CJK_SNIPS = (
+    "深度学习模型需要大量训练数据",
+    "自然言語処理モデルを学習する",
+    "한국어 텍스트 처리 모델 학습",
+    "ปัญญาประดิษฐ์ประมวลผลข้อความ",
+)
+
+
+@register(
+    "cjk_tokens",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || ' ' ||
+             (['{_CJK_SNIPS[0]}', '{_CJK_SNIPS[1]}',
+               '{_CJK_SNIPS[2]}', '{_CJK_SNIPS[3]}'])[CAST(doc_id % 4 + 1 AS INT)]
+               AS mixed
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id, mixed,
+             regexp_extract_all(mixed, '{CJK_TOKEN_RE}') AS tkc,
+             list_filter(string_split_regex(mixed, '\\s+'), t -> t <> '') AS tkw
+      FROM s
+    )
+    SELECT doc_id,
+           len(tkw) AS n_ws,
+           len(tkc) AS n_cjk,
+           len(list_distinct(tkc)) AS n_uniq_cjk,
+           length(regexp_replace(mixed, '[^{_CJK_CLASS}]', '', 'g')) AS n_cjk_chars,
+           array_to_string(tkc[1:8], '|') AS head_toks
+    FROM t
+    """,
+    doc="CJK-safe tokenization over documents with planted zh/ja/ko/th "
+    "snippets (literal constants keyed by doc_id % 4, mixed with the "
+    "English head of each doc): per doc the whitespace token count, "
+    "the CJK-mode count (no-space-script codepoints are unigram "
+    "tokens), distinct-token count via token_stats' counter shape, the "
+    "raw CJK-codepoint count, and the first 8 CJK-mode tokens joined "
+    "with '|'.  Why it exists: a whitespace split collapses a CJK/Thai "
+    "document to ONE token and silently degrades every token-derived "
+    "operator (BM25, DSIR, BPE, perplexity bucketing, Gopher, n-gram "
+    "decontam) — on a multilingual corpus, the NORMAL case at 100 TB.  "
+    "Same single narrow codegen scan as every textstats pass; the "
+    "regex alternation is literal-codepoint so Java regex and RE2 "
+    "agree byte-for-byte.",
+    tags=("textstats", "cjk"),
+    tier=2,
+)
+def cjk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    snip = F.element_at(
+        F.array(*[F.lit(s) for s in _CJK_SNIPS]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    # expression hygiene: mixed feeds two tokenizers + a regex counter,
+    # the token arrays feed multiple counters — each gets its own
+    # projection so nothing re-evaluates per reference
+    staged = docs.select(
+        "doc_id",
+        F.concat(F.substring(F.col("text"), 1, 40), F.lit(" "), snip).alias("mixed"),
+    )
+    toked = staged.select(
+        "doc_id",
+        "mixed",
+        tokens(F.col("mixed"), mode="cjk").alias("tkc"),
+        tokens(F.col("mixed")).alias("tkw"),
+    )
+    return toked.select(
+        "doc_id",
+        F.size("tkw").cast("long").alias("n_ws"),
+        F.size("tkc").cast("long").alias("n_cjk"),
+        F.size(F.array_distinct("tkc")).cast("long").alias("n_uniq_cjk"),
+        F.length(F.regexp_replace("mixed", f"[^{_CJK_CLASS}]", ""))
+        .cast("long")
+        .alias("n_cjk_chars"),
+        F.array_join(F.slice("tkc", 1, 8), "|").alias("head_toks"),
+    )

@@ -1,0 +1,180 @@
+"""Web-corpus ingest queries: WARC container reading and the
+text→embedding encoder stage — the two steps UPSTREAM of everything the
+curation/similarity families do, registered so their cost shape is a
+recorded bench number (the write_zorder precedent: ingest cost IS a
+query cost at 100 TB).
+
+Both are rows-only by design: the WARC query's input is a
+deterministically generated fixture archive (the driver testdata has no
+container files), and the encoder's hashed vectors are engine-side
+constructs with no single-statement SQL twin; determinism and content
+correctness are pinned in tests/test_warc.py and tests/test_encode.py.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yodel_etl_spark.registry import register
+from yodel_etl_spark.session import load_tables, spread
+
+#: word bank for the deterministic fixture pages (overlaps the synthetic
+#: documents vocabulary on purpose — the extracted text should look like
+#: the corpus the downstream operators are tuned on)
+_WORDS = (
+    "key agg row scan slow fast table value part hash batch window "
+    "spark order data column join small group sort stream filter merge"
+).split()
+
+_N_PAGES = 512
+_N_FILES = 4
+
+
+def _fixture_page(i: int) -> str:
+    """Deterministic HTML for page ``i``: a script block, a style block,
+    entities, and a body of 60 bank words picked by index arithmetic —
+    everything html_extract must strip or decode, no RNG anywhere."""
+    words = " ".join(_WORDS[(i * 7 + j * 3) % len(_WORDS)] for j in range(60))
+    return (
+        f"<html><head><title>page {i}</title>"
+        "<style>body {{ color: #333; }}</style></head>"
+        f"<body><script>var x = {i};</script>"
+        f"<h1>Doc {i}</h1><p>{words}</p>"
+        "<p>&amp; entities &lt;stay&gt; &quot;decoded&quot;</p>"
+        "</body></html>"
+    )
+
+
+_FIXTURE_DIRS: set[str] = set()
+
+
+def warc_fixture_dir() -> str:
+    """Write (once per process) the deterministic fixture archives —
+    ``_N_FILES`` ``.warc.gz`` files of ``_N_PAGES`` total HTTP response
+    records with reproducible bytes (gzip mtime=0) — and return the
+    directory.  Lives in tmpfs keyed by pid (the write_zorder scratch
+    convention: no cross-process race, no disk flushback taxing
+    whatever the bench times next), removed at exit."""
+    from yodel_etl_spark.io.warc import write_warc
+
+    root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    base = os.path.join(root or "/tmp", f"yodel_warc_{os.getpid()}")
+    if base not in _FIXTURE_DIRS:
+        _FIXTURE_DIRS.add(base)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    marker = os.path.join(base, ".complete")
+    if os.path.exists(marker):
+        return base
+    os.makedirs(base, exist_ok=True)
+    per_file = _N_PAGES // _N_FILES
+    for f in range(_N_FILES):
+        recs = [
+            {
+                "url": f"https://example.org/crawl/{i}",
+                "ts": "2024-01-01T00:00:00Z",
+                "payload": _fixture_page(i).encode(),
+                "mime": "text/html",
+            }
+            for i in range(f * per_file, (f + 1) * per_file)
+        ]
+        write_warc(recs, os.path.join(base, f"part-{f}.warc.gz"))
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return base
+
+
+@register(
+    "warc",
+    oracle=None,  # input is a generated container fixture, not a
+    # testdata table; reader correctness (member split, header parse,
+    # HTTP strip, corrupt-record gates) is pinned in tests/test_warc.py
+    doc="WARC ingest end-to-end: 4 Common-Crawl-layout .warc.gz "
+    "archives (one gzip member per record, 512 deterministic HTML "
+    "response records) → read_warc (file-grain mapInPandas: member "
+    "split + header parse + HTTP strip, zero shuffle) → html_extract "
+    "(codegen regexp chain) → token stats per page.  The step "
+    "upstream of the whole curation family for web-scale corpora; "
+    "registered so container-ingest cost is a recorded bench number.  "
+    "Rows-only: 512 stable rows, exact integer counters.",
+    tags=("io", "web", "scale"),
+    bench=True,
+)
+def warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.io.warc import read_warc
+    from yodel_etl_spark.scale.textstats import html_extract, tokens
+
+    raw = read_warc(spark, os.path.join(warc_fixture_dir(), "*.warc.gz"))
+    # payload → text → extracted body text, each in its own projection
+    # (expression hygiene: the extract chain feeds the tokenizer and
+    # char counter; the tokenizer output feeds two counters)
+    pages = raw.select(
+        "url",
+        "status",
+        "mime",
+        html_extract(F.col("payload").cast("string")).alias("body"),
+    )
+    toked = pages.select(
+        "url", "status", "mime", "body", tokens(F.col("body")).alias("tk")
+    )
+    return toked.select(
+        "url",
+        "status",
+        "mime",
+        F.length("body").cast("long").alias("n_chars"),
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("tk")).cast("long").alias("n_uniq"),
+    )
+
+
+@register(
+    "embed_lsh",
+    oracle=None,  # the hashed encoder is an engine-side kernel (no SQL
+    # twin); encoder determinism + cosine sanity are pinned in
+    # tests/test_encode.py, LSH recall/precision in the similarity suite
+    doc="Embedding pipeline end-to-end FROM RAW TEXT: documents + "
+    "planted near-duplicates (every 10th doc re-emitted with one "
+    "appended token under a shifted id) → encode_text (deterministic "
+    "hashed bag-of-words mapInPandas, 64-dim unit vectors — the "
+    "model-server stand-in, same batch shape and schema) → "
+    "hyperplane_lsh_pairs at cosine ≥ 0.98 (32 planes × 4 blocks — 8-bit bands: the synthetic corpus is ONE dense BOW cluster, so 4-bit keys would drown the verify stage in candidates; numpy banded sketch past 16 planes) with exact verify.  "
+    "Exercises the encode→LSH→verify chain the similarity/SemDeDup "
+    "family otherwise only runs from pre-baked vectors, and records "
+    "the encode-stage cost shape.  Rows-only: pair rows with exact "
+    "ids + cosine rounded to 4 dp (float32 per-row arithmetic, "
+    "deterministic).",
+    tags=("similarity", "scale", "encode"),
+    bench=True,
+)
+def embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.encode import encode_text
+    from yodel_etl_spark.scale.similarity import hyperplane_lsh_pairs
+    from yodel_etl_spark.session import register_persisted
+
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"]).select(
+        "doc_id", "text"
+    )
+    near = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    # PERSISTED: the encode kernel feeds the LSH sketch AND both sides
+    # of the exact-verify vector join — unpinned, the Python encoder
+    # would re-run 3x over the corpus (the expression-hygiene rule's
+    # mapInPandas analogue); narrow (id, 64-float) rows only
+    vecs = encode_text(docs.unionByName(near), "text", dim=64).drop("text").persist()
+    pairs = hyperplane_lsh_pairs(
+        vecs,
+        "doc_id",
+        "embedding",
+        threshold=0.98,
+        n_planes=32,
+        blocks=4,
+        vectorized_sketch=True,
+    )
+    out = pairs.select("id_a", "id_b", F.round("cosine_r", 4).alias("cos"))
+    return register_persisted(out, vecs)

@@ -261,7 +261,7 @@ def events_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_replay",
+    "replay",
     oracle=None,  # runs the REAL streaming engine (FileStreamSource +
     # state store); result ≡ the oracle-backed events_session_windows
     # session grain, pinned by tests/test_streaming.py's replay
@@ -279,7 +279,7 @@ def events_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "events", "bench"),
     bench=True,
 )
-def events_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+def replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yodel_etl_spark.streaming.events import (
         replay_file_stream,
         run_replay_to_table,
@@ -288,4 +288,4 @@ def events_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir, ())  # pin runtime confs (nanosAsLong, UTC)
     stream = replay_file_stream(spark, sf_dir, "events")
     sess = session_windows(stream, "30 minutes")
-    return run_replay_to_table(sess, "events_replay")
+    return run_replay_to_table(sess, "replay")

@@ -58,10 +58,13 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     top_n: int = 20,
+    tokenizer: str = "ws",
 ) -> DataFrame:
     """Top-``top_n`` documents by BM25 against ``query_terms``
-    (lowercase whitespace tokens), as ``(doc_id, dl, tf_<term>...,
-    score)`` ordered score-desc then id-asc.
+    (lowercase tokens; ``tokenizer="cjk"`` switches to the CJK-safe
+    unigram splitter so no-space scripts retrieve per-character instead
+    of collapsing each document to one giant token), as ``(doc_id, dl,
+    tf_<term>..., score)`` ordered score-desc then id-asc.
 
     The narrow per-doc projection (id, dl, one tf column per term) is
     persisted because it feeds both the stats aggregate and the scored
@@ -84,7 +87,7 @@ def bm25_topk(
     # '.' or backticks would break the F.col re-reads of a tf_{term}
     # name (dot parses as struct-field access); the pretty tf_{term}
     # names appear only as final output aliases, never re-read
-    tk = tokens(F.lower(F.col(text_col)))
+    tk = tokens(F.lower(F.col(text_col)), mode=tokenizer)
     proj = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(tk).alias("dl"),

@@ -14,6 +14,24 @@ from pyspark.sql import functions as F
 #: whitespace tokenizer shared by every operator (and their SQL twins)
 _WS = "\\s+"
 
+#: no-space-script character class, written as LITERAL codepoints so the
+#: one pattern string behaves identically in Java regex (Spark) and RE2
+#: (DuckDB oracles): CJK Ext-A + Unified Ideographs, Hiragana, Katakana,
+#: Hangul syllables, Thai — the scripts where whitespace does not
+#: delimit words, so a whitespace split collapses a whole document into
+#: ONE token and silently degrades every token-derived operator (BM25,
+#: DSIR, BPE, perplexity bucketing, Gopher rules, n-gram decontam)
+_CJK_CLASS = (
+    "㐀-䶿一-鿿぀-ゟ゠-ヿ가-힯฀-๿"
+)
+
+#: CJK-safe tokenization: each no-space-script codepoint is its own
+#: token (the standard CJK fallback used by BM25-over-CJK baselines —
+#: unigram segmentation, deterministic, dictionary-free); runs of
+#: everything else split on whitespace as before.  One alternation, one
+#: regexp_extract_all pass.
+CJK_TOKEN_RE = f"[{_CJK_CLASS}]|[^\\s{_CJK_CLASS}]+"
+
 #: BPE-ish pre-tokenization: letter runs / digit runs / single
 #: non-alnum-non-space marks (GPT-2-style contractions simplified so the
 #: pattern is identical in Java regex and RE2)
@@ -31,9 +49,23 @@ LANG_MARKERS: dict[str, list[str]] = {
 STOPWORDS = ("the", "a", "and", "of")
 
 
-def tokens(text: Column) -> Column:
-    """Whitespace tokens with empties removed (leading/trailing space
-    would otherwise yield '' entries)."""
+def tokens(text: Column, mode: str = "ws") -> Column:
+    """Tokenize ``text``.
+
+    ``mode="ws"`` (default): whitespace tokens with empties removed
+    (leading/trailing space would otherwise yield '' entries) —
+    byte-identical to the historical behavior, so every existing
+    operator and oracle is unchanged.
+
+    ``mode="cjk"``: CJK-safe splitter — no-space-script codepoints
+    (:data:`_CJK_CLASS`) become single-character tokens, anything else
+    splits on whitespace, via one ``regexp_extract_all`` over
+    :data:`CJK_TOKEN_RE`.  Still a pure codegen column expression; at
+    100 TB both modes are the same single narrow scan pass."""
+    if mode == "cjk":
+        return F.regexp_extract_all(text, F.lit(CJK_TOKEN_RE), 0)
+    if mode != "ws":
+        raise ValueError(f"unknown tokenizer mode {mode!r} (ws|cjk)")
     return F.filter(F.split(text, _WS), lambda t: t != "")
 
 
