@@ -41,6 +41,19 @@ HEADLINE = (
     "--headline" in sys.argv or os.environ.get("SPARK_GRAFT_BENCH_HEADLINE") == "1"
 )
 
+#: contention controls with their verified-quiet baseline mins at sf0.1
+#: (the BASELINE.md r5 re-baseline table): two sub-0.2 s scans PLUS one
+#: mid-size query — the r6 record drifted ~1.18x uniformly while both
+#: tiny gauges read steady, because a sub-0.2 s min-of-3 can dodge
+#: contention that second-scale queries cannot; the flagship ratio is
+#: the gauge that sees it.  Ratios ride the stderr VERBOSE record and
+#: the durable BENCH_VERBOSE_LOCAL file only (stdout byte budget).
+CONTROL_BASELINES = {
+    "top_events_global": 0.119,
+    "text_fingerprint": 0.187,
+    "flagship_revenue_by_nation": 1.046,
+}
+
 
 def select_names(queries, only=frozenset(), headline=False) -> list[str]:
     """The bench's query selection, factored for unit tests: sorted
@@ -128,6 +141,16 @@ def main() -> int:
         "sf": _sf_from_dir(SF_DIR),
         "value_median": round(sum(medians.values()), 3),
         "wall_sec": total,
+        # this-run-min / verified-quiet-baseline-min per control; ~1.0x
+        # on a quiet window — if the flagship ratio reads high while the
+        # two sub-0.2 s gauges sit steady, the window is contended in
+        # the way the r6 record was and the run's numbers are not a
+        # cross-round floor
+        "ctl_ratio": {
+            n: round(timings[n] / base, 2)
+            for n, base in CONTROL_BASELINES.items()
+            if n in timings and base > 0
+        },
     }
     # ... and, for FULL-registry runs only, to a file next to this
     # script as the durable full-precision record: the tail window

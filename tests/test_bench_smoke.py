@@ -38,6 +38,17 @@ def test_bench_emits_valid_json_line():
     assert "med" not in rec  # sum-of-medians was cut from stdout at 76
     # queries (byte budget) — it rides the stderr VERBOSE record
     assert "wall" not in rec  # harness wall-clock lives on stderr (VERBOSE) only
+    # the contention-control ratios (two tiny gauges + the mid-size
+    # flagship — the r6 drift detector) live on the VERBOSE record
+    # only, never on the byte-budgeted stdout line
+    assert "ctl_ratio" not in rec
+    vline = next(ln for ln in proc.stderr.splitlines() if ln.startswith("VERBOSE {"))
+    verbose = json.loads(vline[len("VERBOSE ") :])
+    assert verbose["ctl_ratio"] == {
+        "top_events_global": round(
+            verbose["queries_min"]["top_events_global"] / 0.119, 2
+        )
+    }  # only controls present in the run's query set are rated
     # "ctl"/"nq" were dropped at 73 queries (the controls sort in the
     # t* tail of the queries dict, inside any 2,000-char tail capture;
     # nq = len(queries)) — pin their absence so they don't creep back

@@ -98,3 +98,32 @@ def test_dsir_plan_scoring_is_broadcast_narrow(spark, sf_small):
     # subtree, so the corpus is tokenized once, not once per branch)
     assert "InMemoryRelation" in plan
     assert plan.index("InMemoryRelation") < plan.index("Generate"), plan
+
+
+def test_dsir_cjk_tokenizer_scores_unigram_buckets(spark):
+    """tokenizer='cjk': importance weights must see INSIDE no-space CJK
+    text.  Target docs carry a marker character; raw docs that also
+    carry it must outscore raw docs that don't — a signal the
+    whitespace default cannot produce (each doc is ONE opaque token, so
+    the marker never reaches its own hash bucket)."""
+    from yodel_etl_spark.scale.dsir import hash_bucket
+
+    base = "深度学习模型需要大量训练数据"
+    ids = spark.createDataFrame([(i,) for i in range(60)], ["doc_id"])
+    tgt_ids = {
+        r["doc_id"]
+        for r in ids.select(
+            "doc_id", (hash_bucket(F.col("doc_id"), 100) >= 80).alias("t")
+        ).collect()
+        if r["t"]
+    }
+    rows = []
+    for i in range(60):
+        if i in tgt_ids:
+            rows.append((i, base + "猫猫猫猫"))  # marker-rich target slice
+        else:
+            rows.append((i, base + ("猫猫" if i % 2 == 0 else "犬犬")))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dsir_select(docs, target_pct=20, top_n=10, tokenizer="cjk").toPandas()
+    assert len(out) == 10
+    assert all(did % 2 == 0 for did in out["doc_id"])  # marker-bearing raws win

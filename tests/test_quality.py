@@ -223,3 +223,21 @@ def test_tokens_cjk_mode(spark):
     assert out[2]["c"] == ["plain", "text"] and out[2]["w"] == ["plain", "text"]
     with pytest.raises(ValueError, match="unknown tokenizer mode"):
         tokens(F.col("t"), mode="nope")
+
+
+def test_ppl_buckets_cjk_tokenizer(spark):
+    """tokenizer='cjk': CJK docs produce character bigrams; under the
+    whitespace default the same docs have ONE token each and are
+    excluded from the LM entirely (no bigram rows)."""
+    from yodel_etl_spark.scale.lm import doc_bigrams, perplexity_buckets
+
+    rows = [(i, "深度学习模型需要大量训练数据"[: 4 + (i % 8)]) for i in range(30)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert doc_bigrams(docs, "doc_id", "text").count() == 0  # ws collapse
+    grams = doc_bigrams(docs, "doc_id", "text", tokenizer="cjk")
+    assert grams.count() == sum(4 + (i % 8) - 1 for i in range(30))
+    out = perplexity_buckets(
+        docs, "doc_id", "text", method="threshold", tokenizer="cjk"
+    ).toPandas()
+    assert len(out) == 30
+    assert set(out["bucket"]) <= {"head", "middle", "tail"}

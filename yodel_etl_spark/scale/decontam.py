@@ -35,7 +35,10 @@ def ngram_keys(tk: Column, n: int) -> Column:
     ``tk`` must be a plain staged column (alias from a previous
     projection), not an inline tokenizer call: the window transform
     references it once per position, and HOF lambdas inline their
-    argument expression per element."""
+    argument expression per element.  Tokenizer-agnostic by design:
+    stage ``tokens(..., mode="cjk")`` for no-space-script corpora and
+    the windows become character n-grams — the standard CJK decontam
+    fallback — with no change here."""
     n_windows = F.size(tk) - (n - 1)
     idx = F.sequence(F.lit(1), n_windows)
     grams = F.transform(idx, lambda i: F.md5(F.array_join(F.slice(tk, i, n), " ")))

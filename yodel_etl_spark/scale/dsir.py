@@ -46,6 +46,7 @@ def dsir_select(
     target_pct: int = 5,
     n_buckets: int = 256,
     top_n: int = 50,
+    tokenizer: str = "ws",
 ) -> DataFrame:
     """Top-``top_n`` raw documents by hashed-unigram importance weight
     toward the target slice, as ``(doc_id, score_micro)`` ordered
@@ -58,13 +59,18 @@ def dsir_select(
     ``w_b = round(1e6 · (ln((p_b+1)/(Np+B)) − ln((q_b+1)/(Nq+B))))``
     with B = ``n_buckets``; a doc's score is the exact integer sum of
     its tokens' bucket weights.
+
+    ``tokenizer="cjk"`` switches to the CJK-safe unigram splitter
+    (:func:`yodel_etl_spark.scale.textstats.tokens`) so no-space-script
+    corpora contribute per-character unigram buckets instead of one
+    giant token per document.
     """
     if not 0 < target_pct < 100:
         raise ValueError(f"target_pct must be in (0, 100), got {target_pct}")
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         (hash_bucket(F.col(id_col), 100) >= 100 - target_pct).alias("is_tgt"),
-        tokens(F.lower(F.col(text_col))).alias("tk"),
+        tokens(F.lower(F.col(text_col)), mode=tokenizer).alias("tk"),
     ).persist()  # feeds the count pass and the scoring pass
 
     grams = base.select("is_tgt", F.explode("tk").alias("g")).select(

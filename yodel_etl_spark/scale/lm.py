@@ -41,11 +41,15 @@ from yodel_etl_spark.scale.textstats import tokens
 from yodel_etl_spark.session import register_persisted
 
 
-def doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def doc_bigrams(
+    docs: DataFrame, id_col: str, text_col: str, tokenizer: str = "ws"
+) -> DataFrame:
     """Exploded (id, w1, w2) adjacent word pairs of the lowercased
-    whitespace tokens; docs with fewer than two tokens yield no rows."""
+    tokens (``tokenizer="cjk"`` = the CJK-safe unigram splitter, so a
+    no-space-script doc yields character bigrams instead of zero
+    grams); docs with fewer than two tokens yield no rows."""
     staged = docs.select(
-        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_tk")
+        F.col(id_col), tokens(F.lower(F.col(text_col)), mode=tokenizer).alias("_tk")
     ).where(F.size("_tk") >= 2)
     grams = F.transform(
         F.sequence(F.lit(1), F.size("_tk") - 1),
@@ -96,6 +100,7 @@ def perplexity_buckets(
     tail_pct: int = 30,
     method: str = "rank",
     accuracy: int = 10_000,
+    tokenizer: str = "ws",
 ) -> DataFrame:
     """Per-document LM score + CCNet head/middle/tail bucket.
 
@@ -118,7 +123,7 @@ def perplexity_buckets(
     tests/test_quality.py pins."""
     if method not in ("rank", "threshold"):
         raise ValueError(f"method={method!r} (expected 'rank' or 'threshold')")
-    grams = doc_bigrams(docs, id_col, text_col)
+    grams = doc_bigrams(docs, id_col, text_col, tokenizer=tokenizer)
     grams = grams.persist()
     lm = bigram_lm(grams)
     scored = (
