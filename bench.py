@@ -190,7 +190,7 @@ def main() -> int:
             {
                 # short label on purpose (was sum_of_min_query_sec):
                 # metric = sum over queries of per-query min sample
-                "metric": "sum_min_sec",
+                "metric": "sum_min",
                 "unit": "sec",
                 "queries": timings2,
                 "value": round(sum(timings.values()), 2),

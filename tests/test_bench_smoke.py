@@ -31,7 +31,7 @@ def test_bench_emits_valid_json_line():
     lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
     assert len(lines) == 1, proc.stdout
     rec = json.loads(lines[0])
-    assert rec["metric"] == "sum_min_sec"
+    assert rec["metric"] == "sum_min"
     assert set(rec["queries"]) == {"top_events_global", "distinct_counts"}
     assert rec["sf"] == 0.001
     assert rec["value"] > 0
@@ -76,7 +76,7 @@ def test_bench_full_line_fits_driver_tail_window():
 
     names = sorted(load_all())
     mock = {
-        "metric": "sum_min_sec",
+        "metric": "sum_min",
         "unit": "sec",
         # per-query stdout values are 2-decimal (bench.py timings2);
         # width assumption: single-digit integer part — the slowest

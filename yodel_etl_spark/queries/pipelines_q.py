@@ -103,7 +103,7 @@ def pipeline_qa_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "qa_judged",
+    "judged",
     oracle=None,  # judge prompt text is engine-internal → rows-only
     doc="Full EP3 with judge: ask → metrics → judge prompt (12-chunk "
     "JSON projection) → mapInPandas judge (deterministic mock) → "
@@ -111,7 +111,7 @@ def pipeline_qa_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tests/test_llm_pipeline.py; here the driver checks stable rows.",
     tags=("pipeline", "llm"),
 )
-def qa_judged(spark: SparkSession, sf_dir: str) -> DataFrame:
+def judged(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = evaluate_questions(
         _questions(spark, sf_dir), _mock_chat_client(), mock_judge_client
     )

@@ -111,7 +111,7 @@ def sample_stratified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "pack_bins",
+    "packs",
     oracle=None,  # greedy group-local bin packing is sequential, not
     # SQL-expressible; invariants (fill ≤ budget, exactly-once
     # assignment, determinism, FFD quality bound) pinned in
@@ -123,7 +123,7 @@ def sample_stratified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-bin fill stats.",
     tags=("sampling", "scale"),
 )
-def pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+def packs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yodel_etl_spark.scale.packing import pack_sequences
     from yodel_etl_spark.scale.textstats import tokens
 

@@ -162,3 +162,73 @@ def audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_abs",
         "sum_sq",
     )
+
+
+@register(
+    "phash",
+    oracle=None,  # pixel decode + perceptual hashing has no
+    # single-statement SQL twin; hash determinism, block-mean
+    # exactness, pigeonhole recall and the planted-pair semantics are
+    # pinned in tests/test_phash.py — rows-only: one pair row per
+    # planted twin, exact ids + hamming
+    doc="Image near-duplicate detection end-to-end through REAL "
+    "containers: per-doc 64×72 RGB images planted deterministically "
+    "from blake2b(doc_id) block patterns, packed as 24-bpp BI_RGB BMP "
+    "(scale.codecs.bmp_pack), every 10th doc re-emitted under a "
+    "shifted id with two pattern cells perturbed (≤2 dHash bits) → "
+    "pure-stdlib pixel decode → exact-integer dHash (luma, 9×8 "
+    "block-mean, gradient sign bits) → the generic 64-bit Hamming "
+    "banding join shared with text SimHash (pigeonhole-exact recall "
+    "at distance < blocks).  Only 8-byte sketches shuffle; blobs "
+    "never leave their decode partition.  The multimodal twin of "
+    "dedup_simhash — perceptual dedup for the image columns of a "
+    "multimodal corpus.",
+    tags=("multimodal", "dedup", "scale"),
+    bench=True,
+)
+def phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from yodel_etl_spark.scale.phash import image_near_dup
+    from yodel_etl_spark.session import ship_package
+
+    ship_package(spark)
+
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"]).select(
+        "doc_id"
+    )
+    near = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id")
+    )
+    ids = docs.unionByName(near)
+
+    def plant(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from yodel_etl_spark.scale.codecs import bmp_pack
+
+        def image(doc_id: int) -> bytes:
+            base = doc_id % 2_000_000
+            key = base.to_bytes(8, "little")
+            cells = np.frombuffer(
+                hashlib.blake2b(key, digest_size=36, person=b"phash-a").digest()
+                + hashlib.blake2b(key, digest_size=36, person=b"phash-b").digest(),
+                dtype=np.uint8,
+            ).reshape(8, 9)
+            if doc_id >= 2_000_000:  # the near-dup twin: bump 2 cells
+                cells = cells.copy()
+                cells[3, 4] = (int(cells[3, 4]) + 60) % 256
+                cells[6, 1] = (int(cells[6, 1]) + 60) % 256
+            gray = np.repeat(np.repeat(cells, 8, axis=0), 8, axis=1)
+            return bmp_pack(np.stack([gray] * 3, axis=2))
+
+        for pdf in it:
+            out = pdf.copy()
+            out["content"] = [image(int(d)) for d in pdf["doc_id"]]
+            yield out
+
+    blobs = ids.mapInPandas(plant, "doc_id long, content binary")
+    return image_near_dup(blobs, "doc_id", "content", max_distance=4, blocks=8)

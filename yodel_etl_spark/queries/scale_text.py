@@ -598,7 +598,7 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-batch word cache turns corpus word redundancy directly into "
     "cache hits; the encode pass is narrow (no shuffle — the scan "
     "prunes to (doc_id, text) and each batch writes its own rows).  "
-    "The n_tokens column is what pack_bins and "
+    "The n_tokens column is what packs and "
     "sample_domain_mix budget against — trained-tokenizer counts, not "
     "the whitespace proxy.  Tier 2: yields its driver-window slot; "
     "rows-only with per-word parity + roundtrip invariants in pytest.",

@@ -180,3 +180,22 @@ def decode_gif_pixels(blob: bytes) -> np.ndarray:
         else:
             raise ValueError(f"unexpected GIF block {b:#x}")
     raise ValueError("no image data in GIF")
+
+
+def bmp_pack(px: np.ndarray) -> bytes:
+    """``(h, w, 3)`` uint8 RGB → 24-bpp BI_RGB BMP bytes — the encode
+    twin of :func:`decode_bmp_pixels` (fixture planting + roundtrip
+    tests, the ``wav_pack``/``write_warc`` convention).  Bottom-up rows,
+    BGR order, 4-byte row padding; ``decode_bmp_pixels(bmp_pack(px))``
+    is pixel-exact."""
+    a = np.asarray(px, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB, got shape {a.shape}")
+    h, w = a.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = a[:, :, [2, 1, 0]].reshape(h, w * 3)  # RGB -> BGR
+    data = rows[::-1].tobytes()  # bottom-up
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    return header + dib + data

@@ -339,25 +339,29 @@ def simhash_assemble() -> Column:
     return total
 
 
-def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_distance: int = 3, blocks: int = 8
+def hamming_pairs(
+    sketches: DataFrame,
+    id_col: str = "doc",
+    hash_col: str = "sim",
+    max_distance: int = 3,
+    blocks: int = 8,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_distance via
-    block-banding: split 64 bits into ``blocks`` blocks; any pair within
-    distance < blocks shares ≥1 exact block (pigeonhole) → join per
-    block, verify true distance with bit_count(xor).  Docs with zero
-    tokens have no sketch and are excluded (they cannot near-dup
-    textfully anyway)."""
+    """Generic 64-bit Hamming near-dup join: pairs with
+    ``bit_count(xor) ≤ max_distance`` via block-banding — split the 64
+    bits into ``blocks`` blocks; any pair within distance < blocks
+    shares ≥1 exact block (pigeonhole, exact recall at that bound) →
+    join per block, verify true distance with bit_count(xor).
+
+    Input is any ``(id, 64-bit long)`` sketch table — text SimHash
+    (:func:`simhash_pairs`) and image dHash
+    (``scale.phash.image_near_dup``) both ride this one join; only
+    ``(id, sim, block, key)`` rows flow through the band self-join.
+    Output ``(doc_a, doc_b, hamming)``; the banded probe rows are
+    persisted (both sides of the self-join served from cache —
+    ``session.release`` the result to free them)."""
     width = 64 // blocks
-    posts = (
-        _with_shingles(df, id_col, text_col, 1)
-        .select("doc", F.explode("sh").alias("w"))
-        .withColumn("h", F.xxhash64("w"))
-    )
-    sims = (
-        posts.groupBy("doc")
-        .agg(*simhash_bit_counts())
-        .select("doc", simhash_assemble().alias("sim"))
+    sims = sketches.select(
+        F.col(id_col).alias("doc"), F.col(hash_col).alias("sim")
     )
     banded = sims.select(
         "doc",
@@ -399,6 +403,27 @@ def simhash_pairs(
     dist = cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
     out = dist.where(F.col("hamming") <= max_distance).select("doc_a", "doc_b", "hamming")
     return register_persisted(out, banded)
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_distance: int = 3, blocks: int = 8
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_distance — the
+    64-bit text sketch (:func:`simhash_bit_counts` majority fold over
+    xxhash64 unigrams) fed through the generic :func:`hamming_pairs`
+    banding join.  Docs with zero tokens have no sketch and are
+    excluded (they cannot near-dup textfully anyway)."""
+    posts = (
+        _with_shingles(df, id_col, text_col, 1)
+        .select("doc", F.explode("sh").alias("w"))
+        .withColumn("h", F.xxhash64("w"))
+    )
+    sims = (
+        posts.groupBy("doc")
+        .agg(*simhash_bit_counts())
+        .select("doc", simhash_assemble().alias("sim"))
+    )
+    return hamming_pairs(sims, "doc", "sim", max_distance, blocks)
 
 
 # ---------------------------------------------------------- bloom filter
