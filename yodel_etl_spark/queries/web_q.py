@@ -96,8 +96,10 @@ def warc_fixture_dir() -> str:
     doc="WARC ingest end-to-end: 4 Common-Crawl-layout .warc.gz "
     "archives (one gzip member per record, 512 deterministic HTML "
     "response records) → read_warc (file-grain mapInPandas: member "
-    "split + header parse + HTTP strip, zero shuffle) → html_extract "
-    "(codegen regexp chain) → token stats per page.  The step "
+    "split + header parse + HTTP strip, zero shuffle) → canonical_url "
+    "(RFC 3986 §6 normalization + tracking-param scrub, codegen, with "
+    "a byte-parity DuckDB twin pinned in tests/test_urlnorm.py) → "
+    "html_extract (codegen regexp chain) → token stats per page.  The step "
     "upstream of the whole curation family for web-scale corpora; "
     "registered so container-ingest cost is a recorded bench number.  "
     "Rows-only: 512 stable rows, exact integer counters.",
@@ -108,21 +110,25 @@ def warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yodel_etl_spark.io.warc import read_warc
     from yodel_etl_spark.scale.textstats import html_extract, tokens
 
+    from yodel_etl_spark.scale.urlnorm import canonical_url
+
     raw = read_warc(spark, os.path.join(warc_fixture_dir(), "*.warc.gz"))
     # payload → text → extracted body text, each in its own projection
     # (expression hygiene: the extract chain feeds the tokenizer and
     # char counter; the tokenizer output feeds two counters)
     pages = raw.select(
         "url",
+        canonical_url(F.col("url")).alias("canon_url"),
         "status",
         "mime",
         html_extract(F.col("payload").cast("string")).alias("body"),
     )
     toked = pages.select(
-        "url", "status", "mime", "body", tokens(F.col("body")).alias("tk")
+        "url", "canon_url", "status", "mime", "body", tokens(F.col("body")).alias("tk")
     )
     return toked.select(
         "url",
+        "canon_url",
         "status",
         "mime",
         F.length("body").cast("long").alias("n_chars"),
