@@ -128,3 +128,24 @@ def test_train_and_encode_agree_on_unicode_whitespace(spark):
         t for w in split_words(text) for t in encode_word(w, merges)
     ]
     assert list(out["tokens"]) == expect
+
+
+def test_bpe_cjk_learns_character_pair_merges(spark):
+    """tokenizer='cjk': BPE trains over unigram CJK 'words', so merges
+    are frequent character pairs — the standard CJK-BPE recipe.  Under
+    the whitespace default the same corpus is one giant word per doc
+    and nothing useful merges."""
+    from yodel_etl_spark.scale.bpe import bpe_tokenize, learn_bpe, split_words
+
+    rows = [(i, "深度学习模型 深度学习 模型训练") for i in range(8)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = learn_bpe(docs, "text", n_merges=4, min_count=2, tokenizer="cjk")
+    assert merges, "expected at least one merge"
+    # every merge joins single CJK codepoints or their concatenations
+    for a, b in merges:
+        assert all("一" <= ch <= "鿿" for ch in a + b), (a, b)
+    enc = bpe_tokenize(docs, "doc_id", "text", merges, tokenizer="cjk")
+    row = enc.orderBy("doc_id").limit(1).collect()[0]
+    n_chars = sum(len(w) for w in split_words(rows[0][1], "cjk"))
+    assert 0 < row["n_tokens"] < n_chars  # merges compressed the char stream
+    assert "".join(row["tokens"]) == "".join(split_words(rows[0][1], "cjk"))

@@ -241,3 +241,17 @@ def test_ppl_buckets_cjk_tokenizer(spark):
     ).toPandas()
     assert len(out) == 30
     assert set(out["bucket"]) <= {"head", "middle", "tail"}
+
+
+def test_gopher_rules_cjk_tokenizer(spark):
+    """tokenizer='cjk': the word-grain rules measure characters for
+    no-space scripts; the whitespace default sees ONE giant word and
+    fails the word-count band for any CJK doc."""
+    from yodel_etl_spark.scale.quality import gopher_rules
+
+    text = "深度学习模型需要大量训练数据" * 8  # 112 chars, no spaces
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    ws = gopher_rules(docs, "doc_id", "text").collect()[0]
+    cjk = gopher_rules(docs, "doc_id", "text", tokenizer="cjk").collect()[0]
+    assert ws["n_words"] == 1
+    assert cjk["n_words"] == 112

@@ -387,3 +387,86 @@ def test_quality_clf_minibatch_beats_full_batch_at_scale(spark, tmp_path):
     print(f"STRESS full {t_full:.2f}s vs mini {t_mini:.2f}s ({t_full / t_mini:.2f}x)")
     # generous bound for host noise; steady-state measures well below
     assert t_mini < t_full, (t_full, t_mini)
+
+
+def test_encode_lsh_scales_sublinearly(spark, tmp_path):
+    """20× rows through the hashed encoder: the kernel is one linear
+    Arrow pass with per-batch vectorization, so wall grows far slower
+    than rows while fixed plan/JIT overhead amortizes."""
+    from yodel_etl_spark.scale.encode import encode_text
+
+    small, large = _replicated_docs(spark, tmp_path)
+
+    def timed(frame) -> float:
+        enc = encode_text(frame, "text", dim=64).drop("text")
+        _force(enc)  # warm
+        t0 = time.perf_counter()
+        _force(enc)
+        return time.perf_counter() - t0
+
+    t_small, t_large = timed(small), timed(large)
+    print(f"STRESS encode {t_small:.2f}s -> {t_large:.2f}s ({t_large / t_small:.1f}x)")
+    assert t_large < t_small * 8, (t_small, t_large)
+
+
+def test_warc_reader_scales_sublinearly(spark, tmp_path):
+    """20× records across 4× as many archive files: file-grain
+    mapInPandas parallelism must hold — wall far below 20×."""
+    import yodel_etl_spark.queries.web_q as web_q
+    from yodel_etl_spark.io.warc import read_warc, write_warc
+    from yodel_etl_spark.scale.textstats import html_extract
+
+    def archive(base, n_pages, n_files):
+        os.makedirs(base, exist_ok=True)
+        per = n_pages // n_files
+        for f in range(n_files):
+            recs = [
+                {
+                    "url": f"https://example.org/crawl/{i}",
+                    "ts": "2024-01-01T00:00:00Z",
+                    "payload": web_q._fixture_page(i).encode(),
+                    "mime": "text/html",
+                }
+                for i in range(f * per, (f + 1) * per)
+            ]
+            write_warc(recs, os.path.join(base, f"part-{f}.warc.gz"))
+
+    small_dir = str(tmp_path / "warc_small")
+    large_dir = str(tmp_path / "warc_large")
+    archive(small_dir, 512, 4)
+    archive(large_dir, 512 * 20, 64)
+
+    def timed(path) -> float:
+        df = read_warc(spark, path + "/*.warc.gz").select(
+            "url", html_extract(F.col("payload").cast("string")).alias("body")
+        )
+        _force(df)  # warm
+        t0 = time.perf_counter()
+        _force(df)
+        return time.perf_counter() - t0
+
+    t_small, t_large = timed(small_dir), timed(large_dir)
+    print(f"STRESS warc {t_small:.2f}s -> {t_large:.2f}s ({t_large / t_small:.1f}x)")
+    assert t_large < t_small * 8, (t_small, t_large)
+
+
+def test_phash_scales_sublinearly(spark):
+    """20× images through plant→decode→dHash→banding join: decode work
+    is row-linear but file-grain parallel; the join shuffles only
+    8-byte sketches, so wall grows far slower than rows."""
+    from yodel_etl_spark.queries.scale_multimodal import phash as phash_query
+    from yodel_etl_spark.registry import load_all
+
+    build = load_all()["phash"].build
+
+    def timed(sf_dir) -> float:
+        df = build(spark, sf_dir)
+        _force(df)  # warm
+        t0 = time.perf_counter()
+        _force(df)
+        return time.perf_counter() - t0
+
+    # sf0.01 (500 docs) vs sf0.1 (5,000 docs): 10x rows
+    t_small, t_large = timed("/root/testdata/sf0.01"), timed("/root/testdata/sf0.1")
+    print(f"STRESS phash {t_small:.2f}s -> {t_large:.2f}s ({t_large / t_small:.1f}x)")
+    assert t_large < t_small * 5, (t_small, t_large)

@@ -47,17 +47,42 @@ from yodel_etl_spark.scale.textstats import tokens
 _WS_ASCII = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
-def split_words(text: str | None) -> list[str]:
+def _cjk_run_re():
+    """Python twin of textstats.CJK_RUN_RE (run-grain: BPE's word
+    boundary — merges happen WITHIN a contiguous CJK run) with ``\s``
+    narrowed to the ASCII whitespace class (Python ``\s`` is
+    Unicode-wide, Java's is ASCII — the same NBSP trap _WS_ASCII
+    exists for)."""
+    from yodel_etl_spark.scale.textstats import CJK_RUN_RE
+
+    return re.compile(CJK_RUN_RE.replace("\\s", " \\t\\n\\x0b\\f\\r"))
+
+
+def split_words(text: str | None, mode: str = "ws") -> list[str]:
     """Lowercased words of ``text`` under the SAME boundary rules as the
     distributed :func:`word_freq_table` (ASCII whitespace only)."""
+    if mode == "cjk":
+        return _cjk_run_re().findall((text or "").lower())
     return [w for w in _WS_ASCII.split((text or "").lower()) if w]
 
 
-def word_freq_table(docs: DataFrame, text_col: str) -> DataFrame:
-    """(word, n) counts of the lowercased whitespace words — the one
-    corpus-sized aggregation in BPE training."""
+def word_freq_table(
+    docs: DataFrame, text_col: str, tokenizer: str = "ws"
+) -> DataFrame:
+    """(word, n) counts of the lowercased words (``tokenizer="cjk"`` =
+    contiguous no-space-script RUNS become words, so BPE splits a run
+    into characters and merges frequent pairs into subwords — the
+    standard CJK-BPE recipe) — the one corpus-sized aggregation in BPE
+    training."""
     return (
-        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        docs.select(
+            F.explode(
+                tokens(
+                    F.lower(F.col(text_col)),
+                    mode="cjk_run" if tokenizer == "cjk" else tokenizer,
+                )
+            ).alias("word")
+        )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -135,6 +160,7 @@ def learn_bpe(
     min_count: int = 2,
     checkpoint_every: int = 4,
     local_vocab_threshold: int = 200_000,
+    tokenizer: str = "ws",
 ) -> list[tuple[str, str]]:
     """Train ``n_merges`` BPE merges on the corpus; returns the ordered
     merge list.  Stops early when the best pair's weighted frequency
@@ -153,7 +179,7 @@ def learn_bpe(
     # persisted: the path-deciding count() and the collect()/symbol
     # build both read it — unpersisted, the corpus-sized explode+groupBy
     # would run twice ("the corpus reduces ONCE" is the whole contract)
-    freqs = word_freq_table(docs, text_col).persist()
+    freqs = word_freq_table(docs, text_col, tokenizer).persist()
     try:
         if local_vocab_threshold > 0:
             # cheap distinct count decides the path; the collect below
@@ -216,6 +242,7 @@ def bpe_tokenize(
     id_col: str,
     text_col: str,
     merges: list[tuple[str, str]],
+    tokenizer: str = "ws",
 ) -> DataFrame:
     """Encode every document with a trained merge table: Arrow-batched
     ``mapInPandas`` with a per-batch word cache (encode is a pure
@@ -232,7 +259,7 @@ def bpe_tokenize(
 
         def enc(text: str) -> list[str]:
             toks: list[str] = []
-            for w in split_words(text):  # train-identical boundaries
+            for w in split_words(text, tokenizer):  # train-identical boundaries
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = encode_word(w, frozen)

@@ -47,20 +47,29 @@ MAX_ELLIPSIS_LINE_FRAC = 0.3
 MIN_ALPHA_WORD_FRAC = 0.8
 
 
-def gopher_rules(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer: str = "ws",
+) -> DataFrame:
     """Per-document Gopher quality-rule verdicts.
 
     Returns one row per input row: the raw counters the rules read, one
     boolean per rule, and the conjunction ``pass_gopher``.  Division is
     per-row double arithmetic over exact integer counters, so results
     are bit-identical across engines (registry determinism rules).
+    ``tokenizer="cjk"`` runs the word-grain rules over CJK-safe unigram
+    tokens (word-count/word-length bands then measure characters — the
+    meaningful grain for no-space scripts, where the default would see
+    ONE giant word per document and fail every band).
     """
     txt = F.col(text_col)
     # projection 1: materialize the arrays the counters reference
     arrs = df.select(
         F.col(id_col),
         txt.alias("_t"),
-        tokens(txt).alias("_tk"),
+        tokens(txt, mode=tokenizer).alias("_tk"),
         F.split(txt, "\n").alias("_ln"),
     )
     # projection 2: exact integer counters off the materialized arrays

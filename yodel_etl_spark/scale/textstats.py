@@ -32,6 +32,12 @@ _CJK_CLASS = (
 #: regexp_extract_all pass.
 CJK_TOKEN_RE = f"[{_CJK_CLASS}]|[^\\s{_CJK_CLASS}]+"
 
+#: run-grain variant: a contiguous no-space-script RUN is one token —
+#: the word boundary BPE training wants (characters are the initial
+#: symbols, merges happen WITHIN a run; unigram "words" could never
+#: merge), while retrieval/stats keep the unigram CJK_TOKEN_RE
+CJK_RUN_RE = f"[{_CJK_CLASS}]+|[^\\s{_CJK_CLASS}]+"
+
 #: BPE-ish pre-tokenization: letter runs / digit runs / single
 #: non-alnum-non-space marks (GPT-2-style contractions simplified so the
 #: pattern is identical in Java regex and RE2)
@@ -64,8 +70,10 @@ def tokens(text: Column, mode: str = "ws") -> Column:
     100 TB both modes are the same single narrow scan pass."""
     if mode == "cjk":
         return F.regexp_extract_all(text, F.lit(CJK_TOKEN_RE), 0)
+    if mode == "cjk_run":
+        return F.regexp_extract_all(text, F.lit(CJK_RUN_RE), 0)
     if mode != "ws":
-        raise ValueError(f"unknown tokenizer mode {mode!r} (ws|cjk)")
+        raise ValueError(f"unknown tokenizer mode {mode!r} (ws|cjk|cjk_run)")
     return F.filter(F.split(text, _WS), lambda t: t != "")
 
 
