@@ -140,3 +140,115 @@ def test_registered_warc_query(spark):
     # token count = 60 body words + 'Doc <i>' + '& entities <stay> "decoded"'
     assert (pdf["n_tokens"] == 68).all()
     assert pdf["n_uniq"].between(10, 40).all()
+
+
+def test_corrupt_skip_resynchronizes_gzip_members():
+    """skip mode: a damaged member in the middle must not sink the
+    archive — later members still decode; raise mode still raises."""
+    parts = [b"member one", b"member two", b"member three"]
+    m = [gzip.compress(p, mtime=0) for p in parts]
+    # damage the middle member's deflate stream (keep its magic intact)
+    bad = bytearray(m[1])
+    bad[12:18] = b"\x00\xff\x00\xff\x00\xff"
+    blob = m[0] + bytes(bad) + m[2]
+    with pytest.raises(ValueError):
+        list(split_gzip_members(blob))
+    got = list(split_gzip_members(blob, corrupt="skip"))
+    assert parts[0] in got and parts[2] in got
+    assert parts[1] not in got
+    with pytest.raises(ValueError, match="corrupt="):
+        list(split_gzip_members(blob, corrupt="nope"))
+
+
+def test_corrupt_skip_resynchronizes_plain_records():
+    """skip mode over an uncompressed archive: resync at the next
+    WARC/ line past a record whose Content-Length is mangled."""
+    good1 = _record("https://a.example/1", HTML_A)
+    bad = _record("https://a.example/2", HTML_B).replace(
+        b"Content-Length:", b"Content-Length: zzz\r\nX:", 1
+    )
+    good2 = _record("https://a.example/3", HTML_A)
+    buf = good1 + bad + good2
+    with pytest.raises(ValueError):
+        list(parse_warc_records(buf))
+    got = list(parse_warc_records(buf, corrupt="skip"))
+    urls = [r["headers"]["warc-target-uri"] for r in got]
+    assert "https://a.example/1" in urls and "https://a.example/3" in urls
+    assert "https://a.example/2" not in urls
+
+
+def test_read_warc_corrupt_skip_end_to_end(spark, tmp_path):
+    """A damaged middle member inside a .warc.gz shard: skip mode
+    yields the surviving records, raise mode fails the read."""
+    recs = [
+        {"url": f"https://w.example/{i}", "ts": "2024-03-04T05:06:07Z",
+         "payload": HTML_A}
+        for i in range(3)
+    ]
+    p = str(tmp_path / "damaged.warc.gz")
+    write_warc(recs, p, gzip_members=True)
+    blob = bytearray(open(p, "rb").read())
+    # find the second member's magic and mangle its deflate bytes
+    second = blob.find(b"\x1f\x8b\x08", 3)
+    blob[second + 12 : second + 16] = b"\x00\xff\x00\xff"
+    open(p, "wb").write(bytes(blob))
+    with pytest.raises(Exception):
+        read_warc(spark, p).count()
+    ok = read_warc(spark, p, corrupt="skip")
+    urls = sorted(r["url"] for r in ok.collect())
+    assert len(urls) == 2 and "https://w.example/0" in urls
+
+
+def test_warc_to_curate_pipeline(spark, tmp_path):
+    """The full web-corpus chain: WARC archive → read_warc →
+    canonical_url → html_extract → curate (quality + repetition + lang
+    filters, exact dedup) — the end-to-end path a crawl takes into a
+    training corpus: junk pages drop, duplicate pages collapse to one
+    canonical row, clean English pages survive tag-free."""
+    import pyspark.sql.functions as F
+
+    from yodel_etl_spark.pipelines.curate import curate
+    from yodel_etl_spark.scale.textstats import html_extract
+    from yodel_etl_spark.scale.urlnorm import canonical_url
+
+    subjects = ["cat", "dog", "bird", "horse", "whale", "fox", "owl", "bear"]
+    def page(i):
+        s1 = subjects[i % len(subjects)]
+        s2 = subjects[(i + 3) % len(subjects)]
+        return (
+            f"<html><body><p>the {s1} and the {s2} walked out of a quiet "
+            f"village number {i} and spoke of the weather and a long road "
+            f"to the sea with a friend of the family</p></body></html>"
+        ).encode()
+    recs = [
+        {"url": f"https://site{i}.example/a", "ts": "2024-01-01T00:00:00Z",
+         "payload": page(i)}
+        for i in range(20)
+    ]
+    # five duplicate pages (same extracted text as page 0, new urls)
+    recs += [
+        {"url": f"https://mirror{k}.example/a", "ts": "2024-01-01T00:00:00Z",
+         "payload": page(0)}
+        for k in range(5)
+    ]
+    # one junk page: no stopwords, heavy repetition -> filtered
+    recs.append(
+        {"url": "https://junk.example/a", "ts": "2024-01-01T00:00:00Z",
+         "payload": b"<html><body>" + b"zzz " * 40 + b"</body></html>"}
+    )
+    p = str(tmp_path / "crawl.warc.gz")
+    write_warc(recs, p)
+
+    raw = read_warc(spark, p)
+    docs = raw.select(
+        F.xxhash64(canonical_url(F.col("url"))).alias("doc_id"),
+        html_extract(F.col("payload").cast("string")).alias("text"),
+    )
+    out = curate(docs).select("doc_id", "text")
+    rows = out.collect()
+    texts = [r["text"] for r in rows]
+    assert len(rows) == 20  # 20 distinct pages; 5 mirrors deduped, junk dropped
+    assert len(set(texts)) == 20
+    assert sum("village number 0" in t for t in texts) == 1  # one canonical
+    assert all("<" not in t for t in texts)  # tags gone
+    assert not any("zzz" in t for t in texts)  # junk filtered

@@ -50,35 +50,70 @@ WARC_SCHEMA = T.StructType(
 _GZIP_MAGIC = b"\x1f\x8b"
 
 
-def split_gzip_members(blob: bytes) -> Iterator[bytes]:
+_GZ_DEFLATE_MAGIC = b"\x1f\x8b\x08"
+
+
+def split_gzip_members(blob: bytes, corrupt: str = "raise") -> Iterator[bytes]:
     """Decompress a concatenated-gzip-member blob, yielding one bytes
     object per member (the Common Crawl record-per-member convention).
-    Raises ``ValueError`` on a corrupt member — honest gate, matching
-    the codec modules' policy."""
+
+    ``corrupt="raise"`` (default): ``ValueError`` on a corrupt or
+    truncated member — the codec modules' honest-gate policy.
+    ``corrupt="skip"``: resynchronize at the next gzip-member magic and
+    keep going — the crawl-scale policy (a 100 TB crawl WILL contain
+    damaged shards, and one bad member must not sink a 1 GB archive;
+    the S1 JSON scan's corrupt-file policy, at member grain)."""
+    if corrupt not in ("raise", "skip"):
+        raise ValueError(f"corrupt={corrupt!r} (expected 'raise' or 'skip')")
     pos = 0
     while pos < len(blob):
         d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
+        err = None
+        out = b""
         try:
             out = d.decompress(blob[pos:])
             out += d.flush()
         except zlib.error as e:
-            raise ValueError(f"corrupt gzip member at offset {pos}: {e}") from e
-        if not d.eof:
-            raise ValueError(f"truncated gzip member at offset {pos}")
+            err = f"corrupt gzip member at offset {pos}: {e}"
+        if err is None and not d.eof:
+            err = f"truncated gzip member at offset {pos}"
+        if err is None:
+            consumed = len(blob) - pos - len(d.unused_data)
+            if consumed <= 0:  # defensive: zero-progress would loop forever
+                err = f"gzip member at offset {pos} consumed no bytes"
+        if err is not None:
+            if corrupt == "raise":
+                raise ValueError(err)
+            nxt = blob.find(_GZ_DEFLATE_MAGIC, pos + 1)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
         yield out
-        consumed = len(blob) - pos - len(d.unused_data)
-        if consumed <= 0:  # defensive: zero-progress would loop forever
-            raise ValueError(f"gzip member at offset {pos} consumed no bytes")
         pos += consumed
 
 
-def parse_warc_records(buf: bytes) -> Iterator[dict]:
+def parse_warc_records(buf: bytes, corrupt: str = "raise") -> Iterator[dict]:
     """Parse every WARC record in a decompressed buffer (a buffer may
     hold one record — the per-member case — or a whole uncompressed
     archive).  Yields dicts with the raw block; HTTP handling happens
-    in :func:`_finish_record` so response records expose clean bodies."""
+    in :func:`_finish_record` so response records expose clean bodies.
+
+    ``corrupt="skip"`` resynchronizes at the next ``WARC/`` version
+    line instead of raising (same rationale as
+    :func:`split_gzip_members`)."""
+    if corrupt not in ("raise", "skip"):
+        raise ValueError(f"corrupt={corrupt!r} (expected 'raise' or 'skip')")
     pos = 0
     n = len(buf)
+
+    def _bad(msg: str) -> int | None:
+        """raise, or return the resync offset (None = end of buffer)."""
+        if corrupt == "raise":
+            raise ValueError(msg)
+        nxt = buf.find(b"WARC/", pos + 1)
+        return nxt if nxt >= 0 else None
+
     while pos < n:
         # tolerate inter-record \r\n padding
         while pos < n and buf[pos : pos + 2] in (b"\r\n", b"\n"):
@@ -86,10 +121,18 @@ def parse_warc_records(buf: bytes) -> Iterator[dict]:
         if pos >= n:
             return
         if not buf.startswith(b"WARC/", pos):
-            raise ValueError(f"expected WARC/ version line at offset {pos}")
+            resync = _bad(f"expected WARC/ version line at offset {pos}")
+            if resync is None:
+                return
+            pos = resync
+            continue
         hdr_end = buf.find(b"\r\n\r\n", pos)
         if hdr_end < 0:
-            raise ValueError(f"unterminated WARC header at offset {pos}")
+            resync = _bad(f"unterminated WARC header at offset {pos}")
+            if resync is None:
+                return
+            pos = resync
+            continue
         headers: dict[str, str] = {}
         lines = buf[pos:hdr_end].decode("latin-1").split("\r\n")
         for line in lines[1:]:  # lines[0] is the version line
@@ -98,11 +141,19 @@ def parse_warc_records(buf: bytes) -> Iterator[dict]:
                 headers[k.strip().lower()] = v.strip()
         try:
             clen = int(headers["content-length"])
-        except (KeyError, ValueError) as e:
-            raise ValueError(f"bad Content-Length at offset {pos}: {e}") from e
+        except (KeyError, ValueError):
+            resync = _bad(f"bad Content-Length at offset {pos}")
+            if resync is None:
+                return
+            pos = resync
+            continue
         block_start = hdr_end + 4
         if block_start + clen > n:
-            raise ValueError(f"record block at offset {pos} overruns the buffer")
+            resync = _bad(f"record block at offset {pos} overruns the buffer")
+            if resync is None:
+                return
+            pos = resync
+            continue
         yield {"headers": headers, "block": buf[block_start : block_start + clen]}
         pos = block_start + clen
 
@@ -143,15 +194,17 @@ def _finish_record(rec: dict, src_file: str) -> tuple:
     )
 
 
-def _file_to_records(path: str, blob: bytes, record_types) -> list[tuple]:
+def _file_to_records(
+    path: str, blob: bytes, record_types, corrupt: str = "raise"
+) -> list[tuple]:
     """One archive file → WARC_SCHEMA tuples (executor-side kernel)."""
     out: list[tuple] = []
     if blob[:2] == _GZIP_MAGIC:
-        buffers: Iterator[bytes] = split_gzip_members(blob)
+        buffers: Iterator[bytes] = split_gzip_members(blob, corrupt)
     else:
         buffers = iter((blob,))
     for buf in buffers:
-        for rec in parse_warc_records(buf):
+        for rec in parse_warc_records(buf, corrupt):
             row = _finish_record(rec, path)
             if record_types is None or row[3] in record_types:
                 out.append(row)
@@ -162,6 +215,7 @@ def read_warc(
     spark: SparkSession,
     path: str,
     record_types: tuple[str, ...] | None = ("response",),
+    corrupt: str = "raise",
 ) -> DataFrame:
     """Read WARC / WARC-gz archives under ``path`` (a ``binaryFile``
     glob) into :data:`WARC_SCHEMA` rows.
@@ -170,9 +224,17 @@ def read_warc(
     only ``response`` — the crawl payloads; ``None`` keeps everything,
     including ``warcinfo``/``request``/``metadata``).  Parallelism is
     file-grain: each archive decodes in one Arrow task, records never
-    shuffle to be parsed."""
+    shuffle to be parsed.
+
+    ``corrupt``: ``"raise"`` (default — honest gate for curated
+    inputs) or ``"skip"`` — resynchronize past damaged gzip members /
+    malformed records at the next member magic / ``WARC/`` line, so one
+    bad record cannot sink a 1 GB shard (the crawl-scale policy; a real
+    100 TB crawl always contains some damage)."""
     from yodel_etl_spark.session import ship_package
 
+    if corrupt not in ("raise", "skip"):
+        raise ValueError(f"corrupt={corrupt!r} (expected 'raise' or 'skip')")
     ship_package(spark)  # the kernel closes over package fns (by-ref pickle)
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     wanted = tuple(record_types) if record_types is not None else None
@@ -182,7 +244,7 @@ def read_warc(
         for pdf in it:
             rows: list[tuple] = []
             for path_, blob in zip(pdf["path"], pdf["content"]):
-                rows.extend(_file_to_records(path_, bytes(blob), wanted))
+                rows.extend(_file_to_records(path_, bytes(blob), wanted, corrupt))
             yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(batches, schema=WARC_SCHEMA)
