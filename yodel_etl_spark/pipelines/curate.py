@@ -45,6 +45,11 @@ from yodel_etl_spark.scale.textstats import (
 
 @dataclass(frozen=True)
 class CurateConfig:
+    fix_encoding: bool = False  # repair UTF-8-as-Latin-1 mojibake
+    # before any signal is computed (textstats.fix_mojibake — codegen,
+    # provably-safe decode guard).  Default False: the registered
+    # pipeline_curate oracle predates the knob and the synthetic corpus
+    # has no mojibake; a web corpus wants True right after extraction.
     min_quality: float = 0.5
     max_rep_2gram: float = 0.2
     max_rep_3gram: float = 0.18
@@ -133,6 +138,10 @@ def curate(
     signal columns (callers re-select to shed them)."""
     from pyspark.sql.window import Window
 
+    if cfg.fix_encoding:
+        from yodel_etl_spark.scale.textstats import fix_mojibake
+
+        docs = docs.withColumn(text_col, fix_mojibake(F.col(text_col)))
     sig = _guarded_filter(with_signals(docs, id_col, text_col), _keep_condition(cfg))
 
     # canonical doc per fingerprint: min id wins.  One window pass over

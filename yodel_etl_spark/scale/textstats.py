@@ -38,6 +38,61 @@ CJK_TOKEN_RE = f"[{_CJK_CLASS}]|[^\\s{_CJK_CLASS}]+"
 #: merge), while retrieval/stats keep the unigram CJK_TOKEN_RE
 CJK_RUN_RE = f"[{_CJK_CLASS}]+|[^\\s{_CJK_CLASS}]+"
 
+#: a string is repairable mojibake iff, read as Latin-1 bytes, it is a
+#: VALID UTF-8 sequence containing at least one multibyte lead — UTF-8
+#: validity is a regular language, so the check is one anchored regex
+#: (2-byte C2-DF + continuation; 3-byte with the E0-overlong and
+#: ED-surrogate exclusions; 4-byte with the F0-overlong and the F4
+#: U+10FFFF cap; C0/C1 never valid).  Guarding on THIS (not a
+#: heuristic marker) makes the decode in fix_mojibake provably safe —
+#: Spark 4's decode() RAISES on malformed input rather than emitting
+#: U+FFFD.  Built from codepoints so the source stays ASCII; the
+#: pattern itself is dialect-portable (plain classes + alternation).
+def _utf8_as_latin1_re() -> str:
+    c = chr
+    ascii_ = f"[\x00-\x7f]"
+    cont = f"[{c(0x80)}-{c(0xBF)}]"
+    two = f"[{c(0xC2)}-{c(0xDF)}]{cont}"
+    three = (
+        f"{c(0xE0)}[{c(0xA0)}-{c(0xBF)}]{cont}"
+        f"|[{c(0xE1)}-{c(0xEC)}{c(0xEE)}{c(0xEF)}]{cont}{{2}}"
+        f"|{c(0xED)}[{c(0x80)}-{c(0x9F)}]{cont}"
+    )
+    four = (
+        f"{c(0xF0)}[{c(0x90)}-{c(0xBF)}]{cont}{{2}}"
+        f"|[{c(0xF1)}-{c(0xF3)}]{cont}{{3}}"
+        f"|{c(0xF4)}[{c(0x80)}-{c(0x8F)}]{cont}{{2}}"
+    )
+    return f"^(?:{ascii_}|{two}|{three}|{four})*$"
+
+
+_UTF8_AS_LATIN1_RE = _utf8_as_latin1_re()
+
+#: any multibyte UTF-8 lead byte, as a Latin-1 char class
+_UTF8_LEAD_RE = f"[{chr(0xC2)}-{chr(0xF4)}]"
+
+
+def fix_mojibake(text: Column) -> Column:
+    """Repair the classic mojibake: UTF-8 bytes mis-decoded as
+    Latin-1 ('caf\u00e9' shown as 'caf\u00c3\u00a9') — the
+    ftfy-style fix a web-corpus pipeline runs right after extraction,
+    as a pure codegen expression (no Python, no UDF).
+
+    A row is rewritten only when it contains a multibyte UTF-8 lead
+    char AND the whole string, read as Latin-1 bytes, is valid UTF-8
+    (:data:`_UTF8_AS_LATIN1_RE`) — real Latin-1 prose fails the
+    continuation-byte grammar, CJK/anything above U+00FF fails the
+    byte range, and clean ASCII has no lead char, so all pass through
+    untouched.  Double-encoded text repairs one layer per application
+    (compose twice for the rare double case).  No DuckDB twin (no
+    charset transcode in DuckDB SQL) — goldens + idempotence +
+    no-false-positive properties are pinned in pytest."""
+    repairable = text.rlike(_UTF8_LEAD_RE) & text.rlike(_UTF8_AS_LATIN1_RE)
+    return F.when(
+        repairable, F.decode(F.encode(text, "ISO-8859-1"), "UTF-8")
+    ).otherwise(text)
+
+
 #: BPE-ish pre-tokenization: letter runs / digit runs / single
 #: non-alnum-non-space marks (GPT-2-style contractions simplified so the
 #: pattern is identical in Java regex and RE2)
