@@ -239,3 +239,113 @@ def cms_query(
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
     )
+
+
+# ------------------------------------------------------- quantile sketch
+#: weighted-sample quantile summary rows
+QUANTILE_SCHEMA = T.StructType(
+    [
+        T.StructField("value", T.DoubleType()),
+        T.StructField("weight", T.DoubleType()),
+    ]
+)
+
+
+def quantile_partials(df: DataFrame, col: str, capacity: int = 256) -> DataFrame:
+    """Deterministic mergeable quantile summary: per-partition rank
+    sampling at bounded size.
+
+    ``percentile_approx`` answers one query inside one job; a PIPELINE
+    needs the sketch itself — persistable today, mergeable with
+    tomorrow's (incremental profiling, per-day → per-month rollups, the
+    same posture as the MG/HLL/CMS partials above).  Each input
+    partition sorts its values and keeps ``capacity`` equally-spaced
+    ranks as (value, weight = n_p/capacity) rows; partitions smaller
+    than ``capacity`` emit their values exactly (weight 1).
+
+    Guarantee (deterministic, no randomness anywhere): within one
+    partition the weighted CDF is off by < n_p/capacity at any
+    threshold, and the per-partition errors SUM to
+    ``Σ n_p/capacity = n/capacity`` — so any quantile read off the
+    merged summary has rank error < ``n/capacity``, i.e. ε = 1/capacity
+    regardless of partition count.  Merging = row union (associative,
+    commutative); ``quantile_compress`` re-bounds a grown union at +ε
+    additional error per compression.  Shuffle cost: ≤ capacity rows
+    per partition, independent of data size.
+
+    NULLs are excluded (SQL aggregate semantics)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        chunks = [pdf[col].dropna().to_numpy(dtype="float64") for pdf in batches]
+        vals = np.sort(np.concatenate(chunks)) if chunks else np.array([])
+        n = len(vals)
+        if n == 0:
+            return
+        if n <= capacity:
+            yield pd.DataFrame({"value": vals, "weight": np.ones(n)})
+            return
+        # rank i*(n/capacity) + center offset: the sample point sits in
+        # the middle of the n/capacity-wide rank stratum it represents
+        idx = ((np.arange(capacity) + 0.5) * n / capacity).astype("int64")
+        yield pd.DataFrame(
+            {"value": vals[idx], "weight": np.full(capacity, n / capacity)}
+        )
+
+    from yodel_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    return df.select(F.col(col).cast("double").alias(col)).mapInPandas(
+        run, QUANTILE_SCHEMA
+    )
+
+
+def quantile_compress(partials: DataFrame, capacity: int = 256) -> DataFrame:
+    """Re-bound a (grown) union of quantile summaries to ≤ ``capacity``
+    rows, adding ≤ W/capacity rank error (W = total weight).
+
+    Bounded input by construction (unions of per-partition summaries),
+    so the single-partition window over it is NOT a scale risk — the
+    corpus never flows through here, only sketch rows."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("value", "weight").rowsBetween(Window.unboundedPreceding, 0)
+    tot = partials.agg(F.sum("weight").alias("W"))
+    stratum = F.col("W") / capacity
+    return (
+        partials.withColumn("cum", F.sum("weight").over(w))
+        .crossJoin(F.broadcast(tot))  # 1-row bound → broadcast
+        .withColumn("bucket", F.least(
+            F.floor((F.col("cum") - F.lit(1e-9)) / stratum), F.lit(capacity - 1)
+        ))
+        .groupBy("bucket")
+        .agg(F.max("value").alias("value"), F.sum("weight").alias("weight"))
+        .select("value", "weight")
+    )
+
+
+def quantile_query(partials: DataFrame, probs: list[float]) -> DataFrame:
+    """Read quantiles off a merged summary: smallest sampled value whose
+    cumulative weight reaches p·W.  Returns (p, value) rows.
+
+    Same boundedness note as ``quantile_compress`` — this orders sketch
+    rows, never data rows."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("value", "weight").rowsBetween(Window.unboundedPreceding, 0)
+    tot = partials.agg(F.sum("weight").alias("W"))
+    cum = partials.withColumn("cum", F.sum("weight").over(w)).crossJoin(
+        F.broadcast(tot)
+    )
+    picks = [
+        cum.where(F.col("cum") >= F.lit(float(p)) * F.col("W") - 1e-9)
+        .orderBy("value", "weight")
+        .limit(1)
+        .select(F.lit(float(p)).alias("p"), F.col("value"))
+        for p in probs
+    ]
+    out = picks[0]
+    for df_p in picks[1:]:
+        out = out.unionByName(df_p)
+    return out
