@@ -172,3 +172,40 @@ def test_reservoir_rejects_bad_k(spark, sf_small):
     docs = load_tables(spark, sf_small, ("documents",))["documents"]
     with pytest.raises(ValueError):
         reservoir_per_key(docs, "source", "doc_id", k=0)
+
+
+def test_leakage_safe_split_no_edge_straddles(spark):
+    """Near-dup cluster members must land in the SAME split — the
+    train/test contamination hole id-keyed splits have."""
+    import pandas as pd
+
+    from yodel_etl_spark.scale.sampling import hash_split, leakage_safe_split
+
+    # 300 docs; pairs chain docs into 3-doc clusters (0,1,2),(3,4,5)…
+    # for the first half, second half singletons
+    ids = list(range(300))
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": ids}))
+    edges = [(i, i + 1) for i in range(0, 150, 3)] + [
+        (i + 1, i + 2) for i in range(0, 150, 3)
+    ]
+    pairs = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["doc_a", "doc_b"])
+    )
+    out = leakage_safe_split(df, "doc_id", pairs).persist()
+    rows = {r["doc_id"]: (r["component"], r["split"]) for r in out.collect()}
+    assert len(rows) == 300
+    # invariant: both ends of every edge share component AND split
+    for a, b in edges:
+        assert rows[a] == rows[b], (a, b, rows[a], rows[b])
+    # singletons get their own id as component
+    for i in range(151, 300):
+        assert rows[i][0] == i
+    # every configured split is populated and the id-keyed split DOES
+    # straddle at least one edge on the same data (the hole is real)
+    assert {s for _, s in rows.values()} == {"train", "val", "test"}
+    naive = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df, "doc_id").collect()
+    }
+    assert any(naive[a] != naive[b] for a, b in edges)
+    out.unpersist()

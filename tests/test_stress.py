@@ -470,3 +470,43 @@ def test_phash_scales_sublinearly(spark):
     t_small, t_large = timed("/root/testdata/sf0.01"), timed("/root/testdata/sf0.1")
     print(f"STRESS phash {t_small:.2f}s -> {t_large:.2f}s ({t_large / t_small:.1f}x)")
     assert t_large < t_small * 5, (t_small, t_large)
+
+
+def test_edit_pairs_scales_subquadratically(spark, tmp_path):
+    """Ed-Join's claim is escaping the O(n²) cross join: 20× the
+    distinct-value set (sf0.1 part names × 20 suffixed reps — the reps
+    also form dense distance-1 clusters, so the TRUE pair count grows
+    superlinearly) must cost far less than the 400× a brute-force
+    quadratic would pay.  Bound set from measured quiet-window runs
+    with ~2× headroom."""
+    import time
+
+    from yodel_etl_spark.scale.stringsim import edit_pairs
+    from yodel_etl_spark.session import load_tables, release, spread
+
+    part = load_tables(spark, "/root/testdata/sf0.1", ("part",))["part"]
+    reps = spark.range(20).select(F.col("id").alias("rep"))
+    big = part.crossJoin(reps).select(
+        F.concat(F.col("p_name"), F.lit(" v"), F.col("rep").cast("string")).alias("v")
+    )
+    src = str(tmp_path / "big_names")
+    big.write.mode("overwrite").parquet(src)
+    small = spread(part.select(F.col("p_name").alias("v")))
+    large = spread(spark.read.parquet(src))
+
+    def timed(frame) -> float:
+        warm = edit_pairs(frame, "v", k=1, q=2)
+        _force(warm)
+        release(warm)
+        out = edit_pairs(frame, "v", k=1, q=2)
+        t0 = time.perf_counter()
+        _force(out)
+        dt = time.perf_counter() - t0
+        release(out)
+        return dt
+
+    t_small = timed(small)
+    t_large = timed(large)
+    ratio = t_large / t_small
+    print(f"edit_pairs stress: small={t_small:.2f}s large={t_large:.2f}s ratio={ratio:.2f}")
+    assert ratio < 12.0, f"20x values cost {ratio:.1f}x - candidate filter not holding"

@@ -218,3 +218,41 @@ def reservoir_per_key(
         .where(F.col("rk") <= k)
         .select("key", "id", "rk")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    fractions: dict[str, int] | None = None,
+    split_col: str = "split",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Train/val/test split that cannot leak through near-duplicates.
+
+    ``hash_split`` keyed on the DOCUMENT id has a silent contamination
+    hole: two near-identical documents hash independently, so one lands
+    in train and its twin in test — the eval set then scores memorized
+    text.  The fix is to split at GROUP grain: take the near-dup pair
+    graph (MinHash/SimHash/embedding-LSH output — any (doc_a, doc_b)
+    edge list), contract it to connected components, and key the hash
+    split on the COMPONENT id, so an entire duplicate cluster moves as
+    one unit.  Singletons (docs in no pair) keep their own id as the
+    component — for them this degrades to the plain id-keyed split.
+
+    Returns ``df`` + ``component`` + ``split_col``.  Same determinism
+    contract as :func:`hash_split` (md5 lattice, append-stable as long
+    as appends don't bridge existing components — a bridge MERGES two
+    clusters and the merged cluster legitimately re-lands as one unit).
+
+    Scale posture: components scale with the duplicate-pair graph, not
+    the corpus (see ``scale.cluster``); the split itself stays a narrow
+    projection.  Invariant — no edge straddles splits — is pinned in
+    tests/test_sampling.py.
+    """
+    from yodel_etl_spark.scale.cluster import attach_components, connected_components
+
+    comp = connected_components(pairs, src=src, dst=dst)
+    grouped = attach_components(df, comp, id_col)
+    return hash_split(grouped, "component", fractions, split_col)
