@@ -71,3 +71,25 @@ def test_empty_input_is_a_clean_pass(spark):
     assert got["unique:id"] == (0, 0, 1.0)
     # the CLI's worst-rule fold must survive (max(int, n_violations))
     assert max(0, *(v[0] for v in got.values())) == 0
+
+
+def test_iqr_outlier_report(spark):
+    """Fences from the quantile sketch catch planted outliers; a clean
+    uniform column reports (near) none."""
+    import pandas as pd
+
+    from yodel_etl_spark.scale.dq import iqr_outlier_report
+
+    clean = [float(v) for v in range(1000)]
+    planted = clean + [1e6, -1e6, 5e5]
+    df = spark.createDataFrame(pd.DataFrame({"x": planted})).repartition(4)
+    rep = iqr_outlier_report(df, "x").collect()[0]
+    assert rep["n_rows"] == len(planted)
+    # the three planted spikes are far outside any ε-shifted fence
+    assert rep["n_outliers"] == 3
+    assert rep["fence_lo"] < 0 < rep["fence_hi"] < 5e5
+    # clean data: fences swallow everything (uniform has no tails)
+    clean_rep = iqr_outlier_report(
+        spark.createDataFrame(pd.DataFrame({"x": clean})).repartition(4), "x"
+    ).collect()[0]
+    assert clean_rep["n_outliers"] == 0

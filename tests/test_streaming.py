@@ -638,3 +638,56 @@ def test_correlate_streams_rejects_bad_how(spark, sf_small):
     ev = load_tables(spark, sf_small, ("events",))["events"]
     with pytest.raises(ValueError):
         correlate_streams(ev, ev, how="full_outer")
+
+
+def test_foreachbatch_quantile_sketch_accumulates(spark, tmp_path):
+    """The quantile summary's merge-is-row-union claim, in streaming
+    form: each micro-batch lands its bounded partials in a sketch dir
+    (foreachBatch append), and a quantile read over the ACCUMULATED
+    sketch answers for the union of all batches within the deterministic
+    ε bound — no re-scan of landed data, the incremental-profiling
+    loop."""
+    import os
+
+    from yodel_etl_spark.scale.sketch import quantile_partials, quantile_query
+
+    src = str(tmp_path / "in")
+    sk_dir = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    vals1 = [float(v) for v in range(0, 4000)]
+    vals2 = [float(v) for v in range(4000, 10000)]
+    schema = "x double"
+    spark.createDataFrame([(v,) for v in vals1], schema).coalesce(2).write.mode(
+        "append"
+    ).parquet(src)
+
+    def land(batch, _bid):
+        quantile_partials(batch, "x", capacity=64).write.mode("append").parquet(sk_dir)
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    spark.createDataFrame([(v,) for v in vals2], schema).coalesce(3).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+
+    merged = spark.read.parquet(sk_dir)
+    n = len(vals1) + len(vals2)
+    assert abs(merged.agg(F.sum("weight")).collect()[0][0] - n) < 1e-6
+    got = {r["p"]: r["value"] for r in quantile_query(merged, [0.25, 0.5, 0.9]).collect()}
+    # data is 0..9999 so true quantile value ≈ p·n; ε = n/64 per level,
+    # ×2 slack for the stratum midpoint (same bound the batch tests pin)
+    for p, v in got.items():
+        assert abs(v - p * n) <= 2 * n / 64, (p, v)

@@ -114,3 +114,34 @@ def test_edit_pairs_validation_and_plan(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # the gram-df order join
     release(out)
+
+
+def test_entity_resolution_end_to_end(spark):
+    """The ER chain the operator exists for: messy name variants →
+    edit_pairs edge list → connected components → one canonical entity
+    per variant cluster.  Chained variants (A~B~C where ed(A,C) > k)
+    must still resolve to ONE entity through transitivity."""
+    from yodel_etl_spark.scale.cluster import attach_components, connected_components
+
+    rows = [
+        # cluster 1: chain at k=1 (acme corp ~ acme corp. ~ acme corp.x)
+        (1, "acme corp"),
+        (2, "acme corp."),
+        (3, "acme corp.x"),
+        # cluster 2
+        (4, "globex"),
+        (5, "globexx"),
+        # singleton
+        (6, "initech"),
+    ]
+    df = spark.createDataFrame(rows, "id long, v string")
+    pairs = edit_pairs(df, "v", k=1, q=2)
+    # value-grain edges → id-grain entity map via the component of the NAME
+    comp = connected_components(pairs, src="name_a", dst="name_b")
+    resolved = attach_components(df, comp, "v", "entity")
+    got = {r["id"]: r["entity"] for r in resolved.collect()}
+    release(pairs)
+    assert got[1] == got[2] == got[3]  # transitive closure
+    assert got[4] == got[5]
+    assert got[6] == "initech"  # singleton keeps its own name
+    assert len({got[1], got[4], got[6]}) == 3

@@ -91,3 +91,44 @@ def expect_report(
         )
         .alias("pass_frac"),
     )
+
+
+def iqr_outlier_report(
+    df: DataFrame,
+    col: str,
+    k: float = 1.5,
+    capacity: int = 256,
+) -> DataFrame:
+    """Tukey-fence outlier screen over a numeric column, driven by the
+    mergeable quantile summary (``scale.sketch.quantile_partials``):
+    one row reporting the [q1 − k·IQR, q3 + k·IQR] fences and how many
+    rows fall outside them.
+
+    Why the sketch and not ``percentile_approx``: the SAME summary a
+    profiling pipeline already maintains incrementally (per-day partials
+    unioned into per-month) answers here with no second scan of history
+    — today's fence positions come from the accumulated sketch, and only
+    the outlier COUNT touches the data being gated.  Quantile rank error
+    is the sketch's deterministic ε = 1/capacity (fence VALUES shift by
+    at most that rank band; the count is exact against the reported
+    fences).
+
+    Scale shape: one bounded-state sketch pass + one map-side-combined
+    conditional count — no data-row shuffle anywhere."""
+    from yodel_etl_spark.scale.sketch import quantile_partials, quantile_query
+
+    sk = quantile_partials(df, col, capacity=capacity)
+    qs = {r["p"]: r["value"] for r in quantile_query(sk, [0.25, 0.75]).collect()}
+    q1, q3 = qs[0.25], qs[0.75]
+    lo = q1 - k * (q3 - q1)
+    hi = q3 + k * (q3 - q1)
+    c = F.col(col).cast("double")
+    return df.agg(
+        F.lit(col).alias("column"),
+        F.lit(float(lo)).alias("fence_lo"),
+        F.lit(float(hi)).alias("fence_hi"),
+        F.coalesce(F.sum(F.when((c < lo) | (c > hi), 1).otherwise(0)), F.lit(0)).alias(
+            "n_outliers"
+        ),
+        F.count(c).alias("n_rows"),
+    )
