@@ -1,0 +1,125 @@
+"""Link-graph centrality for crawl curation: PageRank by power
+iteration over a (src, dst) edge list.
+
+Why it is a training-data-pipeline operator: web-scale corpus curation
+ranks DOMAINS before it ranks documents — a link-graph centrality score
+over the host graph is the standard quality prior (Common Crawl
+publishes exactly this as its host-level ranking; the curation recipe
+"keep pages from well-linked hosts" needs it as an input column).  The
+host graph is millions of nodes where the page graph is billions, so
+the iterative join runs at the small grain — but the shape below holds
+at either.
+
+Scale shape (per iteration, the classic formulation):
+  * contributions: ranks ⋈ out-degree (narrow, same key) then ⋈ edges
+    on ``src`` — the one data-sized shuffle, keyed by ``dst`` for the
+    sum; out-degrees are computed ONCE before the loop;
+  * dangling mass (nodes with no out-links) and the teleport term are
+    a ONE-ROW aggregate broadcast into the update — no node ever
+    enumerates "all nodes";
+  * every round ``localCheckpoint``s the new rank vector (lazy — the
+    convergence probe is the action that materializes it, the
+    ``cluster.connected_components`` pattern), so lineage stays one
+    round deep instead of compounding joins;
+  * convergence = L1 delta below ``tol`` (one tiny agg over the
+    node-grain join of old vs new ranks, piggybacked on the same probe).
+
+Ranks sum to 1 at every iteration (teleport + dangling redistribution
+conserve mass); floating sums make the result deterministic only to
+shuffle-order ULPs, so this is a pytest-verified (numpy power-iteration
+twin) operator, not an oracle-hash query — the same contract as k-means.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    tol: float | None = 1e-6,
+    max_iter: int = 120,
+) -> DataFrame:
+    """``(node, rank)`` for every node appearing in ``edges``; ranks
+    sum to 1.  Duplicate edges are weighted (a host linking twice
+    contributes twice — collapse upstream with ``distinct()`` for the
+    unweighted form); self-loops count like any edge.  Raises if the
+    L1 delta has not reached ``tol`` within ``max_iter`` rounds.
+
+    ``tol=None`` runs EXACTLY ``max_iter`` rounds with no convergence
+    requirement — the budgeted form a scheduled pipeline uses (per-day
+    refresh warm-started off yesterday's ranks doesn't need a
+    convergence cliff; L1 contracts by the damping factor per round, so
+    the error after k rounds is bounded by d^k · Δ₀ a priori).  Note
+    the geometry: d=0.85 needs ~90 rounds for 1e-6, so ``tol``-mode
+    callers size ``max_iter`` from ``ln(tol)/ln(d)``, not optimism."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col(src).isNotNull() & F.col(dst).isNotNull()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # also materializes the persist
+    outdeg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    # node-grain state the loop re-joins every round: (node, deg, rank);
+    # deg is NULL for dangling nodes
+    state = nodes.join(outdeg, "node", "left").withColumn(
+        "rank", F.lit(1.0 / n)
+    ).persist()
+    d = float(damping)
+    for _ in range(max_iter):
+        contrib = (
+            state.where(F.col("deg").isNotNull())
+            .join(e, state["node"] == e["u"])
+            .select(F.col("v").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling = state.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("deg").isNull(), F.col("rank"))), F.lit(0.0)
+            ).alias("dm")
+        )
+        new_state = (
+            state.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))  # 1-row bound → broadcast
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dm") / n)
+                ).alias("rank"),
+                F.col("rank").alias("_prev"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        # the ONE action per round: materializes the checkpoint and
+        # reads the convergence delta off the same frame
+        delta = new_state.agg(F.sum(F.abs(F.col("rank") - F.col("_prev")))).collect()[
+            0
+        ][0]
+        state.unpersist()
+        state = new_state.drop("_prev").persist()
+        if tol is not None and delta < tol:
+            break
+    else:
+        if tol is not None:
+            nodes.unpersist()
+            state.unpersist()
+            raise RuntimeError(
+                f"pagerank did not converge to L1 {tol} in {max_iter} rounds"
+            )
+    out = state.select("node", "rank")
+    nodes.unpersist()
+    return out

@@ -96,7 +96,12 @@ def edit_pairs(
         raise ValueError(f"k must be >= 1, got {k}")
     if q < 2:
         raise ValueError(f"q must be >= 2, got {q}")
-    vals = df.groupBy(F.col(col).alias("name")).agg(F.count(F.lit(1)).alias("cnt"))
+    # persisted: referenced by the gram path, BOTH sides of the short
+    # route, and both count joins — unpersisted, the upstream scan +
+    # value groupBy re-runs per consumer (measured 8 scans / 17
+    # exchanges, zero ReusedExchange), and the rows are narrow
+    # (name, cnt), the cheap-to-cache shape
+    vals = df.groupBy(F.col(col).alias("name")).agg(F.count(F.lit(1)).alias("cnt")).persist()
     pad = F.lit(chr(0) * (q - 1))
     padded = vals.select(
         "name",
@@ -171,5 +176,5 @@ def edit_pairs(
         )
         .select("name_a", "name_b", "dist", "cnt_a", "cnt_b")
     )
-    # cache lifetime is the caller's: session.release(out) frees posts
-    return register_persisted(out, posts)
+    # cache lifetime is the caller's: session.release(out) frees both
+    return register_persisted(out, posts, vals)
