@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from yodel_etl_spark.scale.decontam import eval_gram_set, ngram_keys
+from yodel_etl_spark.session import guarded_filter
 from yodel_etl_spark.scale.textstats import (
     fingerprint,
     lang_id,
@@ -94,33 +95,12 @@ def _keep_condition(cfg: CurateConfig) -> Column:
 
 def _guarded_filter(df: DataFrame, cond: Column) -> DataFrame:
     """Filter without letting PushDownPredicate substitute ``cond``
-    through the staged signal projections.
-
-    Pushing a filter on computed signal columns inlines the signal
-    expressions into the predicate, un-staging the token/gram arrays —
-    and a gram array inlined into its HOF lambda re-runs the tokenizer
-    per element (the 35-50× expression-hygiene pathology) *below the
-    spread() exchange*, so the blown-up filter also runs in the single
-    scan task (measured 20.6 s → 0.5 s on the sf0.1 signal pass).
-
-    A nondeterministic *predicate* (``monotonically_increasing_id() <
-    0 OR cond``) is not enough: PushPredicateThroughNonJoin only
-    requires the PROJECT LIST to be deterministic — a nondeterministic
-    condition pushes through a deterministic projection just fine
-    (reordering filter-over-project never changes which rows the
-    predicate sees), and the inlined plan carried 86 copies of the
-    tokenizer below the spread() exchange.  The fence must therefore
-    live in the projection itself: project a nondeterministic column
-    and reference it in the predicate.  The reference keeps
-    ColumnPruning from deleting the field (which would re-legalize the
-    push), and the nondeterministic project list blocks the rule.  The
-    OR rides inside one predicate so splitConjunctivePredicates cannot
-    peel the deterministic half off and push it alone.
-    ``__fence < 0`` is always false (monotonically_increasing_id is
-    non-negative), so the condition is semantically ``cond``; the
-    guard costs one long compare per row."""
-    fenced = df.withColumn("__fence", F.monotonically_increasing_id())
-    return fenced.where((F.col("__fence") < F.lit(0)) | cond).drop("__fence")
+    through the staged signal projections — promoted to the shared
+    :func:`yodel_etl_spark.session.guarded_filter` (scale/links.py hits
+    the same pathology); this alias keeps the pipeline's local name.
+    The 20.6 s -> 0.5 s measurement on the sf0.1 signal pass lives in
+    the shared helper's docstring now."""
+    return guarded_filter(df, cond)
 
 
 def curate(

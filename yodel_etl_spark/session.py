@@ -204,3 +204,28 @@ def release(df: DataFrame) -> None:
     level = df.storageLevel
     if level.useMemory or level.useDisk:
         df.unpersist()
+
+
+def guarded_filter(df: DataFrame, cond) -> DataFrame:
+    """Filter WITHOUT letting PushDownPredicate substitute ``cond``
+    through staged projections below it.
+
+    Pushing a filter on computed columns inlines their defining
+    expressions into the predicate — un-staging exactly the values the
+    projection hygiene bound once (pipelines/curate.py measured the
+    pathology at 20.6 s → 0.5 s on its signal pass; scale/links.py hits
+    the same with its resolve/canonicalize chain).  A nondeterministic
+    PREDICATE alone does not block the push (PushPredicateThroughNonJoin
+    only requires the project list to be deterministic), so the fence
+    lives in the projection: project a nondeterministic column and
+    reference it inside one OR predicate — the reference keeps
+    ColumnPruning from deleting the field, the nondeterministic project
+    list blocks the rule, and the single OR keeps
+    splitConjunctivePredicates from peeling the deterministic half off.
+    ``__fence < 0`` is always false (monotonically_increasing_id is
+    non-negative), so the condition is semantically ``cond``; cost is
+    one long compare per row."""
+    from pyspark.sql import functions as F
+
+    fenced = df.withColumn("__fence", F.monotonically_increasing_id())
+    return fenced.where((F.col("__fence") < F.lit(0)) | cond).drop("__fence")
