@@ -209,3 +209,85 @@ def test_leakage_safe_split_no_edge_straddles(spark):
     }
     assert any(naive[a] != naive[b] for a, b in edges)
     out.unpersist()
+
+
+# ---------------------------------------------------------- priority sampling
+
+
+def _ps_corpus(spark, n=400):
+    # weights 1..8 by id arithmetic — deterministic, skewed enough that
+    # weight sensitivity is measurable
+    return spark.range(n).select(
+        F.col("id"), (F.col("id") % 8 + 1).cast("long").alias("w")
+    )
+
+
+def test_priority_sample_deterministic_and_seed_redraws(spark):
+    from yodel_etl_spark.scale.sampling import priority_sample
+
+    df = _ps_corpus(spark)
+    a1 = {r["id"] for r in priority_sample(df, "id", "w", 50).collect()}
+    a2 = {r["id"] for r in priority_sample(df, "id", "w", 50).collect()}
+    b = {r["id"] for r in priority_sample(df, "id", "w", 50, seed="other").collect()}
+    assert a1 == a2 and len(a1) == 50
+    assert a1 != b  # a redraw that matched would be astronomically unlucky
+
+
+def test_priority_sample_weight_sensitivity(spark):
+    """Across many independent draws the mean sampled weight must
+    exceed the corpus mean — heavy rows win more often (the point of
+    weighted sampling).  Deterministic: fixed seed list."""
+    from yodel_etl_spark.scale.sampling import priority_sample
+
+    df = _ps_corpus(spark).persist()
+    corpus_mean = 4.5  # weights 1..8 uniform
+    means = []
+    for s in ("s0", "s1", "s2"):
+        rows = priority_sample(df, "id", "w", 40, seed=s).collect()
+        means.append(sum(r["w"] for r in rows) / len(rows))
+    df.unpersist()
+    assert all(m > corpus_mean for m in means), means
+
+
+def test_priority_sample_estimator_tracks_total(spark):
+    """sum(est) over the sample is the DLT unbiased estimator of the
+    corpus total weight — at k=100 of 400 rows it should land within
+    25% for each of these fixed seeds (values are deterministic; the
+    bound has slack on purpose)."""
+    from yodel_etl_spark.scale.sampling import priority_sample
+
+    df = _ps_corpus(spark).persist()
+    total = 400 / 8 * sum(range(1, 9))  # 1800
+    for s in ("e0", "e1", "e2"):
+        est = sum(
+            r["est"] for r in priority_sample(df, "id", "w", 100, seed=s).collect()
+        )
+        assert abs(est - total) / total < 0.25, (s, est)
+    df.unpersist()
+
+
+def test_priority_sample_exhaustive_when_k_exceeds_n(spark):
+    from yodel_etl_spark.scale.sampling import priority_sample
+
+    df = spark.range(5).select(F.col("id"), F.lit(3).cast("long").alias("w"))
+    rows = priority_sample(df, "id", "w", 50).collect()
+    assert len(rows) == 5
+    # tau = 0 → est = w exactly (the sample is the population)
+    assert all(r["est"] == 3.0 for r in rows)
+
+
+def test_priority_sample_plan_has_no_global_sort_or_window(spark):
+    from yodel_etl_spark.scale.sampling import priority_sample
+
+    out = priority_sample(_ps_corpus(spark), "id", "w", 50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    out.unpersist()
+
+
+def test_priority_sample_rejects_bad_k(spark):
+    from yodel_etl_spark.scale.sampling import priority_sample
+
+    with pytest.raises(ValueError):
+        priority_sample(_ps_corpus(spark), "id", "w", 0)

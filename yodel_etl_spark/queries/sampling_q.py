@@ -352,3 +352,44 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return dsir_select(docs, "doc_id", "text", target_pct=5, n_buckets=_DSIR_B, top_n=50)
+
+
+@register(
+    "wsamp",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id AS id, n_chars AS w,
+             (CAST(n_chars AS DOUBLE) * 4294967296.0)
+               / (CAST(('0x' || substr(md5('ps1|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) + 1) AS q
+      FROM documents
+    ), topk1 AS (
+      SELECT * FROM scored ORDER BY q DESC, id LIMIT 65
+    ), tau AS (
+      SELECT CASE WHEN count(*) = 65 THEN min(q) ELSE 0.0 END AS tau FROM topk1
+    )
+    SELECT id, w, q, greatest(CAST(w AS DOUBLE), tau.tau) AS est
+    FROM (SELECT * FROM topk1 ORDER BY q DESC, id LIMIT 64) s, tau
+    """,
+    doc="Weight-sensitive sampling WITHOUT replacement: priority "
+    "sampling (Duffield-Lund-Thorup JACM 2007) of 64 documents with "
+    "weight = n_chars — every row draws u from the md5 lattice, "
+    "priority q = w/u, top-k wins; est = max(w, tau) is the DLT "
+    "unbiased subset-sum estimator (tau = (k+1)-th priority), so the "
+    "sample supports corpus accounting.  The oracle checks MEMBERSHIP "
+    "row for row, not just counts: u = (h+1)/2^32 keeps q to md5 + "
+    "integer ops + ONE correctly-rounded IEEE division, bit-identical "
+    "across engines (no ln/pow — the reason this is DLT priorities "
+    "rather than Efraimidis-Spirakis keys).  Scale: top-(k+1) is "
+    "TakeOrderedAndProject (per-partition heaps, no global sort/"
+    "window); tau folds to a one-row broadcast.  Tier 2: yields its "
+    "driver-window slot; parity via pytest oracle suite.",
+    tags=("sampling", "scale"),
+    bench=True,
+    tier=2,
+)
+def wsamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.sampling import priority_sample
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return priority_sample(docs, "doc_id", "n_chars", k=64, seed="ps1")

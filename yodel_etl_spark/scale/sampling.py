@@ -256,3 +256,74 @@ def leakage_safe_split(
     comp = connected_components(pairs, src=src, dst=dst)
     grouped = attach_components(df, comp, id_col)
     return hash_split(grouped, "component", fractions, split_col)
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "ps1",
+) -> DataFrame:
+    """Deterministic weight-sensitive sample of ``k`` rows WITHOUT
+    replacement — priority sampling (Duffield, Lund & Thorup, JACM
+    2007): every row draws a uniform ``u`` from the md5 lattice, gets
+    priority ``q = w/u``, and the k highest-priority rows are the
+    sample.  Heavier rows win proportionally more often, re-runs
+    reproduce the sample bit-for-bit, and changing ``seed`` redraws it
+    (the :func:`reservoir_per_key` contract, weight-aware).
+
+    The returned ``est`` column is the DLT unbiased subset-sum
+    estimator: ``max(w, τ)`` with τ the (k+1)-th priority — summing
+    ``est`` over the sample estimates the total weight of ANY predicate
+    evaluated on it (within-sample covariances are zero), which is what
+    makes a small weighted sample usable for corpus accounting.
+
+    Cross-engine determinism without transcendentals: ``u = (h+1)/2³²``
+    from a 32-bit md5 prefix, so ``q = w·2³²/(h+1)`` is integer
+    arithmetic followed by ONE correctly-rounded IEEE division — md5,
+    ``*``, ``/`` are bit-identical in Spark and DuckDB (the reason this
+    uses priorities rather than Efraimidis–Spirakis ``u^(1/w)`` keys,
+    whose ``ln``/``pow`` differ by ULPs across libm implementations).
+    Ties break on ``id``.
+
+    Scale shape: the top-(k+1) is ``TakeOrderedAndProject`` — per-
+    partition heaps, no global sort, no corpus-sized window; τ folds to
+    a one-row broadcast.  The k+1 candidate rows are persisted (they
+    feed both τ and the sample; bounded by k).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from yodel_etl_spark.session import register_persisted
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    q = (F.col(weight_col).cast("double") * F.lit(4294967296.0)) / (
+        (h + F.lit(1)).cast("double")
+    )
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        F.col(weight_col).alias("w"),
+        q.alias("q"),
+    )
+    topk1 = scored.orderBy(F.desc("q"), F.col("id")).limit(k + 1).persist()
+    # τ = (k+1)-th priority; 0 when the table has ≤ k rows (then the
+    # sample is exhaustive and est = w exactly — the DLT convention)
+    tau_row = topk1.agg(
+        F.when(F.count(F.lit(1)) == k + 1, F.min("q"))
+        .otherwise(F.lit(0.0))
+        .alias("tau")
+    )
+    sample = topk1.orderBy(F.desc("q"), F.col("id")).limit(k)
+    out = sample.crossJoin(F.broadcast(tau_row)).select(
+        "id",
+        "w",
+        "q",
+        F.greatest(F.col("w").cast("double"), F.col("tau")).alias("est"),
+    )
+    return register_persisted(out, topk1)
