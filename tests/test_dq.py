@@ -93,3 +93,74 @@ def test_iqr_outlier_report(spark):
         spark.createDataFrame(pd.DataFrame({"x": clean})).repartition(4), "x"
     ).collect()[0]
     assert clean_rep["n_outliers"] == 0
+
+
+# ------------------------------------------------------------- PSI drift
+
+
+def _psi_term_micro(n_a, n_b, na_t, nb_t):
+    """The operator's exact arithmetic, mirrored: quantized ln, then a
+    quantized term — integer micro-nats."""
+    import math
+
+    pa, pb = n_a / na_t, n_b / nb_t
+    lr_micro = round(math.log((n_a * nb_t) / (n_b * na_t)) * 1e6)
+    return round((pa - pb) * lr_micro)
+
+
+def test_psi_identical_distributions_is_zero(spark):
+    from yodel_etl_spark.scale.dq import psi_drift
+
+    rows = [(b, s) for b in range(4) for s in ("a", "a", "b", "b")]
+    df = spark.createDataFrame(rows, ["bin", "side"])
+    out = psi_drift(df, F.col("bin"), F.col("side") == "a").collect()
+    assert len(out) == 4
+    assert all(r["term_micro"] == 0 for r in out)
+
+
+def test_psi_matches_hand_computation(spark):
+    from yodel_etl_spark.scale.dq import psi_drift
+
+    # slice A: 60/30/10 over bins 0/1/2; slice B: 30/30/40
+    counts = {0: (6, 3), 1: (3, 3), 2: (1, 4)}
+    rows = []
+    for b, (na, nb) in counts.items():
+        rows += [(b, "a")] * na + [(b, "b")] * nb
+    df = spark.createDataFrame(rows, ["bin", "side"])
+    got = {
+        r["bin"]: (r["n_a"], r["n_b"], r["term_micro"])
+        for r in psi_drift(df, F.col("bin"), F.col("side") == "a").collect()
+    }
+    na_t, nb_t = 10, 10
+    for b, (na, nb) in counts.items():
+        assert got[b] == (na, nb, _psi_term_micro(na, nb, na_t, nb_t)), b
+    psi = sum(v[2] for v in got.values()) / 1e6
+    assert psi > 0.25  # a 30-point mass shift is well past the alert band
+
+
+def test_psi_empty_side_bin_reports_null_term(spark):
+    from yodel_etl_spark.scale.dq import psi_drift
+
+    rows = [(0, "a"), (0, "b"), (1, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, ["bin", "side"])
+    got = {
+        r["bin"]: (r["n_a"], r["n_b"], r["term_micro"])
+        for r in psi_drift(df, F.col("bin"), F.col("side") == "a").collect()
+    }
+    assert got[1] == (1, 0, None)  # bin slice B abandoned
+    assert got[2] == (0, 1, None)  # bin slice B opened
+    assert got[0][2] is not None
+
+
+def test_psi_single_corpus_scan(spark):
+    """The bin table is persisted: totals and the report join must read
+    the cached bin rows, not re-run the corpus aggregation."""
+    from yodel_etl_spark.scale.dq import psi_drift
+
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("bin"), (F.col("id") % 2 == 0).alias("a")
+    )
+    out = psi_drift(df, F.col("bin"), F.col("a"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    out.unpersist()

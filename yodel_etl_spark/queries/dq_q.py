@@ -116,3 +116,60 @@ def profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
     return profile_table(docs, ("doc_id", "text", "lang", "source", "n_chars"))
+
+
+@register(
+    "drift",
+    oracle="""
+    WITH b AS (
+      SELECT least(CAST(floor(n_chars / 100.0) AS BIGINT), 15) AS bin,
+             source IN ('src0','src1','src2','src3','src4') AS in_a
+      FROM documents
+    ), g AS (
+      SELECT bin,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      FROM b GROUP BY bin
+    ), t AS (
+      SELECT CAST(sum(n_a) AS BIGINT) AS na_t, CAST(sum(n_b) AS BIGINT) AS nb_t
+      FROM g
+    )
+    SELECT bin, n_a, n_b,
+           CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE
+             CAST(round(
+               (CAST(n_a AS DOUBLE)/CAST(na_t AS DOUBLE)
+                  - CAST(n_b AS DOUBLE)/CAST(nb_t AS DOUBLE))
+               * CAST(CAST(round(ln((CAST(n_a AS DOUBLE)*CAST(nb_t AS DOUBLE))
+                            / (CAST(n_b AS DOUBLE)*CAST(na_t AS DOUBLE)))
+                        * 1000000.0) AS BIGINT) AS DOUBLE)
+             ) AS BIGINT)
+           END AS term_micro
+    FROM g, t
+    """,
+    doc="Distribution-drift (PSI) report between corpus slices: the "
+    "document-length distribution of sources src0-4 (slice A) vs "
+    "src5-9 (slice B), binned by a deterministic integer lattice "
+    "(floor(n_chars/100) capped at 15 — data-independent, so the "
+    "report is oracle-exact and comparable across runs).  One corpus "
+    "scan folds to bin grain map-side (no data-row shuffle); totals "
+    "aggregate the BIN TABLE and broadcast back as one row.  Per-bin "
+    "PSI terms in exact integer micro-nats (the scale/lm.py ln-"
+    "quantization convention; +-*-/ are correctly-rounded IEEE, so "
+    "everything else is bit-identical cross-engine); empty-side bins "
+    "report NULL terms but keep their counts — a bin one slice "
+    "abandons IS the drift signal.  PSI = sum(term_micro)/1e6.  "
+    "Tier 2: yields its driver-window slot; parity via pytest oracle "
+    "suite.",
+    tags=("dq", "drift", "scale"),
+    bench=True,
+    tier=2,
+)
+def drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.dq import psi_drift
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bin_col = F.least(
+        F.floor(F.col("n_chars") / F.lit(100.0)).cast("long"), F.lit(15).cast("long")
+    )
+    in_a = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    return psi_drift(docs, bin_col, in_a)

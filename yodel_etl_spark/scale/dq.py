@@ -132,3 +132,71 @@ def iqr_outlier_report(
         ),
         F.count(c).alias("n_rows"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    bin_col: Column,
+    in_a: Column,
+) -> DataFrame:
+    """Population-stability report between two slices of one frame —
+    the drift monitor a corpus pipeline runs when a new crawl batch,
+    source, or time window lands: bin a signal (length, quality score,
+    token count), compare the bin distribution of slice A (``in_a``
+    true) against slice B (the rest), and report each bin's PSI term.
+    ``PSI = Σ (p_a − p_b)·ln(p_a/p_b)``; < 0.1 is the conventional
+    "stable" band, > 0.25 "shifted, investigate".
+
+    One corpus scan: counts fold to bin grain in a single map-side-
+    combined groupBy (the data never shuffles — only bin-grain
+    partials); totals come from a second aggregate OVER THE BIN TABLE
+    (bins-many rows) broadcast back as one row.  ``bin_col`` must be a
+    deterministic, data-independent binning expression (integer
+    arithmetic, not quantiles) so the report is oracle-exact and
+    comparable across runs — for quantile bins, freeze the cutpoints
+    first (scale/sketch.py quantile summary) and pass the comparison.
+
+    Cross-engine determinism: probabilities and ratios are exact
+    integer counts pushed through correctly-rounded IEEE ``*``/``/``;
+    the one transcendental (``ln``) quantizes to integer micro-nats
+    (the scale/lm.py convention), and each bin's ``term_micro`` is an
+    exact BIGINT — summing them is order-insensitive.  Bins where
+    either side is empty report ``term_micro`` NULL (PSI is undefined
+    there; the counts still surface so the report shows WHERE the new
+    slice opened or abandoned a bin — often the drift signal itself).
+
+    Returns ``(bin, n_a, n_b, term_micro)``; ``PSI ≈ sum(term_micro)/1e6``.
+    """
+    from yodel_etl_spark.session import register_persisted
+
+    # PERSISTED: the bin table feeds both the totals aggregate and the
+    # report join — unpinned, each branch would re-run the corpus scan
+    # and groupBy; bin-grain rows only (bins-many, bounded)
+    g = (
+        df.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.sum(F.when(in_a, 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(in_a, 0).otherwise(1)).cast("long").alias("n_b"),
+        )
+        .persist()
+    )
+    totals = g.agg(
+        F.sum("n_a").alias("na_t"), F.sum("n_b").alias("nb_t")
+    )
+    j = g.crossJoin(F.broadcast(totals))
+    pa = F.col("n_a").cast("double") / F.col("na_t").cast("double")
+    pb = F.col("n_b").cast("double") / F.col("nb_t").cast("double")
+    ratio = (F.col("n_a").cast("double") * F.col("nb_t").cast("double")) / (
+        F.col("n_b").cast("double") * F.col("na_t").cast("double")
+    )
+    lr_micro = F.round(F.log(ratio) * F.lit(1000000.0)).cast("long")
+    term = F.round((pa - pb) * lr_micro.cast("double")).cast("long")
+    out = j.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.when((F.col("n_a") == 0) | (F.col("n_b") == 0), F.lit(None).cast("long"))
+        .otherwise(term)
+        .alias("term_micro"),
+    )
+    return register_persisted(out, g)
