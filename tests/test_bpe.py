@@ -95,7 +95,7 @@ def test_bpe_encode_query_deterministic_and_bounded(spark, sf_small):
     from yodel_etl_spark.registry import load_all
     from yodel_etl_spark.scale.textstats import tokens
 
-    build = load_all()["bpe_encode"].build
+    build = load_all()["bpee"].build
     a = {r["doc_id"]: r for r in build(spark, sf_small).collect()}
     b = {r["doc_id"]: r for r in build(spark, sf_small).collect()}
     assert a == b

@@ -17,7 +17,7 @@ from yodel_etl_spark.scale.classifier import train_quality_lr
 from yodel_etl_spark.session import load_tables, release
 
 B = 512
-ROUNDS = 4  # must mirror the registered quality_clf recipe
+ROUNDS = 4  # must mirror the registered clf recipe
 
 
 def _bucket(s: str, m: int) -> int:
@@ -72,7 +72,7 @@ def trained(spark, sf_small):
     itself so the twin never re-derives the median."""
     from yodel_etl_spark.registry import load_all
 
-    scored = load_all()["quality_clf"].build(spark, sf_small)
+    scored = load_all()["clf"].build(spark, sf_small)
     pdf = scored.toPandas()
     release(scored)
     docs = load_tables(spark, sf_small, ("documents",))["documents"]

@@ -106,7 +106,7 @@ def test_dedup_keep_canonical(spark):
 
 
 def test_registered_query_matches_union_find_on_real_pairs(spark, sf_small):
-    """dedup_clusters == union-find over the (oracle-checked elsewhere)
+    """ccomp == union-find over the (oracle-checked elsewhere)
     MinHash-LSH pair list at test SF."""
     from yodel_etl_spark.registry import load_all
     from yodel_etl_spark.scale.dedup import minhash_lsh_pairs
@@ -129,6 +129,6 @@ def test_registered_query_matches_union_find_on_real_pairs(spark, sf_small):
     }
     got = {
         (r["component"], r["cluster_size"], r["members"])
-        for r in load_all()["dedup_clusters"].build(spark, sf_small).collect()
+        for r in load_all()["ccomp"].build(spark, sf_small).collect()
     }
     assert got == expected

@@ -68,7 +68,7 @@ def test_encoder_feeds_lsh_finds_planted_near_dups(spark):
 def test_registered_embed_lsh_query(spark):
     from yodel_etl_spark.registry import load_all
 
-    pdf = load_all()["embed_lsh"].build(spark, "/root/testdata/sf0.001").toPandas()
+    pdf = load_all()["elsh"].build(spark, "/root/testdata/sf0.001").toPandas()
     assert list(pdf.columns) == ["id_a", "id_b", "cos"]
     assert len(pdf) > 0
     planted = pdf[(pdf.id_b - pdf.id_a) == 1_000_000]

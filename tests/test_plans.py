@@ -195,7 +195,7 @@ def test_ppl_cut_registered_query_stays_window_free(spark, sf_small):
     must keep the no-Window/no-global-Sort property end to end — it
     exists to RECORD the 100 TB plan's cost, so a window creeping in
     would silently bench the wrong plan."""
-    q = load_all()["ppl_cut"].build(spark, sf_small)
+    q = load_all()["pplc"].build(spark, sf_small)
     plan = _plan(q)
     assert "Window" not in plan, plan
     assert "windowspecdefinition" not in plan, plan
@@ -218,7 +218,7 @@ def test_embed_lsh_band_join_carries_narrow_rows(spark, sf_small):
     """The encoder feeds LSH: the band self-join must flow (id, block,
     key) rows only — the 64-float vectors join back onto the deduped
     candidate list, never through the band exchange."""
-    q = load_all()["embed_lsh"].build(spark, sf_small)
+    q = load_all()["elsh"].build(spark, sf_small)
     plan = _plan(q)
     # the band self-join on (block, key) — broadcast at test SF, a
     # hash-partitioned exchange at scale; either way the join exists

@@ -64,7 +64,7 @@ def _zorder_path(sf_dir: str) -> str:
 
 
 @register(
-    "write_zorder",
+    "zorder",
     oracle=None,  # side-effecting write + layout-dependent file set;
     # correctness of the layout is pinned at parquet-footer level in
     # tests/test_layout.py, value determinism by the exact-count return

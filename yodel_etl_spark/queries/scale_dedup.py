@@ -135,7 +135,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_simhash",
+    "simhash",
     oracle=None,  # xxhash64 has no DuckDB twin — rows-only + golden tests
     doc="SimHash(64-bit) near-dup pairs, Hamming ≤ 3, via 8-block "
     "pigeonhole banding (guaranteed recall for distance < 8) + exact "
@@ -310,7 +310,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_clusters",
+    "ccomp",
     oracle=None,  # transitive closure — not single-statement SQL; pytest
     # pins parity against a union-find oracle on the (separately
     # oracle-checked) pair list, see tests/test_cluster.py

@@ -181,7 +181,7 @@ def audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     "banding join shared with text SimHash (pigeonhole-exact recall "
     "at distance < blocks).  Only 8-byte sketches shuffle; blobs "
     "never leave their decode partition.  The multimodal twin of "
-    "dedup_simhash — perceptual dedup for the image columns of a "
+    "simhash — perceptual dedup for the image columns of a "
     "multimodal corpus.",
     tags=("multimodal", "dedup", "scale"),
     bench=True,

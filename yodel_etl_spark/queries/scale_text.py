@@ -462,7 +462,7 @@ def text_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ppl_cut",
+    "pplc",
     oracle=None,  # cutpoints come from percentile_approx, so bucket
     # membership at the cut is engine-specific by design; correctness
     # anchors are the pytest rank-agreement + inclusive-tie-band pins
@@ -558,7 +558,7 @@ def text_html(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "bpe_merges",
+    "bpem",
     oracle=None,  # iterative training is not single-statement SQL —
     # parity vs a literal single-process BPE trainer (merge list, order,
     # encodings) pinned in tests/test_bpe.py; rows-only registry tail
@@ -586,12 +586,12 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "bpe_encode",
+    "bpee",
     oracle=None,  # the merge table is data-dependent and its application
     # iterative — not single-statement SQL; per-word encode parity vs the
     # textbook single-process encoder is pinned in tests/test_bpe.py
     doc="Tokenize the corpus with the trained BPE merge table — the "
-    "apply half of the train→apply tokenizer pair (bpe_merges "
+    "apply half of the train→apply tokenizer pair (bpem "
     "trains; this encodes every document and reports token counts and "
     "the md5 of the token stream).  The merge table is control-plane "
     "data (16 rows) closed over an Arrow-batched mapInPandas whose "
@@ -683,7 +683,7 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "quality_clf",
+    "clf",
     oracle=None,  # iterative gradient descent — not single-statement
     # SQL; bit-reproducibility, numpy-twin parity, loss descent and
     # accuracy-over-base-rate are pinned in tests/test_classifier.py

@@ -1,7 +1,7 @@
 """Web-corpus ingest queries: WARC container reading and the
 text→embedding encoder stage — the two steps UPSTREAM of everything the
 curation/similarity families do, registered so their cost shape is a
-recorded bench number (the write_zorder precedent: ingest cost IS a
+recorded bench number (the zorder precedent: ingest cost IS a
 query cost at 100 TB).
 
 Both are rows-only by design: the WARC query's input is a
@@ -57,7 +57,7 @@ def warc_fixture_dir() -> str:
     """Write (once per process) the deterministic fixture archives —
     ``_N_FILES`` ``.warc.gz`` files of ``_N_PAGES`` total HTTP response
     records with reproducible bytes (gzip mtime=0) — and return the
-    directory.  Lives in tmpfs keyed by pid (the write_zorder scratch
+    directory.  Lives in tmpfs keyed by pid (the zorder scratch
     convention: no cross-process race, no disk flushback taxing
     whatever the bench times next), removed at exit."""
     from yodel_etl_spark.io.warc import write_warc
@@ -137,8 +137,104 @@ def warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _links_oracle() -> str:
+    """DuckDB twin of the ``links`` query, assembled from the same SQL
+    twins the parity tests pin (extract/resolve/canonicalize/host) —
+    CTE stages bind each intermediate once so the nested expression
+    stays linear in size."""
+    from yodel_etl_spark.scale.links import (
+        extract_hrefs_sql,
+        host_of_sql,
+        resolve_href_sql,
+    )
+    from yodel_etl_spark.scale.urlnorm import canonical_url_sql
+
+    return f"""
+    WITH pages AS (
+      SELECT 'https://src' || CAST(doc_id % 5 AS VARCHAR)
+               || '.example.org/a/b/page' || CAST(doc_id AS VARCHAR)
+               || '.html' AS url,
+             '<a href="http://WWW.H' || CAST(doc_id % 7 AS VARCHAR)
+               || '.Example.com:80/p/' || CAST(doc_id AS VARCHAR)
+               || '?utm_source=x&b=2&a=1#f">t</a>'
+               || '<A HREF=''//cdn.example.net/lib//x.js''>u</A>'
+               || '<a href="/local/' || CAST(doc_id % 3 AS VARCHAR) || '">v</a>'
+               || '<a href="../up/./d' || CAST(doc_id AS VARCHAR) || '">w</a>'
+               || '<a href="mailto:x@y.z">m</a><a href="#top">f</a>'
+               || '<a href=''javascript:void(0)''>j</a>' AS html
+      FROM documents
+    ), ex AS (
+      SELECT url, unnest({extract_hrefs_sql('html')}) AS href FROM pages
+    ), rs AS (
+      SELECT url, {resolve_href_sql('url', 'href')} AS dst FROM ex
+    ), cn AS (
+      SELECT {canonical_url_sql('url')} AS cu, {canonical_url_sql('dst')} AS cd
+      FROM rs WHERE dst IS NOT NULL
+    ), hosts AS (
+      SELECT {host_of_sql('cu')} AS src_host, {host_of_sql('cd')} AS dst_host
+      FROM cn
+    )
+    SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS weight
+    FROM hosts WHERE dst_host IS NOT NULL AND dst_host <> ''
+    GROUP BY src_host, dst_host
+    """
+
+
 @register(
-    "embed_lsh",
+    "links",
+    oracle=_links_oracle(),
+    doc="Hyperlink extraction → host-grain link graph, the edge "
+    "PRODUCER for the pagerank quality prior: documents wrapped in a "
+    "deterministic anchor envelope (absolute URL with www/port/"
+    "tracking-params to canonicalize, protocol-relative single-quoted "
+    "uppercase tag, root-relative, dot-segment relative, plus mailto/"
+    "fragment/javascript hrefs that must drop) → extract_hrefs + "
+    "resolve_href + canonical_url + host_of (all pure codegen in the "
+    "RE2 ∩ Java-regex dialect; the oracle is assembled from the same "
+    "SQL twins tests/test_links.py pins byte-for-byte) → ONE groupBy "
+    "shuffle at host grain.  Extraction/resolution are scan-stage; at "
+    "100 TB the shuffle carries host pairs, not pages.  Tier 2: yields "
+    "its driver-window slot; parity via pytest oracle suite.",
+    tags=("web", "scale", "graph"),
+    bench=True,
+    tier=2,
+)
+def links_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.links import link_edges
+
+    # spread: the regex work is kernel-bound and the local testdata is
+    # one row group — on a real cluster the scan arrives pre-split
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    did = F.col("doc_id").cast("string")
+    src = F.concat(
+        F.lit("https://src"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.org/a/b/page"),
+        did,
+        F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit('<a href="http://WWW.H'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.com:80/p/"),
+        did,
+        F.lit('?utm_source=x&b=2&a=1#f">t</a>'),
+        F.lit("<A HREF='//cdn.example.net/lib//x.js'>u</A>"),
+        F.lit('<a href="/local/'),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit('">v</a>'),
+        F.lit('<a href="../up/./d'),
+        did,
+        F.lit('">w</a>'),
+        F.lit('<a href="mailto:x@y.z">m</a><a href="#top">f</a>'),
+        F.lit("<a href='javascript:void(0)'>j</a>"),
+    )
+    pages = docs.select(src.alias("url"), html.alias("html"))
+    return link_edges(pages, "url", "html")
+
+
+@register(
+    "elsh",
     oracle=None,  # the hashed encoder is an engine-side kernel (no SQL
     # twin); encoder determinism + cosine sanity are pinned in
     # tests/test_encode.py, LSH recall/precision in the similarity suite
