@@ -510,3 +510,93 @@ def test_edit_pairs_scales_subquadratically(spark, tmp_path):
     ratio = t_large / t_small
     print(f"edit_pairs stress: small={t_small:.2f}s large={t_large:.2f}s ratio={ratio:.2f}")
     assert ratio < 12.0, f"20x values cost {ratio:.1f}x - candidate filter not holding"
+
+
+def test_link_edges_scales_sublinearly(spark, tmp_path):
+    """20× pages (each with the same 9-anchor envelope) must cost far
+    less than 20× wall: extraction/resolution are scan-stage codegen
+    over spread partitions and the only shuffle carries host pairs —
+    host cardinality does not grow with the corpus."""
+    from yodel_etl_spark.scale.links import link_edges
+    from yodel_etl_spark.session import load_tables, spread
+
+    docs = load_tables(spark, "/root/testdata/sf0.1", ("documents",))["documents"]
+
+    def pages_of(frame):
+        did = F.col("doc_id").cast("string")
+        src = F.concat(
+            F.lit("https://src"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.org/a/b/page"), did, F.lit(".html"),
+        )
+        html = F.concat(
+            F.lit('<a href="http://WWW.H'), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".Example.com:80/p/"), did,
+            F.lit('?utm_source=x&b=2&a=1#f">t</a>'),
+            F.lit("<A HREF='//cdn.example.net/lib//x.js'>u</A>"),
+            F.lit('<a href="/local/'), (F.col("doc_id") % 3).cast("string"),
+            F.lit('">v</a>'),
+            F.lit('<a href="../up/./d'), did, F.lit('">w</a>'),
+            F.lit('<a href="mailto:x@y.z">m</a><a href="#top">f</a>'),
+            F.lit("<a href='javascript:void(0)'>j</a>"),
+        )
+        return frame.select(src.alias("url"), html.alias("html"))
+
+    reps = spark.range(20).select(F.col("id").alias("rep"))
+    big = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id")
+    )
+    src_path = str(tmp_path / "big_docs_links")
+    big.write.mode("overwrite").parquet(src_path)
+
+    small = spread(docs.select("doc_id"))
+    large = spread(spark.read.parquet(src_path))
+
+    def timed(frame) -> float:
+        e = link_edges(pages_of(frame), "url", "html")
+        _force(e)  # warm
+        t0 = time.perf_counter()
+        _force(e)
+        return time.perf_counter() - t0
+
+    t_small, t_large = timed(small), timed(large)
+    print(f"STRESS {t_small:.2f}s -> {t_large:.2f}s ({t_large / t_small:.1f}x)")
+    assert t_large < t_small * 8, (t_small, t_large)
+
+
+def test_cdc_apply_cost_tracks_delta_not_snapshot(spark, tmp_path):
+    """The MERGE promise at scale: with broadcast_changes, applying a
+    FIXED-size delta onto a 20× snapshot must cost well under 20× the
+    1× baseline — the snapshot is probed (scan + broadcast anti-join),
+    never shuffled, and the window runs on the delta alone."""
+    from yodel_etl_spark.ops.cdc import apply_changes
+    from yodel_etl_spark.session import spread
+
+    base_small = spark.range(100_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("val")
+    )
+    base_big = spark.range(2_000_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("val")
+    )
+    for frame, name in ((base_small, "snap_small"), (base_big, "snap_big")):
+        frame.write.mode("overwrite").parquet(str(tmp_path / name))
+    delta = spark.range(10_000).select(
+        (F.col("id") * 7).alias("k"),
+        F.col("id").alias("val"),
+        F.col("id").alias("seq"),
+        F.when(F.col("id") % 10 == 0, "D").otherwise("U").alias("op"),
+    )
+
+    def timed(path) -> float:
+        snap = spread(spark.read.parquet(str(tmp_path / path)))
+        out = apply_changes(
+            snap, delta, keys=("k",), order_by=("seq",), op_col="op",
+            broadcast_changes=True,
+        )
+        _force(out)  # warm
+        t0 = time.perf_counter()
+        _force(out)
+        return time.perf_counter() - t0
+
+    t_small, t_large = timed("snap_small"), timed("snap_big")
+    print(f"STRESS {t_small:.2f}s -> {t_large:.2f}s ({t_large / t_small:.1f}x)")
+    assert t_large < t_small * 8, (t_small, t_large)
