@@ -193,3 +193,77 @@ def test_link_edges_plan_one_exchange(spark):
     plan = link_edges(_pages(spark))._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------------ anchor text
+
+
+ANCHOR_HTML = (
+    '<a href="http://x.com/1" class="z">First Link</a>'
+    "<a href='/two' rel=nofollow>Second <b>bold</b></a>"
+    '<a href="http://x.com/1">First&nbsp;Link</a>'
+    '<a href="http://img.com/i"><img src="p.png"/></a>'  # empty after strip
+    '<a href="mailto:x@y">mail me</a>'
+)
+
+
+def test_extract_anchors_zip_golden_and_parity(spark):
+    from yodel_etl_spark.scale.links import ANCHOR_DQ_RE, ANCHOR_SQ_RE, extract_anchors
+
+    got = (
+        spark.range(1)
+        .select(extract_anchors(F.lit(ANCHOR_HTML)).alias("a"))
+        .collect()[0]["a"]
+    )
+    pairs = [(r["href"], r["atext"]) for r in got]
+    assert pairs == [
+        ("http://x.com/1", "First Link"),
+        ("http://x.com/1", "First&nbsp;Link"),
+        ("http://img.com/i", '<img src="p.png"/>'),
+        ("mailto:x@y", "mail me"),
+        ("/two", "Second <b>bold</b>"),
+    ]
+    # DuckDB zips parallel unnests positionally — the oracle formulation
+    con = duckdb.connect()
+    for pat in (ANCHOR_DQ_RE, ANCHOR_SQ_RE):
+        sql = (
+            "SELECT unnest(regexp_extract_all(h, ?, 1)),"
+            " unnest(regexp_extract_all(h, ?, 2)) FROM (SELECT ? AS h)"
+        )
+        rows = con.execute(sql, [pat, pat, ANCHOR_HTML]).fetchall()
+        spark_rows = [
+            p for p in pairs
+            if (pat == ANCHOR_DQ_RE) == (p in pairs[:4])
+        ]
+        assert rows == spark_rows, pat
+
+
+def test_anchor_text_table_golden(spark):
+    from yodel_etl_spark.scale.links import anchor_text_table
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.org/idx", ANCHOR_HTML),
+            ("https://b.org/p", '<a href="//x.com/1?utm_source=s">First Link</a>'),
+        ],
+        ["url", "html"],
+    )
+    got = {
+        (r["dst_host"], r["anchor"]): r["n"]
+        for r in anchor_text_table(pages).collect()
+    }
+    # mailto dropped; empty-after-strip image anchor dropped; entities
+    # decoded by html_extract; counts aggregate across pages/variants
+    assert got == {
+        ("x.com", "First Link"): 3,
+        ("a.org", "Second bold"): 1,
+    }
+
+
+def test_anchor_table_plan_one_exchange(spark):
+    from yodel_etl_spark.scale.links import anchor_text_table
+
+    pages = spark.createDataFrame([("https://a.org/", ANCHOR_HTML)], ["url", "html"])
+    plan = anchor_text_table(pages)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "CartesianProduct" not in plan

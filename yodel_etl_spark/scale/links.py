@@ -265,3 +265,77 @@ def host_of_sql(col: str) -> str:
     return (
         f"regexp_replace(regexp_replace({hostport}, '^.*@', ''), ':[0-9]+$', '')"
     )
+
+
+#: anchor (href, inner-text) extraction, one pattern per quote style —
+#: group 1 is the href, group 2 the inner markup up to the closing tag
+ANCHOR_DQ_RE = r'(?is)<a\b[^>]*?\bhref\s*=\s*"([^"]*)"[^>]*>(.*?)</a>'
+ANCHOR_SQ_RE = r"(?is)<a\b[^>]*?\bhref\s*=\s*'([^']*)'[^>]*>(.*?)</a>"
+
+
+def extract_anchors(html: Column) -> Column:
+    """``array<struct<href string, atext string>>`` of anchor tags with
+    their inner markup (both quote styles, double-quoted pass first).
+    The two capture groups are pulled by two ``regexp_extract_all``
+    passes over the SAME pattern and zipped positionally — both engines
+    enumerate matches in document order, so the zip is exact (pinned in
+    tests/test_links.py)."""
+    dq = F.arrays_zip(
+        F.regexp_extract_all(html, F.lit(ANCHOR_DQ_RE), 1).alias("href"),
+        F.regexp_extract_all(html, F.lit(ANCHOR_DQ_RE), 2).alias("atext"),
+    )
+    sq = F.arrays_zip(
+        F.regexp_extract_all(html, F.lit(ANCHOR_SQ_RE), 1).alias("href"),
+        F.regexp_extract_all(html, F.lit(ANCHOR_SQ_RE), 2).alias("atext"),
+    )
+    return F.concat(dq, sq)
+
+
+def anchor_text_table(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """``(dst_host, anchor, n)`` — how the web DESCRIBES each target:
+    the anchor-text aggregate retrieval pipelines mine for weak
+    (query, document) supervision and crawlers use as an off-page
+    relevance signal (the text OTHER pages put on their links to you is
+    a better summary than your own boilerplate).  Inner markup is
+    reduced to clean text by the same ``html_extract`` chain the corpus
+    path uses (tags stripped, entities decoded, whitespace collapsed);
+    empty anchors (image links) drop.
+
+    Same scale shape as :func:`link_edges` — staged scan-side codegen,
+    one explode bounded by anchors-per-page, ONE aggregation shuffle at
+    (host, anchor) grain."""
+    from yodel_etl_spark.scale.textstats import html_extract
+    from yodel_etl_spark.scale.urlnorm import canonical_url
+    from yodel_etl_spark.session import guarded_filter
+
+    staged = df.select(
+        F.col(url_col).alias("_base"),
+        F.explode(extract_anchors(F.col(html_col))).alias("_a"),
+    )
+    raw0 = staged.select(
+        F.col("_a.atext").alias("_atext"),
+        _resolve_raw(F.col("_base"), F.col("_a.href")).alias("_raw"),
+    )
+    resolved0 = raw0.select(
+        "_atext", _finish_resolved(F.col("_raw")).alias("_dst")
+    )
+    canon = resolved0.select(
+        "_atext", canonical_url(F.col("_dst")).alias("_cd")
+    )
+    cleaned = canon.select(
+        host_of(F.col("_cd")).alias("dst_host"),
+        html_extract(F.col("_atext")).alias("anchor"),
+    )
+    kept = guarded_filter(
+        cleaned,
+        F.col("dst_host").isNotNull()
+        & (F.col("dst_host") != "")
+        & (F.col("anchor") != ""),
+    )
+    return kept.groupBy("dst_host", "anchor").agg(
+        F.count(F.lit(1)).alias("n")
+    )
