@@ -400,3 +400,104 @@ def test_audio_features_over_g711_and_adpcm(spark):
     assert rows[2]["n_samples"] == 17 and rows[2]["bits"] == 4
     assert rows[2]["sum_abs"] == sum(abs(v) for v in twin)
     assert rows[2]["sum_sq"] == sum(v * v for v in twin)
+
+
+# ------------------------------------------------- spectral (log-mel) features
+
+
+def _tone(freq, sr=8000, secs=0.5, amp=12000):
+    import numpy as np
+
+    t = np.arange(int(sr * secs)) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+
+
+def test_spectral_pure_tone_lands_in_the_right_mel_bin():
+    """A pure tone's energy must concentrate where the mel scale puts
+    its frequency — low tone → low bins, high tone → higher bins — and
+    its zero-crossing count is 2·freq·secs ± 1."""
+    import numpy as np
+
+    from yodel_etl_spark.scale.audio import spectral_features_of
+
+    for freq in (200, 1500):
+        x = _tone(freq)
+        n_frames, zc, log_mel, centroid = spectral_features_of(x, 8000, 1)
+        assert n_frames > 0
+        assert abs(zc - 2 * freq * 0.5) <= 1, (freq, zc)
+        assert abs(centroid - freq) < 60, (freq, centroid)
+    lo = spectral_features_of(_tone(200), 8000, 1)[2]
+    hi = spectral_features_of(_tone(1500), 8000, 1)[2]
+    assert int(np.argmax(lo)) < int(np.argmax(hi))
+
+
+def test_spectral_matches_independent_naive_dft():
+    """Pin the kernel against a from-scratch O(n²) DFT + hand-built
+    framing — an INDEPENDENT formulation, not the operator's own rfft
+    path."""
+    import numpy as np
+
+    from yodel_etl_spark.scale.audio import _mel_filterbank, spectral_features_of
+
+    rng = np.random.default_rng(7)
+    x = (rng.normal(0, 4000, 700)).astype(np.int16)
+    frame, hop, n_mels, sr = 256, 128, 16, 8000
+    n_frames, _zc, log_mel, centroid = spectral_features_of(
+        x, sr, 1, n_mels=n_mels, frame=frame, hop=hop
+    )
+    # naive twin
+    xf = x.astype(np.float64)
+    win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(frame) / frame)
+    n = np.arange(frame)
+    k = np.arange(frame // 2 + 1)
+    dft = np.exp(-2j * np.pi * k[:, None] * n[None, :] / frame)
+    specs = []
+    for s in range(0, len(xf) - frame + 1, hop):
+        fr = xf[s : s + frame] * win
+        specs.append(np.abs(dft @ fr) ** 2)
+    spec = np.vstack(specs)
+    assert len(specs) == n_frames
+    fb = _mel_filterbank(n_mels, frame, sr)
+    want_logmel = np.log(spec @ fb.T + 1e-10).mean(axis=0)
+    np.testing.assert_allclose(log_mel, want_logmel, rtol=1e-9, atol=1e-9)
+    freqs = k * (sr / frame)
+    want_centroid = (spec * freqs[None, :]).sum() / spec.sum()
+    assert abs(centroid - want_centroid) < 1e-6
+
+
+def test_spectral_stereo_downmix_and_short_blob():
+    import numpy as np
+
+    from yodel_etl_spark.scale.audio import spectral_features_of
+
+    # stereo: L = tone, R = -tone → downmix cancels to silence
+    x = _tone(400)
+    stereo = np.empty(2 * x.shape[0], dtype=np.int16)
+    stereo[0::2], stereo[1::2] = x, -x
+    n_frames, _zc, log_mel, centroid = spectral_features_of(stereo, 8000, 2)
+    assert n_frames > 0 and centroid == 0.0
+    assert max(log_mel) < np.log(2e-10)  # numerical silence
+    # shorter than one frame → zero frames, zeroed features
+    nf, zc, lm, c = spectral_features_of(x[:100], 8000, 1)
+    assert (nf, c) == (0, 0.0) and len(lm) == 16 and zc > 0
+
+
+def test_audio_spectral_operator(spark):
+    """The mapInPandas plumbing: schema, per-row values equal the
+    kernel, executor-side decode."""
+    from yodel_etl_spark.scale.audio import (
+        audio_spectral,
+        spectral_features_of,
+        wav_pack,
+    )
+
+    blobs = [(i, wav_pack(_tone(300 + 500 * i), 8000, 16)) for i in range(4)]
+    df = spark.createDataFrame(blobs, ["audio_id", "content"])
+    out = audio_spectral(df, "content").orderBy("audio_id").collect()
+    assert len(out) == 4
+    for i, r in enumerate(out):
+        nf, zc, lm, c = spectral_features_of(_tone(300 + 500 * i), 8000, 1)
+        assert r["n_frames"] == nf and r["zero_crossings"] == zc
+        assert abs(r["centroid_hz"] - c) < 1e-9
+        assert len(r["log_mel_mean"]) == 16
+        assert abs(r["log_mel_mean"][0] - lm[0]) < 1e-9
