@@ -164,3 +164,51 @@ def test_psi_single_corpus_scan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
     out.unpersist()
+
+
+def test_psi_with_sketch_frozen_quantile_bins(spark):
+    """The composition the psi_drift docstring prescribes for quantile
+    bins: freeze cutpoints from the quantile summary of the REFERENCE
+    slice, bin both slices by comparison against those frozen values,
+    then run the one-pass PSI report.  Slice A ~ slice A's own
+    quartiles ⇒ near-uniform shares; the shifted slice B piles into the
+    top bin and PSI flags it."""
+    from yodel_etl_spark.scale.dq import psi_drift
+    from yodel_etl_spark.scale.sketch import quantile_partials, quantile_query
+
+    # A: 0..999; B: same shape shifted up by 600 — a real location drift
+    df = (
+        spark.range(2000)
+        .select(
+            (F.col("id") < 1000).alias("a"),
+            F.when(F.col("id") < 1000, F.col("id"))
+            .otherwise(F.col("id") - 1000 + 600)
+            .cast("double")
+            .alias("v"),
+        )
+    )
+    ref = df.where(F.col("a")).select("v")
+    cuts = {
+        r["p"]: r["value"]
+        for r in quantile_query(
+            quantile_partials(ref, "v", capacity=128), [0.25, 0.5, 0.75]
+        ).collect()
+    }
+    assert set(cuts) == {0.25, 0.5, 0.75}
+    # sketch error is bounded by n/capacity: cutpoints near true quartiles
+    assert abs(cuts[0.5] - 500) < 32
+    bin_col = (
+        F.when(F.col("v") < F.lit(cuts[0.25]), 0)
+        .when(F.col("v") < F.lit(cuts[0.5]), 1)
+        .when(F.col("v") < F.lit(cuts[0.75]), 2)
+        .otherwise(3)
+    )
+    rows = psi_drift(df, bin_col, F.col("a")).collect()
+    by_bin = {r["bin"]: r for r in rows}
+    # reference slice ≈ uniform over its own quartile bins
+    for b in range(4):
+        assert abs(by_bin[b]["n_a"] - 250) < 35, by_bin[b]
+    # shifted slice concentrates in the top bin
+    assert by_bin[3]["n_b"] > 600
+    psi = sum(r["term_micro"] for r in rows if r["term_micro"] is not None) / 1e6
+    assert psi > 0.25, psi

@@ -691,3 +691,81 @@ def test_foreachbatch_quantile_sketch_accumulates(spark, tmp_path):
     # ×2 slack for the stratum midpoint (same bound the batch tests pin)
     for p, v in got.items():
         assert abs(v - p * n) <= 2 * n / 64, (p, v)
+
+
+def test_foreachbatch_cdc_snapshot_maintenance(spark, tmp_path):
+    """Streaming MERGE: a CDC change stream maintains a keyed snapshot
+    through foreachBatch + ops/cdc.apply_changes — upserts replace,
+    deletes drop, and the final snapshot equals applying the whole log
+    in one batch (exactly-once per micro-batch via the checkpoint).
+    This is the streaming twin of the registered cdc query."""
+    import os
+
+    from yodel_etl_spark.ops.cdc import apply_changes
+
+    src = str(tmp_path / "cdc_in")
+    snap = str(tmp_path / "cdc_snap")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    os.makedirs(src)
+
+    schema = "k long, val double, seq long, op string"
+    b1 = spark.createDataFrame(
+        [(1, 1.0, 1, "U"), (2, 2.0, 1, "U"), (3, 3.0, 1, "U")], schema
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    def land(batch, _bid):
+        spark_ = batch.sparkSession
+        try:
+            base = spark_.read.parquet(snap)
+        except Exception:  # first batch: empty snapshot
+            base = spark_.createDataFrame([], "k long, val double")
+        merged = apply_changes(
+            base,
+            batch,
+            keys=("k",),
+            order_by=("seq",),
+            op_col="op",
+            broadcast_changes=True,
+        )
+        # overwrite via staging dir (parquet can't overwrite its own input)
+        stage = snap + "_stage"
+        merged.write.mode("overwrite").parquet(stage)
+        spark_.read.parquet(stage).write.mode("overwrite").parquet(snap)
+
+    def drain():
+        q = (
+            spark.readStream.schema(b1.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert {
+        (r["k"], r["val"]) for r in spark.read.parquet(snap).collect()
+    } == {(1, 1.0), (2, 2.0), (3, 3.0)}
+
+    # batch 2: update k=1, delete k=2, insert k=4 (with a superseded
+    # intermediate for k=4)
+    b2 = spark.createDataFrame(
+        [(1, 10.0, 2, "U"), (2, 0.0, 2, "D"), (4, 4.0, 2, "U"), (4, 44.0, 3, "U")],
+        schema,
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    got = {(r["k"], r["val"]) for r in spark.read.parquet(snap).collect()}
+    assert got == {(1, 10.0), (3, 3.0), (4, 44.0)}
+
+    # the incremental snapshot equals the one-shot apply of the full log
+    full = apply_changes(
+        spark.createDataFrame([], "k long, val double"),
+        b1.unionByName(b2),
+        keys=("k",),
+        order_by=("seq",),
+        op_col="op",
+    )
+    assert {(r["k"], r["val"]) for r in full.collect()} == got
