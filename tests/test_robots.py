@@ -1,0 +1,148 @@
+"""robots.txt gate: RFC 9309 parsing semantics (group selection,
+most-specific wins, Allow ties, wildcards/anchors), the Spark rule
+table + URL filter, and the corpus-never-shuffles plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from yodel_etl_spark.scale.robots import (
+    filter_disallowed,
+    parse_robots,
+    robots_rules,
+    rule_pattern,
+)
+
+RFC_EXAMPLE = """
+# comment
+User-agent: *
+Disallow: /private/
+Allow: /private/public.html
+Disallow: /tmp/$
+Disallow: /downloads/*.pdf
+
+User-agent: googlebot
+User-agent: bingbot
+Disallow: /shared-block/
+"""
+
+
+def test_parse_group_selection():
+    star = parse_robots(RFC_EXAMPLE, "*")
+    assert ("/private/" in {p for _, p, _ in star})
+    goog = parse_robots(RFC_EXAMPLE, "googlebot")
+    assert {p for _, p, _ in goog} == {"/shared-block/"}
+    bing = parse_robots(RFC_EXAMPLE, "bingbot")
+    assert {p for _, p, _ in bing} == {"/shared-block/"}
+    # unknown agent falls back to the * group
+    other = parse_robots(RFC_EXAMPLE, "yodelbot")
+    assert ("/private/" in {p for _, p, _ in other})
+
+
+def test_parse_empty_disallow_and_blank_file():
+    assert parse_robots("User-agent: *\nDisallow:") == []
+    assert parse_robots("") == []
+    assert parse_robots("User-agent: x\nDisallow: /a") == []  # no * group
+
+
+def test_rule_pattern_compilation():
+    assert rule_pattern("/a/b") == "^/a/b"
+    assert rule_pattern("/tmp/$") == "^/tmp/$"
+    assert rule_pattern("/d/*.pdf") == "^/d/.*\\.pdf"
+    assert rule_pattern("/x+y?") == "^/x\\+y\\?"  # regex metachars escaped
+
+
+def _decide(rules, path):
+    """Single-process twin of the fold: most-specific wins, Allow wins
+    ties, no match => allowed."""
+    import re
+
+    best = (-1, True)
+    for allow, prefix, spec in rules:
+        if re.match(rule_pattern(prefix), path):
+            if spec > best[0] or (spec == best[0] and allow and not best[1]):
+                best = (spec, allow)
+    return best[1]
+
+
+DECISION_CASES = [
+    ("/private/secret.html", False),
+    ("/private/public.html", True),   # longer Allow overrides
+    ("/public/x", True),              # no matching rule
+    ("/tmp/", False),                 # $-anchored exact
+    ("/tmp/file", True),              # anchor does not match deeper path
+    ("/downloads/a.pdf", False),      # wildcard
+    ("/downloads/a.txt", True),
+]
+
+
+def test_decision_twin_on_rfc_example():
+    rules = parse_robots(RFC_EXAMPLE, "*")
+    for path, want in DECISION_CASES:
+        assert _decide(rules, path) == want, path
+
+
+@pytest.fixture(scope="module")
+def rule_df(spark):
+    robots = spark.createDataFrame(
+        [("site.com", RFC_EXAMPLE), ("open.org", "User-agent: *\nDisallow:")],
+        ["host", "robots_txt"],
+    )
+    return robots_rules(robots).persist()
+
+
+def test_robots_rules_table(rule_df):
+    rows = {(r["host"], r["allow"], r["prefix"]) for r in rule_df.collect()}
+    assert ("site.com", False, "/private/") in rows
+    assert ("site.com", True, "/private/public.html") in rows
+    assert not any(h == "open.org" for h, _, _ in rows)  # empty Disallow
+
+
+def test_filter_disallowed_golden(spark, rule_df):
+    urls = spark.createDataFrame(
+        [(f"https://site.com{p}",) for p, _ in DECISION_CASES]
+        + [("https://open.org/anything",), ("https://unknown.net/x",)],
+        ["url"],
+    )
+    kept = {r["url"] for r in filter_disallowed(urls, rule_df).collect()}
+    for path, want in DECISION_CASES:
+        assert ((f"https://site.com{path}") in kept) == want, path
+    assert "https://open.org/anything" in kept  # host with zero rules
+    assert "https://unknown.net/x" in kept      # unmatched host kept
+
+
+def test_filter_allowlist_mode_drops_unmatched(spark, rule_df):
+    urls = spark.createDataFrame(
+        [("https://unknown.net/x",), ("https://site.com/public/ok",)], ["url"]
+    )
+    kept = {
+        r["url"]
+        for r in filter_disallowed(
+            urls, rule_df, keep_unmatched_hosts=False
+        ).collect()
+    }
+    assert kept == {"https://site.com/public/ok"}
+
+
+def test_filter_preserves_columns_and_never_shuffles_corpus(spark, rule_df):
+    urls = spark.createDataFrame(
+        [("https://site.com/public/x", 7)], ["url", "payload"]
+    )
+    out = filter_disallowed(urls, rule_df)
+    assert out.columns == ["url", "payload"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    # the only hash exchange is the rule-table groupBy — the URL side
+    # must not shuffle
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_query_string_is_part_of_the_matched_path(spark, rule_df):
+    """RFC 9309 matches against path + query; a Disallow on /private/
+    must also block /private/x?download=1."""
+    urls = spark.createDataFrame(
+        [("https://site.com/private/x?download=1",)], ["url"]
+    )
+    assert filter_disallowed(urls, rule_df).count() == 0

@@ -291,3 +291,47 @@ def test_priority_sample_rejects_bad_k(spark):
 
     with pytest.raises(ValueError):
         priority_sample(_ps_corpus(spark), "id", "w", 0)
+
+
+def test_priority_sample_per_key_equals_single_window_form(spark):
+    """The salted two-phase plan must be EXACTLY the naive single-window
+    sample — same rows, same ranks — while never funneling a hot key
+    through one reducer."""
+    from pyspark.sql import Window
+
+    from yodel_etl_spark.scale.sampling import priority_sample_per_key
+
+    df = spark.range(600).select(
+        (F.col("id") % 3).alias("dom"), F.col("id"), (F.col("id") % 7 + 1).alias("w")
+    )
+    got = {
+        (r["key"], r["id"], r["rk"])
+        for r in priority_sample_per_key(df, "dom", "id", "w", 25).collect()
+    }
+    # naive twin: same priority expression, one window
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit("ps1"), F.col("id").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    q = (F.col("w").cast("double") * F.lit(4294967296.0)) / ((h + F.lit(1)).cast("double"))
+    naive = (
+        df.select(F.col("dom").alias("key"), "id", q.alias("q"))
+        .withColumn("rk", F.row_number().over(Window.partitionBy("key").orderBy(F.desc("q"), "id")))
+        .where(F.col("rk") <= 25)
+    )
+    want = {(r["key"], r["id"], r["rk"]) for r in naive.collect()}
+    assert got == want and len(got) == 75
+
+
+def test_priority_sample_per_key_weight_bias_and_exhaustive(spark):
+    from yodel_etl_spark.scale.sampling import priority_sample_per_key
+
+    df = spark.range(400).select(
+        (F.col("id") % 2).alias("dom"), F.col("id"), (F.col("id") % 8 + 1).alias("w")
+    )
+    rows = priority_sample_per_key(df, "dom", "id", "w", 30).collect()
+    mean_w = sum(r["w"] for r in rows) / len(rows)
+    assert mean_w > 4.5  # corpus mean of weights 1..8
+    # a key smaller than k returns all its rows
+    tiny = spark.range(5).select(F.lit(9).alias("dom"), F.col("id"), F.lit(2).alias("w"))
+    assert priority_sample_per_key(tiny, "dom", "id", "w", 50).count() == 5

@@ -1,0 +1,194 @@
+"""robots.txt parsing + URL filtering — the crawl-politeness gate that
+sits between URL discovery (``scale/links.py``) and fetching/keeping
+pages: a corpus pipeline re-checking exclusions before training drops
+every URL a host's robots.txt disallows for its crawler.
+
+Semantics implemented (the Robots Exclusion Protocol core, RFC 9309):
+
+  * group selection: the ``User-agent:`` group whose token matches the
+    crawler name (case-insensitive substring, longest token wins);
+    ``*`` is the fallback group.  Consecutive ``User-agent`` lines
+    share one group; ``Sitemap``/``Crawl-delay`` lines do not close a
+    group.
+  * ``Allow`` / ``Disallow`` rules are path prefixes; the decision for
+    a URL is the matching rule with the LONGEST rule string (RFC 9309
+    §2.2.2 most-specific wins), ``Allow`` winning length ties; no
+    matching rule ⇒ allowed.  An empty ``Disallow:`` matches nothing.
+  * ``*`` wildcards and ``$`` end anchors (the de-facto extension RFC
+    9309 §2.2.3 standardizes) are supported — each rule is compiled at
+    PARSE time into an anchored regex in the RE2 ∩ Java-regex dialect;
+    specificity stays the literal rule length.
+
+Scale shape: parsing is a small per-host kernel (robots files are KB-
+sized, one per host) run via ``mapInPandas`` over the robots corpus;
+the output rule table is hosts × rules — TINY next to the URL corpus.
+The filter collapses rules to ONE ARRAY ROW PER HOST (rule-table-sized
+groupBy), broadcast-joins that onto the URLs, and picks the winning
+rule with a codegen ``aggregate`` fold (``regexp_like`` over the
+precompiled patterns) — the URL corpus never shuffles and never
+touches Python.
+"""
+
+from __future__ import annotations
+
+import re as _re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+RULES_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("allow", T.BooleanType()),
+        T.StructField("prefix", T.StringType()),
+        T.StructField("pattern", T.StringType()),
+        T.StructField("spec", T.IntegerType()),  # specificity = rule length
+    ]
+)
+
+
+def rule_pattern(prefix: str) -> str:
+    """Anchored regex for a robots path rule: literals escaped, ``*`` →
+    ``.*``, trailing ``$`` → end anchor.  Plain escapes only — the
+    RE2 ∩ Java-regex portability dialect."""
+    anchored_end = prefix.endswith("$")
+    body = prefix[:-1] if anchored_end else prefix
+    pat = "^" + ".*".join(_re.escape(part) for part in body.split("*"))
+    return pat + "$" if anchored_end else pat
+
+
+def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str, int]]:
+    """``[(allow, prefix, specificity)]`` for the group governing
+    ``agent``.  Pure function — the single-process kernel the Spark op
+    maps, and the twin the tests pin against RFC 9309's own examples."""
+    agent = agent.lower()
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[bool, str]] = []
+    in_group_body = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if in_group_body:
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+                in_group_body = False
+            cur_agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            in_group_body = True
+            if value:
+                cur_rules.append((field == "allow", value))
+            # empty "Disallow:" = allow everything; record nothing
+    if cur_agents or cur_rules:
+        groups.append((cur_agents, cur_rules))
+
+    best_len = -1
+    best_rules: list[tuple[bool, str]] = []
+    star_rules: list[tuple[bool, str]] | None = None
+    for agents, rules in groups:
+        for a in agents:
+            if a == "*":
+                if star_rules is None:
+                    star_rules = rules
+            elif a and (a in agent or agent in a):
+                if len(a) > best_len:
+                    best_len, best_rules = len(a), rules
+    chosen = best_rules if best_len >= 0 else (star_rules or [])
+    return [(allow, prefix, len(prefix)) for allow, prefix in chosen]
+
+
+def robots_rules(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Rule table ``(host, allow, prefix, pattern, spec)`` from per-host
+    robots.txt bodies — one Arrow batch pass over the (tiny, one-per-
+    host) robots corpus; patterns precompiled here so the URL-sized
+    filter below stays pure column algebra."""
+    out_schema = RULES_SCHEMA
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for host, text in zip(pdf[host_col], pdf[text_col]):
+                for allow, prefix, spec in parse_robots(str(text), agent):
+                    rows.append((host, allow, prefix, rule_pattern(prefix), spec))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def filter_disallowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    keep_unmatched_hosts: bool = True,
+) -> DataFrame:
+    """Drop URLs whose host's robots rules disallow their path —
+    most-specific rule wins, ``Allow`` wins specificity ties, no
+    matching rule ⇒ allowed.  Hosts with no rule rows are kept (or
+    dropped with ``keep_unmatched_hosts=False`` for allowlist-style
+    pipelines).
+
+    The URL corpus never shuffles: rules collapse to one array row per
+    host (a rule-table-sized groupBy), broadcast-join onto the URLs,
+    and the winner falls out of a codegen ``aggregate`` fold running
+    ``regexp_like`` against the precompiled patterns — no Python, no
+    window, no corpus exchange."""
+    from yodel_etl_spark.scale.links import host_of
+    from yodel_etl_spark.session import guarded_filter
+
+    per_host = (
+        rules.select(
+            "host",
+            F.struct(F.col("spec"), F.col("allow"), F.col("pattern")).alias("r"),
+        )
+        .groupBy("host")
+        .agg(F.collect_list("r").alias("_rules"))
+    )
+    with_host = urls.withColumn("_h", host_of(F.col(url_col)))
+    raw_path = F.regexp_extract(
+        F.col(url_col), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1
+    )
+    joined = with_host.join(
+        F.broadcast(per_host), with_host["_h"] == per_host["host"], "left"
+    ).drop("host")
+    staged = joined.withColumn(
+        "_path", F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    )
+    init = F.struct(
+        F.lit(-1).alias("spec"), F.lit(True).cast("boolean").alias("allow")
+    )
+
+    def pick(acc, r):
+        matches = F.regexp_like(F.col("_path"), r["pattern"])
+        better = matches & (
+            (r["spec"] > acc["spec"])
+            | ((r["spec"] == acc["spec"]) & r["allow"] & ~acc["allow"])
+        )
+        return F.struct(
+            F.when(better, r["spec"]).otherwise(acc["spec"]).alias("spec"),
+            F.when(better, r["allow"]).otherwise(acc["allow"]).alias("allow"),
+        )
+
+    folded = staged.withColumn(
+        "_allow",
+        F.when(F.col("_rules").isNull(), F.lit(None).cast("boolean")).otherwise(
+            F.aggregate(F.col("_rules"), init, pick)["allow"]
+        ),
+    )
+    if keep_unmatched_hosts:
+        cond = F.col("_allow").isNull() | F.col("_allow")
+    else:
+        cond = F.col("_allow").isNotNull() & F.col("_allow")
+    return guarded_filter(folded, cond).drop("_h", "_rules", "_path", "_allow")

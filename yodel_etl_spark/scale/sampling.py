@@ -327,3 +327,63 @@ def priority_sample(
         F.greatest(F.col("w").cast("double"), F.col("tau")).alias("est"),
     )
     return register_persisted(out, topk1)
+
+
+def priority_sample_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "ps1",
+    salts: int = 16,
+) -> DataFrame:
+    """Per-key weighted sample: ``min(k, n_key)`` rows per key by DLT
+    priority (see :func:`priority_sample`) — the per-stratum form a
+    domain-mixed corpus uses ("keep the k most weight-favoured docs per
+    domain, heavier docs proportionally likelier").
+
+    Same skew posture as :func:`reservoir_per_key`: phase 1 ranks
+    within ``(key, salt)`` and keeps k per salt-group (any global
+    top-k row is necessarily in its salt-group's top-k), so phase 2's
+    window on the key sees at most ``salts·k`` candidates however hot
+    the key.  Output: ``(key, id, w, q, rk)``; determinism and the
+    two-phase ≡ single-window identity are pinned in tests.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    q = (F.col(weight_col).cast("double") * F.lit(4294967296.0)) / (
+        (h + F.lit(1)).cast("double")
+    )
+    salt = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 29, 4), 16, 10).cast(
+            "int"
+        )
+        % salts
+    )
+    scored = df.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("id"),
+        F.col(weight_col).alias("w"),
+        q.alias("q"),
+        salt.alias("_salt"),
+    )
+    part = F.row_number().over(
+        Window.partitionBy("key", "_salt").orderBy(F.desc("q"), "id")
+    )
+    cand = scored.withColumn("_prk", part).where(F.col("_prk") <= k)
+    final = F.row_number().over(Window.partitionBy("key").orderBy(F.desc("q"), "id"))
+    return (
+        cand.withColumn("rk", final)
+        .where(F.col("rk") <= k)
+        .select("key", "id", "w", "q", "rk")
+    )
