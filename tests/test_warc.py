@@ -252,3 +252,83 @@ def test_warc_to_curate_pipeline(spark, tmp_path):
     assert sum("village number 0" in t for t in texts) == 1  # one canonical
     assert all("<" not in t for t in texts)  # tags gone
     assert not any("zzz" in t for t in texts)  # junk filtered
+
+
+def test_warc_to_graph_pipeline(spark, tmp_path):
+    """The other half of the crawl chain: WARC archive → read_warc →
+    robots gate → link extraction → host-grain edges → pagerank — the
+    quality-prior path, end to end from container bytes.  hub.example
+    links everyone; every allowed page links popular.example; one
+    page's URL is robots-disallowed and must contribute NO edges; the
+    rank order follows the in-link structure and ranks sum to 1."""
+    import pyspark.sql.functions as F
+
+    from yodel_etl_spark.scale.graph import pagerank
+    from yodel_etl_spark.scale.links import link_edges
+    from yodel_etl_spark.scale.robots import filter_disallowed, robots_rules
+
+    def page(i, links):
+        body = "".join(f'<a href="{u}">x</a>' for u in links)
+        return f"<html><body>{body}</body></html>".encode()
+
+    recs = [
+        {
+            "url": "https://hub.example/index",
+            "ts": "2024-01-01T00:00:00Z",
+            "payload": page(0, [
+                "https://popular.example/a",
+                "https://site1.example/a",
+                "https://site2.example/a",
+                "https://blocked.example/private/x",
+            ]),
+        },
+        {
+            "url": "https://site1.example/a",
+            "ts": "2024-01-01T00:00:00Z",
+            "payload": page(1, ["https://popular.example/b", "/self"]),
+        },
+        {
+            "url": "https://site2.example/a",
+            "ts": "2024-01-01T00:00:00Z",
+            "payload": page(2, ["https://popular.example/c"]),
+        },
+        # this PAGE is disallowed: its outgoing links must not count
+        {
+            "url": "https://blocked.example/private/page",
+            "ts": "2024-01-01T00:00:00Z",
+            "payload": page(3, ["https://spam.example/x"]),
+        },
+    ]
+    p = str(tmp_path / "graphcrawl.warc.gz")
+    write_warc(recs, p)
+
+    rules = robots_rules(
+        spark.createDataFrame(
+            [("blocked.example", "User-agent: *\nDisallow: /private/")],
+            ["host", "robots_txt"],
+        )
+    )
+    raw = read_warc(spark, p)
+    allowed = filter_disallowed(raw, rules, url_col="url")
+    pages = allowed.select("url", F.col("payload").cast("string").alias("html"))
+    edges = link_edges(pages, "url", "html", drop_self=True)
+    e = {(r["src_host"], r["dst_host"]): r["weight"] for r in edges.collect()}
+    # the blocked page contributed nothing; spam.example never appears
+    assert not any(s == "blocked.example" for s, _ in e)
+    # blocked.example still RECEIVES a link (robots gates fetching a
+    # page, not other pages' references to it)
+    assert e[("hub.example", "blocked.example")] == 1
+    assert e[("hub.example", "popular.example")] == 1
+    assert e[("site1.example", "popular.example")] == 1
+    assert e[("site2.example", "popular.example")] == 1
+
+    ranks = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, "src_host", "dst_host", tol=1e-10).collect()
+    }
+    assert "spam.example" not in ranks
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    # 3 in-links beat 1 in-link beat 0 in-links
+    assert ranks["popular.example"] > ranks["site1.example"] > 0
+    assert ranks["popular.example"] > ranks["blocked.example"]
+    assert min(ranks["site1.example"], ranks["site2.example"]) > ranks["hub.example"] * 0.5
