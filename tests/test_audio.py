@@ -501,3 +501,47 @@ def test_audio_spectral_operator(spark):
         assert abs(r["centroid_hz"] - c) < 1e-9
         assert len(r["log_mel_mean"]) == 16
         assert abs(r["log_mel_mean"][0] - lm[0]) < 1e-9
+
+
+def test_audio_fingerprint_gain_invariance_and_near_dup(spark):
+    """The perceptual-hash contract: uniform gain ⇒ identical
+    fingerprint (log-mel band DELTAS cancel the constant shift); small
+    additive noise ⇒ small Hamming distance; different content ⇒ far.
+    Pairs ride the shared hamming_pairs banding join — the audio member
+    of the text-SimHash/image-dHash sketch family."""
+    import numpy as np
+
+    from yodel_etl_spark.scale.audio import audio_fingerprint, wav_pack
+    from yodel_etl_spark.scale.dedup import hamming_pairs
+    from yodel_etl_spark.session import release
+
+    rng = np.random.default_rng(11)
+    base = (
+        8000 * np.sin(2 * np.pi * 300 * np.arange(8000) / 8000)
+        + 3000 * np.sin(2 * np.pi * 950 * np.arange(8000) / 8000)
+        + rng.normal(0, 300, 8000)
+    )
+    clips = {
+        0: base,
+        1: base * 0.5,                              # gain change
+        2: base + rng.normal(0, 120, 8000),          # slight noise
+        3: rng.normal(0, 6000, 8000),                # unrelated
+    }
+    df = spark.createDataFrame(
+        [(i, wav_pack(np.clip(x, -32768, 32767).astype(np.int16), 8000, 16))
+         for i, x in clips.items()],
+        ["audio_id", "content"],
+    )
+    fps = {r["audio_id"]: r["fp"] for r in audio_fingerprint(df).collect()}
+    assert fps[0] == fps[1]  # bit-identical under uniform gain
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(fps[0], fps[2]) <= 10, ham(fps[0], fps[2])  # measured 7
+    assert ham(fps[0], fps[3]) > 20, ham(fps[0], fps[3])  # measured 31
+
+    sk = audio_fingerprint(df).select("audio_id", "fp")
+    pairs = hamming_pairs(sk, "audio_id", "fp", max_distance=10, blocks=16)
+    got = {frozenset((r["doc_a"], r["doc_b"])) for r in pairs.collect()}
+    release(pairs)
+    assert frozenset((0, 1)) in got and frozenset((0, 2)) in got
+    assert frozenset((0, 3)) not in got
