@@ -600,3 +600,36 @@ def test_cdc_apply_cost_tracks_delta_not_snapshot(spark, tmp_path):
     t_small, t_large = timed("snap_small"), timed("snap_big")
     print(f"STRESS {t_small:.2f}s -> {t_large:.2f}s ({t_large / t_small:.1f}x)")
     assert t_large < t_small * 8, (t_small, t_large)
+
+
+def test_funnel_scales_sublinearly(spark, tmp_path):
+    """20× events (fresh user ids per replica — the key space grows,
+    per-key arrays stay bounded) must cost far less than 20× wall: the
+    op is one shuffle of (key, ts, type) plus a codegen array walk."""
+    from yodel_etl_spark.ops.funnel import funnel_steps
+    from yodel_etl_spark.session import load_tables, spread
+
+    ev = load_tables(spark, "/root/testdata/sf0.1", ("events",))["events"]
+    reps = spark.range(20).select(F.col("id").alias("rep"))
+    big = ev.crossJoin(reps).select(
+        (F.col("user_id") + F.col("rep") * 1_000_000).alias("user_id"),
+        "ts",
+        "event_type",
+    )
+    src = str(tmp_path / "big_events_funnel")
+    big.write.mode("overwrite").parquet(src)
+    small = spread(ev.select("user_id", "ts", "event_type"))
+    large = spread(spark.read.parquet(src))
+
+    steps = ("view", "click", "purchase")
+
+    def timed(frame) -> float:
+        f = funnel_steps(frame, "user_id", "ts", "event_type", steps)
+        _force(f)  # warm
+        t0 = time.perf_counter()
+        _force(f)
+        return time.perf_counter() - t0
+
+    t_small, t_large = timed(small), timed(large)
+    print(f"STRESS {t_small:.2f}s -> {t_large:.2f}s ({t_large / t_small:.1f}x)")
+    assert t_large < t_small * 8, (t_small, t_large)
