@@ -633,3 +633,32 @@ def test_funnel_scales_sublinearly(spark, tmp_path):
     t_small, t_large = timed(small), timed(large)
     print(f"STRESS {t_small:.2f}s -> {t_large:.2f}s ({t_large / t_small:.1f}x)")
     assert t_large < t_small * 8, (t_small, t_large)
+
+
+def test_pagerank_warm_refresh_equals_fresh_convergence(spark):
+    """Graph drift: a new edge lands; a warm-started refresh off
+    yesterday's converged ranks equals a fresh full convergence (two
+    ~100-round power iterations — opt-in, the heavy half of the
+    warm-start pin in tests/test_graph.py)."""
+    from yodel_etl_spark.scale.graph import pagerank
+
+    EDGES = [
+        ("b", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+        ("a", "b"), ("c", "d"), ("d", "e"),
+    ]
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    converged = pagerank(df, tol=1e-8, max_iter=200)
+    drifted = spark.createDataFrame(
+        EDGES + [("e", "c")], "src string, dst string"
+    )
+    fresh = {
+        r["node"]: r["rank"]
+        for r in pagerank(drifted, tol=1e-8, max_iter=200).collect()
+    }
+    refreshed = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            drifted, tol=1e-8, max_iter=200, init_ranks=converged
+        ).collect()
+    }
+    assert all(abs(refreshed[k] - fresh[k]) < 1e-6 for k in fresh)

@@ -43,6 +43,7 @@ def pagerank(
     damping: float = 0.85,
     tol: float | None = 1e-6,
     max_iter: int = 120,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """``(node, rank)`` for every node appearing in ``edges``; ranks
     sum to 1.  Duplicate edges are weighted (a host linking twice
@@ -51,12 +52,20 @@ def pagerank(
     L1 delta has not reached ``tol`` within ``max_iter`` rounds.
 
     ``tol=None`` runs EXACTLY ``max_iter`` rounds with no convergence
-    requirement — the budgeted form a scheduled pipeline uses (per-day
-    refresh warm-started off yesterday's ranks doesn't need a
-    convergence cliff; L1 contracts by the damping factor per round, so
-    the error after k rounds is bounded by d^k · Δ₀ a priori).  Note
-    the geometry: d=0.85 needs ~90 rounds for 1e-6, so ``tol``-mode
-    callers size ``max_iter`` from ``ln(tol)/ln(d)``, not optimism."""
+    requirement — the budgeted form a scheduled pipeline uses; L1
+    contracts by the damping factor per round, so the error after k
+    rounds is bounded by d^k · Δ₀ a priori.  Note the geometry: d=0.85
+    needs ~90 rounds for 1e-6, so ``tol``-mode callers size
+    ``max_iter`` from ``ln(tol)/ln(d)``, not optimism.
+
+    ``init_ranks`` — a prior ``(node, rank)`` table — WARM-STARTS the
+    iteration: the per-day refresh hands in yesterday's converged ranks
+    and pays only for the drift the day's new edges introduced (Δ₀ is
+    the graph delta, not the distance from uniform — tests pin the
+    round-count saving).  Nodes absent from ``init_ranks`` (new hosts)
+    start at ``1/n``; stale entries for nodes no longer in the graph
+    are ignored; the vector is re-normalized to sum 1 so yesterday's
+    ranks over a slightly different node set remain a valid start."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
         F.col(src).isNotNull() & F.col(dst).isNotNull()
     )
@@ -72,9 +81,24 @@ def pagerank(
     )
     # node-grain state the loop re-joins every round: (node, deg, rank);
     # deg is NULL for dangling nodes
-    state = nodes.join(outdeg, "node", "left").withColumn(
-        "rank", F.lit(1.0 / n)
-    ).persist()
+    base = nodes.join(outdeg, "node", "left")
+    if init_ranks is None:
+        state = base.withColumn("rank", F.lit(1.0 / n)).persist()
+    else:
+        prior = init_ranks.select(
+            F.col("node"), F.col("rank").alias("_warm")
+        )
+        seeded = base.join(prior, "node", "left").withColumn(
+            "_warm", F.coalesce(F.col("_warm"), F.lit(1.0 / n))
+        )
+        total = seeded.agg(F.sum("_warm").alias("t"))
+        state = (
+            seeded.crossJoin(F.broadcast(total))  # 1-row bound → broadcast
+            .select(
+                "node", "deg", (F.col("_warm") / F.col("t")).alias("rank")
+            )
+            .persist()
+        )
     d = float(damping)
     for _ in range(max_iter):
         contrib = (
