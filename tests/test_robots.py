@@ -146,3 +146,41 @@ def test_query_string_is_part_of_the_matched_path(spark, rule_df):
         [("https://site.com/private/x?download=1",)], ["url"]
     )
     assert filter_disallowed(urls, rule_df).count() == 0
+
+
+def test_robots_from_warc_chain(spark, tmp_path):
+    """Politeness rules off the same container bytes as the corpus: a
+    WARC holding two robots.txt fetches for one host (newest wins), one
+    for another, a 404 robots fetch (ignored), and ordinary pages
+    (ignored) → rule table → URL filter."""
+    from yodel_etl_spark.io.warc import write_warc
+    from yodel_etl_spark.scale.robots import robots_from_warc
+
+    recs = [
+        {"url": "https://site.com/robots.txt", "ts": "2024-01-01T00:00:00Z",
+         "payload": b"User-agent: *\nDisallow: /old/"},
+        {"url": "https://site.com/robots.txt", "ts": "2024-02-01T00:00:00Z",
+         "payload": b"User-agent: *\nDisallow: /new/"},
+        {"url": "http://other.org/robots.txt", "ts": "2024-01-05T00:00:00Z",
+         "payload": b"User-agent: *\nDisallow: /x"},
+        {"url": "https://gone.net/robots.txt", "ts": "2024-01-01T00:00:00Z",
+         "payload": b"User-agent: *\nDisallow: /", "status": 404},
+        {"url": "https://site.com/page.html", "ts": "2024-01-01T00:00:00Z",
+         "payload": b"<html>User-agent: decoy</html>"},
+    ]
+    p = str(tmp_path / "robots.warc.gz")
+    write_warc(recs, p)
+
+    rules = robots_from_warc(spark, p)
+    got = {(r["host"], r["prefix"]) for r in rules.collect()}
+    # newest site.com fetch wins; the 404 host contributes nothing;
+    # the HTML page is not parsed as robots
+    assert got == {("site.com", "/new/"), ("other.org", "/x")}
+
+    urls = spark.createDataFrame(
+        [("https://site.com/old/a",), ("https://site.com/new/a",),
+         ("https://gone.net/anything",)],
+        ["url"],
+    )
+    kept = {r["url"] for r in filter_disallowed(urls, rules).collect()}
+    assert kept == {"https://site.com/old/a", "https://gone.net/anything"}

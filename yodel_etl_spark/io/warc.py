@@ -252,7 +252,8 @@ def read_warc(
 
 def write_warc(records: list[dict], path: str, gzip_members: bool = True) -> None:
     """Serialize ``records`` (dicts with ``url``, ``ts``, ``payload``
-    bytes, optional ``http`` bool for an HTTP/200 wrapper) to a WARC
+    bytes, optional ``http`` bool for an HTTP wrapper and optional
+    ``status`` int, default 200) to a WARC
     file — the test-fixture/roundtrip twin of :func:`read_warc`, also
     handy for re-sharding curated subsets back into the archive format.
     With ``gzip_members`` each record is its own gzip member (the
@@ -264,7 +265,9 @@ def write_warc(records: list[dict], path: str, gzip_members: bool = True) -> Non
         payload = rec["payload"]
         if rec.get("http", True):
             body = (
-                b"HTTP/1.1 200 OK\r\nContent-Type: "
+                b"HTTP/1.1 "
+                + str(rec.get("status", 200)).encode()
+                + b" X\r\nContent-Type: "
                 + rec.get("mime", "text/html").encode()
                 + b"\r\nContent-Length: "
                 + str(len(payload)).encode()

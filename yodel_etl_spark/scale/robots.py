@@ -192,3 +192,40 @@ def filter_disallowed(
     else:
         cond = F.col("_allow").isNotNull() & F.col("_allow")
     return guarded_filter(folded, cond).drop("_h", "_rules", "_path", "_allow")
+
+
+def robots_from_warc(
+    spark: SparkSession, path: str, agent: str = "*", corrupt: str = "raise"
+) -> DataFrame:
+    """Rule table straight from a crawl: read WARC archives under
+    ``path`` (Common Crawl publishes robots.txt fetches as ordinary
+    response records), keep the ``/robots.txt`` responses with a 2xx
+    status, and parse each host's newest body — the glue that makes the
+    politeness gate run off the same container bytes as the corpus
+    (``read_warc`` → this → :func:`filter_disallowed`).
+
+    One host can appear in several archives; the LATEST fetch wins
+    (max ``ts`` per host — a tiny per-host window over the robots
+    subset, never the corpus)."""
+    from pyspark.sql import Window
+
+    from yodel_etl_spark.io.warc import read_warc
+    from yodel_etl_spark.scale.links import host_of
+
+    raw = read_warc(spark, path, corrupt=corrupt)
+    robots = raw.where(
+        F.col("url").rlike("(?i)^https?://[^/?#]+/robots\\.txt$")
+        & (F.col("status") >= 200)
+        & (F.col("status") < 300)
+    ).select(
+        host_of(F.col("url")).alias("host"),
+        F.col("ts"),
+        F.col("payload").cast("string").alias("robots_txt"),
+    )
+    w = Window.partitionBy("host").orderBy(F.col("ts").desc())
+    newest = (
+        robots.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "ts")
+    )
+    return robots_rules(newest, "host", "robots_txt", agent)
