@@ -7,8 +7,10 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
+import yodel_etl_spark.io.compact as compact_mod
 from yodel_etl_spark.io.compact import compact_parquet
 
 
@@ -90,6 +92,100 @@ def test_compact_recovers_from_stale_staging(spark, tmp_path):
     assert reports[0]["rewritten"]
     assert spark.read.parquet(path).count() == n
     assert not os.path.exists(stage)
+
+
+def _frag_table(spark, tmp_path, name, n_files=10):
+    path = str(tmp_path / name)
+    df = spark.range(5_000).select("id", (F.col("id") * 7).alias("v"))
+    df.repartition(n_files).write.parquet(path)
+    before = (
+        spark.read.parquet(path).toPandas().sort_values("id").reset_index(drop=True)
+    )
+    return path, before
+
+
+def _rows(spark, path):
+    return spark.read.parquet(path).toPandas().sort_values("id").reset_index(drop=True)
+
+
+def test_crash_after_commit_before_install_loses_nothing(spark, tmp_path, monkeypatch):
+    """Kill the swap at its most dangerous point — manifest committed,
+    zero staged files installed, originals still in place — and show the
+    re-run FINISHES the swap with zero row loss (the pre-fix code
+    rmtree'd the stage here only AFTER originals were already gone)."""
+    path, before = _frag_table(spark, tmp_path, "crash_commit")
+
+    def boom(stage, leaf):
+        raise RuntimeError("simulated crash at commit point")
+
+    monkeypatch.setattr(compact_mod, "_finish_swap", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_parquet(spark, path, target_bytes=512 * 1024)
+    # crash window: originals untouched, table reads complete
+    assert _rows(spark, path).equals(before)
+    monkeypatch.undo()
+
+    reports = compact_parquet(spark, path, target_bytes=512 * 1024)
+    assert reports[0]["recovered"]
+    assert _rows(spark, path).equals(before)  # zero loss, zero duplicates
+    assert not os.path.exists(
+        os.path.join(str(tmp_path), "_compact_stage_crash_commit")
+    )
+    assert _file_count(path) < 10  # the recovered swap really compacted
+
+
+def test_crash_mid_install_loses_nothing(spark, tmp_path, monkeypatch):
+    """Crash after SOME staged files moved into the leaf: the re-run
+    installs the remainder and retires the originals — rows exact."""
+    path, before = _frag_table(spark, tmp_path, "crash_install")
+    # size the target so the rewrite emits ~3 staged files (n_out ≥ 2)
+    # while the leaf still classifies as fragmented (mean < target/2)
+    total = sum(sz for _, sz in compact_mod._parquet_files(path))
+    target = total // 3
+
+    moved = {"n": 0}
+    real_move = compact_mod._move
+
+    def move_once_then_crash(src, dst):
+        if moved["n"] >= 1:
+            raise RuntimeError("simulated crash mid-install")
+        moved["n"] += 1
+        return real_move(src, dst)
+
+    monkeypatch.setattr(compact_mod, "_move", move_once_then_crash)
+    with pytest.raises(RuntimeError, match="mid-install"):
+        compact_parquet(spark, path, target_bytes=target)
+    assert moved["n"] == 1  # exactly one staged file landed pre-crash
+    monkeypatch.undo()
+
+    reports = compact_parquet(spark, path, target_bytes=target)
+    assert reports[0]["recovered"]
+    assert _rows(spark, path).equals(before)
+
+
+def test_crash_mid_retire_loses_nothing(spark, tmp_path, monkeypatch):
+    """Crash after all staged files installed but only SOME originals
+    deleted (the brief duplicate-visible window): the re-run retires the
+    rest and the table is exact — no loss AND no lingering duplicates."""
+    path, before = _frag_table(spark, tmp_path, "crash_retire")
+
+    removed = {"n": 0}
+    real_remove = compact_mod._remove
+
+    def remove_twice_then_crash(p):
+        if removed["n"] >= 2:
+            raise RuntimeError("simulated crash mid-retire")
+        removed["n"] += 1
+        return real_remove(p)
+
+    monkeypatch.setattr(compact_mod, "_remove", remove_twice_then_crash)
+    with pytest.raises(RuntimeError, match="mid-retire"):
+        compact_parquet(spark, path, target_bytes=512 * 1024)
+    monkeypatch.undo()
+
+    reports = compact_parquet(spark, path, target_bytes=512 * 1024)
+    assert reports[0]["recovered"]
+    assert _rows(spark, path).equals(before)
 
 
 def test_staging_lives_outside_the_table_root(spark, tmp_path):

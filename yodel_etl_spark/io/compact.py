@@ -15,10 +15,19 @@ so a mostly-healthy 100 TB table costs a file listing plus the
 fragmented tail.  The swap is staged: new files land in a staging tree
 OUTSIDE the table root (a dir named ``x=y`` inside the root would be
 parsed as a phantom partition column by discovery — ``_`` prefixes
-shield files, not directories) and replace the originals only after
-the rewrite succeeds, so a crash mid-compaction leaves the ORIGINAL
-table byte-identical and fully readable (re-run to finish — the
-operation is idempotent).
+shield files, not directories).  The swap itself is a two-phase
+commit keyed on a manifest file: the rewrite completes in the stage,
+an atomically-renamed ``_SWAP_MANIFEST`` (listing the originals to
+retire) marks the commit point, and only then do staged files move
+INTO the leaf, followed by deletion of the listed originals.  A crash
+BEFORE the manifest leaves the original leaf byte-identical (the
+stale stage is discarded on re-run); a crash AFTER the manifest is
+FINISHED by the next run — remaining staged files install, listed
+originals retire — so no crash point loses rows.  The only crash
+window with a visible artifact is post-commit mid-swap, where a
+reader can briefly see duplicate rows (originals + installed copies)
+until the re-run completes the swap; loss is impossible because an
+original is never removed while any staged file is still pending.
 
 Listing uses the local filesystem API (the test/driver environment);
 on HDFS/S3 the same walk runs through the Hadoop FileSystem client —
@@ -37,6 +46,16 @@ from pyspark.sql import SparkSession
 #: files smaller than this fraction of target are "fragments"
 _FRAG_FRACTION = 0.5
 
+#: commit marker inside a stage dir: present ⇒ the rewrite succeeded and
+#: the swap MUST be finished (its lines are the original basenames to
+#: retire); absent ⇒ the rewrite never completed and the stage is junk
+_MANIFEST = "_SWAP_MANIFEST"
+
+# fault-injection seams (tests monkeypatch these to simulate crashes at
+# exact points inside the swap); same-filesystem move is an atomic rename
+_move = shutil.move
+_remove = os.remove
+
 
 def _leaf_dirs(root: str) -> list[str]:
     out = []
@@ -52,6 +71,41 @@ def _parquet_files(d: str) -> list[tuple[str, int]]:
         for f in os.listdir(d)
         if f.endswith(".parquet")
     )
+
+
+def _install_staged(stage: str, leaf: str) -> None:
+    """Move every staged parquet file into the leaf.  Staged basenames
+    carry a fresh Spark job UUID so they never collide with originals;
+    the guard loop keeps the move loss-proof even against a pathological
+    collision (an original is NEVER overwritten — it is only ever
+    removed by :func:`_finish_swap` after every install completed)."""
+    for f in sorted(os.listdir(stage)):
+        if not f.endswith(".parquet"):
+            continue
+        dst = os.path.join(leaf, f)
+        while os.path.exists(dst):
+            dst = os.path.join(leaf, "c_" + os.path.basename(dst))
+        _move(os.path.join(stage, f), dst)
+
+
+def _finish_swap(stage: str, leaf: str) -> None:
+    """Complete a COMMITTED swap (manifest present): install whatever
+    staged files remain, retire the originals the manifest lists, drop
+    the stage.  Idempotent — safe to re-run from any crash point after
+    the commit marker: already-installed files are no longer in the
+    stage, already-retired originals fail the exists check."""
+    with open(os.path.join(stage, _MANIFEST)) as fh:
+        originals = [line for line in fh.read().splitlines() if line]
+    _install_staged(stage, leaf)
+    for f in originals:
+        p = os.path.join(leaf, f)
+        if os.path.exists(p):
+            _remove(p)
+    shutil.rmtree(stage, ignore_errors=True)
+    try:  # drop the stage ROOT too once its last leaf entry is gone
+        os.rmdir(os.path.dirname(stage))
+    except OSError:
+        pass
 
 
 def compact_parquet(
@@ -74,6 +128,30 @@ def compact_parquet(
     point, compaction when file COUNT is."""
     reports: list[dict] = []
     for leaf in _leaf_dirs(path):
+        # staging lives OUTSIDE the table root (a sibling tree keyed by
+        # the leaf's relative path): a dir named `x=y` inside the root
+        # would be parsed as a phantom partition column by discovery —
+        # underscore prefixes shield files, not directories — and any
+        # extra dir breaks same-level partition inference
+        rel = os.path.relpath(leaf, path)
+        rel = "_root" if rel == "." else rel.replace(os.sep, "__")
+        stage = os.path.join(
+            os.path.dirname(path.rstrip("/")) or ".",
+            "_compact_stage_" + os.path.basename(path.rstrip("/")),
+            rel,
+        )
+        recovered = False
+        if os.path.isdir(stage):
+            if os.path.exists(os.path.join(stage, _MANIFEST)):
+                # committed swap interrupted mid-flight: FINISH it (the
+                # stage may hold the only complete copy of some rows —
+                # discarding it here is exactly the data-loss bug)
+                _finish_swap(stage, leaf)
+                recovered = True
+            else:
+                # uncommitted rewrite leftovers: originals are intact
+                # and complete, the stage is junk
+                shutil.rmtree(stage, ignore_errors=True)
         files = _parquet_files(leaf)
         total = sum(sz for _, sz in files)
         frag = (
@@ -85,39 +163,30 @@ def compact_parquet(
             "n_files_before": len(files),
             "bytes": total,
             "rewritten": bool(frag),
+            "recovered": recovered,
         }
         if not frag:
             report["n_files_after"] = len(files)
             reports.append(report)
             continue
         n_out = max(1, math.ceil(total / target_bytes))
-        # staging lives OUTSIDE the table root (a sibling tree keyed by
-        # the leaf's relative path): a dir named `x=y` inside the root
-        # would be parsed as a phantom partition column by discovery —
-        # underscore prefixes shield files, not directories — and any
-        # extra dir breaks same-level partition inference; a crash
-        # therefore leaves the table byte-identical and readable
-        rel = os.path.relpath(leaf, path)
-        rel = "_root" if rel == "." else rel.replace(os.sep, "__")
-        stage = os.path.join(
-            os.path.dirname(path.rstrip("/")) or ".",
-            "_compact_stage_" + os.path.basename(path.rstrip("/")),
-            rel,
-        )
-        shutil.rmtree(stage, ignore_errors=True)  # stale crash leftovers
         (
             spark.read.parquet(*[p for p, _ in files])
             .coalesce(n_out)
             .write.mode("overwrite")
             .parquet(stage)
         )
-        # staged swap: originals removed only after the rewrite succeeded
-        for p, _ in files:
-            os.remove(p)
-        for f in os.listdir(stage):
-            if f.endswith(".parquet"):
-                shutil.move(os.path.join(stage, f), os.path.join(leaf, f))
-        shutil.rmtree(stage, ignore_errors=True)
+        # commit point: the manifest is written ATOMICALLY (tmp +
+        # rename) after the rewrite succeeded; from here the swap must
+        # complete — any crash is finished by the recovery branch above
+        manifest = os.path.join(stage, _MANIFEST)
+        with open(manifest + ".tmp", "w") as fh:
+            fh.write("\n".join(os.path.basename(p) for p, _ in files))
+        os.replace(manifest + ".tmp", manifest)
+        # swap order is install-then-retire: staged files enter the leaf
+        # FIRST, originals are removed only after every install landed —
+        # no crash point leaves the leaf missing rows
+        _finish_swap(stage, leaf)
         report["n_files_after"] = len(_parquet_files(leaf))
         reports.append(report)
     return reports
