@@ -40,6 +40,49 @@ def test_parse_group_selection():
     assert ("/private/" in {p for _, p, _ in other})
 
 
+def test_group_token_matching_is_one_directional():
+    """RFC 9309 product-token semantics: group `googlebot-images` must
+    NOT govern agent `googlebot` (the old bidirectional substring test
+    let it win via longest-wins); agent `googlebot-news` DOES match
+    group `googlebot` (token contained in agent name)."""
+    txt = """
+User-agent: googlebot-images
+Disallow: /images-only/
+
+User-agent: googlebot
+Disallow: /goog/
+"""
+    goog = {p for _, p, _ in parse_robots(txt, "googlebot")}
+    assert goog == {"/goog/"}
+    imgs = {p for _, p, _ in parse_robots(txt, "googlebot-images")}
+    assert imgs == {"/images-only/"}  # longest matching token wins
+    news = {p for _, p, _ in parse_robots(txt, "googlebot-news")}
+    assert news == {"/goog/"}
+
+
+def test_multiple_matching_groups_merge():
+    """RFC 9309 §2.1: every group matching the governing token combines
+    into one rule set — two separate `googlebot` groups both apply, and
+    multiple `*` groups merge for the fallback too."""
+    txt = """
+User-agent: googlebot
+Disallow: /a/
+
+User-agent: *
+Disallow: /star1/
+
+User-agent: googlebot
+Disallow: /b/
+
+User-agent: *
+Disallow: /star2/
+"""
+    goog = {p for _, p, _ in parse_robots(txt, "googlebot")}
+    assert goog == {"/a/", "/b/"}
+    star = {p for _, p, _ in parse_robots(txt, "someotherbot")}
+    assert star == {"/star1/", "/star2/"}
+
+
 def test_parse_empty_disallow_and_blank_file():
     assert parse_robots("User-agent: *\nDisallow:") == []
     assert parse_robots("") == []
@@ -123,6 +166,32 @@ def test_filter_allowlist_mode_drops_unmatched(spark, rule_df):
         ).collect()
     }
     assert kept == {"https://site.com/public/ok"}
+
+
+def test_filter_preserves_caller_host_column(spark, rule_df):
+    """A caller-supplied `host` column on the URLs side must survive the
+    filter: only the rules side's join key is dropped (drop-by-name
+    would silently clobber both)."""
+    urls = spark.createDataFrame(
+        [("https://site.com/public/x", "my-upstream-host"),
+         ("https://site.com/private/x", "blocked-host")],
+        ["url", "host"],
+    )
+    out = filter_disallowed(urls, rule_df)
+    assert out.columns == ["url", "host"]
+    rows = {(r["url"], r["host"]) for r in out.collect()}
+    assert rows == {("https://site.com/public/x", "my-upstream-host")}
+
+
+def test_robots_from_warc_signature_annotations_resolve():
+    """robots_from_warc annotates SparkSession — a missing import is a
+    latent NameError under typing.get_type_hints."""
+    import typing
+
+    from yodel_etl_spark.scale import robots as mod
+
+    hints = typing.get_type_hints(mod.robots_from_warc)
+    assert hints["spark"].__name__ == "SparkSession"
 
 
 def test_filter_preserves_columns_and_never_shuffles_corpus(spark, rule_df):

@@ -48,7 +48,7 @@ _WS_ASCII = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def _cjk_run_re():
-    """Python twin of textstats.CJK_RUN_RE (run-grain: BPE's word
+    r"""Python twin of textstats.CJK_RUN_RE (run-grain: BPE's word
     boundary — merges happen WITHIN a contiguous CJK run) with ``\s``
     narrowed to the ASCII whitespace class (Python ``\s`` is
     Unicode-wide, Java's is ASCII — the same NBSP trap _WS_ASCII

@@ -5,11 +5,16 @@ every URL a host's robots.txt disallows for its crawler.
 
 Semantics implemented (the Robots Exclusion Protocol core, RFC 9309):
 
-  * group selection: the ``User-agent:`` group whose token matches the
-    crawler name (case-insensitive substring, longest token wins);
-    ``*`` is the fallback group.  Consecutive ``User-agent`` lines
-    share one group; ``Sitemap``/``Crawl-delay`` lines do not close a
-    group.
+  * group selection: a ``User-agent:`` token matches when it is a
+    case-insensitive substring of the crawler name (product-token
+    semantics — ``googlebot`` matches agent ``googlebot-news``, but
+    group ``googlebot-images`` does NOT match agent ``googlebot``);
+    the LONGEST matching token governs, and the rules of ALL groups
+    carrying a token of that winning length are merged into one group
+    (RFC 9309 §2.1: multiple matching groups MUST be combined).  ``*``
+    is the fallback group (multiple ``*`` groups merge too).
+    Consecutive ``User-agent`` lines share one group;
+    ``Sitemap``/``Crawl-delay`` lines do not close a group.
   * ``Allow`` / ``Disallow`` rules are path prefixes; the decision for
     a URL is the matching rule with the LONGEST rule string (RFC 9309
     §2.2.2 most-specific wins), ``Allow`` winning length ties; no
@@ -35,7 +40,7 @@ import re as _re
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -90,18 +95,26 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str, int]]:
     if cur_agents or cur_rules:
         groups.append((cur_agents, cur_rules))
 
-    best_len = -1
-    best_rules: list[tuple[bool, str]] = []
-    star_rules: list[tuple[bool, str]] | None = None
+    # group selection is one-directional: a group token governs only if
+    # it is contained IN the agent name (product-token semantics) — the
+    # reverse test would let an unrelated longer group (`googlebot-
+    # images`) hijack agent `googlebot` via longest-wins.  All groups
+    # whose matching token ties the winning length MERGE (RFC 9309
+    # §2.1); so do multiple `*` fallback groups.
+    def _tok(a: str) -> bool:
+        return bool(a) and a != "*" and a in agent
+
+    best_len = max(
+        (len(a) for agents, _ in groups for a in agents if _tok(a)), default=-1
+    )
+    chosen: list[tuple[bool, str]] = []
     for agents, rules in groups:
-        for a in agents:
-            if a == "*":
-                if star_rules is None:
-                    star_rules = rules
-            elif a and (a in agent or agent in a):
-                if len(a) > best_len:
-                    best_len, best_rules = len(a), rules
-    chosen = best_rules if best_len >= 0 else (star_rules or [])
+        if best_len >= 0:
+            hit = any(_tok(a) and len(a) == best_len for a in agents)
+        else:
+            hit = "*" in agents
+        if hit:
+            chosen.extend(rules)
     return [(allow, prefix, len(prefix)) for allow, prefix in chosen]
 
 
@@ -160,9 +173,12 @@ def filter_disallowed(
     raw_path = F.regexp_extract(
         F.col(url_col), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1
     )
+    # drop the RULES side's host by DataFrame reference: drop-by-name
+    # removes every column named `host`, clobbering a caller-supplied
+    # one on the URLs side
     joined = with_host.join(
         F.broadcast(per_host), with_host["_h"] == per_host["host"], "left"
-    ).drop("host")
+    ).drop(per_host["host"])
     staged = joined.withColumn(
         "_path", F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
     )
