@@ -15,6 +15,7 @@ from yodel_etl_spark.queries import (  # noqa: F401
     grouping,
     judge,
     layout_q,
+    ops_q,
     pipelines_q,
     refs,
     relational,

@@ -55,7 +55,7 @@ _ORACLE = f"""
 
 
 @register(
-    "decontam_train_overlap",
+    "decontam",
     oracle=_ORACLE,
     doc=f"Benchmark decontamination (GPT-3/PaLM-style {_N}-gram overlap "
     "scrub): the test split's distinct n-gram md5 keys broadcast "

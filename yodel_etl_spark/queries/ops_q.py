@@ -1,0 +1,277 @@
+"""Operator bindings for the funnel walk, the keyed table diff, and the
+end-to-end crawl-curation chain.
+
+``funnel`` is oracle-backed (tier 3: it yields its driver-window slot to
+the established queries; parity also pinned by the join-chain oracle in
+tests/test_funnel.py).  ``tdiff`` and ``crawl`` are registered rows-only
+this round — ``tdiff``'s full-outer-join oracle exists (tests/
+test_diff.py) and flips on once the rotation-window simulation says the
+extra oracle entry cannot evict a never-windowed query (the cdc/links
+protection rule); ``crawl`` composes container ingest, the robots gate,
+curation, link extraction and PageRank, whose iterative core is not a
+single SQL statement.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yodel_etl_spark.ops.funnel import funnel_oracle_sql, funnel_steps
+from yodel_etl_spark.registry import register
+from yodel_etl_spark.session import load_tables
+
+_STEPS = ("view", "click", "purchase")
+
+_FUNNEL_ORACLE = (
+    "SELECT key AS user_id, t1, t2, t3, stage FROM ("
+    + funnel_oracle_sql("events", "user_id", "ts", "event_type", _STEPS)
+    + ")"
+)
+
+
+@register(
+    "funnel",
+    oracle=_FUNNEL_ORACLE,
+    doc="Funnel / ordered-sequence match (view → click → purchase) per "
+    "user over the event log: ONE shuffle (groupBy user after a step-"
+    "type pre-filter), per-key sorted event array walked by a codegen "
+    "aggregate lambda whose state is the (t1..t3) vector — each t_i the "
+    "MINIMUM ts of step i strictly after t_{i-1}.  The oracle is the "
+    "textbook k-pass join-chain (k scans + k joins), which is exactly "
+    "the plan shape this operator exists to avoid at 100 TB.  Tier 3: "
+    "yields its driver-window slot; parity also pinned in "
+    "tests/test_funnel.py.",
+    tags=("events", "ops", "funnel"),
+    bench=True,
+    tier=3,
+)
+def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    out = funnel_steps(
+        t["events"], "user_id", "ts", "event_type", _STEPS, tiebreak_col="event_id"
+    )
+    return out.select(F.col("key").alias("user_id"), "t1", "t2", "t3", "stage")
+
+
+@register(
+    "tdiff",
+    oracle=None,  # full-outer-join SQL twin exists (tests/test_diff.py);
+    # kept rows-only this round so the oracle-block length leaves the
+    # never-windowed cdc/links entries inside the round-9 driver window
+    # (rotation k = counter*10 % len shifts with every oracle add)
+    doc="Keyed table diff between two deterministic customer snapshots "
+    "(keys dropped on either side, acctbal bumped on a residue class, "
+    "segment migrated on another): ONE co-partitioned full-outer join "
+    "on the key, per-row classification added/removed/changed plus the "
+    "comma-joined changed-column list from null-safe comparisons — "
+    "pure column algebra, no window, no second pass.  DuckDB parity "
+    "and the diff∘apply identity are pinned in tests/test_diff.py.",
+    tags=("ops", "cdc", "diff"),
+)
+def tdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.ops.diff import table_diff
+
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    old = cust.where(F.col("c_custkey") % 11 != 3)
+    new = (
+        cust.where(F.col("c_custkey") % 13 != 5)
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 7 == 0, F.round(F.col("c_acctbal") + 10.0, 2)
+            ).otherwise(F.col("c_acctbal")),
+        )
+        .withColumn(
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % 17 == 0, F.lit("MIGRATED")).otherwise(
+                F.col("c_mktsegment")
+            ),
+        )
+    )
+    return table_diff(old, new, ["c_custkey"])
+
+
+# ---------------------------------------------------------------- crawl
+
+#: ~100-word vocabulary: page bodies sample it with coprime strides so
+#: n-gram repetition stays under the curate caps (the 24-word warc bank
+#: cycles every 8 words under its stride — Gopher-style repetition
+#: filters would drop every page)
+_VOCAB = [
+    f"{w}{d}"
+    for w in (
+        "key agg row scan slow fast table value part hash batch window "
+        "spark order data column join small group sort stream filter merge"
+    ).split()
+    for d in ("", "er", "ing", "ed")
+] + ["the"]
+
+_N_HOSTS = 5
+_N_PAGES = 240
+
+
+def _crawl_page(i: int) -> str:
+    """Deterministic page ``i``: body of 80 vocab words (coprime stride
+    → low n-gram repetition, passes curate), three hyperlinks (cross-
+    host absolute, same-host root-relative, cross-host with tracking
+    params to canonicalize away), plus a mailto that must drop.  Every
+    9th page is a repetition-spam page curate must reject."""
+    k = i % _N_HOSTS
+    if i % 9 == 0:
+        body = " ".join(["buy now best price"] * 30)
+    else:
+        # every third word is a common English function word so the
+        # n-gram language heuristic reads the page as `en` — an
+        # all-jargon body classifies `und` and curate would drop it
+        stop = "the and of to in is for with that on this from".split()
+        body = " ".join(
+            stop[(i + j) % len(stop)]
+            if j % 3 == 0
+            else _VOCAB[(i * 13 + j * 7 + (j * j) % 11) % len(_VOCAB)]
+            for j in range(80)
+        )
+    nxt = (k + 1) % _N_HOSTS
+    trk = (k + 2) % _N_HOSTS
+    return (
+        f"<html><head><title>doc {i}</title></head><body>"
+        f"<p>{body}</p>"
+        f'<a href="https://h{nxt}.example.org/page/p{(i + 1) % _N_PAGES}">n</a>'
+        f'<a href="/page/p{(i + 3) % _N_PAGES}">s</a>'
+        f'<a href="http://h{trk}.example.org:80/page/p{(i + 5) % _N_PAGES}'
+        f'?utm_source=x&b=2">t</a>'
+        '<a href="https://h0.example.org/page/p0">h</a>'  # hub: every
+        # page links h0, so the rank prior is non-uniform by design
+        '<a href="mailto:a@b.c">m</a>'
+        "</body></html>"
+    )
+
+
+_CRAWL_DIRS: set[str] = set()
+
+
+def crawl_fixture_dir() -> str:
+    """Write (once per process) the crawl fixture: 4 ``.warc.gz``
+    archives holding per-host robots.txt fetches (hosts h0-h3 disallow
+    ``/private/``; h4's robots is a 404, so it stays an unmatched host)
+    and 240 interlinked HTML pages across the 5 hosts, every 6th under
+    the disallowed ``/private/`` prefix.  tmpfs, pid-keyed, removed at
+    exit (the web_q fixture convention)."""
+    from yodel_etl_spark.io.warc import write_warc
+
+    root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    base = os.path.join(root or "/tmp", f"yodel_crawl_{os.getpid()}")
+    if base not in _CRAWL_DIRS:
+        _CRAWL_DIRS.add(base)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    marker = os.path.join(base, ".complete")
+    if os.path.exists(marker):
+        return base
+    os.makedirs(base, exist_ok=True)
+    robots = [
+        {
+            "url": f"https://h{k}.example.org/robots.txt",
+            "ts": "2024-01-01T00:00:00Z",
+            "payload": b"User-agent: *\nDisallow: /private/\n",
+        }
+        for k in range(_N_HOSTS - 1)
+    ] + [
+        {
+            "url": f"https://h{_N_HOSTS - 1}.example.org/robots.txt",
+            "ts": "2024-01-01T00:00:00Z",
+            "payload": b"not found",
+            "status": 404,
+        }
+    ]
+    per_file = _N_PAGES // 4
+    for f in range(4):
+        recs = [
+            {
+                "url": (
+                    f"https://h{i % _N_HOSTS}.example.org/"
+                    + ("private/" if i % 6 == 0 else "page/")
+                    + f"p{i}"
+                ),
+                "ts": "2024-01-01T00:00:00Z",
+                "payload": _crawl_page(i).encode(),
+                "mime": "text/html",
+            }
+            for i in range(f * per_file, (f + 1) * per_file)
+        ]
+        if f == 0:
+            recs = robots + recs
+        write_warc(recs, os.path.join(base, f"part-{f}.warc.gz"))
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return base
+
+
+@register(
+    "crawl",
+    oracle=None,  # PageRank's iterative core is not one SQL statement;
+    # every stage is individually pinned (tests/test_warc.py,
+    # test_robots.py, test_curate.py, test_links.py, test_graph.py)
+    doc="The crawl-curation chain end-to-end, every stage an engine "
+    "operator: read_warc (file-grain mapInPandas container split) → "
+    "robots_from_warc + filter_disallowed (RFC 9309 gate: rules "
+    "broadcast as one array row per host, winner picked by a codegen "
+    "aggregate fold — the corpus never shuffles for politeness) → "
+    "html_extract → curate (quality/repetition/lang filters + "
+    "fingerprint dedup; spam fixture pages must drop) → link_edges "
+    "(staged codegen extract/resolve/canonicalize, ONE host-grain "
+    "shuffle) → budgeted PageRank (8 rounds, tol=None) → per-host "
+    "(kept pages, rank).  Rows-only: one row per host in the link "
+    "graph; registered so the full-chain cost is a recorded bench "
+    "number, not just its stages'.",
+    tags=("web", "scale", "pipeline", "graph"),
+    bench=True,
+)
+def crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.io.warc import read_warc
+    from yodel_etl_spark.pipelines.curate import curate
+    from yodel_etl_spark.scale.graph import pagerank
+    from yodel_etl_spark.scale.links import host_of, link_edges
+    from yodel_etl_spark.scale.robots import filter_disallowed, robots_from_warc
+    from yodel_etl_spark.scale.textstats import html_extract
+    from yodel_etl_spark.scale.urlnorm import canonical_url
+    from yodel_etl_spark.session import ship_package
+
+    ship_package(spark)
+    path = os.path.join(crawl_fixture_dir(), "*.warc.gz")
+    rules = robots_from_warc(spark, path)
+    raw = read_warc(spark, path)
+    pages = raw.where(
+        (~F.col("url").rlike("/robots\\.txt$"))
+        & (F.col("status") >= 200)
+        & (F.col("status") < 300)
+    )
+    allowed = filter_disallowed(pages, rules)
+    docs = allowed.select(
+        F.xxhash64(F.col("url")).alias("doc_id"),
+        "url",
+        F.col("payload").cast("string").alias("html"),
+    )
+    docs = docs.select(
+        "doc_id", "url", "html", html_extract(F.col("html")).alias("text")
+    )
+    # persist the survivors: consumed twice (edge extraction and the
+    # per-host page counts) atop a deep ingest+curate plan
+    kept = curate(docs).select("url", "html").persist()
+    edges = link_edges(kept, "url", "html", drop_self=True)
+    ranks = pagerank(edges, src="src_host", dst="dst_host", tol=None, max_iter=8)
+    counts = kept.groupBy(
+        host_of(canonical_url(F.col("url"))).alias("host")
+    ).agg(F.count(F.lit(1)).alias("n_pages"))
+    return (
+        ranks.join(counts, ranks["node"] == counts["host"], "left")
+        .select(
+            F.col("node").alias("host"),
+            F.coalesce(F.col("n_pages"), F.lit(0)).cast("long").alias("n_pages"),
+            F.round(F.col("rank"), 6).alias("rank"),
+        )
+    )

@@ -13,7 +13,7 @@ from yodel_etl_spark.session import load_tables
 
 
 @register(
-    "split_documents_counts",
+    "split_docs",
     oracle="""
     WITH s AS (
       SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,

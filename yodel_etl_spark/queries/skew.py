@@ -15,7 +15,7 @@ from yodel_etl_spark.session import load_tables
 
 
 @register(
-    "skew_salted_distinct_users",
+    "skew_dusers",
     oracle="""
     SELECT event_type,
            count(DISTINCT user_id) AS n_users,

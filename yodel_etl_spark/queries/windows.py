@@ -121,7 +121,7 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_enriched_by_segment",
+    "ev_enrich",
     oracle="""
     SELECT c.c_mktsegment AS segment, e.event_type,
            count(*) AS n_events,

@@ -66,8 +66,15 @@ def pagerank(
     start at ``1/n``; stale entries for nodes no longer in the graph
     are ignored; the vector is re-normalized to sum 1 so yesterday's
     ranks over a slightly different node set remain a valid start."""
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
-        F.col(src).isNotNull() & F.col(dst).isNotNull()
+    # persist the narrow (u, v) list: every round's contrib join (plus
+    # nodes and outdeg) re-reads it, and the caller's edge PRODUCER can
+    # be an arbitrarily deep plan (the crawl chain measured 8 full
+    # upstream re-evaluations — 20 s — without this; with it the
+    # producer runs once and rounds join the materialized pairs)
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .persist()
     )
     nodes = (
         e.select(F.col("u").alias("node"))
