@@ -71,3 +71,80 @@ def test_span_scrub_golden(spark):
     assert got[3] == (2, 2, "")
     assert got[4] == (1, 0, "lone words here")
     assert set(got) == {1, 2, 3, 4}
+
+
+def test_duplicated_spans_golden(spark):
+    """Hand-computed maximal duplicated spans at k=3: a 5-token passage
+    shared by two docs is reported ONCE per doc as a maximal run (not as
+    three overlapping anchors); a within-doc repeat duplicates too (the
+    Lee et al. criterion is corpus-wide occurrence > 1, not cross-doc);
+    clean docs report nothing; spans shorter than k are invisible."""
+    from yodel_etl_spark.scale.dedup import duplicated_spans
+    from yodel_etl_spark.session import release
+
+    rows = [
+        (1, "p q r s t u v w"),      # shares "r s t u v" with doc 2
+        (2, "x y r s t u v z"),      # ... at a different offset
+        (3, "m n o m n o k l"),      # within-doc repeated "m n o" (k=3)
+        (4, "all unique words only here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicated_spans(docs, "doc_id", "text", k=3)
+    got = {(r["doc_id"], r["start"], r["length"]) for r in out.collect()}
+    release(out)
+    # doc1 tokens 2..6 = "r s t u v": anchors at pos 2,3,4 -> run start 2 len 5
+    # doc2 same passage at pos 2..6 -> start 2 len 5
+    # doc3 "m n o" at pos 0 and 3: anchors h("m n o") at 0 and 3 duplicate;
+    # they are NOT consecutive (pos 1,2 anchors unique) -> two runs len 3
+    assert got == {(1, 2, 5), (2, 2, 5), (3, 0, 3), (3, 3, 3)}
+
+
+def test_duplicated_spans_duckdb_parity(spark):
+    """Independent DuckDB formulation (explicit k-gram windows + the
+    same gaps-and-islands) over a deterministic corpus with planted
+    cross-doc reprints — every (id, start, length) must agree."""
+    import duckdb
+
+    from yodel_etl_spark.scale.dedup import duplicated_spans
+    from yodel_etl_spark.session import release
+
+    words = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9".split()
+    rows = []
+    for i in range(40):
+        body = [words[(i * 7 + j * 3) % 10] + str((i * j) % 23) for j in range(30)]
+        rows.append((i, " ".join(body)))
+    # plant reprints: doc 100+i embeds doc i's tokens 5..20 inside noise
+    for i in range(0, 40, 5):
+        src = rows[i][1].split()[5:20]
+        body = ["n" + str(i), "u" + str(i * 3 + 1)] + src + ["z" + str(i)]
+        rows.append((100 + i, " ".join(body)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    k = 4
+    out = duplicated_spans(docs, "doc_id", "text", k=k)
+    got = {(r["doc_id"], r["start"], r["length"]) for r in out.collect()}
+    release(out)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    oracle = con.sql(f"""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM docs
+        ), anch AS (
+          SELECT doc_id, u.p - 1 AS pos,
+                 md5(array_to_string(tk[u.p : u.p + {k} - 1], ' ')) AS h
+          FROM tok, UNNEST(generate_series(1, len(tk) - {k} + 1)) AS u(p)
+        ), dup AS (
+          SELECT h FROM anch GROUP BY h HAVING count(*) > 1
+        ), duppos AS (
+          SELECT doc_id, pos FROM anch WHERE h IN (SELECT h FROM dup)
+        ), runs AS (
+          SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM duppos
+        )
+        SELECT doc_id, min(pos) AS start, max(pos) - min(pos) + {k} AS length
+        FROM runs GROUP BY doc_id, grp
+    """).fetchall()
+    want = {(int(d), int(s), int(ln)) for d, s, ln in oracle}
+    assert got == want and len(got) >= 16  # every planted reprint found twice

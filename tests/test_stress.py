@@ -662,3 +662,38 @@ def test_pagerank_warm_refresh_equals_fresh_convergence(spark):
         ).collect()
     }
     assert all(abs(refreshed[k] - fresh[k]) < 1e-6 for k in fresh)
+
+
+def test_duplicated_spans_scales_subquadratically(spark, tmp_path):
+    """20× rows where the replication itself makes EVERY interior
+    position a 20-way duplicate — the operator's worst case (the
+    rare-duplicates assumption fully broken: the run window sees every
+    position).  Even there the plan is one digest count + one semi join
+    + one window over (id, pos) pairs — wall must grow far below the
+    400× an all-pairs formulation would."""
+    from yodel_etl_spark.scale.dedup import duplicated_spans
+    from yodel_etl_spark.session import load_tables, release, spread
+
+    docs = load_tables(spark, "/root/testdata/sf0.1", ("documents",))["documents"]
+    reps = spark.range(20).select(F.col("id").alias("rep"))
+    big = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" rep"), F.col("rep").cast("string")).alias("text"),
+    )
+    src = str(tmp_path / "big_docs_xspan")
+    big.write.mode("overwrite").parquet(src)
+
+    small = spread(docs.select("doc_id", "text"))
+    large = spread(spark.read.parquet(src))
+
+    def timed(frame) -> float:
+        c = duplicated_spans(frame, "doc_id", "text", k=8)
+        _force(c)  # warm
+        t0 = time.perf_counter()
+        _force(c)
+        release(c)
+        return time.perf_counter() - t0
+
+    t_small, t_large = timed(small), timed(large)
+    print(f"STRESS {t_small:.2f}s -> {t_large:.2f}s ({t_large / t_small:.1f}x)")
+    assert t_large < t_small * 10, (t_small, t_large)

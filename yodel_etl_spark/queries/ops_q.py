@@ -97,6 +97,47 @@ def tdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff(old, new, ["c_custkey"])
 
 
+@register(
+    "xspan",
+    oracle=None,  # the DuckDB twin (same anchors + gaps-and-islands)
+    # is pinned in tests/test_scale_dedup.py; kept rows-only this round
+    # for the same rotation-window reason as tdiff
+    doc="Exact-substring duplicate spans, the suffix-array move of Lee "
+    "et al. 2022 §4.1 reformulated for a 1000-executor plan (no global "
+    "suffix sort): every position emits its k-token anchor digest, "
+    "duplicated digests mark duplicated positions, and maximal runs of "
+    "consecutive duplicated positions are the maximal spans — every "
+    "k-window inside a reported span occurs verbatim elsewhere in the "
+    "corpus.  Alignment-free complement of dedup_spans' C4 lattice.  "
+    "Corpus: documents plus planted reprints (every 10th doc's tokens "
+    "10..40 embedded in a fresh doc) so found spans are guaranteed and "
+    "checkable.  Shuffles carry (id, pos, 16-byte digest) — text never "
+    "leaves its scan partition; the run window sees only duplicated "
+    "positions.",
+    tags=("dedup", "scale", "text"),
+    bench=True,
+)
+def xspan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.dedup import duplicated_spans
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    src = docs.where(F.col("doc_id") % 10 == 0)
+    reprint_body = F.concat(
+        F.lit("reprint of "),
+        F.col("doc_id").cast("string"),
+        F.lit(" begins "),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 10, 31), " "),
+        F.lit(" ends here"),
+    )
+    reprints = src.select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        reprint_body.alias("text"),
+    )
+    corpus = docs.unionByName(reprints)
+    return duplicated_spans(corpus, "doc_id", "text", k=8)
+
+
 # ---------------------------------------------------------------- crawl
 
 #: ~100-word vocabulary: page bodies sample it with coprime strides so
