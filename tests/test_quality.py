@@ -255,3 +255,82 @@ def test_gopher_rules_cjk_tokenizer(spark):
     cjk = gopher_rules(docs, "doc_id", "text", tokenizer="cjk").collect()[0]
     assert ws["n_words"] == 1
     assert cjk["n_words"] == 112
+
+
+def test_kn_trigram_literal_python_parity(spark):
+    """The interpolated Kneser-Ney trigram LM against a literal
+    single-process Python twin of the same formulas: per-doc integer
+    micro-nat sums and gram counts must agree EXACTLY on a corpus with
+    repeated multiword structure (the case where KN continuation counts
+    differ visibly from raw counts)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from yodel_etl_spark.scale.lm import KN_DISCOUNT, perplexity_buckets
+    from yodel_etl_spark.session import release
+
+    phrases = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown cat sleeps under the warm sun",
+        "a slow green turtle walks past the lazy dog",
+        "data pipelines shuffle keys and join tables",
+        "spark pipelines shuffle digests and join tables",
+        "the lazy dog sleeps", "the quick brown fox returns",
+    ]
+    rows = [(i, phrases[i % len(phrases)] + f" tail{i % 5} end") for i in range(25)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = perplexity_buckets(docs, "doc_id", "text", order=3, method="threshold")
+    got = {r["doc_id"]: (r["n_grams"], r["score"]) for r in out.collect()}
+    release(out)
+
+    # ---- literal twin -------------------------------------------------
+    D = KN_DISCOUNT
+    tri = Counter()
+    doc_tris = {}
+    for i, text in rows:
+        tk = text.lower().split()
+        ts = [(tk[j], tk[j + 1], tk[j + 2]) for j in range(len(tk) - 2)]
+        doc_tris[i] = ts
+        tri.update(ts)
+    c12, n1p_12 = Counter(), Counter()
+    mid, n1p_d2d, n1p_2d, uni = Counter(), Counter(), Counter(), Counter()
+    for (w1, w2, w3), c in tri.items():
+        c12[(w1, w2)] += c
+        n1p_12[(w1, w2)] += 1
+        mid[(w2, w3)] += 1
+    for (w2, w3), c in mid.items():
+        n1p_d2d[w2] += c
+        n1p_2d[w2] += 1
+        uni[w3] += 1
+    n_pairs = len(mid)
+
+    def nats(g):
+        w1, w2, w3 = g
+        p_uni = uni[w3] / n_pairs
+        p_mid = (mid[(w2, w3)] - D) / n1p_d2d[w2] + D * n1p_2d[w2] / n1p_d2d[w2] * p_uni
+        p = (tri[g] - D) / c12[(w1, w2)] + D * n1p_12[(w1, w2)] / c12[(w1, w2)] * p_mid
+        return round(math.log(p) * 1_000_000)
+
+    want = {}
+    for i, ts in doc_tris.items():
+        s = sum(nats(g) for g in ts)
+        want[i] = (len(ts), round(s / 1_000_000 / len(ts), 6))
+    assert got == want
+
+
+def test_trigram_short_docs_excluded_and_order_validated(spark):
+    from yodel_etl_spark.scale.lm import perplexity_buckets
+    from yodel_etl_spark.session import release
+
+    docs = spark.createDataFrame(
+        [(1, "two words"), (2, "three word doc"), (3, "a longer document here")],
+        "doc_id long, text string",
+    )
+    out = perplexity_buckets(docs, "doc_id", "text", order=3, method="threshold")
+    ids = {r["doc_id"] for r in out.collect()}
+    release(out)
+    assert ids == {2, 3}  # <3 tokens -> no trigram row
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="order"):
+        perplexity_buckets(docs, "doc_id", "text", order=4)

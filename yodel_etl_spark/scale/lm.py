@@ -92,6 +92,93 @@ def bigram_lm(grams: DataFrame) -> DataFrame:
     return register_persisted(lm, big)
 
 
+#: Kneser-Ney absolute discount (the standard fixed value; Chen &
+#: Goodman 1999 estimate ~n1/(n1+2·n2) ≈ 0.7-0.8 on natural text)
+KN_DISCOUNT = 0.75
+
+
+def doc_trigrams(
+    docs: DataFrame, id_col: str, text_col: str, tokenizer: str = "ws"
+) -> DataFrame:
+    """Exploded (id, w1, w2, w3) adjacent word triples of the lowercased
+    tokens; docs with fewer than three tokens yield no rows."""
+    staged = docs.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col)), mode=tokenizer).alias("_tk")
+    ).where(F.size("_tk") >= 3)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_tk") - 2),
+        lambda i: F.struct(
+            F.element_at(F.col("_tk"), i).alias("w1"),
+            F.element_at(F.col("_tk"), i + 1).alias("w2"),
+            F.element_at(F.col("_tk"), i + 2).alias("w3"),
+        ),
+    )
+    return staged.select(id_col, F.explode(grams).alias("g")).select(
+        id_col,
+        F.col("g.w1").alias("w1"),
+        F.col("g.w2").alias("w2"),
+        F.col("g.w3").alias("w3"),
+    )
+
+
+def kn_trigram_lm(grams: DataFrame) -> DataFrame:
+    """Interpolated Kneser-Ney trigram model from exploded grams —
+    ``(w1, w2, w3, nats)`` with the same integer micro-nat convention as
+    :func:`bigram_lm`.  Absolute discounting with continuation counts
+    (the KN signature — lower orders count CONTEXTS a word completes,
+    not tokens):
+
+      P(w3|w1,w2) = (c123 − D)/c12 + D·N1+(w1w2·)/c12 · Pc(w3|w2)
+      Pc(w3|w2)   = (N1+(·w2w3) − D)/N1+(·w2·)
+                    + D·N1+(w2·)/N1+(·w2·) · Pc(w3)
+      Pc(w3)      = N1+(·w3) / N1+(··)
+
+    The LM is corpus-trained and scores the SAME corpus, so every
+    scored trigram is seen (c123 ≥ 1) and the back-off terms act as
+    smoothing weights, never as an unseen-event fallback — the same
+    self-contained convention as the bigram model.
+
+    Scale shape: the corpus-sized shuffle is the ONE trigram count;
+    every other table (contexts, continuation counts, the two
+    vocabulary rollups) derives from it at gram-table size, joined back
+    on fixed-width gram keys."""
+    d = F.lit(KN_DISCOUNT)
+    t3 = grams.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
+    t3 = t3.persist()
+    # (w1,w2) context: token total + distinct-continuation count
+    ctx = t3.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("c12"), F.count(F.lit(1)).alias("n1p_12")
+    )
+    # middle order rides distinct (w2,w3) pairs: rows of t3 grouped by
+    # (w2,w3) count distinct w1 (t3 is unique on the triple)
+    mid = t3.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("n1p_d23"))
+    mid = mid.persist()
+    mid2 = mid.groupBy("w2").agg(
+        F.sum("n1p_d23").alias("n1p_d2d"), F.count(F.lit(1)).alias("n1p_2d")
+    )
+    uni = mid.groupBy("w3").agg(F.count(F.lit(1)).alias("n1p_d3"))
+    tot = mid.agg(F.count(F.lit(1)).alias("n_pairs"))
+    p_uni = F.col("n1p_d3") / F.col("n_pairs")
+    p_mid = (F.col("n1p_d23") - d) / F.col("n1p_d2d") + d * F.col("n1p_2d") / F.col(
+        "n1p_d2d"
+    ) * p_uni
+    p = (F.col("c123") - d) / F.col("c12") + d * F.col("n1p_12") / F.col("c12") * p_mid
+    lm = (
+        t3.join(ctx, ["w1", "w2"])
+        .join(mid, ["w2", "w3"])
+        .join(mid2, "w2")
+        .join(uni, "w3")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.round(F.log(p) * F.lit(1000000.0)).cast("long").alias("nats"),
+        )
+    )
+    return register_persisted(lm, t3, mid)
+
+
 def perplexity_buckets(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -101,6 +188,7 @@ def perplexity_buckets(
     method: str = "rank",
     accuracy: int = 10_000,
     tokenizer: str = "ws",
+    order: int = 2,
 ) -> DataFrame:
     """Per-document LM score + CCNet head/middle/tail bucket.
 
@@ -120,14 +208,28 @@ def perplexity_buckets(
     tied at a cutpoint land on the inclusive side, where rank mode
     splits the tie by id; away from the cutpoints (beyond the approx
     rank error, ≤ n/accuracy rows per cut) both forms agree, which
-    tests/test_quality.py pins."""
+    tests/test_quality.py pins.
+
+    ``order=3`` swaps the add-one bigram LM for the interpolated
+    Kneser-Ney trigram (:func:`kn_trigram_lm`) — a materially better
+    in-distribution signal on any corpus with multiword structure; the
+    default stays 2, so existing oracle rows are byte-identical."""
     if method not in ("rank", "threshold"):
         raise ValueError(f"method={method!r} (expected 'rank' or 'threshold')")
-    grams = doc_bigrams(docs, id_col, text_col, tokenizer=tokenizer)
-    grams = grams.persist()
-    lm = bigram_lm(grams)
+    if order not in (2, 3):
+        raise ValueError(f"order={order!r} (expected 2 or 3)")
+    if order == 3:
+        grams = doc_trigrams(docs, id_col, text_col, tokenizer=tokenizer)
+        grams = grams.persist()
+        lm = kn_trigram_lm(grams)
+        keys = ["w1", "w2", "w3"]
+    else:
+        grams = doc_bigrams(docs, id_col, text_col, tokenizer=tokenizer)
+        grams = grams.persist()
+        lm = bigram_lm(grams)
+        keys = ["w1", "w2"]
     scored = (
-        grams.join(F.broadcast(lm), ["w1", "w2"])
+        grams.join(F.broadcast(lm), keys)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
