@@ -59,12 +59,19 @@ def bm25_topk(
     b: float = 0.75,
     top_n: int = 20,
     tokenizer: str = "ws",
+    unigram_scores: dict[str, int] | None = None,
 ) -> DataFrame:
     """Top-``top_n`` documents by BM25 against ``query_terms``
     (lowercase tokens; ``tokenizer="cjk"`` switches to the CJK-safe
     unigram splitter so no-space scripts retrieve per-character instead
-    of collapsing each document to one giant token), as ``(doc_id, dl,
-    tf_<term>..., score)`` ordered score-desc then id-asc.
+    of collapsing each document to one giant token; ``tokenizer=
+    "unigram"`` retrieves over a LEARNED subword segmentation — pass
+    the trained piece table from ``scale.unigram.learn_unigram`` as
+    ``unigram_scores`` and query with pieces; dl/tf/df then count
+    subword pieces, computed by one Arrow ``mapInPandas`` encode pass
+    in place of the codegen splitter — the rest of the plan is
+    identical), as ``(doc_id, dl, tf_<term>..., score)`` ordered
+    score-desc then id-asc.
 
     The narrow per-doc projection (id, dl, one tf column per term) is
     persisted because it feeds both the stats aggregate and the scored
@@ -87,12 +94,25 @@ def bm25_topk(
     # '.' or backticks would break the F.col re-reads of a tf_{term}
     # name (dot parses as struct-field access); the pretty tf_{term}
     # names appear only as final output aliases, never re-read
-    tk = tokens(F.lower(F.col(text_col)), mode=tokenizer)
-    proj = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(tk).alias("dl"),
-        *[_tf(tk, term).alias(f"tf_{i}") for i, term in enumerate(query_terms)],
-    ).persist()
+    if tokenizer == "unigram":
+        if not unigram_scores:
+            raise ValueError("tokenizer='unigram' requires unigram_scores")
+        from yodel_etl_spark.scale.unigram import unigram_tokenize
+
+        encoded = unigram_tokenize(docs, id_col, text_col, unigram_scores)
+        tk = F.col("tokens")
+        proj = encoded.select(
+            F.col(id_col).alias("doc_id"),
+            F.col("n_tokens").cast("int").alias("dl"),
+            *[_tf(tk, term).alias(f"tf_{i}") for i, term in enumerate(query_terms)],
+        ).persist()
+    else:
+        tk = tokens(F.lower(F.col(text_col)), mode=tokenizer)
+        proj = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tk).alias("dl"),
+            *[_tf(tk, term).alias(f"tf_{i}") for i, term in enumerate(query_terms)],
+        ).persist()
 
     stats = proj.agg(
         F.count(F.lit(1)).alias("n_docs"),
