@@ -316,3 +316,31 @@ def crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rank"), 6).alias("rank"),
         )
     )
+
+
+@register(
+    "anchor",
+    oracle=None,  # fixture-container input (the warc/crawl convention);
+    # extraction/resolution SQL twins are byte-pinned in tests/test_links.py
+    doc="Anchor-text table over the crawl fixture — how the web "
+    "DESCRIBES each target host, the weak (query, document) "
+    "supervision signal retrieval pipelines mine: anchor tags (both "
+    "quote styles) zipped positionally from two regexp_extract_all "
+    "passes, hrefs resolved/canonicalized by the staged scan-side "
+    "codegen chain links shares, inner markup reduced by html_extract, "
+    "ONE aggregation shuffle at (dst_host, anchor) grain.  Rows-only: "
+    "deterministic fixture pages give a stable (host, anchor) set.",
+    tags=("web", "scale"),
+)
+def anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.io.warc import read_warc
+    from yodel_etl_spark.scale.links import anchor_text_table
+
+    path = os.path.join(crawl_fixture_dir(), "*.warc.gz")
+    raw = read_warc(spark, path)
+    pages = raw.where(
+        (~F.col("url").rlike("/robots\\.txt$"))
+        & (F.col("status") >= 200)
+        & (F.col("status") < 300)
+    ).select("url", F.col("payload").cast("string").alias("html"))
+    return anchor_text_table(pages, "url", "html")

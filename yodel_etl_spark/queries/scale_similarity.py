@@ -108,7 +108,7 @@ def pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "embedding_centroids",
+    "centroids",
     oracle="""
     WITH seeds AS (
       SELECT vec_id AS seed_id, embedding AS seed_vec
