@@ -148,3 +148,82 @@ def test_duplicated_spans_duckdb_parity(spark):
     """).fetchall()
     want = {(int(d), int(s), int(ln)) for d, s, ln in oracle}
     assert got == want and len(got) >= 16  # every planted reprint found twice
+
+
+def test_scrub_duplicated_spans_golden(spark):
+    """Cut semantics at k=3: the doc holding the FIRST occurrence (min
+    (id, pos) per anchor) keeps the shared passage; every other
+    occurrence is cut; a within-doc repeat keeps its first occurrence;
+    clean docs come back byte-identical with n_dropped 0."""
+    from yodel_etl_spark.scale.dedup import scrub_duplicated_spans
+    from yodel_etl_spark.session import release
+
+    rows = [
+        (1, "p q r s t u v w"),            # keeper of "r s t u v" (pos 2)
+        (2, "x y r s t u v z"),            # loses tokens 2..6
+        (3, "m n o k m n o l m n"),        # within-doc: keeps pos 0 run
+        (4, "all unique words only here"), # clean
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = scrub_duplicated_spans(docs, "doc_id", "text", k=3)
+    got = {r["doc_id"]: (r["n_tokens"], r["n_dropped"], r["text_clean"]) for r in out.collect()}
+    release(out)
+    assert got[1] == (8, 0, "p q r s t u v w")
+    assert got[2] == (8, 5, "x y z")
+    # doc3 anchors: "m n o" at 0 (keeper) and 4 (redundant); "m n" at 8
+    # is not an anchor (needs k=3 tokens: positions 0..7 only; pos 7 =
+    # "l m n" unique).  Redundant run {4} cuts tokens 4..6.
+    assert got[3] == (10, 3, "m n o k l m n")
+    assert got[4] == (5, 0, "all unique words only here")
+
+
+def test_scrub_duplicated_spans_python_twin(spark):
+    """Literal single-process twin (anchor keepers + redundant-run
+    cutting) over a corpus with planted reprints and overlapping shared
+    passages — (n_tokens, n_dropped, text_clean) must agree exactly."""
+    from yodel_etl_spark.scale.dedup import scrub_duplicated_spans
+    from yodel_etl_spark.session import release
+
+    words = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9".split()
+    rows = []
+    for i in range(30):
+        body = [words[(i * 7 + j * 3) % 10] + str((i * j) % 19) for j in range(24)]
+        rows.append((i, " ".join(body)))
+    for i in range(0, 30, 6):  # reprints embedding doc i's tokens 4..16
+        src = rows[i][1].split()[4:16]
+        rows.append((100 + i, " ".join(["pre" + str(i)] + src + ["post" + str(i)])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    k = 4
+    out = scrub_duplicated_spans(docs, "doc_id", "text", k=k)
+    got = {r["doc_id"]: (r["n_tokens"], r["n_dropped"], r["text_clean"]) for r in out.collect()}
+    release(out)
+
+    # twin
+    anch = {}  # h -> list[(id,pos)]
+    toks = {i: t.split() for i, t in rows}
+    for i, tk in toks.items():
+        for p in range(len(tk) - k + 1):
+            anch.setdefault(" ".join(tk[p : p + k]), []).append((i, p))
+    redundant = {}
+    for h, occ in anch.items():
+        if len(occ) > 1:
+            keep = min(occ)
+            for o in occ:
+                if o != keep:
+                    redundant.setdefault(o[0], set()).add(o[1])
+    want = {}
+    for i, tk in toks.items():
+        drop = set()
+        pos = sorted(redundant.get(i, ()))
+        runs = []
+        for p in pos:
+            if runs and p == runs[-1][1]:
+                runs[-1] = (runs[-1][0], p + 1)
+            else:
+                runs.append((p, p + 1))
+        for s, e in runs:
+            drop.update(range(s, e - 1 + k))
+        kept = [t for j, t in enumerate(tk) if j not in drop]
+        want[i] = (len(tk), len(drop), " ".join(kept))
+    assert got == want
+    assert any(v[1] > 0 for v in want.values())  # the plant actually cut

@@ -685,3 +685,97 @@ def duplicated_spans(
         )
     )
     return register_persisted(runs, anch)
+
+
+def scrub_duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """The cutting half of the Lee et al. 2022 exact-substring scrub:
+    every maximal duplicated span (see :func:`duplicated_spans`) is
+    REMOVED from all occurrences except the first — "first" at anchor
+    grain: for each duplicated k-token window the minimum (id, pos)
+    occurrence is the keeper, every other occurrence is redundant, and
+    maximal runs of redundant positions cut tokens[p0 : p1+k].  Output
+    is one row per input doc: ``(id, n_tokens, n_dropped, text_clean)``
+    — the overlapping-grain complement of :func:`span_scrub`'s C4
+    lattice (which misses any duplicate not aligned to the w-token
+    grid).
+
+    A doc can be keeper for one span and redundant for an overlapping
+    one; keeper positions break redundant runs, so kept text is exactly
+    the tokens no redundant run covers.  Cutting can create new k-gram
+    adjacencies across a cut boundary; like the reference algorithm,
+    the scrub does not recurse (run it again for a fixpoint).
+
+    Scale shape — identical to :func:`duplicated_spans` plus the
+    rebuild: anchors and the digest count shuffle fixed-width rows,
+    the keeper choice is a plain ``min(struct(id, pos))`` per digest
+    (map-side combined), the islands window sees only redundant
+    positions, and the rebuild joins docs against tiny per-doc
+    interval lists (AQE broadcasts the small side) and cuts with an
+    index-aware ``filter`` lambda — a second narrow pass."""
+    from pyspark.sql import Window
+
+    tk = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col), F.col(text_col), tk.alias("_tk")).withColumn(
+        "_n", F.size("_tk")
+    )
+    anchors = F.transform(
+        F.sequence(F.lit(0), F.col("_n") - k),
+        lambda p: F.md5(F.array_join(F.slice(F.col("_tk"), p + 1, k), " ")),
+    )
+    anch = (
+        base.where(F.col("_n") >= k)
+        .select(F.col(id_col), F.posexplode(anchors).alias("pos", "h"))
+        .persist()
+    )
+    stats = anch.groupBy("h").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min(F.struct(F.col(id_col).alias("kid"), F.col("pos").alias("kpos"))).alias(
+            "_keep"
+        ),
+    )
+    redundant = (
+        anch.join(stats.where(F.col("_c") > 1), "h")
+        .where(
+            (F.col(id_col) != F.col("_keep.kid"))
+            | (F.col("pos") != F.col("_keep.kpos"))
+        )
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cuts = (
+        redundant.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "_grp")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + k).alias("e"))
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct(F.col("s"), F.col("e"))).alias("_cuts")
+        )
+    )
+    covered = F.filter(
+        F.sequence(F.lit(0), F.col("_n") - 1),
+        lambda i: F.exists(
+            F.coalesce(
+                F.col("_cuts"), F.array().cast("array<struct<s:int,e:int>>")
+            ),
+            lambda iv: (i >= iv["s"]) & (i < iv["e"]),
+        ),
+    )
+    rebuilt = base.join(cuts, id_col, "left").withColumn("_dropidx", covered)
+    out = rebuilt.select(
+        F.col(id_col),
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.size("_dropidx").cast("long").alias("n_dropped"),
+        F.array_join(
+            F.filter(
+                F.col("_tk"),
+                lambda x, i: ~F.array_contains(F.col("_dropidx"), i.cast("int")),
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    return register_persisted(out, anch)
