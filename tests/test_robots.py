@@ -253,3 +253,50 @@ def test_robots_from_warc_chain(spark, tmp_path):
     )
     kept = {r["url"] for r in filter_disallowed(urls, rules).collect()}
     assert kept == {"https://site.com/old/a", "https://gone.net/anything"}
+
+
+def test_parse_robots_meta_groups_and_sitemaps():
+    """Crawl-delay is group-scoped (governing group wins; merged groups
+    take the MAX — the polite merge); Sitemap lines are file-global and
+    deduped; malformed delays are ignored."""
+    from yodel_etl_spark.scale.robots import parse_robots_meta
+
+    txt = """
+Sitemap: https://site.com/a.xml
+User-agent: googlebot
+Crawl-delay: 2.5
+Disallow: /x
+
+User-agent: *
+Crawl-delay: 10
+Sitemap: https://site.com/b.xml
+
+User-agent: googlebot
+Crawl-delay: 4
+Sitemap: https://site.com/a.xml
+"""
+    assert parse_robots_meta(txt, "googlebot") == (
+        4.0,  # two merged googlebot groups: max(2.5, 4)
+        ["https://site.com/a.xml", "https://site.com/b.xml"],
+    )
+    assert parse_robots_meta(txt, "otherbot")[0] == 10.0
+    assert parse_robots_meta("User-agent: *\nCrawl-delay: soon", "x") == (None, [])
+    assert parse_robots_meta("", "x") == (None, [])
+    # one-directional matching holds for meta too
+    txt2 = "User-agent: googlebot-images\nCrawl-delay: 9\nUser-agent: *\nCrawl-delay: 1\nDisallow: /x"
+    assert parse_robots_meta(txt2, "googlebot")[0] == 1.0
+
+
+def test_robots_meta_frame(spark):
+    from yodel_etl_spark.scale.robots import robots_meta
+
+    robots = spark.createDataFrame(
+        [
+            ("site.com", "User-agent: *\nCrawl-delay: 3\nDisallow: /p\nSitemap: https://site.com/s.xml"),
+            ("open.org", "User-agent: *\nDisallow:"),
+        ],
+        ["host", "robots_txt"],
+    )
+    got = {r["host"]: (r["crawl_delay"], r["sitemaps"]) for r in robots_meta(robots).collect()}
+    assert got["site.com"] == (3.0, "https://site.com/s.xml")
+    assert got["open.org"] == (None, "")

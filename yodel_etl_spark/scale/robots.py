@@ -95,27 +95,116 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str, int]]:
     if cur_agents or cur_rules:
         groups.append((cur_agents, cur_rules))
 
-    # group selection is one-directional: a group token governs only if
-    # it is contained IN the agent name (product-token semantics) — the
-    # reverse test would let an unrelated longer group (`googlebot-
-    # images`) hijack agent `googlebot` via longest-wins.  All groups
-    # whose matching token ties the winning length MERGE (RFC 9309
-    # §2.1); so do multiple `*` fallback groups.
+    chosen: list[tuple[bool, str]] = []
+    for _, rules in _governing_groups(groups, agent):
+        chosen.extend(rules)
+    return [(allow, prefix, len(prefix)) for allow, prefix in chosen]
+
+
+def _governing_groups(groups: list, agent: str) -> list:
+    """The groups governing ``agent`` — group selection is
+    one-directional: a group token governs only if it is contained IN
+    the agent name (product-token semantics); the reverse test would
+    let an unrelated longer group (``googlebot-images``) hijack agent
+    ``googlebot`` via longest-wins.  All groups whose matching token
+    ties the winning length MERGE (RFC 9309 §2.1); so do multiple
+    ``*`` fallback groups.  Each group is ``(agents, payload)``."""
+
     def _tok(a: str) -> bool:
         return bool(a) and a != "*" and a in agent
 
     best_len = max(
         (len(a) for agents, _ in groups for a in agents if _tok(a)), default=-1
     )
-    chosen: list[tuple[bool, str]] = []
-    for agents, rules in groups:
+    out = []
+    for agents, payload in groups:
         if best_len >= 0:
             hit = any(_tok(a) and len(a) == best_len for a in agents)
         else:
             hit = "*" in agents
         if hit:
-            chosen.extend(rules)
-    return [(allow, prefix, len(prefix)) for allow, prefix in chosen]
+            out.append((agents, payload))
+    return out
+
+
+def parse_robots_meta(
+    text: str, agent: str = "*"
+) -> tuple[float | None, list[str]]:
+    """Scheduler metadata from a robots.txt body: ``(crawl_delay,
+    sitemaps)``.  ``Crawl-delay`` is the de-facto politeness directive
+    (not in RFC 9309 but honored by most crawlers except Google): the
+    value of the group governing ``agent``; when §2.1 merging selects
+    several groups with different delays, the MAXIMUM wins (the polite
+    merge).  ``Sitemap`` lines are file-global per the sitemaps
+    protocol — collected in document order regardless of grouping,
+    duplicates dropped.  Malformed delay values are ignored."""
+    groups: list[tuple[list[str], list[float]]] = []
+    cur_agents: list[str] = []
+    cur_delays: list[float] = []
+    in_group_body = False
+    sitemaps: list[str] = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if in_group_body:
+                groups.append((cur_agents, cur_delays))
+                cur_agents, cur_delays = [], []
+                in_group_body = False
+            cur_agents.append(value.lower())
+        elif field in ("allow", "disallow", "crawl-delay"):
+            in_group_body = True
+            if field == "crawl-delay":
+                try:
+                    cur_delays.append(float(value))
+                except ValueError:
+                    pass
+        elif field == "sitemap":
+            # file-global: does not open or close a group
+            if value and value not in sitemaps:
+                sitemaps.append(value)
+    if cur_agents or cur_delays:
+        groups.append((cur_agents, cur_delays))
+    delays = [
+        d for _, ds in _governing_groups(groups, agent.lower()) for d in ds
+    ]
+    return (max(delays) if delays else None, sitemaps)
+
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("crawl_delay", T.DoubleType()),
+        T.StructField("sitemaps", T.StringType()),  # \n-joined, '' if none
+    ]
+)
+
+
+def robots_meta(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Per-host scheduler metadata ``(host, crawl_delay, sitemaps)``
+    from robots.txt bodies — the companion table to :func:`robots_rules`
+    a crawl scheduler joins for politeness pacing and discovery seeds.
+    Same shape: one Arrow pass over the tiny per-host robots corpus."""
+    out_schema = META_SCHEMA
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for host, text in zip(pdf[host_col], pdf[text_col]):
+                delay, maps = parse_robots_meta(str(text), agent)
+                rows.append((host, delay, "\n".join(maps)))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(batches, out_schema)
 
 
 def robots_rules(
