@@ -227,3 +227,109 @@ def test_scrub_duplicated_spans_python_twin(spark):
         want[i] = (len(tk), len(drop), " ".join(kept))
     assert got == want
     assert any(v[1] > 0 for v in want.values())  # the plant actually cut
+
+
+def _jittered_corpus(n=60, jitter_every=None):
+    """Deterministic docs; with jitter_every, doc 1000+i is a near-dup
+    of doc i (one token appended — high Jaccard at k=3)."""
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(n):
+        body = [words[(i * 3 + j * 7) % 10] + str((i + j) % 13) for j in range(20)]
+        rows.append((i, " ".join(body)))
+    out = list(rows)
+    if jitter_every:
+        for i in range(0, n, jitter_every):
+            out.append((1000 + i, rows[i][1] + " extra" + str(i)))
+    return out
+
+
+def test_minhash_index_probe_matches_batch_run(spark, tmp_path):
+    """Probe-vs-index must find exactly the cross pairs the one-shot
+    batch run finds on the union corpus (identical banding ⇒ identical
+    candidate collisions; hash-set Jaccard ⇒ identical verify)."""
+    from yodel_etl_spark.scale.dedup import (
+        minhash_lsh_pairs,
+        probe_minhash_index,
+        write_minhash_index,
+    )
+    from yodel_etl_spark.session import release
+
+    base_rows = _jittered_corpus(60)
+    inc_rows = [(1000 + i, t + " extra" + str(i)) for i, t in base_rows[::6]]
+    corpus = spark.createDataFrame(base_rows, "doc_id long, text string")
+    incoming = spark.createDataFrame(inc_rows, "doc_id long, text string")
+
+    idx = str(tmp_path / "mh_idx")
+    write_minhash_index(corpus, idx)
+    hits = probe_minhash_index(spark, idx, incoming, threshold=0.5)
+    got = {(r["doc_inc"], r["doc_idx"], round(r["jaccard"], 12)) for r in hits.collect()}
+    release(hits)
+    assert got  # the jittered twins are found
+
+    both = corpus.unionByName(incoming)
+    full = minhash_lsh_pairs(both, "doc_id", "text", threshold=0.5)
+    cross = {
+        (r["doc_b"], r["doc_a"], round(r["jaccard"], 12))
+        for r in full.collect()
+        if r["doc_b"] >= 1000 and r["doc_a"] < 1000
+    }
+    release(full)
+    assert got == cross
+    # every planted twin is in the hit set
+    planted = {i for i, _ in base_rows[::6]}
+    assert {x for _, x, _ in got} >= planted
+
+
+def test_minhash_index_extend_is_delta_only(spark, tmp_path):
+    """extend admits a batch; a later probe sees BOTH the original
+    corpus and the extension; probing never mutates the index."""
+    import os
+
+    from yodel_etl_spark.scale.dedup import (
+        extend_minhash_index,
+        probe_minhash_index,
+        write_minhash_index,
+    )
+    from yodel_etl_spark.session import release
+
+    rows = _jittered_corpus(40)
+    corpus = spark.createDataFrame(rows[:30], "doc_id long, text string")
+    batch2 = spark.createDataFrame(
+        [(100 + i, t) for i, t in rows[30:]], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "mh_idx2")
+    write_minhash_index(corpus, idx)
+    n_banded = spark.read.parquet(f"{idx}/banded").count()
+
+    # probe an exact copy of a batch2 doc BEFORE extending: no hit
+    probe_doc = spark.createDataFrame(
+        [(9000, rows[35][1])], "doc_id long, text string"
+    )
+    pre = probe_minhash_index(spark, idx, probe_doc, threshold=0.9)
+    assert pre.count() == 0
+    release(pre)
+    assert spark.read.parquet(f"{idx}/banded").count() == n_banded  # unmutated
+
+    extend_minhash_index(batch2, idx)
+    post = probe_minhash_index(spark, idx, probe_doc, threshold=0.9)
+    hits = {r["doc_idx"] for r in post.collect()}
+    release(post)
+    assert 135 in hits  # 100 + 35: the extension is now probe-visible
+
+
+def test_minhash_index_params_pinned(spark, tmp_path):
+    """Probe bands with the INDEX's parameters, not the caller's."""
+    from pyspark.sql import functions as F
+
+    from yodel_etl_spark.scale.dedup import write_minhash_index
+
+    corpus = spark.createDataFrame(
+        _jittered_corpus(10), "doc_id long, text string"
+    )
+    idx = str(tmp_path / "mh_idx3")
+    write_minhash_index(corpus, idx, num_hashes=32, bands=8, k=2)
+    p = spark.read.parquet(f"{idx}/params").collect()[0]
+    assert (p["num_hashes"], p["bands"], p["k"]) == (32, 8, 2)
+    banded = spark.read.parquet(f"{idx}/banded")
+    assert banded.groupBy("doc").count().select(F.max("count")).collect()[0][0] == 8

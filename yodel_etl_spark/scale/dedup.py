@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from yodel_etl_spark.scale.textstats import tokens
-from yodel_etl_spark.session import register_persisted
+from yodel_etl_spark.session import register_persisted, release
 
 
 # ---------------------------------------------------------------- exact
@@ -779,3 +779,160 @@ def scrub_duplicated_spans(
         ).alias("text_clean"),
     )
     return register_persisted(out, anch)
+
+
+# ----------------------------------------------- persisted minhash index
+def _band_table(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc, band, bkey) from a signature frame with columns m0..m{n-1}:
+    each band key is ONE fixed-width xxhash64 over that band's signature
+    slice (the minhash_lsh_pairs banding, factored for index reuse)."""
+    rows_per_band = num_hashes // bands
+    return sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"m{i}")
+                                for i in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ]
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bkey")
+
+
+def _minhash_tables(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int, bands: int, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """(banded, sets) for an input corpus: the LSH posting table and the
+    per-doc sorted distinct shingle-HASH sets (8 bytes per shingle —
+    the index never stores text; Jaccard over 64-bit shingle hashes is
+    exact up to a ~2⁻⁶⁴ collision rate, pinned equal to string-shingle
+    Jaccard in tests)."""
+    posts = (
+        _with_shingles(df, id_col, text_col, k)
+        .select("doc", F.explode("sh").alias("shingle"))
+        .withColumn("h", F.xxhash64("shingle"))
+        .persist()
+    )
+    sigs = posts.groupBy("doc").agg(*minhash_signature_cols(num_hashes))
+    banded = _band_table(sigs, num_hashes, bands)
+    sets = posts.groupBy("doc").agg(
+        F.sort_array(F.collect_set("h")).alias("hs")
+    )
+    return register_persisted(banded, posts), sets
+
+
+def write_minhash_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a MinHash-LSH near-dup index for ``docs`` under ``path``:
+    ``banded/`` (doc, band, bkey — the LSH posting table), ``sets/``
+    (doc, sorted distinct shingle hashes — the exact-verify side), and
+    ``params/`` (one row pinning num_hashes/bands/k, so probes can
+    never band with mismatched parameters).  The index holds only
+    fixed-width hashes — no text — at ~8·shingles + 24·bands bytes per
+    document.
+
+    This is the INCREMENTAL near-dup shape for a growing corpus (the
+    daily-crawl increment): build once, :func:`extend_minhash_index`
+    appends each delta's rows, and :func:`probe_minhash_index` checks
+    new documents against the whole accumulated corpus WITHOUT ever
+    re-tokenizing it — the corpus-sized work is paid exactly once per
+    document, at its own arrival."""
+    banded, sets = _minhash_tables(docs, id_col, text_col, num_hashes, bands, k)
+    banded.write.mode(mode).parquet(f"{path}/banded")
+    sets.write.mode(mode).parquet(f"{path}/sets")
+    spark = docs.sparkSession
+    spark.createDataFrame(
+        [(num_hashes, bands, k)], "num_hashes int, bands int, k int"
+    ).write.mode(mode).parquet(f"{path}/params")
+    release(banded)
+
+
+def extend_minhash_index(
+    docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Append ``docs`` to an existing index — delta-only maintenance:
+    only the new documents are shingled/signed; parameters come from
+    the index's own params table.  Caller contract: ids are globally
+    unique across increments (re-appending an id duplicates its rows)."""
+    spark = docs.sparkSession
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    banded, sets = _minhash_tables(
+        docs, id_col, text_col, p["num_hashes"], p["bands"], p["k"]
+    )
+    banded.write.mode("append").parquet(f"{path}/banded")
+    sets.write.mode("append").parquet(f"{path}/sets")
+    release(banded)
+
+
+def probe_minhash_index(
+    spark,
+    path: str,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup hits of ``incoming`` against the persisted index:
+    ``(doc_inc, doc_idx, n_common, jaccard)`` — banding parameters read
+    from the index, candidates from the (band, bkey) equi-join of the
+    incoming band table against the stored posting table, exact
+    Jaccard verified on the stored hash sets.  The stored corpus is
+    never re-tokenized; the scan reads only colliding buckets'
+    rows (bucket-key equi-join — AQE picks broadcast when the incoming
+    batch is small).  Probing does NOT modify the index; call
+    :func:`extend_minhash_index` afterwards to admit the batch."""
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    inc_banded, inc_sets = _minhash_tables(
+        incoming, id_col, text_col, p["num_hashes"], p["bands"], p["k"]
+    )
+    idx_banded = spark.read.parquet(f"{path}/banded")
+    idx_sets = spark.read.parquet(f"{path}/sets")
+    cand = (
+        inc_banded.select(F.col("doc").alias("doc_inc"), "band", "bkey")
+        .join(
+            idx_banded.select(F.col("doc").alias("doc_idx"), "band", "bkey"),
+            ["band", "bkey"],
+        )
+        .select("doc_inc", "doc_idx")
+        .distinct()
+    )
+    inc_sets = inc_sets.persist()
+    verified = (
+        cand.join(
+            inc_sets.select(F.col("doc").alias("doc_inc"), F.col("hs").alias("hs_i")),
+            "doc_inc",
+        )
+        .join(
+            idx_sets.select(F.col("doc").alias("doc_idx"), F.col("hs").alias("hs_x")),
+            "doc_idx",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("hs_i", "hs_x")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.size("hs_i") + F.size("hs_x") - F.col("n_common")).cast("double"),
+        )
+    )
+    out = verified.where(F.col("jaccard") >= threshold).select(
+        "doc_inc", "doc_idx", "n_common", "jaccard"
+    )
+    return register_persisted(out, inc_sets)
