@@ -697,3 +697,53 @@ def test_duplicated_spans_scales_subquadratically(spark, tmp_path):
     t_small, t_large = timed(small), timed(large)
     print(f"STRESS {t_small:.2f}s -> {t_large:.2f}s ({t_large / t_small:.1f}x)")
     assert t_large < t_small * 10, (t_small, t_large)
+
+
+def test_minhash_probe_cost_tracks_delta_not_corpus(spark, tmp_path):
+    """The index promise: checking a FIXED small batch against a 20×
+    corpus via the persisted index must be far cheaper than the one-shot
+    batch dedup that re-shingles the whole union — probe work is the
+    delta's shingling + a bucket equi-join against stored postings."""
+    from yodel_etl_spark.scale.dedup import (
+        minhash_lsh_pairs,
+        probe_minhash_index,
+        write_minhash_index,
+    )
+    from yodel_etl_spark.session import load_tables, release, spread
+
+    docs = load_tables(spark, "/root/testdata/sf0.1", ("documents",))["documents"]
+    reps = spark.range(20).select(F.col("id").alias("rep"))
+    big = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" rep"), F.col("rep").cast("string")).alias("text"),
+    )
+    src = str(tmp_path / "big_docs_mh")
+    big.write.mode("overwrite").parquet(src)
+    large = spread(spark.read.parquet(src))
+
+    idx = str(tmp_path / "mh_big_idx")
+    write_minhash_index(large, idx)  # one-time corpus cost, not timed
+
+    batch = spread(
+        docs.limit(250).select(
+            (F.col("doc_id") + 50_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" probe")).alias("text"),
+        )
+    )
+
+    t0 = time.perf_counter()
+    hits = probe_minhash_index(spark, idx, batch, threshold=0.5)
+    _force(hits)
+    t_probe = time.perf_counter() - t0
+    release(hits)
+
+    union = large.unionByName(batch)
+    t0 = time.perf_counter()
+    full = minhash_lsh_pairs(union, "doc_id", "text", threshold=0.5)
+    _force(full)
+    t_full = time.perf_counter() - t0
+    release(full)
+
+    print(f"STRESS probe {t_probe:.2f}s vs recompute {t_full:.2f}s "
+          f"({t_full / t_probe:.1f}x saved)")
+    assert t_probe * 2 < t_full, (t_probe, t_full)
