@@ -301,3 +301,131 @@ def test_zorder_value_matches_python_morton(spark, coords):
         ).collect()
     ]
     assert got == [morton(a, b) for a, b in coords]
+
+
+# --------------------------------------- exact-substring span models
+def model_duplicated_spans(docs: list[tuple[int, str]], k: int):
+    anch: dict[str, list[tuple[int, int]]] = {}
+    toks = {i: t.split() for i, t in docs}
+    for i, tk in toks.items():
+        for p in range(len(tk) - k + 1):
+            anch.setdefault(" ".join(tk[p : p + k]), []).append((i, p))
+    duppos: dict[int, set] = {}
+    for occ in anch.values():
+        if len(occ) > 1:
+            for i, p in occ:
+                duppos.setdefault(i, set()).add(p)
+    spans = set()
+    for i, pos in duppos.items():
+        run: list[int] = []
+        for p in sorted(pos) + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                spans.add((i, run[0], run[-1] - run[0] + k))
+                run = []
+            if p is not None:
+                run.append(p)
+    return spans
+
+
+def model_scrub_spans(docs: list[tuple[int, str]], k: int):
+    anch: dict[str, list[tuple[int, int]]] = {}
+    toks = {i: t.split() for i, t in docs}
+    for i, tk in toks.items():
+        for p in range(len(tk) - k + 1):
+            anch.setdefault(" ".join(tk[p : p + k]), []).append((i, p))
+    red: dict[int, set] = {}
+    for occ in anch.values():
+        if len(occ) > 1:
+            keep = min(occ)
+            for o in occ:
+                if o != keep:
+                    red.setdefault(o[0], set()).add(o[1])
+    out = {}
+    for i, tk in toks.items():
+        drop: set[int] = set()
+        for p in red.get(i, ()):
+            drop.update(range(p, p + k))
+        kept = [t for j, t in enumerate(tk) if j not in drop]
+        out[i] = (len(tk), len(drop), " ".join(kept))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b"]), min_size=1, max_size=14).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_duplicated_spans_matches_model(spark, texts):
+    """Two-letter alphabet forces heavy anchor collisions (within-doc
+    AND cross-doc): the islands operator must agree with the direct
+    model on every (id, start, length) triple; the scrub must agree on
+    every rebuilt text.  Scrub drop-coverage note: the model drops
+    range(p, p+k) per redundant POSITION, which equals the operator's
+    per-run [p0, p1+k) cover because runs are exactly the maximal
+    consecutive position sets."""
+    from yodel_etl_spark.scale.dedup import duplicated_spans, scrub_duplicated_spans
+    from yodel_etl_spark.session import release
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    k = 3
+    out = duplicated_spans(df, "doc_id", "text", k=k)
+    got = {(r["doc_id"], r["start"], r["length"]) for r in out.collect()}
+    release(out)
+    assert got == model_duplicated_spans(docs, k)
+
+    out2 = scrub_duplicated_spans(df, "doc_id", "text", k=k)
+    got2 = {
+        r["doc_id"]: (r["n_tokens"], r["n_dropped"], r["text_clean"])
+        for r in out2.collect()
+    }
+    release(out2)
+    assert got2 == model_scrub_spans(docs, k)
+
+
+# ------------------------------------------------ unigram viterbi model
+@settings(max_examples=60, deadline=None)
+@given(
+    st.text(alphabet="abc", min_size=1, max_size=9),
+    st.dictionaries(
+        st.text(alphabet="abc", min_size=2, max_size=4),
+        st.integers(min_value=-900_000, max_value=-100_000),
+        max_size=8,
+    ),
+)
+def test_viterbi_is_optimal_vs_bruteforce(word, extra):
+    """The DP must return a maximum-score segmentation among ALL
+    segmentations under the table (chars scored, unknown chars at the
+    UNK floor), with total equal to the brute-force optimum."""
+    from yodel_etl_spark.scale.unigram import UNK_MICRO_NATS, viterbi_segment
+
+    scores = {c: -200_000 for c in "ab"}  # 'c' is an unknown char
+    scores.update(extra)
+
+    def seg_score(piece):
+        s = scores.get(piece)
+        if s is None and len(piece) == 1:
+            return UNK_MICRO_NATS
+        return s
+
+    best = None
+    n = len(word)
+
+    def rec(i, total):
+        nonlocal best
+        if i == n:
+            best = total if best is None or total > best else best
+            return
+        for j in range(i + 1, min(i + 4, n) + 1):
+            s = seg_score(word[i:j])
+            if s is not None:
+                rec(j, total + s)
+
+    rec(0, 0)
+    pieces, total = viterbi_segment(word, scores, 4)
+    assert "".join(pieces) == word
+    assert total == best
+    assert sum(seg_score(p) for p in pieces) == total
