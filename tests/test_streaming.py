@@ -769,3 +769,61 @@ def test_foreachbatch_cdc_snapshot_maintenance(spark, tmp_path):
         op_col="op",
     )
     assert {(r["k"], r["val"]) for r in full.collect()} == got
+
+
+def test_foreachbatch_near_dedup_ingest(spark, tmp_path):
+    """The NEAR-dup twin of the exact ingest loop: a document stream
+    lands through near_dedup_ingest — in-batch near-dup pairs collapse
+    to the min id, and a later batch's jittered copy of an already-
+    landed doc never lands (probe against the persisted MinHash index),
+    while novel docs survive.  The index accumulates with the corpus."""
+    import os
+
+    from yodel_etl_spark.scale.dedup import near_dedup_ingest
+
+    words = "red green blue cyan teal pink gold gray onyx jade".split()
+
+    def body(seed):
+        return " ".join(words[(seed * 3 + j * 7) % 10] + str((seed + j) % 11) for j in range(20))
+
+    src = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "mh_index")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    b1 = spark.createDataFrame(
+        [(1, body(1)), (2, body(1) + " extra2"), (3, body(3)), (4, body(4))],
+        "doc_id long, text string",
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    land = near_dedup_ingest(index, corpus, threshold=0.8)
+
+    def drain():
+        q = (
+            spark.readStream.schema(b1.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    first = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert first == {1, 3, 4}  # doc 2 is an in-batch jitter of doc 1
+
+    b2 = spark.createDataFrame(
+        [(10, body(3) + " extra10"), (11, body(30))],
+        "doc_id long, text string",
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    final = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert final == {1, 3, 4, 11}  # 10 is a cross-batch jitter of landed 3
+    # the index admitted exactly the landed docs
+    idx_docs = {r["doc"] for r in spark.read.parquet(f"{index}/sets").collect()}
+    assert idx_docs == final

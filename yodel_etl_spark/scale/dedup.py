@@ -936,3 +936,73 @@ def probe_minhash_index(
         "doc_inc", "doc_idx", "n_common", "jaccard"
     )
     return register_persisted(out, inc_sets)
+
+
+def near_dedup_ingest(
+    index_path: str,
+    corpus_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+):
+    """foreachBatch landing function for a NEAR-dup-gated ingest stream
+    — the MinHash twin of the exact ``dedup_against`` loop: each
+    micro-batch (1) drops members of in-batch near-dup pairs greedily
+    (min id per pair survives; a chain a~b~c keeps only a — the
+    connected-components canonicalization is the batch refinement),
+    (2) probes the persisted index and drops everything within
+    ``threshold`` of the accumulated corpus, (3) admits the survivors
+    to the index (:func:`extend_minhash_index`) and appends them to
+    ``corpus_path``.
+
+    Wire as ``stream.writeStream.foreachBatch(near_dedup_ingest(...))``.
+    Delivery note: foreachBatch is at-least-once under retries — a
+    replayed batch re-appends its survivors' index rows; duplicated
+    index rows only duplicate probe CANDIDATES (decisions are
+    ``distinct``-ed), so gating stays correct, but the corpus append
+    itself inherits the same at-least-once contract as any
+    foreachBatch file sink (dedupe by id downstream or land into a
+    transactional table format)."""
+
+    def land(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.dropDuplicates([id_col])
+        pairs = minhash_lsh_pairs(
+            batch, id_col, text_col, threshold, num_hashes, bands, k
+        )
+        losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+        batch = batch.join(losers, id_col, "left_anti")
+        try:
+            spark.read.parquet(f"{index_path}/params").collect()
+            have_index = True
+        except Exception:  # noqa: BLE001  (first batch: no index yet)
+            have_index = False
+        if have_index:
+            hits = probe_minhash_index(
+                spark, index_path, batch, id_col, text_col, threshold
+            )
+            dup_ids = hits.select(F.col("doc_inc").alias(id_col)).distinct()
+            novel = batch.join(dup_ids, id_col, "left_anti")
+            # SNAPSHOT the survivors before extend touches the index:
+            # localCheckpoint (eager) cuts the lineage, so nothing can
+            # re-evaluate the probe afterwards.  A persist()+count()
+            # is NOT enough — releasing the probe's intermediates
+            # cascades the uncache to this dependent plan (Spark
+            # uncacheQuery cascade semantics), and a re-evaluation
+            # after extend would find the batch's own rows in the
+            # index and drop every survivor as a self-hit.
+            novel = novel.localCheckpoint(eager=True)
+            release(hits)
+            extend_minhash_index(novel, index_path, id_col, text_col)
+        else:
+            novel = batch.localCheckpoint(eager=True)
+            write_minhash_index(
+                novel, index_path, id_col, text_col, num_hashes, bands, k
+            )
+        novel.write.mode("append").parquet(corpus_path)
+        release(pairs)
+
+    return land
