@@ -300,3 +300,17 @@ def test_robots_meta_frame(spark):
     got = {r["host"]: (r["crawl_delay"], r["sitemaps"]) for r in robots_meta(robots).collect()}
     assert got["site.com"] == (3.0, "https://site.com/s.xml")
     assert got["open.org"] == (None, "")
+
+
+def test_rule_and_meta_parsers_partition_groups_identically():
+    """A Crawl-delay interposed between user-agent lines must split
+    groups the SAME way in both parsers: agent `a` gets its own group
+    (delay 10, no rules), `b` gets the Disallow — the rules gate and
+    the politeness table must never disagree about group membership."""
+    from yodel_etl_spark.scale.robots import parse_robots, parse_robots_meta
+
+    txt = "User-agent: a\nCrawl-delay: 10\nUser-agent: b\nDisallow: /x"
+    assert {p for _, p, _ in parse_robots(txt, "a")} == set()
+    assert {p for _, p, _ in parse_robots(txt, "b")} == {"/x"}
+    assert parse_robots_meta(txt, "a")[0] == 10.0
+    assert parse_robots_meta(txt, "b")[0] is None

@@ -300,15 +300,18 @@ def crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.select(
         "doc_id", "url", "html", html_extract(F.col("html")).alias("text")
     )
+    from yodel_etl_spark.session import register_persisted
+
     # persist the survivors: consumed twice (edge extraction and the
     # per-host page counts) atop a deep ingest+curate plan
-    kept = curate(docs).select("url", "html").persist()
+    cur = curate(docs)
+    kept = cur.select("url", "html").persist()
     edges = link_edges(kept, "url", "html", drop_self=True)
     ranks = pagerank(edges, src="src_host", dst="dst_host", tol=None, max_iter=8)
     counts = kept.groupBy(
         host_of(canonical_url(F.col("url"))).alias("host")
     ).agg(F.count(F.lit(1)).alias("n_pages"))
-    return (
+    out = (
         ranks.join(counts, ranks["node"] == counts["host"], "left")
         .select(
             F.col("node").alias("host"),
@@ -316,6 +319,9 @@ def crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rank"), 6).alias("rank"),
         )
     )
+    # caller-released caches: kept + curate's internals + pagerank's
+    # registered edge/state handles (ranks adopts them)
+    return register_persisted(out, ranks, kept, cur)
 
 
 @register(

@@ -935,7 +935,22 @@ def probe_minhash_index(
     out = verified.where(F.col("jaccard") >= threshold).select(
         "doc_inc", "doc_idx", "n_common", "jaccard"
     )
-    return register_persisted(out, inc_sets)
+    # inc_banded carries the posting-table persist handle from
+    # _minhash_tables — register it too, or every probe leaks one
+    # cached (doc, shingle, h) frame into the CacheManager for the
+    # life of the session (the long-running-stream hot path)
+    return register_persisted(out, inc_sets, inc_banded)
+
+
+def _index_exists(spark, index_path: str) -> bool:
+    """True iff the index's params table exists — a Hadoop FS existence
+    check, NOT a swallowed read error: treating a transient storage
+    failure as 'no index yet' would let the first-batch branch
+    OVERWRITE the accumulated index with one batch's docs."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/params")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
 
 
 def near_dedup_ingest(
@@ -970,16 +985,19 @@ def near_dedup_ingest(
     def land(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.dropDuplicates([id_col])
-        pairs = minhash_lsh_pairs(
-            batch, id_col, text_col, threshold, num_hashes, bands, k
-        )
+        have_index = _index_exists(spark, index_path)
+        if have_index:
+            # the index's pinned parameters govern BOTH gates: an
+            # in-batch pass at different shingle/banding parameters
+            # would judge the same jittered duplicate differently
+            # depending on which batch it arrives in
+            p = spark.read.parquet(f"{index_path}/params").collect()[0]
+            nh, nb, kk = p["num_hashes"], p["bands"], p["k"]
+        else:
+            nh, nb, kk = num_hashes, bands, k
+        pairs = minhash_lsh_pairs(batch, id_col, text_col, threshold, nh, nb, kk)
         losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
         batch = batch.join(losers, id_col, "left_anti")
-        try:
-            spark.read.parquet(f"{index_path}/params").collect()
-            have_index = True
-        except Exception:  # noqa: BLE001  (first batch: no index yet)
-            have_index = False
         if have_index:
             hits = probe_minhash_index(
                 spark, index_path, batch, id_col, text_col, threshold
@@ -999,9 +1017,7 @@ def near_dedup_ingest(
             extend_minhash_index(novel, index_path, id_col, text_col)
         else:
             novel = batch.localCheckpoint(eager=True)
-            write_minhash_index(
-                novel, index_path, id_col, text_col, num_hashes, bands, k
-            )
+            write_minhash_index(novel, index_path, id_col, text_col, nh, nb, kk)
         novel.write.mode("append").parquet(corpus_path)
         release(pairs)
 

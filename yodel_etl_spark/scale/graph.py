@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from yodel_etl_spark.session import register_persisted
+
 
 def pagerank(
     edges: DataFrame,
@@ -148,9 +150,13 @@ def pagerank(
         if tol is not None:
             nodes.unpersist()
             state.unpersist()
+            e.unpersist()
             raise RuntimeError(
                 f"pagerank did not converge to L1 {tol} in {max_iter} rounds"
             )
     out = state.select("node", "rank")
     nodes.unpersist()
-    return out
+    # the cached edge list and final state belong to the CALLER's
+    # lifetime now (the daily-refresh path calls pagerank repeatedly in
+    # one session — unregistered, each call would leak its edge cache)
+    return register_persisted(out, e, state)

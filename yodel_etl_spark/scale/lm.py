@@ -228,8 +228,15 @@ def perplexity_buckets(
         grams = grams.persist()
         lm = bigram_lm(grams)
         keys = ["w1", "w2"]
+    # broadcast hint only for the bigram LM (vocabulary² bounded); the
+    # trigram table scales with DISTINCT TRIGRAMS — near token-count-
+    # sized on natural text — so forcing a broadcast would collect it
+    # to the driver at exactly the scale the operator targets.  Unhinted,
+    # AQE broadcasts when it fits and sort-merges on the gram keys when
+    # it does not.
+    lm_side = F.broadcast(lm) if order == 2 else lm
     scored = (
-        grams.join(F.broadcast(lm), keys)
+        grams.join(lm_side, keys)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

@@ -14,7 +14,9 @@ Semantics implemented (the Robots Exclusion Protocol core, RFC 9309):
     (RFC 9309 §2.1: multiple matching groups MUST be combined).  ``*``
     is the fallback group (multiple ``*`` groups merge too).
     Consecutive ``User-agent`` lines share one group;
-    ``Sitemap``/``Crawl-delay`` lines do not close a group.
+    ``Sitemap`` lines are file-global and do not touch group structure;
+    ``Crawl-delay`` opens a group's body exactly as a rule does (both
+    parsers below partition a file into the SAME groups).
   * ``Allow`` / ``Disallow`` rules are path prefixes; the decision for
     a URL is the matching rule with the LONGEST rule string (RFC 9309
     §2.2.2 most-specific wins), ``Allow`` winning length ties; no
@@ -87,9 +89,14 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str, int]]:
                 cur_agents, cur_rules = [], []
                 in_group_body = False
             cur_agents.append(value.lower())
-        elif field in ("allow", "disallow"):
+        elif field in ("allow", "disallow", "crawl-delay"):
+            # crawl-delay opens the group body exactly as a rule does,
+            # so this parser and parse_robots_meta partition the SAME
+            # file into the SAME groups — otherwise a crawl-delay
+            # interposed between user-agent lines would merge agents
+            # here while the meta parser splits them
             in_group_body = True
-            if value:
+            if field != "crawl-delay" and value:
                 cur_rules.append((field == "allow", value))
             # empty "Disallow:" = allow everything; record nothing
     if cur_agents or cur_rules:
