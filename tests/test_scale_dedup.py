@@ -333,3 +333,31 @@ def test_minhash_index_params_pinned(spark, tmp_path):
     assert (p["num_hashes"], p["bands"], p["k"]) == (32, 8, 2)
     banded = spark.read.parquet(f"{idx}/banded")
     assert banded.groupBy("doc").count().select(F.max("count")).collect()[0][0] == 8
+
+
+def test_duplicated_span_sources_attribution(spark):
+    """Attribution golden at k=3: doc 2's copied passage attributes to
+    doc 1 (the min-(id,pos) keeper); a passage stitched from TWO
+    sources reports as two attributed spans; keepers report nothing."""
+    from yodel_etl_spark.scale.dedup import duplicated_span_sources
+    from yodel_etl_spark.session import release
+
+    rows = [
+        (1, "p q r s t u v w"),        # source of "r s t u"
+        (2, "x y r s t u z1 z2"),      # copies doc1 tokens 2..5
+        (3, "c1 c2 d e f g c3 c4"),    # source of "d e f g"
+        (4, "r s t u d e f g"),        # stitched: doc1's + doc3's passage
+        (5, "all unique words only here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicated_span_sources(docs, "doc_id", "text", k=3)
+    got = {(r["doc_id"], r["start"], r["length"], r["src_id"]) for r in out.collect()}
+    release(out)
+    # doc2: anchors at pos 2,3 ("r s t","s t u") both keep to doc1 -> one run
+    assert (2, 2, 4, 1) in got
+    # doc4 is redundant everywhere: "r s t u" from doc1, "d e f g" from doc3
+    assert (4, 0, 4, 1) in got
+    assert (4, 4, 4, 3) in got
+    # "u d e" (pos 3) in doc4 is unique -> splits the two attributions
+    assert not any(r[0] == 1 for r in got)   # keepers report nothing
+    assert not any(r[0] == 5 for r in got)

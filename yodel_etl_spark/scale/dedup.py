@@ -1022,3 +1022,71 @@ def near_dedup_ingest(
         release(pairs)
 
     return land
+
+
+def duplicated_span_sources(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Keeper ATTRIBUTION for duplicated spans: one row per maximal run
+    of redundant positions sharing the same keeper document —
+    ``(id, start, length, src_id)`` where ``src_id`` holds the first
+    (min (id, pos)) occurrence of every anchor in the run.  The
+    provenance report behind :func:`scrub_duplicated_spans`'s cuts:
+    "this passage in doc X is a copy of doc Y" — what a curation
+    pipeline logs for audit and what boilerplate analysis aggregates by
+    source.
+
+    Runs are islanded per (id, keeper-id) pair, so a passage stitched
+    from TWO different sources reports as two attributed spans (where
+    :func:`duplicated_spans` fuses them into one unattributed span) —
+    pair-grain truth costs nothing extra here because the keeper is
+    already one ``min(struct)`` per digest, not an all-pairs join.
+
+    Scale shape: identical to :func:`scrub_duplicated_spans` — the
+    keeper choice rides the digest count's exchange; only redundant
+    positions reach the islands window."""
+    from pyspark.sql import Window
+
+    tk = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col), tk.alias("_tk")).withColumn(
+        "_n", F.size("_tk")
+    )
+    anchors = F.transform(
+        F.sequence(F.lit(0), F.col("_n") - k),
+        lambda p: F.md5(F.array_join(F.slice(F.col("_tk"), p + 1, k), " ")),
+    )
+    anch = (
+        base.where(F.col("_n") >= k)
+        .select(F.col(id_col), F.posexplode(anchors).alias("pos", "h"))
+        .persist()
+    )
+    stats = anch.groupBy("h").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min(F.struct(F.col(id_col).alias("kid"), F.col("pos").alias("kpos"))).alias(
+            "_keep"
+        ),
+    )
+    redundant = (
+        anch.join(stats.where(F.col("_c") > 1), "h")
+        .where(
+            (F.col(id_col) != F.col("_keep.kid"))
+            | (F.col("pos") != F.col("_keep.kpos"))
+        )
+        .select(id_col, "pos", F.col("_keep.kid").alias("src_id"))
+    )
+    w = Window.partitionBy(id_col, "src_id").orderBy("pos")
+    runs = (
+        redundant.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "src_id", "_grp")
+        .agg(F.min("pos").alias("start"), F.max("pos").alias("_end"))
+        .select(
+            F.col(id_col),
+            F.col("start").cast("long").alias("start"),
+            (F.col("_end") - F.col("start") + k).cast("long").alias("length"),
+            F.col("src_id"),
+        )
+    )
+    return register_persisted(runs, anch)
