@@ -361,3 +361,53 @@ def test_duplicated_span_sources_attribution(spark):
     # "u d e" (pos 3) in doc4 is unique -> splits the two attributions
     assert not any(r[0] == 1 for r in got)   # keepers report nothing
     assert not any(r[0] == 5 for r in got)
+
+
+def test_hamming_index_probe_matches_batch_run(spark, tmp_path):
+    """Probe-vs-index equals the one-shot hamming_pairs cross pairs on
+    the union sketch table; extend makes later sketches probe-visible;
+    max_distance >= blocks is rejected (recall guarantee)."""
+    import pytest as _pytest
+
+    from yodel_etl_spark.scale.dedup import (
+        extend_hamming_index,
+        hamming_pairs,
+        probe_hamming_index,
+        write_hamming_index,
+    )
+    from yodel_etl_spark.session import release
+
+    base = [(i, (i * 0x9E3779B97F4A7C15) & 0x7FFFFFFFFFFFFFFF) for i in range(50)]
+    # planted near-dups: flip 2 low bits of every 5th sketch
+    inc = [(1000 + i, s ^ 0b101) for i, s in base[::5]]
+    corpus = spark.createDataFrame(base, "doc long, sim long")
+    incoming = spark.createDataFrame(inc, "doc long, sim long")
+
+    idx = str(tmp_path / "hm_idx")
+    write_hamming_index(corpus, idx)
+    hits = probe_hamming_index(spark, idx, incoming, max_distance=3)
+    got = {(r["doc_inc"], r["doc_idx"], r["hamming"]) for r in hits.collect()}
+    assert {(d, d - 1000, 2) for d, _ in inc} <= got  # every plant found
+
+    both = corpus.unionByName(incoming)
+    full = hamming_pairs(both, "doc", "sim", max_distance=3)
+    cross = {
+        (r["doc_b"], r["doc_a"], r["hamming"])
+        for r in full.collect()
+        if r["doc_b"] >= 1000 and r["doc_a"] < 1000
+    }
+    release(full)
+    assert got == cross
+
+    # extend: a sketch identical to an incoming one becomes visible
+    extend_hamming_index(incoming, idx)
+    again = probe_hamming_index(
+        spark, idx, spark.createDataFrame([inc[0]], "doc long, sim long"),
+        max_distance=0,
+    )
+    assert (inc[0][0], inc[0][0], 0) in {
+        (r["doc_inc"], r["doc_idx"], r["hamming"]) for r in again.collect()
+    }
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        probe_hamming_index(spark, idx, incoming, max_distance=8)

@@ -1090,3 +1090,109 @@ def duplicated_span_sources(
         )
     )
     return register_persisted(runs, anch)
+
+
+# ----------------------------------------------- persisted hamming index
+def _hamming_banded(sims: DataFrame, blocks: int) -> DataFrame:
+    """(doc, sim, block, key) band rows for a (doc, sim) sketch table —
+    the :func:`hamming_pairs` banding, factored for index persistence.
+    Pure projection + explode: no shuffle, 8 narrow rows per doc."""
+    width = 64 // blocks
+    return sims.select(
+        "doc",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftrightunsigned(F.col("sim"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "sim", F.col("bb.block"), F.col("bb.key"))
+
+
+def write_hamming_index(
+    sketches: DataFrame,
+    path: str,
+    id_col: str = "doc",
+    hash_col: str = "sim",
+    blocks: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a 64-bit Hamming near-dup index: ``banded/`` rows carry
+    (doc, sim, block, key) — band keys for the candidate join AND the
+    full sketch for in-row exact verification, so probes need no second
+    lookup table — plus ``params/`` pinning ``blocks``.  Modality-
+    agnostic: text SimHash, image dHash, and audio fingerprints all
+    produce (id, 64-bit long) sketch tables, and at 8 bytes per sketch
+    the whole index is ~40 bytes × blocks per item.  The incremental
+    counterpart of :func:`hamming_pairs`, exactly as
+    :func:`write_minhash_index` is to :func:`minhash_lsh_pairs`."""
+    sims = sketches.select(
+        F.col(id_col).alias("doc"), F.col(hash_col).alias("sim")
+    )
+    _hamming_banded(sims, blocks).write.mode(mode).parquet(f"{path}/banded")
+    sketches.sparkSession.createDataFrame(
+        [(blocks,)], "blocks int"
+    ).write.mode(mode).parquet(f"{path}/params")
+
+
+def extend_hamming_index(
+    sketches: DataFrame, path: str, id_col: str = "doc", hash_col: str = "sim"
+) -> None:
+    """Append a sketch batch — delta-only (only the new items band);
+    blocks come from the index's params.  Ids must be globally unique
+    across increments."""
+    spark = sketches.sparkSession
+    blocks = spark.read.parquet(f"{path}/params").collect()[0]["blocks"]
+    sims = sketches.select(
+        F.col(id_col).alias("doc"), F.col(hash_col).alias("sim")
+    )
+    _hamming_banded(sims, blocks).write.mode("append").parquet(f"{path}/banded")
+
+
+def probe_hamming_index(
+    spark,
+    path: str,
+    incoming: DataFrame,
+    id_col: str = "doc",
+    hash_col: str = "sim",
+    max_distance: int = 3,
+) -> DataFrame:
+    """Near-dup hits of incoming sketches against the index:
+    ``(doc_inc, doc_idx, hamming)`` with ``hamming ≤ max_distance`` —
+    candidates from the (block, key) equi-join, distance verified
+    in-row from the sketches both sides carry (no second join).  The
+    pigeonhole recall guarantee requires ``max_distance < blocks``
+    (validated); the stored corpus is never re-sketched."""
+    blocks = spark.read.parquet(f"{path}/params").collect()[0]["blocks"]
+    if max_distance >= blocks:
+        raise ValueError(
+            f"max_distance={max_distance} needs < blocks={blocks} for "
+            "guaranteed recall (pigeonhole); rebuild with more blocks"
+        )
+    sims = incoming.select(
+        F.col(id_col).alias("doc"), F.col(hash_col).alias("sim")
+    )
+    inc = _hamming_banded(sims, blocks).select(
+        F.col("doc").alias("doc_inc"), F.col("sim").alias("sim_i"), "block", "key"
+    )
+    idx = spark.read.parquet(f"{path}/banded").select(
+        F.col("doc").alias("doc_idx"), F.col("sim").alias("sim_x"), "block", "key"
+    )
+    return (
+        inc.join(idx, ["block", "key"])
+        .select(
+            "doc_inc",
+            "doc_idx",
+            F.bit_count(F.col("sim_i").bitwiseXOR(F.col("sim_x"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_distance)
+        .distinct()
+    )
