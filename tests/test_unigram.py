@@ -129,3 +129,32 @@ def test_bm25_unigram_knob(spark):
     assert not (set(got[:2]) & zebra)
     with pytest.raises(ValueError, match="unigram_scores"):
         bm25_topk(docs, ["x"], tokenizer="unigram")
+
+
+def test_tokenizer_artifact_roundtrip(spark, tmp_path):
+    """Train → save → load in a 'later job' → identical encodings; BPE
+    merge lists roundtrip in order (order IS semantics there)."""
+    from yodel_etl_spark.scale.bpe import bpe_tokenize, learn_bpe
+    from yodel_etl_spark.scale.unigram import (
+        load_bpe,
+        load_tokenizer,
+        save_bpe,
+        save_tokenizer,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "tok")
+
+    table = learn_unigram(docs, "text", vocab_size=48, n_rounds=2)
+    save_tokenizer(spark, table, path)
+    assert load_tokenizer(spark, path) == table
+    enc_a = {r["doc_id"]: r["tokens"] for r in unigram_tokenize(docs, "doc_id", "text", table).collect()}
+    enc_b = {r["doc_id"]: r["tokens"] for r in unigram_tokenize(docs, "doc_id", "text", load_tokenizer(spark, path)).collect()}
+    assert enc_a == enc_b
+
+    merges = learn_bpe(docs, "text", n_merges=8)
+    save_bpe(spark, merges, path)
+    assert load_bpe(spark, path) == merges
+    tok_a = {r["doc_id"]: r["tokens"] for r in bpe_tokenize(docs, "doc_id", "text", merges).collect()}
+    tok_b = {r["doc_id"]: r["tokens"] for r in bpe_tokenize(docs, "doc_id", "text", load_bpe(spark, path)).collect()}
+    assert tok_a == tok_b

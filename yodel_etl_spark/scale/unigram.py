@@ -312,3 +312,46 @@ def unigram_tokenize(
             )
 
     return docs.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def save_tokenizer(
+    spark, scores: dict[str, int], path: str, kind: str = "unigram"
+) -> None:
+    """Persist a trained tokenizer artifact as a tiny parquet table
+    (``piece``, ``score_micro``, ``ord``) — train once, apply from any
+    later job (the production tokenizer-artifact contract).  ``ord``
+    preserves iteration order, which is the MERGE ORDER for BPE tables
+    (where application order is semantics) and insertion order for
+    unigram tables (cosmetic there — Viterbi reads scores, not order).
+    For BPE pass ``kind="bpe"`` and encode each merge ``(a, b)`` as
+    piece ``a + " " + b`` with score 0."""
+    rows = [(p, int(s), i) for i, (p, s) in enumerate(scores.items())]
+    (
+        spark.createDataFrame(rows, "piece string, score_micro long, ord int")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/{kind}")
+    )
+
+
+def load_tokenizer(spark, path: str, kind: str = "unigram") -> dict[str, int]:
+    """Inverse of :func:`save_tokenizer`: the piece → micro-nat table,
+    in the saved order."""
+    rows = sorted(
+        spark.read.parquet(f"{path}/{kind}").collect(), key=lambda r: r["ord"]
+    )
+    return {r["piece"]: r["score_micro"] for r in rows}
+
+
+def save_bpe(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a BPE merge list (order IS semantics) via the shared
+    artifact table."""
+    save_tokenizer(
+        spark, {f"{a} {b}": 0 for a, b in merges}, path, kind="bpe"
+    )
+
+
+def load_bpe(spark, path: str) -> list[tuple[str, str]]:
+    """Inverse of :func:`save_bpe`: the ordered merge list."""
+    table = load_tokenizer(spark, path, kind="bpe")
+    return [tuple(p.split(" ", 1)) for p in table]
