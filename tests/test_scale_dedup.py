@@ -411,3 +411,36 @@ def test_hamming_index_probe_matches_batch_run(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="pigeonhole"):
         probe_hamming_index(spark, idx, incoming, max_distance=8)
+
+
+def test_scrub_to_fixpoint_catches_spliced_duplicates(spark):
+    """One pass cannot see a duplicate CREATED by its own cuts: cutting
+    doc 2's copied passages splices it into exactly doc 3's text, which
+    only the second round can scrub.  The fixpoint wrapper reports the
+    cumulative drops and the number of cutting rounds."""
+    from yodel_etl_spark.scale.dedup import (
+        scrub_duplicated_spans,
+        scrub_to_fixpoint,
+    )
+    from yodel_etl_spark.session import release
+
+    rows = [
+        (1, "a b c d"),            # keeper of "a b" and "c d"
+        (2, "p a b q c d r"),      # round 1: cuts to "p q r"
+        (3, "p q r"),              # round 2: now a duplicate of doc 2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # single pass misses the spliced duplicate
+    one = scrub_duplicated_spans(docs, "doc_id", "text", k=2)
+    single = {r["doc_id"]: r["text_clean"] for r in one.collect()}
+    release(one)
+    assert single[3] == "p q r"  # untouched in round 1
+
+    out = scrub_to_fixpoint(docs, "doc_id", "text", k=2, max_rounds=5)
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_dropped_total"], r["n_rounds"])
+        for r in out.collect()
+    }
+    assert got[1] == ("a b c d", 0, 2)
+    assert got[2] == ("p q r", 4, 2)   # lost "a b" and "c d" in round 1
+    assert got[3] == ("", 3, 2)        # spliced duplicate cut in round 2

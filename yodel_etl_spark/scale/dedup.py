@@ -1196,3 +1196,57 @@ def probe_hamming_index(
         .where(F.col("hamming") <= max_distance)
         .distinct()
     )
+
+
+def scrub_to_fixpoint(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_rounds: int = 4,
+) -> DataFrame:
+    """Iterate :func:`scrub_duplicated_spans` until a round cuts
+    nothing: cutting can splice two previously-separated token runs
+    into a NEW duplicated k-gram (a doc reduced to exactly another
+    doc's text is the canonical case), which a single pass misses.
+    Returns ``(id, text_clean, n_dropped_total, n_rounds)`` — rounds
+    counts the passes that actually cut.
+
+    Control-plane loop in the k-means/BPE family: the per-round stop
+    probe is ONE summed counter; each round's survivor text is
+    ``localCheckpoint``-truncated so ``max_rounds`` stays O(rounds)
+    cost, not O(rounds²) lineage.  Convergence is guaranteed — every
+    cutting round strictly removes tokens — but corpus-wide fixpoints
+    usually land in 1-2 rounds; ``max_rounds`` bounds the pathological
+    chain."""
+    cur = docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("text"),
+        F.lit(0).cast("long").alias("_cum"),
+    )
+    rounds_used = 0
+    for _ in range(max_rounds):
+        s = scrub_duplicated_spans(cur, id_col, "text", k)
+        total = s.agg(F.sum("n_dropped")).collect()[0][0] or 0
+        if total == 0:
+            release(s)
+            break
+        rounds_used += 1
+        nxt = (
+            cur.select(id_col, "_cum")
+            .join(s.select(id_col, "n_dropped", "text_clean"), id_col)
+            .select(
+                F.col(id_col),
+                F.col("text_clean").alias("text"),
+                (F.col("_cum") + F.col("n_dropped")).alias("_cum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        release(s)
+        cur = nxt
+    return cur.select(
+        F.col(id_col),
+        F.col("text").alias("text_clean"),
+        F.col("_cum").alias("n_dropped_total"),
+        F.lit(rounds_used).cast("int").alias("n_rounds"),
+    )
