@@ -94,3 +94,36 @@ def test_binary_gate_and_parquet_mode(spark, tmp_path):
     assert man["format"] == "parquet"
     back = read_training_shards(spark, out)
     assert sorted(map(tuple, back.collect())) == [(1, b"a"), (2, b"bc"), (3, b"def")]
+
+
+def test_epoch_shuffle_deterministic_and_seed_sensitive(spark, tmp_path):
+    """shuffle_seed: same seed -> bit-identical shards (manifest
+    digests equal across two exports); different seed -> different
+    layout bytes but the SAME row multiset on verified read-back —
+    the epoch-reshuffle contract."""
+    from pyspark.sql import functions as F
+
+    from yodel_etl_spark.io.shards import read_training_shards, write_training_shards
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"),
+    )
+    p1, p2, p3 = (str(tmp_path / d) for d in ("e1", "e1b", "e2"))
+    m1 = write_training_shards(df, p1, n_shards=4, shuffle_seed=1)
+    m1b = write_training_shards(df, p2, n_shards=4, shuffle_seed=1)
+    m2 = write_training_shards(df, p3, n_shards=4, shuffle_seed=2)
+
+    d1 = [s["sha256"] for s in m1["shards"]]
+    assert d1 == [s["sha256"] for s in m1b["shards"]]   # reproducible
+    assert d1 != [s["sha256"] for s in m2["shards"]]    # seed-sensitive
+    assert m1["shuffle_seed"] == 1 and m2["shuffle_seed"] == 2
+    # no helper column leaks into the shards
+    back1 = read_training_shards(spark, p1)
+    assert sorted(back1.columns) == ["doc_id", "text"]
+    rows1 = sorted((r["doc_id"], r["text"]) for r in back1.collect())
+    rows2 = sorted(
+        (r["doc_id"], r["text"])
+        for r in read_training_shards(spark, p3).collect()
+    )
+    assert rows1 == rows2 and len(rows1) == 500  # same corpus, new order

@@ -54,6 +54,7 @@ def write_training_shards(
     key_cols: list[str] | None = None,
     fmt: str = "jsonl",
     compression: str | None = None,
+    shuffle_seed: int | None = None,
 ) -> dict:
     """Write ``df`` as deterministic shards + manifest; returns the
     manifest dict.
@@ -62,7 +63,16 @@ def write_training_shards(
     (default: every column — fully content-keyed).  ``rows_per_shard``
     is approximate (hash sharding is multinomial-balanced); pass
     ``n_shards`` to skip the sizing ``count()`` when the caller already
-    knows the cardinality."""
+    knows the cardinality.
+
+    ``shuffle_seed`` switches to the EPOCH-SHUFFLE layout a training
+    loader wants: shard assignment and within-shard order key on
+    ``md5(seed | key columns)`` instead of the raw keys — a
+    deterministic seeded global permutation (same seed ⇒ bit-identical
+    shards; a different seed ⇒ a different, equally deterministic
+    order over the same rows), so "reshuffle the corpus for epoch N"
+    is one re-export with ``shuffle_seed=N`` and never a
+    ``rand()``-ordered sort that a task retry could perturb."""
     if fmt not in ("jsonl", "parquet"):
         raise ValueError(f"fmt must be 'jsonl' or 'parquet', got {fmt!r}")
     if fmt == "jsonl":
@@ -75,13 +85,30 @@ def write_training_shards(
     keys = key_cols or df.columns
     if n_shards is None:
         n_shards = max(1, math.ceil(df.count() / rows_per_shard))
-    sharded = (
-        df.withColumn(
-            "shard", F.pmod(F.xxhash64(*[F.col(c) for c in keys]), F.lit(n_shards))
+    if shuffle_seed is not None:
+        perm = F.md5(
+            F.concat_ws(
+                "|", F.lit(str(int(shuffle_seed))), *[F.col(c) for c in keys]
+            )
         )
-        .repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", *keys)
-    )
+        staged = df.withColumn("_perm", perm)
+        sharded = (
+            staged.withColumn(
+                "shard", F.pmod(F.xxhash64(F.col("_perm")), F.lit(n_shards))
+            )
+            .repartition(n_shards, "shard")
+            .sortWithinPartitions("shard", "_perm")
+            .drop("_perm")
+        )
+    else:
+        sharded = (
+            df.withColumn(
+                "shard",
+                F.pmod(F.xxhash64(*[F.col(c) for c in keys]), F.lit(n_shards)),
+            )
+            .repartition(n_shards, "shard")
+            .sortWithinPartitions("shard", *keys)
+        )
     data_dir = os.path.join(path, "data")
     counts = {
         r["shard"]: r["rows"]
@@ -123,6 +150,7 @@ def write_training_shards(
         "n_shards": int(n_shards),
         "n_rows": int(sum(counts.values())),
         "key_cols": keys,
+        "shuffle_seed": shuffle_seed,
         "schema": json.loads(df.schema.json()),
         "shards": [by_shard[s] for s in sorted(by_shard)],
     }
