@@ -1,0 +1,92 @@
+"""Incremental rollup maintenance (io/rollup.py): delta upserts must
+equal the full recompute, untouched partitions stay byte-identical,
+min/max merge correctly, non-mergeable aggregates are refused."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from yodel_etl_spark.io.rollup import upsert_rollup
+
+AGGS = {
+    "cents": ("sum", "v_cents"),
+    "n": ("count", None),
+    "lo": ("min", "v_cents"),
+    "hi": ("max", "v_cents"),
+}
+
+
+def _facts(spark, rows):
+    return spark.createDataFrame(rows, "d string, k string, v_cents long")
+
+
+def _read(spark, path):
+    return {
+        (r["d"], r["k"]): (r["cents"], r["n"], r["lo"], r["hi"])
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_upsert_equals_full_recompute(spark, tmp_path):
+    path = str(tmp_path / "rollup")
+    day1 = [("d1", "a", 100), ("d1", "a", 250), ("d1", "b", 10), ("d2", "a", 7)]
+    day2 = [("d2", "a", 3), ("d2", "b", 40), ("d3", "a", 5)]
+
+    aff1 = upsert_rollup(spark, path, _facts(spark, day1), "d", ["k"], AGGS)
+    assert aff1 == ["d1", "d2"]
+    aff2 = upsert_rollup(spark, path, _facts(spark, day2), "d", ["k"], AGGS)
+    assert aff2 == ["d2", "d3"]
+
+    got = _read(spark, path)
+    full = (
+        _facts(spark, day1 + day2)
+        .groupBy("d", "k")
+        .agg(
+            F.sum("v_cents").alias("cents"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("v_cents").alias("lo"),
+            F.max("v_cents").alias("hi"),
+        )
+    )
+    want = {
+        (r["d"], r["k"]): (r["cents"], r["n"], r["lo"], r["hi"])
+        for r in full.collect()
+    }
+    assert got == want
+    # spot-check the merge arithmetic
+    assert got[("d2", "a")] == (10, 2, 3, 7)
+
+
+def test_untouched_partitions_stay_byte_identical(spark, tmp_path):
+    path = str(tmp_path / "rollup2")
+    upsert_rollup(
+        spark, path, _facts(spark, [("d1", "a", 1), ("d2", "a", 2)]),
+        "d", ["k"], AGGS,
+    )
+    d1_dir = os.path.join(path, "d=d1")
+    before = {
+        f: os.path.getmtime(os.path.join(d1_dir, f))
+        for f in os.listdir(d1_dir)
+        if f.endswith(".parquet")
+    }
+    assert before
+    # a delta touching ONLY d2 must not rewrite d1's files
+    upsert_rollup(spark, path, _facts(spark, [("d2", "b", 9)]), "d", ["k"], AGGS)
+    after = {
+        f: os.path.getmtime(os.path.join(d1_dir, f))
+        for f in os.listdir(d1_dir)
+        if f.endswith(".parquet")
+    }
+    assert after == before  # dynamic overwrite left d1 alone
+    assert _read(spark, path)[("d2", "b")] == (9, 1, 9, 9)
+
+
+def test_non_mergeable_aggregate_refused(spark, tmp_path):
+    with pytest.raises(ValueError, match="avg"):
+        upsert_rollup(
+            spark, str(tmp_path / "r3"), _facts(spark, [("d1", "a", 1)]),
+            "d", ["k"], {"m": ("avg", "v_cents")},
+        )

@@ -1,0 +1,94 @@
+"""Incremental rollup maintenance — the materialized-aggregate upkeep
+every metrics pipeline schedules: a persisted ``(partition, keys →
+aggregates)`` table updated from each day's DELTA without recomputing
+history.  The full-recompute alternative reads the entire fact table
+per refresh; at 100 TB the whole point of a rollup is that refresh cost
+tracks the delta.
+
+Scale shape:
+  * the delta pre-aggregates to rollup grain (ONE map-side-combined
+    groupBy over delta rows only);
+  * the list of AFFECTED partitions is read off that tiny aggregate
+    (bounded by distinct partition values in the delta — dates, not
+    rows);
+  * only those partitions of the existing rollup are read back
+    (partition-pruned scan: the ``isin`` filter prunes directories,
+    never touching history), merged with the delta aggregate, and
+    rewritten via DYNAMIC partition overwrite — untouched partitions'
+    files are left byte-identical;
+  * merges are restricted to re-mergeable aggregates (sum/count/min/
+    max): a stored ``count`` merges by SUM, the others by themselves —
+    ``avg`` is honestly refused (store sum+count and divide at read).
+
+Delivery contract: applying the same delta twice double-counts —
+idempotence belongs to the INGEST layer (dedupe by event id upstream;
+``ops/cdc.py`` handles keyed upserts).  This is the same at-least-once
+posture as any foreachBatch aggregation sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: merge function per aggregate kind: how two partial rollup rows of
+#: the same (partition, keys) combine
+_MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+_FIRST = {"sum": F.sum, "count": lambda c: F.count(F.lit(1)), "min": F.min, "max": F.max}
+
+
+def upsert_rollup(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    part_col: str,
+    key_cols: list[str],
+    aggs: dict[str, tuple[str, str | None]],
+) -> list:
+    """Fold ``delta`` into the rollup at ``path``; returns the affected
+    partition values.  ``aggs`` maps each OUTPUT column to ``(kind,
+    source_col)`` with kind in sum/count/min/max (source ignored for
+    count).  First call creates the table.
+
+    Example::
+
+        upsert_rollup(spark, path, day_events, "d", ["event_type"],
+                      {"revenue": ("sum", "value"), "n": ("count", None)})
+    """
+    bad = [k for k, (kind, _) in aggs.items() if kind not in _MERGE]
+    if bad:
+        raise ValueError(
+            f"non-mergeable aggregate kinds for {bad}; supported: "
+            f"{sorted(_MERGE)} (for avg, store sum and count)"
+        )
+    d = delta.groupBy(F.col(part_col), *[F.col(k) for k in key_cols]).agg(
+        *[
+            _FIRST[kind](src if kind != "count" else None).alias(out)
+            for out, (kind, src) in aggs.items()
+        ]
+    )
+    affected = [r[part_col] for r in d.select(part_col).distinct().collect()]
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        old = spark.read.parquet(path).where(F.col(part_col).isin(affected))
+        merged = (
+            old.unionByName(d)
+            .groupBy(F.col(part_col), *[F.col(k) for k in key_cols])
+            .agg(
+                *[
+                    _MERGE[kind](out).alias(out)
+                    for out, (kind, _) in aggs.items()
+                ]
+            )
+        )
+    else:
+        merged = d
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(part_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return sorted(affected)
