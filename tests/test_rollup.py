@@ -90,3 +90,22 @@ def test_non_mergeable_aggregate_refused(spark, tmp_path):
             spark, str(tmp_path / "r3"), _facts(spark, [("d1", "a", 1)]),
             "d", ["k"], {"m": ("avg", "v_cents")},
         )
+
+
+def test_null_partition_values_merge_not_lost(spark, tmp_path):
+    """isin() never matches NULL: a stored null-partition row must
+    still merge with a delta's null-partition rows (the silent-loss
+    case), and the returned affected list carries None sortably."""
+    path = str(tmp_path / "rollup_null")
+    upsert_rollup(
+        spark, path, _facts(spark, [(None, "a", 100), ("d1", "a", 1)]),
+        "d", ["k"], AGGS,
+    )
+    aff = upsert_rollup(
+        spark, path, _facts(spark, [(None, "a", 10), ("d2", "a", 2)]),
+        "d", ["k"], AGGS,
+    )
+    assert aff == ["d2", None]
+    got = _read(spark, path)
+    assert got[(None, "a")] == (110, 2, 10, 100)  # prior 100 NOT lost
+    assert got[("d1", "a")] == (1, 1, 1, 1)

@@ -23,7 +23,15 @@ Scale shape:
 Delivery contract: applying the same delta twice double-counts —
 idempotence belongs to the INGEST layer (dedupe by event id upstream;
 ``ops/cdc.py`` handles keyed upserts).  This is the same at-least-once
-posture as any foreachBatch aggregation sink.
+posture as any foreachBatch aggregation sink.  The dynamic-overwrite
+commit itself is per-partition, NOT atomic across partitions: a crash
+mid-commit can leave some affected partitions merged and others stale,
+and because re-applying the delta double-counts, recovery is a full
+recompute of the AFFECTED partitions from the fact table (cheap — the
+affected list is the delta's partition values), or landing the rollup
+in a transactional table format.  ``io/compact.py`` shows the
+manifest-marked two-phase protocol when file-level atomicity must be
+built by hand.
 """
 
 from __future__ import annotations
@@ -67,28 +75,46 @@ def upsert_rollup(
             for out, (kind, src) in aggs.items()
         ]
     )
+    # persisted: the affected-partition collect and the merged write
+    # both read it — unpersisted, the delta scans twice ("one groupBy
+    # over delta rows" is the module's cost claim)
+    d = d.persist()
     affected = [r[part_col] for r in d.select(part_col).distinct().collect()]
+    # NULL partition values need explicit handling: isin() never
+    # matches NULL, so the stored null-partition rows would silently
+    # miss the merge and the dynamic overwrite would then REPLACE
+    # __HIVE_DEFAULT_PARTITION__ with delta-only aggregates — row loss
+    non_null = [a for a in affected if a is not None]
+    has_null = len(non_null) != len(affected)
+    cond = F.col(part_col).isin(non_null) if non_null else F.lit(False)
+    if has_null:
+        cond = cond | F.col(part_col).isNull()
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(p):
-        old = spark.read.parquet(path).where(F.col(part_col).isin(affected))
-        merged = (
-            old.unionByName(d)
-            .groupBy(F.col(part_col), *[F.col(k) for k in key_cols])
-            .agg(
-                *[
-                    _MERGE[kind](out).alias(out)
-                    for out, (kind, _) in aggs.items()
-                ]
-            )
-        )
-    else:
-        merged = d
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        merged.write.mode("overwrite").partitionBy(part_col).parquet(path)
+        if fs.exists(p):
+            old = spark.read.parquet(path).where(cond)
+            merged = (
+                old.unionByName(d)
+                .groupBy(F.col(part_col), *[F.col(k) for k in key_cols])
+                .agg(
+                    *[
+                        _MERGE[kind](out).alias(out)
+                        for out, (kind, _) in aggs.items()
+                    ]
+                )
+            )
+        else:
+            merged = d
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "STATIC"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy(part_col).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return sorted(affected)
+        d.unpersist()
+    return sorted(non_null) + ([None] if has_null else [])

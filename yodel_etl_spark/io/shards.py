@@ -86,18 +86,17 @@ def write_training_shards(
     if n_shards is None:
         n_shards = max(1, math.ceil(df.count() / rows_per_shard))
     if shuffle_seed is not None:
-        perm = F.md5(
-            F.concat_ws(
-                "|", F.lit(str(int(shuffle_seed))), *[F.col(c) for c in keys]
-            )
-        )
+        # xxhash64 handles column boundaries and nulls natively (a
+        # string-concat key would collide on delimiter injection and
+        # null-skipping, making same-seed exports non-deterministic);
+        # the key columns join the sort AFTER the hash so even a
+        # genuine 64-bit hash tie orders deterministically by content
+        perm = F.xxhash64(F.lit(int(shuffle_seed)), *[F.col(c) for c in keys])
         staged = df.withColumn("_perm", perm)
         sharded = (
-            staged.withColumn(
-                "shard", F.pmod(F.xxhash64(F.col("_perm")), F.lit(n_shards))
-            )
+            staged.withColumn("shard", F.pmod(F.col("_perm"), F.lit(n_shards)))
             .repartition(n_shards, "shard")
-            .sortWithinPartitions("shard", "_perm")
+            .sortWithinPartitions("shard", "_perm", *keys)
             .drop("_perm")
         )
     else:

@@ -359,27 +359,12 @@ def hamming_pairs(
     Output ``(doc_a, doc_b, hamming)``; the banded probe rows are
     persisted (both sides of the self-join served from cache —
     ``session.release`` the result to free them)."""
-    width = 64 // blocks
     sims = sketches.select(
         F.col(id_col).alias("doc"), F.col(hash_col).alias("sim")
     )
-    banded = sims.select(
-        "doc",
-        "sim",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("block"),
-                        F.shiftrightunsigned(F.col("sim"), b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("key"),
-                    )
-                    for b in range(blocks)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc", "sim", F.col("bb.block"), F.col("bb.key"))
+    # ONE banding definition shared with the persisted index — the
+    # probe-vs-batch parity the index tests pin requires identical keys
+    banded = _hamming_banded(sims, blocks)
     # persisted at BANDED grain (blocks narrow rows per doc), not sketch
     # grain: the band self-join plans its broadcast side as a separate
     # pipeline (no exchange reuse), so persisting upstream of the
@@ -687,6 +672,48 @@ def duplicated_spans(
     return register_persisted(runs, anch)
 
 
+def _redundant_positions(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared prologue of the scrub and its attribution report:
+    ``(base, redundant, anch)`` where ``base`` is the tokenized doc
+    frame (id, text, _tk, _n), ``redundant`` is every non-keeper
+    duplicated anchor position (id, pos, src_id = the keeper's doc),
+    and ``anch`` the persisted anchor table for the caller to register.
+    One definition of the anchor digest and the min-(id, pos) keeper
+    tie-break — the scrub and the source attribution MUST agree on
+    both, or attribution reports sources for spans the scrub no longer
+    cuts."""
+    tk = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col), F.col(text_col), tk.alias("_tk")).withColumn(
+        "_n", F.size("_tk")
+    )
+    anchors = F.transform(
+        F.sequence(F.lit(0), F.col("_n") - k),
+        lambda p: F.md5(F.array_join(F.slice(F.col("_tk"), p + 1, k), " ")),
+    )
+    anch = (
+        base.where(F.col("_n") >= k)
+        .select(F.col(id_col), F.posexplode(anchors).alias("pos", "h"))
+        .persist()
+    )
+    stats = anch.groupBy("h").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min(F.struct(F.col(id_col).alias("kid"), F.col("pos").alias("kpos"))).alias(
+            "_keep"
+        ),
+    )
+    redundant = (
+        anch.join(stats.where(F.col("_c") > 1), "h")
+        .where(
+            (F.col(id_col) != F.col("_keep.kid"))
+            | (F.col("pos") != F.col("_keep.kpos"))
+        )
+        .select(id_col, "pos", F.col("_keep.kid").alias("src_id"))
+    )
+    return base, redundant, anch
+
+
 def scrub_duplicated_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -719,33 +746,8 @@ def scrub_duplicated_spans(
     index-aware ``filter`` lambda — a second narrow pass."""
     from pyspark.sql import Window
 
-    tk = F.split(F.col(text_col), " ")
-    base = docs.select(F.col(id_col), F.col(text_col), tk.alias("_tk")).withColumn(
-        "_n", F.size("_tk")
-    )
-    anchors = F.transform(
-        F.sequence(F.lit(0), F.col("_n") - k),
-        lambda p: F.md5(F.array_join(F.slice(F.col("_tk"), p + 1, k), " ")),
-    )
-    anch = (
-        base.where(F.col("_n") >= k)
-        .select(F.col(id_col), F.posexplode(anchors).alias("pos", "h"))
-        .persist()
-    )
-    stats = anch.groupBy("h").agg(
-        F.count(F.lit(1)).alias("_c"),
-        F.min(F.struct(F.col(id_col).alias("kid"), F.col("pos").alias("kpos"))).alias(
-            "_keep"
-        ),
-    )
-    redundant = (
-        anch.join(stats.where(F.col("_c") > 1), "h")
-        .where(
-            (F.col(id_col) != F.col("_keep.kid"))
-            | (F.col("pos") != F.col("_keep.kpos"))
-        )
-        .select(id_col, "pos")
-    )
+    base, redundant, anch = _redundant_positions(docs, id_col, text_col, k)
+    redundant = redundant.select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     cuts = (
         redundant.withColumn("_grp", F.col("pos") - F.row_number().over(w))
@@ -840,7 +842,6 @@ def write_minhash_index(
     num_hashes: int = 64,
     bands: int = 16,
     k: int = 3,
-    mode: str = "overwrite",
 ) -> None:
     """Persist a MinHash-LSH near-dup index for ``docs`` under ``path``:
     ``banded/`` (doc, band, bkey — the LSH posting table), ``sets/``
@@ -857,12 +858,12 @@ def write_minhash_index(
     re-tokenizing it — the corpus-sized work is paid exactly once per
     document, at its own arrival."""
     banded, sets = _minhash_tables(docs, id_col, text_col, num_hashes, bands, k)
-    banded.write.mode(mode).parquet(f"{path}/banded")
-    sets.write.mode(mode).parquet(f"{path}/sets")
+    banded.write.mode("overwrite").parquet(f"{path}/banded")
+    sets.write.mode("overwrite").parquet(f"{path}/sets")
     spark = docs.sparkSession
     spark.createDataFrame(
         [(num_hashes, bands, k)], "num_hashes int, bands int, k int"
-    ).write.mode(mode).parquet(f"{path}/params")
+    ).write.mode("overwrite").parquet(f"{path}/params")
     release(banded)
 
 
@@ -1050,33 +1051,7 @@ def duplicated_span_sources(
     positions reach the islands window."""
     from pyspark.sql import Window
 
-    tk = F.split(F.col(text_col), " ")
-    base = docs.select(F.col(id_col), tk.alias("_tk")).withColumn(
-        "_n", F.size("_tk")
-    )
-    anchors = F.transform(
-        F.sequence(F.lit(0), F.col("_n") - k),
-        lambda p: F.md5(F.array_join(F.slice(F.col("_tk"), p + 1, k), " ")),
-    )
-    anch = (
-        base.where(F.col("_n") >= k)
-        .select(F.col(id_col), F.posexplode(anchors).alias("pos", "h"))
-        .persist()
-    )
-    stats = anch.groupBy("h").agg(
-        F.count(F.lit(1)).alias("_c"),
-        F.min(F.struct(F.col(id_col).alias("kid"), F.col("pos").alias("kpos"))).alias(
-            "_keep"
-        ),
-    )
-    redundant = (
-        anch.join(stats.where(F.col("_c") > 1), "h")
-        .where(
-            (F.col(id_col) != F.col("_keep.kid"))
-            | (F.col("pos") != F.col("_keep.kpos"))
-        )
-        .select(id_col, "pos", F.col("_keep.kid").alias("src_id"))
-    )
+    _, redundant, anch = _redundant_positions(docs, id_col, text_col, k)
     w = Window.partitionBy(id_col, "src_id").orderBy("pos")
     runs = (
         redundant.withColumn("_grp", F.col("pos") - F.row_number().over(w))
@@ -1123,7 +1098,6 @@ def write_hamming_index(
     id_col: str = "doc",
     hash_col: str = "sim",
     blocks: int = 8,
-    mode: str = "overwrite",
 ) -> None:
     """Persist a 64-bit Hamming near-dup index: ``banded/`` rows carry
     (doc, sim, block, key) — band keys for the candidate join AND the
@@ -1137,10 +1111,10 @@ def write_hamming_index(
     sims = sketches.select(
         F.col(id_col).alias("doc"), F.col(hash_col).alias("sim")
     )
-    _hamming_banded(sims, blocks).write.mode(mode).parquet(f"{path}/banded")
+    _hamming_banded(sims, blocks).write.mode("overwrite").parquet(f"{path}/banded")
     sketches.sparkSession.createDataFrame(
         [(blocks,)], "blocks int"
-    ).write.mode(mode).parquet(f"{path}/params")
+    ).write.mode("overwrite").parquet(f"{path}/params")
 
 
 def extend_hamming_index(
@@ -1227,11 +1201,11 @@ def scrub_to_fixpoint(
     rounds_used = 0
     for _ in range(max_rounds):
         s = scrub_duplicated_spans(cur, id_col, "text", k)
-        total = s.agg(F.sum("n_dropped")).collect()[0][0] or 0
-        if total == 0:
-            release(s)
-            break
-        rounds_used += 1
+        # ONE execution of the (rebuild-heavy) scrub per round: the
+        # joined round result materializes via the eager checkpoint and
+        # the stop counter reads off that snapshot — a separate agg on
+        # `s` would run the whole rebuild a second time (only the
+        # anchor table is persisted inside the scrub)
         nxt = (
             cur.select(id_col, "_cum")
             .join(s.select(id_col, "n_dropped", "text_clean"), id_col)
@@ -1239,11 +1213,16 @@ def scrub_to_fixpoint(
                 F.col(id_col),
                 F.col("text_clean").alias("text"),
                 (F.col("_cum") + F.col("n_dropped")).alias("_cum"),
+                F.col("n_dropped").alias("_rd"),
             )
             .localCheckpoint(eager=True)
         )
         release(s)
-        cur = nxt
+        total = nxt.agg(F.sum("_rd")).collect()[0][0] or 0
+        cur = nxt.drop("_rd")
+        if total == 0:
+            break
+        rounds_used += 1
     return cur.select(
         F.col(id_col),
         F.col("text").alias("text_clean"),
