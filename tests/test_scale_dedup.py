@@ -444,3 +444,27 @@ def test_scrub_to_fixpoint_catches_spliced_duplicates(spark):
     assert got[1] == ("a b c d", 0, 2)
     assert got[2] == ("p q r", 4, 2)   # lost "a b" and "c d" in round 1
     assert got[3] == ("", 3, 2)        # spliced duplicate cut in round 2
+
+
+def test_span_operator_plan_shapes(spark):
+    """Exchange audit for the exact-substring family: the digest count
+    plus the islands window are the only hash exchanges (scrub adds the
+    interval-list aggregation), and nothing plans a cartesian product —
+    the all-pairs formulation this family exists to avoid."""
+    from yodel_etl_spark.scale.dedup import (
+        duplicated_spans,
+        scrub_duplicated_spans,
+    )
+    from yodel_etl_spark.session import release
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} common tail tokens here") for i in range(30)],
+        "doc_id long, text string",
+    )
+    for op, max_exchanges in ((duplicated_spans, 3), (scrub_duplicated_spans, 5)):
+        out = op(docs, "doc_id", "text", k=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, op.__name__
+        n_ex = plan.count("Exchange hashpartitioning")
+        assert n_ex <= max_exchanges, (op.__name__, n_ex)
+        release(out)
