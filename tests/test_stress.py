@@ -747,3 +747,62 @@ def test_minhash_probe_cost_tracks_delta_not_corpus(spark, tmp_path):
     print(f"STRESS probe {t_probe:.2f}s vs recompute {t_full:.2f}s "
           f"({t_full / t_probe:.1f}x saved)")
     assert t_probe * 2 < t_full, (t_probe, t_full)
+
+
+def test_hamming_probe_cost_tracks_delta_not_corpus(spark, tmp_path):
+    """Same promise as the MinHash probe, at sketch grain: probing a
+    fixed batch of 64-bit sketches against a 20x corpus via the
+    persisted index must beat the one-shot hamming_pairs on the union
+    (which re-bands and self-joins everything)."""
+    from pyspark.sql import functions as FF
+
+    from yodel_etl_spark.scale.dedup import (
+        hamming_pairs,
+        probe_hamming_index,
+        write_hamming_index,
+    )
+    from yodel_etl_spark.session import release, spread
+
+    # blocks=4 (16-bit band keys): at 1M RANDOM sketches the default
+    # 8-bit keys put ~n/256 docs in every bucket and the self-join's
+    # candidate volume goes quadratic — block width must grow with
+    # corpus size (width >= log2(n) keeps buckets O(1)); the price is
+    # the recall bound dropping to distance < 4, which max_distance=3
+    # still satisfies
+    big = spread(
+        spark.range(1_000_000).select(
+            FF.col("id").alias("doc"),
+            FF.xxhash64(FF.col("id")).alias("sim"),
+        )
+    ).localCheckpoint(eager=True)
+    idx = str(tmp_path / "hm_big_idx")
+    write_hamming_index(big, idx, blocks=4)  # one-time corpus cost, not timed
+
+    batch = spread(
+        spark.range(2_000).select(
+            (FF.col("id") + 10_000_000).alias("doc"),
+            # half the batch: near-dups of corpus sketches (flip 2 bits)
+            FF.when(
+                FF.col("id") % 2 == 0,
+                FF.xxhash64(FF.col("id")).bitwiseXOR(FF.lit(0b101)),
+            )
+            .otherwise(FF.xxhash64(FF.col("id") + 77_000_000))
+            .alias("sim"),
+        )
+    ).localCheckpoint(eager=True)
+
+    t0 = time.perf_counter()
+    hits = probe_hamming_index(spark, idx, batch, max_distance=3)
+    _force(hits)
+    t_probe = time.perf_counter() - t0
+
+    union = big.unionByName(batch)
+    t0 = time.perf_counter()
+    full = hamming_pairs(union, "doc", "sim", max_distance=3, blocks=4)
+    _force(full)
+    t_full = time.perf_counter() - t0
+    release(full)
+
+    print(f"STRESS probe {t_probe:.2f}s vs recompute {t_full:.2f}s "
+          f"({t_full / t_probe:.1f}x saved)")
+    assert t_probe * 2 < t_full, (t_probe, t_full)

@@ -356,6 +356,14 @@ def hamming_pairs(
     (:func:`simhash_pairs`) and image dHash
     (``scale.phash.image_near_dup``) both ride this one join; only
     ``(id, sim, block, key)`` rows flow through the band self-join.
+
+    SIZE ``blocks`` TO THE CORPUS: expected bucket occupancy is
+    n / 2^(64/blocks), and candidate volume grows with occupancy² — at
+    n = 10⁶ the default 8-bit keys put ~4k sketches in every bucket
+    and the self-join goes quadratic even on random data.  Keep
+    64/blocks ≥ log₂(n) (blocks=4 → 16-bit keys carries ~65k sketches
+    per key-space; real corpora cluster, so leave margin); the price is
+    the pigeonhole recall bound dropping to distance < blocks.
     Output ``(doc_a, doc_b, hamming)``; the banded probe rows are
     persisted (both sides of the self-join served from cache —
     ``session.release`` the result to free them)."""
@@ -1107,7 +1115,11 @@ def write_hamming_index(
     produce (id, 64-bit long) sketch tables, and at 8 bytes per sketch
     the whole index is ~40 bytes × blocks per item.  The incremental
     counterpart of :func:`hamming_pairs`, exactly as
-    :func:`write_minhash_index` is to :func:`minhash_lsh_pairs`."""
+    :func:`write_minhash_index` is to :func:`minhash_lsh_pairs`.
+    Size ``blocks`` to the EVENTUAL corpus (see the
+    :func:`hamming_pairs` occupancy note — keep 64/blocks ≥ log₂(n));
+    the parameter is pinned at build time and every probe inherits
+    it."""
     sims = sketches.select(
         F.col(id_col).alias("doc"), F.col(hash_col).alias("sim")
     )
