@@ -827,3 +827,54 @@ def test_foreachbatch_near_dedup_ingest(spark, tmp_path):
     # the index admitted exactly the landed docs
     idx_docs = {r["doc"] for r in spark.read.parquet(f"{index}/sets").collect()}
     assert idx_docs == final
+
+
+def test_foreachbatch_sketch_dedup_ingest(spark, tmp_path):
+    """The Hamming twin of the near-dup ingest loop, over a 64-bit
+    sketch stream (the image/audio shape): in-batch near-dups collapse,
+    a later batch's 2-bit-flipped copy of a landed sketch never lands,
+    novel sketches survive, the index accumulates."""
+    import os
+
+    from yodel_etl_spark.scale.dedup import sketch_dedup_ingest
+
+    def sk(seed):
+        return (seed * 0x9E3779B97F4A7C15) & 0x7FFFFFFFFFFFFFFF
+
+    src = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "hm_index")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    b1 = spark.createDataFrame(
+        [(1, sk(1)), (2, sk(1) ^ 0b11), (3, sk(3)), (4, sk(4))],
+        "doc long, sim long",
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    land = sketch_dedup_ingest(index, corpus, max_distance=3)
+
+    def drain():
+        q = (
+            spark.readStream.schema(b1.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    first = {r["doc"] for r in spark.read.parquet(corpus).collect()}
+    assert first == {1, 3, 4}  # doc 2 is a 2-bit flip of doc 1
+
+    b2 = spark.createDataFrame(
+        [(10, sk(3) ^ 0b101), (11, sk(777))], "doc long, sim long"
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    final = {r["doc"] for r in spark.read.parquet(corpus).collect()}
+    assert final == {1, 3, 4, 11}  # 10 is near landed 3; 11 novel
+    idx_docs = {r["doc"] for r in spark.read.parquet(f"{index}/banded").collect()}
+    assert idx_docs == final

@@ -1241,3 +1241,50 @@ def scrub_to_fixpoint(
         F.col("_cum").alias("n_dropped_total"),
         F.lit(rounds_used).cast("int").alias("n_rounds"),
     )
+
+
+def sketch_dedup_ingest(
+    index_path: str,
+    corpus_path: str,
+    id_col: str = "doc",
+    hash_col: str = "sim",
+    max_distance: int = 3,
+    blocks: int = 8,
+):
+    """foreachBatch landing function for a SKETCH stream (image dHash,
+    audio fingerprints, text SimHash) — the Hamming twin of
+    :func:`near_dedup_ingest`: per micro-batch, collapse in-batch
+    near-dup pairs to the min id, probe the persisted Hamming index and
+    drop everything within ``max_distance`` of the accumulated corpus,
+    then admit survivors (:func:`extend_hamming_index`) and append them
+    to ``corpus_path``.  Same snapshot discipline (eager
+    localCheckpoint before the extend — see near_dedup_ingest's
+    self-hit note) and the same at-least-once posture."""
+
+    def land(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.dropDuplicates([id_col])
+        if _index_exists(spark, index_path):
+            nb = spark.read.parquet(f"{index_path}/params").collect()[0]["blocks"]
+        else:
+            nb = blocks
+        pairs = hamming_pairs(batch, id_col, hash_col, max_distance, nb)
+        losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+        batch = batch.join(losers, id_col, "left_anti")
+        if _index_exists(spark, index_path):
+            hits = probe_hamming_index(
+                spark, index_path, batch, id_col, hash_col, max_distance
+            )
+            dup_ids = hits.select(F.col("doc_inc").alias(id_col)).distinct()
+            novel = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(
+                eager=True
+            )
+            release(pairs)
+            extend_hamming_index(novel, index_path, id_col, hash_col)
+        else:
+            novel = batch.localCheckpoint(eager=True)
+            release(pairs)
+            write_hamming_index(novel, index_path, id_col, hash_col, nb)
+        novel.write.mode("append").parquet(corpus_path)
+
+    return land
