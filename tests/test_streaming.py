@@ -878,3 +878,108 @@ def test_foreachbatch_sketch_dedup_ingest(spark, tmp_path):
     assert final == {1, 3, 4, 11}  # 10 is near landed 3; 11 novel
     idx_docs = {r["doc"] for r in spark.read.parquet(f"{index}/banded").collect()}
     assert idx_docs == final
+
+
+def test_near_dedup_ingest_crash_between_corpus_and_extend(spark, tmp_path, monkeypatch):
+    """The ingest gate's load-bearing write order: the corpus append
+    lands BEFORE the index extend, so a crash in between replays into a
+    duplicate corpus append (the documented at-least-once case), never
+    a silent loss.  Index-first would make the replay self-hit against
+    rows whose corpus append never happened and drop the batch forever.
+    Also pins full-success replay idempotency: the self-hit gate makes
+    a re-delivered fully-landed batch a no-op."""
+    import pytest
+
+    from yodel_etl_spark.scale import dedup as D
+
+    words = "red green blue cyan teal pink gold gray onyx jade".split()
+
+    def body(seed):
+        return " ".join(
+            words[(seed * 3 + j * 7) % 10] + str((seed + j) % 11) for j in range(20)
+        )
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "mh_index")
+    land = D.near_dedup_ingest(index, corpus, threshold=0.8)
+
+    b1 = spark.createDataFrame(
+        [(1, body(1)), (3, body(3)), (4, body(4))], "doc_id long, text string"
+    )
+    land(b1, 0)  # full success: index + corpus hold {1, 3, 4}
+
+    b2 = spark.createDataFrame(
+        [(10, body(3) + " extra10"), (11, body(30))], "doc_id long, text string"
+    )
+    real_extend = D.extend_minhash_index
+
+    def boom(*a, **k):
+        raise RuntimeError("crash between corpus append and index extend")
+
+    monkeypatch.setattr(D, "extend_minhash_index", boom)
+    with pytest.raises(RuntimeError, match="crash between"):
+        land(b2, 1)
+    # crash-window state: survivor 11 is in the corpus but NOT the index
+    assert spark.read.parquet(corpus).where("doc_id = 11").count() == 1
+    idx = {r["doc"] for r in spark.read.parquet(f"{index}/sets").collect()}
+    assert 11 not in idx
+
+    monkeypatch.setattr(D, "extend_minhash_index", real_extend)
+    land(b2, 1)  # at-least-once replay
+    got = spark.read.parquet(corpus)
+    ids = {r["doc_id"] for r in got.select("doc_id").distinct().collect()}
+    assert ids == {1, 3, 4, 11}  # no loss; 10 gated as a jitter of landed 3
+    # the duplicate append IS the documented posture (dedupe by id downstream)
+    assert got.where("doc_id = 11").count() == 2
+    idx = {r["doc"] for r in spark.read.parquet(f"{index}/sets").collect()}
+    assert idx == {1, 3, 4, 11}
+
+    land(b2, 1)  # full-success replay: self-hit gate makes it a no-op
+    assert spark.read.parquet(corpus).where("doc_id = 11").count() == 2
+
+
+def test_sketch_dedup_ingest_crash_windows_no_loss(spark, tmp_path, monkeypatch):
+    """Hamming-twin crash windows, both branches: (a) first batch dies
+    between the corpus append and the index WRITE, (b) a later batch
+    dies between the corpus append and the index EXTEND.  Replays must
+    recover every survivor (dedupe-by-id grain) — never drop one to a
+    self-hit."""
+    import pytest
+
+    from yodel_etl_spark.scale import dedup as D
+
+    def sk(seed):
+        return (seed * 0x9E3779B97F4A7C15) & 0x7FFFFFFFFFFFFFFF
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "hm_index")
+    land = D.sketch_dedup_ingest(index, corpus, max_distance=3)
+
+    b1 = spark.createDataFrame([(1, sk(1)), (3, sk(3))], "doc long, sim long")
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before index write")
+
+    real_write = D.write_hamming_index
+    monkeypatch.setattr(D, "write_hamming_index", boom)
+    with pytest.raises(RuntimeError):
+        land(b1, 0)
+    monkeypatch.setattr(D, "write_hamming_index", real_write)
+    land(b1, 0)  # replay rebuilds: no index existed, so branch re-runs whole
+    got = spark.read.parquet(corpus)
+    assert {r["doc"] for r in got.select("doc").distinct().collect()} == {1, 3}
+
+    b2 = spark.createDataFrame(
+        [(10, sk(3) ^ 0b101), (11, sk(777))], "doc long, sim long"
+    )
+    real_extend = D.extend_hamming_index
+    monkeypatch.setattr(D, "extend_hamming_index", boom)
+    with pytest.raises(RuntimeError):
+        land(b2, 1)
+    monkeypatch.setattr(D, "extend_hamming_index", real_extend)
+    land(b2, 1)
+    got = spark.read.parquet(corpus)
+    ids = {r["doc"] for r in got.select("doc").distinct().collect()}
+    assert ids == {1, 3, 11}  # 10 gated (2 bits off landed 3); 11 recovered
+    idx = {r["doc"] for r in spark.read.parquet(f"{index}/banded").collect()}
+    assert idx == {1, 3, 11}

@@ -67,7 +67,7 @@ def write_training_shards(
 
     ``shuffle_seed`` switches to the EPOCH-SHUFFLE layout a training
     loader wants: shard assignment and within-shard order key on
-    ``md5(seed | key columns)`` instead of the raw keys — a
+    ``xxhash64(seed, *key columns)`` instead of the raw keys — a
     deterministic seeded global permutation (same seed ⇒ bit-identical
     shards; a different seed ⇒ a different, equally deterministic
     order over the same rows), so "reshuffle the corpus for epoch N"

@@ -367,6 +367,14 @@ def hamming_pairs(
     Output ``(doc_a, doc_b, hamming)``; the banded probe rows are
     persisted (both sides of the self-join served from cache —
     ``session.release`` the result to free them)."""
+    if max_distance >= blocks:
+        # same contract as probe_hamming_index: beyond this bound the
+        # pigeonhole guarantee is gone and the batch API would silently
+        # under-recall where the probe API raises
+        raise ValueError(
+            f"max_distance={max_distance} needs < blocks={blocks} for "
+            "guaranteed recall (pigeonhole); use more blocks"
+        )
     sims = sketches.select(
         F.col(id_col).alias("doc"), F.col(hash_col).alias("sim")
     )
@@ -983,13 +991,18 @@ def near_dedup_ingest(
     ``corpus_path``.
 
     Wire as ``stream.writeStream.foreachBatch(near_dedup_ingest(...))``.
-    Delivery note: foreachBatch is at-least-once under retries — a
-    replayed batch re-appends its survivors' index rows; duplicated
-    index rows only duplicate probe CANDIDATES (decisions are
-    ``distinct``-ed), so gating stays correct, but the corpus append
-    itself inherits the same at-least-once contract as any
-    foreachBatch file sink (dedupe by id downstream or land into a
-    transactional table format)."""
+    Delivery note: foreachBatch is at-least-once under retries, and the
+    CORPUS APPEND LANDS BEFORE THE INDEX EXTEND — ordering is load-
+    bearing.  A replay after full success probes its own just-admitted
+    index rows, self-hits, and is gated out (idempotent no-op); a crash
+    between the corpus append and the extend replays into a duplicate
+    corpus append (dedupe by id downstream or land into a transactional
+    table format — the standard foreachBatch file-sink contract).  The
+    REVERSE order would turn that crash window into silent permanent
+    loss: the replay would self-hit against index rows whose corpus
+    rows never landed and drop the whole batch.  Duplicated index rows
+    from a replayed extend only duplicate probe CANDIDATES (decisions
+    are ``distinct``-ed), so gating stays correct."""
 
     def land(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
@@ -1023,11 +1036,15 @@ def near_dedup_ingest(
             # index and drop every survivor as a self-hit.
             novel = novel.localCheckpoint(eager=True)
             release(hits)
+            # corpus BEFORE index (see the delivery note): a crash here
+            # replays into a duplicate corpus append; index-first would
+            # make the replay self-hit and silently lose the batch
+            novel.write.mode("append").parquet(corpus_path)
             extend_minhash_index(novel, index_path, id_col, text_col)
         else:
             novel = batch.localCheckpoint(eager=True)
+            novel.write.mode("append").parquet(corpus_path)
             write_minhash_index(novel, index_path, id_col, text_col, nh, nb, kk)
-        novel.write.mode("append").parquet(corpus_path)
         release(pairs)
 
     return land
@@ -1259,7 +1276,11 @@ def sketch_dedup_ingest(
     then admit survivors (:func:`extend_hamming_index`) and append them
     to ``corpus_path``.  Same snapshot discipline (eager
     localCheckpoint before the extend — see near_dedup_ingest's
-    self-hit note) and the same at-least-once posture."""
+    self-hit note), the same at-least-once posture, and the same
+    load-bearing write order: corpus append BEFORE index extend, so a
+    crash between them replays into a duplicate corpus append instead
+    of a self-hit-gated silent loss (see near_dedup_ingest's delivery
+    note)."""
 
     def land(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
@@ -1280,11 +1301,14 @@ def sketch_dedup_ingest(
                 eager=True
             )
             release(pairs)
+            # corpus BEFORE index — same crash-window ordering as
+            # near_dedup_ingest (index-first + replay = silent loss)
+            novel.write.mode("append").parquet(corpus_path)
             extend_hamming_index(novel, index_path, id_col, hash_col)
         else:
             novel = batch.localCheckpoint(eager=True)
             release(pairs)
+            novel.write.mode("append").parquet(corpus_path)
             write_hamming_index(novel, index_path, id_col, hash_col, nb)
-        novel.write.mode("append").parquet(corpus_path)
 
     return land
