@@ -47,7 +47,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from yodel_etl_spark.registry import load_all
 
-    return load_all()["flagship_revenue_by_nation"].build(spark, "/root/testdata/sf0.001")
+    return load_all()["flagship"].build(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -51,7 +51,7 @@ HEADLINE = (
 CONTROL_BASELINES = {
     "top_events_global": 0.119,
     "text_fingerprint": 0.187,
-    "flagship_revenue_by_nation": 1.046,
+    "flagship": 1.046,
 }
 
 

@@ -31,7 +31,7 @@ def test_column_pruning_reaches_scan(spark, sf_small):
 
 
 def test_flagship_uses_broadcast_joins(spark, sf_small):
-    q = load_all()["flagship_revenue_by_nation"].build(spark, sf_small)
+    q = load_all()["flagship"].build(spark, sf_small)
     plan = _plan(q)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan

@@ -85,11 +85,53 @@ def test_untouched_partitions_stay_byte_identical(spark, tmp_path):
 
 
 def test_non_mergeable_aggregate_refused(spark, tmp_path):
-    with pytest.raises(ValueError, match="avg"):
+    with pytest.raises(ValueError, match="median"):
         upsert_rollup(
             spark, str(tmp_path / "r3"), _facts(spark, [("d1", "a", 1)]),
-            "d", ["k"], {"m": ("avg", "v_cents")},
+            "d", ["k"], {"m": ("median", "v_cents")},
         )
+    # the internal mergeable-state kind is not part of the user surface
+    with pytest.raises(ValueError, match="_countnn"):
+        upsert_rollup(
+            spark, str(tmp_path / "r3b"), _facts(spark, [("d1", "a", 1)]),
+            "d", ["k"], {"m": ("_countnn", "v_cents")},
+        )
+
+
+def test_avg_upsert_equals_full_recompute(spark, tmp_path):
+    """``avg`` via the stored __sum/__cnt pair: incremental upserts must
+    reproduce the full-recompute average EXACTLY (long sums merge
+    associatively; the division happens once at read), including null
+    source values (avg skips them — the denominator is the NON-NULL
+    count, not the row count) and all-null groups (avg = null)."""
+    from yodel_etl_spark.io.rollup import read_rollup
+
+    aggs = {"m": ("avg", "v_cents"), "n": ("count", None)}
+    path = str(tmp_path / "rollup_avg")
+    day1 = [("d1", "a", 100), ("d1", "a", 251), ("d1", "b", None), ("d2", "a", 7)]
+    day2 = [("d1", "a", 3), ("d2", "b", 40), ("d2", "a", None), ("d3", "a", 5)]
+    upsert_rollup(spark, path, _facts(spark, day1), "d", ["k"], aggs)
+    upsert_rollup(spark, path, _facts(spark, day2), "d", ["k"], aggs)
+
+    got = {
+        (r["d"], r["k"]): (r["m"], r["n"])
+        for r in read_rollup(spark, path, aggs).collect()
+    }
+    want = {
+        (r["d"], r["k"]): (r["m"], r["n"])
+        for r in _facts(spark, day1 + day2)
+        .groupBy("d", "k")
+        .agg(F.avg("v_cents").alias("m"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    assert got[("d1", "a")] == ((100 + 251 + 3) / 3, 3)  # cross-delta merge
+    assert got[("d1", "b")] == (None, 1)  # all-null group: avg null, count 1
+    assert got[("d2", "a")] == (7.0, 2)  # null skipped from the denominator
+    # stored grain is the mergeable pair, user grain hides it
+    stored = spark.read.parquet(path).columns
+    assert "m__sum" in stored and "m__cnt" in stored and "m" not in stored
+    assert "m" in read_rollup(spark, path, aggs).columns
 
 
 def test_null_partition_values_merge_not_lost(spark, tmp_path):

@@ -82,6 +82,6 @@ def test_replicate_salt_join_rejects_right_preserving():
 
 def test_skew_queries_match_plain_sql(spark, sf_small):
     qs = load_all()
-    for name in ("skew_dusers", "skew_salted_join_revenue"):
+    for name in ("skew_dusers", "skew_join"):
         df = qs[name].build(spark, sf_small)
         assert df.count() > 0

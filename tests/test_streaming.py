@@ -911,12 +911,12 @@ def test_near_dedup_ingest_crash_between_corpus_and_extend(spark, tmp_path, monk
     b2 = spark.createDataFrame(
         [(10, body(3) + " extra10"), (11, body(30))], "doc_id long, text string"
     )
-    real_extend = D.extend_minhash_index
+    real_extend = D._extend_index_tables
 
     def boom(*a, **k):
         raise RuntimeError("crash between corpus append and index extend")
 
-    monkeypatch.setattr(D, "extend_minhash_index", boom)
+    monkeypatch.setattr(D, "_extend_index_tables", boom)
     with pytest.raises(RuntimeError, match="crash between"):
         land(b2, 1)
     # crash-window state: survivor 11 is in the corpus but NOT the index
@@ -924,7 +924,7 @@ def test_near_dedup_ingest_crash_between_corpus_and_extend(spark, tmp_path, monk
     idx = {r["doc"] for r in spark.read.parquet(f"{index}/sets").collect()}
     assert 11 not in idx
 
-    monkeypatch.setattr(D, "extend_minhash_index", real_extend)
+    monkeypatch.setattr(D, "_extend_index_tables", real_extend)
     land(b2, 1)  # at-least-once replay
     got = spark.read.parquet(corpus)
     ids = {r["doc_id"] for r in got.select("doc_id").distinct().collect()}

@@ -18,7 +18,11 @@ Scale shape:
     files are left byte-identical;
   * merges are restricted to re-mergeable aggregates (sum/count/min/
     max): a stored ``count`` merges by SUM, the others by themselves —
-    ``avg`` is honestly refused (store sum+count and divide at read).
+    ``avg`` is supported by the standard mergeable-state rewrite: the
+    table stores ``{out}__sum`` and ``{out}__cnt`` (non-null count of
+    the source column) and :func:`read_rollup` divides at read time.
+    A stored ``avg`` column itself would be unmergeable (averages of
+    averages weight partitions, not rows).
 
 Delivery contract: applying the same delta twice double-counts —
 idempotence belongs to the INGEST layer (dedupe by event id upstream;
@@ -40,9 +44,52 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: merge function per aggregate kind: how two partial rollup rows of
-#: the same (partition, keys) combine
-_MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
-_FIRST = {"sum": F.sum, "count": lambda c: F.count(F.lit(1)), "min": F.min, "max": F.max}
+#: the same (partition, keys) combine.  ``_countnn`` (non-null count of
+#: a source column) is internal — it is what ``avg`` rewrites its
+#: denominator to; user-facing ``count`` stays the row count.
+_MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max, "_countnn": F.sum}
+_FIRST = {
+    "sum": F.sum,
+    "count": lambda c: F.count(F.lit(1)),
+    "min": F.min,
+    "max": F.max,
+    "_countnn": F.count,
+}
+
+
+def _storage_aggs(aggs: dict) -> dict:
+    """Rewrite user aggs to the MERGEABLE storage grain: each ``avg``
+    output becomes a ``{out}__sum``/``{out}__cnt`` pair (sum + non-null
+    count of the source), everything else passes through.  Shared by
+    write (:func:`upsert_rollup`) and read (:func:`read_rollup`) so the
+    two sides can never disagree about the stored schema."""
+    storage: dict = {}
+    for out, (kind, src) in aggs.items():
+        if kind == "avg":
+            storage[f"{out}__sum"] = ("sum", src)
+            storage[f"{out}__cnt"] = ("_countnn", src)
+        else:
+            storage[out] = (kind, src)
+    return storage
+
+
+def read_rollup(spark: SparkSession, path: str, aggs: dict) -> DataFrame:
+    """Read a rollup table back at its USER grain: ``avg`` outputs are
+    derived (``__sum / __cnt``, null when the count is zero — the SQL
+    avg-of-empty convention) and the mergeable state columns dropped.
+    Non-avg outputs pass through unchanged.  ``aggs`` is the same dict
+    handed to :func:`upsert_rollup`."""
+    df = spark.read.parquet(path)
+    for out, (kind, _) in aggs.items():
+        if kind == "avg":
+            df = df.withColumn(
+                out,
+                F.when(
+                    F.col(f"{out}__cnt") > 0,
+                    F.col(f"{out}__sum") / F.col(f"{out}__cnt"),
+                ),
+            ).drop(f"{out}__sum", f"{out}__cnt")
+    return df
 
 
 def upsert_rollup(
@@ -55,20 +102,28 @@ def upsert_rollup(
 ) -> list:
     """Fold ``delta`` into the rollup at ``path``; returns the affected
     partition values.  ``aggs`` maps each OUTPUT column to ``(kind,
-    source_col)`` with kind in sum/count/min/max (source ignored for
-    count).  First call creates the table.
+    source_col)`` with kind in sum/count/min/max/avg (source ignored
+    for count).  First call creates the table.  ``avg`` stores the
+    mergeable ``__sum``/``__cnt`` pair — read the table back through
+    :func:`read_rollup` (same ``aggs``) to get the derived average.
 
     Example::
 
         upsert_rollup(spark, path, day_events, "d", ["event_type"],
                       {"revenue": ("sum", "value"), "n": ("count", None)})
     """
-    bad = [k for k, (kind, _) in aggs.items() if kind not in _MERGE]
+    bad = {
+        k: kind
+        for k, (kind, _) in aggs.items()
+        if kind != "avg" and (kind not in _MERGE or kind.startswith("_"))
+    }
     if bad:
         raise ValueError(
-            f"non-mergeable aggregate kinds for {bad}; supported: "
-            f"{sorted(_MERGE)} (for avg, store sum and count)"
+            f"non-mergeable aggregate kinds {bad}; supported: "
+            "sum/count/min/max/avg (avg stores a __sum/__cnt pair — "
+            "read back through read_rollup)"
         )
+    aggs = _storage_aggs(aggs)
     d = delta.groupBy(F.col(part_col), *[F.col(k) for k in key_cols]).agg(
         *[
             _FIRST[kind](src if kind != "count" else None).alias(out)

@@ -13,6 +13,7 @@ from yodel_etl_spark.queries import (  # noqa: F401
     decontam_q,
     dq_q,
     grouping,
+    infra_q,
     judge,
     layout_q,
     ops_q,

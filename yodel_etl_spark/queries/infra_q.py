@@ -1,0 +1,299 @@
+"""Lakehouse-maintenance benchmark queries: the operators a 100 TB
+corpus pays for EVERY DAY — small-file compaction, training-shard
+export with verified read-back, incremental rollup upkeep, and the
+index-gated streaming ingest loop — registered so their cost is a
+recorded per-round bench number instead of a pytest-only proof (the
+``zorder`` precedent: at scale the write/maintenance path is a query
+cost like any read).
+
+All rows-only by design: each query's measured artifact is a side
+effect (files rewritten, shards written, a table upserted, an index
+extended); correctness is pinned at file/byte level in
+tests/test_compact.py, tests/test_shards.py, tests/test_rollup.py and
+tests/test_streaming.py, and the returned aggregates are exact integer
+reductions so the rows-only stability check keeps deterministic
+values.  A SQL oracle would only re-state the batch twins that are
+already oracle-backed (events_daily_rollup, dedup_minhash_lsh).
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yodel_etl_spark.queries._util import cents
+from yodel_etl_spark.queries.layout_q import _scratch_root
+from yodel_etl_spark.registry import register
+from yodel_etl_spark.session import load_tables, spread
+
+_CLEANUP_REGISTERED: set[str] = set()
+
+
+def _work_dir(name: str, sf_dir: str) -> str:
+    """Fresh pid-keyed scratch dir (tmpfs-preferred, atexit-removed —
+    the layout_q conventions) wiped at every call: bench re-runs each
+    query several times and these queries require an absent/empty
+    target to stay deterministic run-over-run."""
+    path = os.path.join(
+        _scratch_root(),
+        f"yodel_{name}_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    if path not in _CLEANUP_REGISTERED:
+        _CLEANUP_REGISTERED.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+@register(
+    "compact",
+    oracle=None,  # the measured artifact is the FILE set (count
+    # before/after, crash-safe swap) — pinned at file level in
+    # tests/test_compact.py; the returned counts are exact
+    doc="Small-file compaction end-to-end (io/compact.py): events is "
+    "landed as two micro-batch-style appends into an event_type-"
+    "partitioned table (~8 small files per leaf per append — the "
+    "steady-state fragmentation signature), then compact_parquet "
+    "rewrites each leaf to its target-size file count through the "
+    "crash-safe two-phase swap.  Returns one row per leaf with file "
+    "counts before/after and the post-compaction row count, verified "
+    "against the input grain — exact values, deterministic.  The cost "
+    "recorded here (read-back + coalesced rewrite) is the nightly "
+    "maintenance bill a micro-batch lakehouse pays per partition.",
+    tags=("io", "maintenance", "bench"),
+    bench=True,
+)
+def compact_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.io.compact import compact_parquet
+
+    ev = spread(load_tables(spark, sf_dir, ("events",))["events"]).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = _work_dir("compact", sf_dir)
+    # two appends of disjoint halves, 8 writer tasks each: every leaf
+    # collects up to 16 small files — the fragmentation compaction exists for
+    for half in (0, 1):
+        (
+            ev.where(F.pmod("event_id", F.lit(2)) == half)
+            .repartition(8, "event_id")
+            .write.mode("append")
+            .partitionBy("event_type")
+            .parquet(path)
+        )
+    reports = compact_parquet(spark, path)
+    n_rows = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = [
+        (
+            os.path.basename(r["dir"]).split("=", 1)[1],
+            r["n_files_before"],
+            r["n_files_after"],
+            r["rewritten"],
+            n_rows.get(os.path.basename(r["dir"]).split("=", 1)[1], 0),
+        )
+        for r in reports
+    ]
+    return spark.createDataFrame(
+        sorted(rows),
+        "event_type string, n_files_before int, n_files_after int, "
+        "rewritten boolean, n_rows long",
+    )
+
+
+@register(
+    "shards",
+    oracle=None,  # the artifact is the shard FILES + manifest (sha256
+    # digests, byte sizes); determinism and integrity-failure behavior
+    # are pinned in tests/test_shards.py
+    doc="Training-shard export + verified read-back (io/shards.py): "
+    "documents written as 8 deterministic epoch-shuffled JSONL shards "
+    "(xxhash64(seed, keys) permutation — same seed ⇒ bit-identical "
+    "files) with a sha256 manifest, then read back through the "
+    "integrity gate (re-digest every shard + row-count check — what a "
+    "training job runs before burning GPU-hours).  Returns the "
+    "manifest at shard grain plus the verified round-trip count; "
+    "every value is deterministic down to the digest.",
+    tags=("io", "export", "bench"),
+    bench=True,
+)
+def shards_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.io.shards import read_training_shards, write_training_shards
+
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"]).select(
+        "doc_id", "lang", "text"
+    )
+    path = _work_dir("shards", sf_dir)
+    manifest = write_training_shards(
+        docs, path, n_shards=8, key_cols=["doc_id"], fmt="jsonl", shuffle_seed=7
+    )
+    n_back = read_training_shards(spark, path, verify=True).count()
+    rows = [
+        (s["shard"], s["rows"], s["bytes"], s["sha256"][:16], n_back)
+        for s in manifest["shards"]
+    ]
+    return spark.createDataFrame(
+        sorted(rows),
+        "shard int, rows long, bytes long, sha16 string, roundtrip_rows long",
+    )
+
+
+@register(
+    "rollup",
+    oracle=None,  # upsert ≡ recompute is the interesting surface and is
+    # verified INSIDE the query (matches column) + tests/test_rollup.py;
+    # the recompute itself is already oracle-backed (events_daily_rollup)
+    doc="Incremental rollup upkeep (io/rollup.py): events split into a "
+    "history batch and a trailing-week delta, folded into a (day, "
+    "event_type) rollup via two upsert_rollup calls — delta-grain "
+    "aggregation, partition-pruned merge, dynamic-overwrite write — "
+    "storing sum/count plus an AVG via the mergeable __sum/__cnt "
+    "rewrite.  The result is read back through read_rollup and every "
+    "row is compared exactly against the one-shot recompute "
+    "(matches_recompute) — the maintenance-vs-recompute equivalence "
+    "that justifies paying delta cost instead of history cost at "
+    "100 TB.  Exact integer cents everywhere.",
+    tags=("io", "maintenance", "bench"),
+    bench=True,
+)
+def rollup_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.io.rollup import read_rollup, upsert_rollup
+
+    ev = spread(load_tables(spark, sf_dir, ("events",))["events"]).select(
+        F.to_date("ts").alias("d"),
+        "event_type",
+        cents("value").alias("value_c"),
+    )
+    ev = ev.persist()
+    aggs = {
+        "value_cents": ("sum", "value_c"),
+        "n": ("count", None),
+        "v_avg": ("avg", "value_c"),
+    }
+    path = _work_dir("rollup", sf_dir)
+    # 1-row control-plane read: the delta boundary (trailing 7 days)
+    dmax = ev.agg(F.max("d").alias("m")).collect()[0]["m"]
+    cut = F.lit(dmax) - F.expr("INTERVAL 7 DAYS")
+    upsert_rollup(spark, path, ev.where(F.col("d") < cut), "d", ["event_type"], aggs)
+    upsert_rollup(spark, path, ev.where(F.col("d") >= cut), "d", ["event_type"], aggs)
+    got = read_rollup(spark, path, aggs)
+    want = ev.groupBy("d", "event_type").agg(
+        F.sum("value_c").alias("w_cents"),
+        F.count(F.lit(1)).alias("w_n"),
+        (F.sum("value_c") / F.count("value_c")).alias("w_avg"),
+    )
+    ev.unpersist()
+    return (
+        got.join(want, ["d", "event_type"], "full_outer")
+        .select(
+            F.col("d").cast("string").alias("d"),
+            "event_type",
+            "n",
+            "value_cents",
+            F.round("v_avg", 4).alias("v_avg"),
+            (
+                F.col("n").eqNullSafe(F.col("w_n"))
+                & F.col("value_cents").eqNullSafe(F.col("w_cents"))
+                & F.col("v_avg").eqNullSafe(F.col("w_avg"))
+            ).alias("matches_recompute"),
+        )
+    )
+
+
+def _ingest_src(spark: SparkSession, sf_dir: str) -> str:
+    """The ingest stream's two-file source, built ONCE per process and
+    reused across bench samples: the fixture construction (two parquet
+    writes of documents) is setup, not the operator under measurement —
+    timed samples should record the GATE's cost.  Batch 1 = even
+    doc_ids; batch 2 = odd doc_ids plus jittered copies of every 10th
+    even doc (suffix-perturbed, new ids) so the cross-batch probe has
+    planted work.  File mtimes are pinned 10 s apart: FileStreamSource
+    orders by mtime and both appends can land in the same clock tick."""
+    src = os.path.join(
+        _scratch_root(),
+        f"yodel_ingest_src_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    if os.path.isdir(src) and any(p.startswith("part-") for p in os.listdir(src)):
+        return src
+    if src not in _CLEANUP_REGISTERED:
+        _CLEANUP_REGISTERED.add(src)
+        atexit.register(shutil.rmtree, src, ignore_errors=True)
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    b1 = docs.where(F.pmod("doc_id", F.lit(2)) == 0)
+    jitter = b1.where(F.pmod("doc_id", F.lit(10)) == 0).select(
+        (F.col("doc_id") + F.lit(10**9)).alias("doc_id"),
+        F.concat("text", F.lit(" jitterx")).alias("text"),
+    )
+    b2 = docs.where(F.pmod("doc_id", F.lit(2)) == 1).unionByName(jitter)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    parts = sorted(
+        (p for p in os.listdir(src) if p.startswith("part-")),
+        key=lambda p: os.path.getmtime(os.path.join(src, p)),
+    )
+    now = os.path.getmtime(os.path.join(src, parts[-1]))
+    os.utime(os.path.join(src, parts[0]), (now - 10, now - 10))
+    return src
+
+
+@register(
+    "ingest",
+    oracle=None,  # runs the REAL streaming machinery (FileStreamSource,
+    # foreachBatch, persisted index extend) — the replay precedent; the
+    # gating semantics are pinned in tests/test_streaming.py incl. the
+    # crash-window ordering tests
+    doc="Index-gated streaming ingest micro-bench (scale/dedup.py "
+    "near_dedup_ingest): documents replayed as a TWO-micro-batch file "
+    "stream (maxFilesPerTrigger=1) through the MinHash-gated landing "
+    "loop — in-batch LSH collapse, probe of the persisted index "
+    "accumulated by earlier batches, survivor append + delta-only "
+    "index extend.  Batch 2 carries jittered copies of batch-1 "
+    "documents; exactly one member of each jitter pair lands "
+    "regardless of batch order, so the summary (n_input, n_landed, "
+    "n_gated) is deterministic.  The two-file source is a per-process "
+    "fixture built once and reused across samples (construction is "
+    "setup, not the operator) — timed samples record the GATE's cost "
+    "(sign-once tables, in-batch collapse, probe, snapshot, 3 writes "
+    "× 2 micro-batches): at 100 TB this loop IS the front door of "
+    "the corpus.",
+    tags=("streaming", "dedup", "bench"),
+    bench=True,
+)
+def ingest_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.dedup import near_dedup_ingest
+
+    src = _ingest_src(spark, sf_dir)
+    root = _work_dir("ingest", sf_dir)
+    index, corpus, ckpt = (os.path.join(root, d) for d in ("idx", "corp", "ckpt"))
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    n_input = spark.read.parquet(src).count()  # one job over both files
+    land = near_dedup_ingest(index, corpus, threshold=0.8)
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("ingest replay did not drain in 600s")
+    n_landed = spark.read.parquet(corpus).select("doc_id").distinct().count()
+    return spark.createDataFrame(
+        [(n_input, n_landed, n_input - n_landed)],
+        "n_input long, n_landed long, n_gated long",
+    )

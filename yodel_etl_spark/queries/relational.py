@@ -25,7 +25,7 @@ from yodel_etl_spark.session import load_tables
 
 
 @register(
-    "flagship_revenue_by_nation",
+    "flagship",
     oracle="""
     SELECT n.n_name,
            r.r_name,
@@ -103,7 +103,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "top_orders_per_customer",
+    "topord",
     oracle="""
     SELECT c_custkey, c_name, o_orderkey, o_totalprice_r, rk
     FROM (
@@ -172,7 +172,7 @@ def brand_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "segment_order_priority",
+    "segprio",
     oracle="""
     SELECT c.c_mktsegment, o.o_orderpriority, count(*) AS n_orders,
            CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_price

@@ -74,7 +74,7 @@ def hh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sample_stratified_counts",
+    "strat",
     oracle="""
     WITH s AS (
       SELECT lang, text,

@@ -91,6 +91,45 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _planted_wavs(spark: SparkSession, sf_dir: str, n_base: int = 200) -> DataFrame:
+    """(doc_id, content) with per-doc 16-bit mono WAV blobs whose PCM
+    samples are synthesized deterministically from doc_id — the shared
+    fixture generator for the audio queries (sample i of doc d is
+    ``((d*31 + i*17) % 65536) - 32768``, n_base + d%50 samples).
+    ``audio_wav``'s oracle is pinned to the default 200; the spectral
+    query passes a longer clip (the 256-sample analysis frame needs
+    n ≥ frame to produce any frames at all)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from yodel_etl_spark.scale.audio import wav_pack
+    from yodel_etl_spark.session import ship_package
+
+    ship_package(spark)
+
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"]).select(
+        "doc_id"
+    )
+
+    def plant(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            out["content"] = [
+                wav_pack(
+                    ((int(d) * 31 + np.arange(n_base + int(d) % 50) * 17) % 65536)
+                    - 32768,
+                    sample_rate=8000,
+                    bits=16,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield out
+
+    return docs.mapInPandas(plant, "doc_id long, content binary")
+
+
 @register(
     "audio_wav",
     oracle="""
@@ -123,35 +162,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier=1,
 )
 def audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from collections.abc import Iterator
+    from yodel_etl_spark.scale.audio import audio_features
 
-    import numpy as np
-    import pandas as pd
-
-    from yodel_etl_spark.scale.audio import audio_features, wav_pack
-    from yodel_etl_spark.session import ship_package
-
-    ship_package(spark)
-
-    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"]).select(
-        "doc_id"
-    )
-
-    def plant(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            out = pdf.copy()
-            out["content"] = [
-                wav_pack(
-                    ((int(d) * 31 + np.arange(200 + int(d) % 50) * 17) % 65536)
-                    - 32768,
-                    sample_rate=8000,
-                    bits=16,
-                )
-                for d in pdf["doc_id"]
-            ]
-            yield out
-
-    blobs = docs.mapInPandas(plant, "doc_id long, content binary")
+    blobs = _planted_wavs(spark, sf_dir)
     return audio_features(blobs, "content").select(
         "doc_id",
         "n_samples",
@@ -232,3 +245,37 @@ def phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = ids.mapInPandas(plant, "doc_id long, content binary")
     return image_near_dup(blobs, "doc_id", "content", max_distance=4, blocks=8)
+
+
+@register(
+    "audiox",
+    oracle=None,  # rfft/log-mel float front-end has no SQL twin; the
+    # spectral invariants (Parseval cross-check, gain-invariant
+    # fingerprint, noise-locality) are pinned in tests/test_audio.py
+    doc="Audio feature-extraction front-end over the planted WAV "
+    "corpus: the log-mel spectral pass (frame → Hann window → rfft → "
+    "16-band mel → log; scale.audio.audio_spectral) chained with the "
+    "64-bit Haitsma-Kalker band-delta fingerprint "
+    "(scale.audio.audio_fingerprint) in one Arrow-batched pipeline — "
+    "blobs never leave their decode partition, only (doc_id, scalars, "
+    "fp) come out.  Records the decode+DSP cost an audio-model "
+    "training pipeline pays per clip; the fp column is exactly what "
+    "the Hamming index family (sketch_dedup_ingest, hamming_pairs) "
+    "consumes.  Floats are per-row deterministic (numpy kernels, no "
+    "reduction order); the log-mel vector stays internal — outputs "
+    "are scalar columns only.",
+    tags=("multimodal", "audio", "bench"),
+    bench=True,
+)
+def audiox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.audio import audio_fingerprint, audio_spectral
+
+    blobs = _planted_wavs(spark, sf_dir, n_base=2000)
+    feats = audio_fingerprint(audio_spectral(blobs, "content"), "content")
+    return feats.select(
+        "doc_id",
+        "n_frames",
+        "zero_crossings",
+        F.round("centroid_hz", 3).alias("centroid_hz"),
+        "fp",
+    )

@@ -814,3 +814,43 @@ def cjk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_cjk_chars"),
         F.array_join(F.slice("tkc", 1, 8), "|").alias("head_toks"),
     )
+
+
+@register(
+    "moji",
+    oracle=None,  # DuckDB SQL has no charset transcode, so the repair
+    # itself has no oracle; goldens, idempotence and the
+    # no-false-positive property are pinned in tests (fix_mojibake)
+    doc="Mojibake repair sweep (scale.textstats.fix_mojibake): every "
+    "third document gets a planted UTF-8-as-Latin-1 suffix ('cafÃ© "
+    "naÃ¯ve'), the ftfy-style transcode-repair expression rewrites "
+    "exactly the damaged rows (pure codegen — encode(Latin-1) → "
+    "decode(UTF-8) behind a byte-grammar guard, no Python), and the "
+    "output pins per-doc: planted?, repaired?, and the char-count "
+    "delta (each 2-byte mojibake pair collapses to 1 char).  Clean "
+    "rows must pass through untouched (repaired=false, delta=0) — the "
+    "no-false-positive half of the contract a web-corpus pipeline "
+    "depends on.",
+    tags=("text", "cleanse", "bench"),
+    bench=True,
+)
+def moji(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.textstats import fix_mojibake
+
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"]).select(
+        "doc_id", "text"
+    )
+    planted = F.pmod("doc_id", F.lit(3)) == 0
+    broken = F.when(
+        planted, F.concat("text", F.lit(" cafÃ© naÃ¯ve"))
+    ).otherwise(F.col("text"))
+    out = docs.select(
+        "doc_id", planted.alias("planted"), broken.alias("_b"),
+        fix_mojibake(broken).alias("_f"),
+    )
+    return out.select(
+        "doc_id",
+        "planted",
+        (F.col("_f") != F.col("_b")).alias("repaired"),
+        (F.length("_b") - F.length("_f")).cast("long").alias("chars_recovered"),
+    )

@@ -52,7 +52,7 @@ def skew_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "skew_salted_join_revenue",
+    "skew_join",
     oracle="""
     SELECT o_orderpriority AS priority,
            count(*) AS n_items,

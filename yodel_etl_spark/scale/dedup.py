@@ -921,6 +921,22 @@ def probe_minhash_index(
     inc_banded, inc_sets = _minhash_tables(
         incoming, id_col, text_col, p["num_hashes"], p["bands"], p["k"]
     )
+    inc_sets = inc_sets.persist()
+    out = _probe_from_tables(spark, path, inc_banded, inc_sets, threshold)
+    # inc_banded carries the posting-table persist handle from
+    # _minhash_tables — register it too, or every probe leaks one
+    # cached (doc, shingle, h) frame into the CacheManager for the
+    # life of the session (the long-running-stream hot path)
+    return register_persisted(out, inc_sets, inc_banded)
+
+
+def _probe_from_tables(
+    spark, path: str, inc_banded: DataFrame, inc_sets: DataFrame, threshold: float
+) -> DataFrame:
+    """:func:`probe_minhash_index`'s join core over PREBUILT incoming
+    (banded, sets) tables — factored so a caller that already signed
+    the batch (the ingest gate) probes without re-shingling.  Persist
+    discipline belongs to the caller."""
     idx_banded = spark.read.parquet(f"{path}/banded")
     idx_sets = spark.read.parquet(f"{path}/sets")
     cand = (
@@ -932,7 +948,6 @@ def probe_minhash_index(
         .select("doc_inc", "doc_idx")
         .distinct()
     )
-    inc_sets = inc_sets.persist()
     verified = (
         cand.join(
             inc_sets.select(F.col("doc").alias("doc_inc"), F.col("hs").alias("hs_i")),
@@ -949,14 +964,54 @@ def probe_minhash_index(
             / (F.size("hs_i") + F.size("hs_x") - F.col("n_common")).cast("double"),
         )
     )
-    out = verified.where(F.col("jaccard") >= threshold).select(
+    return verified.where(F.col("jaccard") >= threshold).select(
         "doc_inc", "doc_idx", "n_common", "jaccard"
     )
-    # inc_banded carries the posting-table persist handle from
-    # _minhash_tables — register it too, or every probe leaks one
-    # cached (doc, shingle, h) frame into the CacheManager for the
-    # life of the session (the long-running-stream hot path)
-    return register_persisted(out, inc_sets, inc_banded)
+
+
+def _extend_index_tables(banded: DataFrame, sets: DataFrame, path: str) -> None:
+    """Append PREBUILT (banded, sets) tables to a persisted MinHash
+    index — :func:`extend_minhash_index` minus the re-shingling, for
+    callers that already hold the batch's tables (the ingest gate).
+    Factored as the gate's index-mutation boundary: the crash-window
+    tests simulate a death exactly here."""
+    banded.write.mode("append").parquet(f"{path}/banded")
+    sets.write.mode("append").parquet(f"{path}/sets")
+
+
+def _pairs_from_tables(
+    banded: DataFrame, sets: DataFrame, threshold: float
+) -> DataFrame:
+    """In-corpus near-dup pairs ``(doc_a, doc_b)`` with ``doc_a <
+    doc_b`` from PREBUILT (banded, sets) tables: banded self-join for
+    candidates, exact Jaccard over the stored shingle-HASH sets (pinned
+    equal to string-shingle Jaccard in tests).  The hash-set twin of
+    :func:`minhash_lsh_pairs`'s core for callers that already hold the
+    tables; persist discipline belongs to the caller."""
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bkey"])
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            sets.select(F.col("doc").alias("doc_a"), F.col("hs").alias("hs_a")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc").alias("doc_b"), F.col("hs").alias("hs_b")),
+            "doc_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.size("hs_a") + F.size("hs_b") - F.col("n_common")).cast("double"),
+        )
+    )
+    return verified.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b")
 
 
 def _index_exists(spark, index_path: str) -> bool:
@@ -1006,7 +1061,10 @@ def near_dedup_ingest(
 
     def land(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
-        batch = batch.dropDuplicates([id_col])
+        # snapshot the INPUT once: everything downstream (pairs, probe,
+        # novel filter, three writes) re-derives from this checkpoint,
+        # never from the stream source
+        batch = batch.dropDuplicates([id_col]).localCheckpoint(eager=True)
         have_index = _index_exists(spark, index_path)
         if have_index:
             # the index's pinned parameters govern BOTH gates: an
@@ -1017,35 +1075,61 @@ def near_dedup_ingest(
             nh, nb, kk = p["num_hashes"], p["bands"], p["k"]
         else:
             nh, nb, kk = num_hashes, bands, k
-        pairs = minhash_lsh_pairs(batch, id_col, text_col, threshold, nh, nb, kk)
-        losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-        batch = batch.join(losers, id_col, "left_anti")
+        # sign the batch exactly ONCE: the same (banded, sets) tables
+        # serve the in-batch pass, the index probe, AND the index
+        # extend — shingling is the data-sized kernel and paying it
+        # three times per batch was the old hot-path cost
+        banded, sets = _minhash_tables(batch, id_col, text_col, nh, nb, kk)
+        banded = banded.persist()
+        sets = sets.persist()
+        pairs = _pairs_from_tables(banded, sets, threshold)
+        losers = pairs.select(F.col("doc_b").alias("doc")).distinct()
+        surv_ids = (
+            batch.select(F.col(id_col).alias("doc")).join(losers, "doc", "left_anti")
+        )
         if have_index:
-            hits = probe_minhash_index(
-                spark, index_path, batch, id_col, text_col, threshold
+            hits = _probe_from_tables(
+                spark,
+                index_path,
+                banded.join(surv_ids, "doc", "left_semi"),
+                sets.join(surv_ids, "doc", "left_semi"),
+                threshold,
             )
-            dup_ids = hits.select(F.col("doc_inc").alias(id_col)).distinct()
-            novel = batch.join(dup_ids, id_col, "left_anti")
-            # SNAPSHOT the survivors before extend touches the index:
-            # localCheckpoint (eager) cuts the lineage, so nothing can
-            # re-evaluate the probe afterwards.  A persist()+count()
-            # is NOT enough — releasing the probe's intermediates
-            # cascades the uncache to this dependent plan (Spark
-            # uncacheQuery cascade semantics), and a re-evaluation
-            # after extend would find the batch's own rows in the
-            # index and drop every survivor as a self-hit.
-            novel = novel.localCheckpoint(eager=True)
-            release(hits)
-            # corpus BEFORE index (see the delivery note): a crash here
-            # replays into a duplicate corpus append; index-first would
-            # make the replay self-hit and silently lose the batch
-            novel.write.mode("append").parquet(corpus_path)
-            extend_minhash_index(novel, index_path, id_col, text_col)
+            dup_ids = hits.select(F.col("doc_inc").alias("doc")).distinct()
+            novel_ids = surv_ids.join(dup_ids, "doc", "left_anti")
         else:
-            novel = batch.localCheckpoint(eager=True)
-            novel.write.mode("append").parquet(corpus_path)
-            write_minhash_index(novel, index_path, id_col, text_col, nh, nb, kk)
-        release(pairs)
+            novel_ids = surv_ids
+        # SNAPSHOT the admitted id set before ANY index mutation:
+        # localCheckpoint (eager) cuts the lineage, so nothing can
+        # re-evaluate the probe afterwards.  A persist()+count() is NOT
+        # enough — releasing the probe's intermediates cascades the
+        # uncache to this dependent plan (Spark uncacheQuery cascade
+        # semantics) — and without the snapshot the sets append would
+        # re-run the probe AFTER the banded append and self-hit the
+        # batch's own just-written posting rows.  Only the narrow id
+        # column pins; the data-sized tables stay in their cache.
+        novel_ids = novel_ids.localCheckpoint(eager=True)
+        novel = batch.join(
+            novel_ids.withColumnRenamed("doc", id_col), id_col, "left_semi"
+        )
+        # corpus BEFORE index (see the delivery note): a crash here
+        # replays into a duplicate corpus append; index-first would
+        # make the replay self-hit and silently lose the batch
+        novel.write.mode("append").parquet(corpus_path)
+        novel_banded = banded.join(novel_ids, "doc", "left_semi")
+        novel_sets = sets.join(novel_ids, "doc", "left_semi")
+        if have_index:
+            _extend_index_tables(novel_banded, novel_sets, index_path)
+        else:
+            novel_banded.write.mode("overwrite").parquet(f"{index_path}/banded")
+            novel_sets.write.mode("overwrite").parquet(f"{index_path}/sets")
+            # params LAST: _index_exists keys on it, so a crash mid-way
+            # leaves "no index" and the replay rebuilds via overwrite
+            spark.createDataFrame(
+                [(nh, nb, kk)], "num_hashes int, bands int, k int"
+            ).write.mode("overwrite").parquet(f"{index_path}/params")
+        release(banded)
+        sets.unpersist()
 
     return land
 
