@@ -240,3 +240,26 @@ def test_embed_lsh_band_join_carries_narrow_rows(spark, sf_small):
     assert band_scans, plan
     for cols in band_scans:
         assert "vec" not in cols and "embedding" not in cols, cols
+
+
+def test_moji_single_codegen_pass(spark, sf_small):
+    """Mojibake repair is a pure column expression: one scan-stage
+    codegen pass, NO Python evaluation anywhere, and no Exchange beyond
+    the deliberate spread() round-robin."""
+    q = load_all()["moji"].build(spark, sf_small)
+    plan = _plan(q)
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan  # only spread()'s round-robin
+
+
+def test_audiox_blobs_never_shuffle(spark, sf_small):
+    """The audio front-end is one Arrow pipeline: plant → spectral →
+    fingerprint chained mapInPandas over the same partitions.  WAV blobs
+    must never cross an Exchange — the only shuffle allowed is the
+    deliberate spread() round-robin over (doc_id) BEFORE blobs exist,
+    and no join appears at all."""
+    q = load_all()["audiox"].build(spark, sf_small)
+    plan = _plan(q)
+    assert "MapInPandas" in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+    assert "Join" not in plan, plan
