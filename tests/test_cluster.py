@@ -132,3 +132,76 @@ def test_registered_query_matches_union_find_on_real_pairs(spark, sf_small):
         for r in load_all()["ccomp"].build(spark, sf_small).collect()
     }
     assert got == expected
+
+
+def test_extend_components_equals_full_recompute_random(spark):
+    """Incremental maintenance parity: folding a second batch of pairs
+    into a previous component map must equal one recompute over the
+    union of all pairs (transitive-closure associativity), across
+    random two-batch splits including cross-batch chains and merges of
+    previously-distinct components."""
+    from yodel_etl_spark.scale.cluster import extend_components
+
+    rng = random.Random(77)
+    for trial in range(6):
+        n = rng.randint(6, 28)
+        all_edges = [
+            (rng.randint(0, n), rng.randint(0, n))
+            for _ in range(rng.randint(4, 40))
+        ]
+        cut = rng.randint(0, len(all_edges))
+        b1, b2 = all_edges[:cut], all_edges[cut:]
+        prev = connected_components(
+            spark.createDataFrame(b1 or [(0, 0)], "doc_a long, doc_b long")
+        )
+        out = extend_components(
+            prev, spark.createDataFrame(b2 or [(0, 0)], "doc_a long, doc_b long")
+        )
+        got = {r["node"]: r["component"] for r in out.collect()}
+        # nodes appearing ONLY in self-loops never enter the map — the
+        # documented connected_components contract (singletons absent)
+        real = [e for e in all_edges if e[0] != e[1]]
+        want = union_find(real) if real else {}
+        assert got == want, f"trial {trial}"
+
+
+def test_extend_components_merges_two_old_components_and_keeps_singletons(spark):
+    from yodel_etl_spark.scale.cluster import extend_components
+
+    b1 = [(1, 2), (2, 3), (10, 11)]  # comps {1,2,3}, {10,11}
+    prev = connected_components(spark.createDataFrame(b1, "doc_a long, doc_b long"))
+    # prev maps in the wild carry explicit singleton rows (an earlier
+    # extend's re-attach, or attach_components' defaults) — plant one
+    prev = prev.unionByName(spark.createDataFrame([(20, 20)], "node long, component long"))
+    # new batch bridges the two components; 20 is untouched
+    out = extend_components(
+        prev, spark.createDataFrame([(3, 11)], "doc_a long, doc_b long")
+    )
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 20: 20}
+
+
+def test_extend_components_converges_fast_on_star_history(spark):
+    """The delta-cost claim: a previous map is a contraction fixpoint,
+    so extending with a SMALL batch must converge within a couple of
+    rounds even when history is a long chain that originally took
+    O(log n) rounds — max_iter=3 would fail a from-scratch recompute of
+    the chain but passes the incremental fold."""
+    from yodel_etl_spark.scale.cluster import extend_components
+
+    chain = [(i, i + 1) for i in range(64)]  # needs ~log2(65) ≈ 6+ rounds
+    with pytest.raises(RuntimeError):
+        connected_components(
+            spark.createDataFrame(chain, "doc_a long, doc_b long"), max_iter=2
+        )
+    prev = connected_components(
+        spark.createDataFrame(chain, "doc_a long, doc_b long")
+    )
+    out = extend_components(
+        prev,
+        spark.createDataFrame([(100, 101), (101, 0)], "doc_a long, doc_b long"),
+        max_iter=3,
+    )
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert all(v == 0 for v in got.values())
+    assert set(got) == set(range(65)) | {100, 101}

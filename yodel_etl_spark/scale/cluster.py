@@ -216,6 +216,48 @@ def connected_components(
     )
 
 
+def extend_components(
+    prev: DataFrame,
+    new_pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Fold a batch of NEW near-dup pairs into an existing ``(node,
+    component)`` map without recomputing from the full pair history —
+    the cluster-maintenance leg of the incremental dedup loop (the
+    persisted MinHash/Hamming indexes admit documents batch by batch;
+    their probes emit exactly the cross-batch pairs this consumes).
+
+    The previous map's non-root rows ARE already-contracted star edges
+    ``(node → component)``; union them with the new pairs and re-run
+    the star contraction.  Transitive closure is associative, so the
+    result equals ``connected_components`` over every pair ever seen
+    (parity pinned in tests) — but the work tracks the DELTA: a star
+    set is a contraction fixpoint, so rounds scale with the reach of
+    the new edges (how many old components they chain together), not
+    with history size, and the shuffled edge list is |map| + |batch|
+    rows of two ids, not the full pair history.  At 100 TB the pair
+    history is unboundedly larger than the component map (every batch
+    contributes pairs; the map has one row per clustered doc), which is
+    the same persist-the-contraction argument as the index family's
+    never-re-tokenize rule.
+
+    Roots and singletons in ``prev`` survive untouched batches: true
+    singletons (component == node, no members) produce no star edge and
+    are re-attached after the contraction."""
+    prev_edges = prev.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(src), F.col("component").alias(dst)
+    )
+    merged = connected_components(
+        prev_edges.unionByName(new_pairs.select(src, dst)), src, dst, max_iter
+    )
+    alone = prev.select("node").join(merged.select("node"), "node", "left_anti")
+    return merged.unionByName(
+        alone.select("node", F.col("node").alias("component"))
+    )
+
+
 def attach_components(
     df: DataFrame,
     components: DataFrame,
