@@ -429,3 +429,62 @@ def test_viterbi_is_optimal_vs_bruteforce(word, extra):
     assert "".join(pieces) == word
     assert total == best
     assert sum(seg_score(p) for p in pieces) == total
+
+
+# ------------------------------------------------- rollup upsert ≡ recompute
+_fact = st.tuples(
+    st.sampled_from(["d1", "d2", "d3", None]),       # partition (incl. null)
+    st.sampled_from(["a", "b"]),                     # key
+    st.one_of(st.none(), st.integers(-10_000, 10_000)),  # value (incl. null)
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(_fact, min_size=1, max_size=40),
+    st.integers(1, 4),  # number of delta batches
+)
+def test_rollup_upsert_sequence_matches_recompute(spark, tmp_path_factory, facts, k):
+    """ANY split of the fact stream into sequential deltas must fold to
+    the same rollup as one recompute — across every supported aggregate
+    kind at once (sum/count/min/max and avg via the stored __sum/__cnt
+    pair), null partition values, null sources, and all-null groups."""
+    from pyspark.sql import functions as F2
+
+    from yodel_etl_spark.io.rollup import read_rollup, upsert_rollup
+
+    aggs = {
+        "s": ("sum", "v"),
+        "n": ("count", None),
+        "lo": ("min", "v"),
+        "hi": ("max", "v"),
+        "m": ("avg", "v"),
+    }
+    path = str(tmp_path_factory.mktemp("rollup_prop") / "t")
+    schema = "d string, k string, v long"
+    cuts = sorted({min(i * len(facts) // k, len(facts)) for i in range(1, k)})
+    batches, prev = [], 0
+    for c in [*cuts, len(facts)]:
+        if c > prev:
+            batches.append(facts[prev:c])
+            prev = c
+    for b in batches:
+        upsert_rollup(spark, path, spark.createDataFrame(b, schema), "d", ["k"], aggs)
+    got = {
+        (r["d"], r["k"]): (r["s"], r["n"], r["lo"], r["hi"], r["m"])
+        for r in read_rollup(spark, path, aggs).collect()
+    }
+    want = {
+        (r["d"], r["k"]): (r["s"], r["n"], r["lo"], r["hi"], r["m"])
+        for r in spark.createDataFrame(facts, schema)
+        .groupBy("d", "k")
+        .agg(
+            F2.sum("v").alias("s"),
+            F2.count(F2.lit(1)).alias("n"),
+            F2.min("v").alias("lo"),
+            F2.max("v").alias("hi"),
+            (F2.sum("v") / F2.count("v")).alias("m"),
+        )
+        .collect()
+    }
+    assert got == want
