@@ -806,3 +806,59 @@ def test_hamming_probe_cost_tracks_delta_not_corpus(spark, tmp_path):
     print(f"STRESS probe {t_probe:.2f}s vs recompute {t_full:.2f}s "
           f"({t_full / t_probe:.1f}x saved)")
     assert t_probe * 2 < t_full, (t_probe, t_full)
+
+
+def test_extend_components_cost_tracks_delta_not_history(spark):
+    """The incremental-clustering promise: folding a SMALL batch of new
+    pairs into an existing component map must beat recomputing
+    connected components from the full pair history — the map is an
+    already-contracted fixpoint, so the fold pays a couple of rounds
+    over |map| + |batch| edges while the recompute pays the full
+    contraction of every pair ever seen.  Result equality is asserted
+    via an order-insensitive checksum."""
+    from pyspark.sql import functions as FF
+
+    from yodel_etl_spark.scale.cluster import connected_components, extend_components
+    from yodel_etl_spark.session import spread
+
+    # 256k nodes in chains of 32 (8k components): chain shape forces the
+    # full recompute through ~log2(32) contraction rounds
+    n, chain = 256_000, 32
+    history = spread(
+        spark.range(n).where((FF.col("id") % chain) != chain - 1).select(
+            FF.col("id").alias("doc_a"), (FF.col("id") + 1).alias("doc_b")
+        )
+    ).localCheckpoint(eager=True)
+    prev = connected_components(history).localCheckpoint(eager=True)  # not timed
+
+    # delta: 1k pairs bridging adjacent chains
+    delta = spread(
+        spark.range(1_000).select(
+            (FF.col("id") * 2 * chain).alias("doc_a"),
+            ((FF.col("id") * 2 + 1) * chain).alias("doc_b"),
+        )
+    ).localCheckpoint(eager=True)
+
+    t0 = time.perf_counter()
+    inc = extend_components(prev, delta)
+    _force(inc)
+    t_inc = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    full = connected_components(history.unionByName(delta))
+    _force(full)
+    t_full = time.perf_counter() - t0
+
+    def checksum(df):
+        # bit_xor: order-insensitive and overflow-free (ANSI mode makes
+        # sum() of 64-bit hashes raise on long overflow)
+        return df.agg(
+            FF.expr("bit_xor(xxhash64(node, component))").alias("c"),
+            FF.count(FF.lit(1)).alias("n"),
+        ).collect()[0]
+
+    ci, cf = checksum(inc), checksum(full)
+    assert (ci["c"], ci["n"]) == (cf["c"], cf["n"])
+    print(f"STRESS extend {t_inc:.2f}s vs recompute {t_full:.2f}s "
+          f"({t_full / t_inc:.1f}x saved)")
+    assert t_inc * 1.5 < t_full, (t_inc, t_full)
