@@ -1063,8 +1063,11 @@ def near_dedup_ingest(
         spark = batch.sparkSession
         # snapshot the INPUT once: everything downstream (pairs, probe,
         # novel filter, three writes) re-derives from this checkpoint,
-        # never from the stream source
-        batch = batch.dropDuplicates([id_col]).localCheckpoint(eager=True)
+        # never from the stream source.  LAZY: the eager novel_ids
+        # checkpoint below materializes it inside its own job — before
+        # any index mutation — so safety is identical and the batch
+        # skips a dedicated materialization action
+        batch = batch.dropDuplicates([id_col]).localCheckpoint(eager=False)
         have_index = _index_exists(spark, index_path)
         if have_index:
             # the index's pinned parameters govern BOTH gates: an
