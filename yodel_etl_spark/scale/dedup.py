@@ -1041,9 +1041,14 @@ def near_dedup_ingest(
     (min id per pair survives; a chain a~b~c keeps only a — the
     connected-components canonicalization is the batch refinement),
     (2) probes the persisted index and drops everything within
-    ``threshold`` of the accumulated corpus, (3) admits the survivors
-    to the index (:func:`extend_minhash_index`) and appends them to
-    ``corpus_path``.
+    ``threshold`` of the accumulated corpus, (3) appends the survivors
+    to ``corpus_path`` and admits them to the index.  The batch is
+    shingled and signed exactly ONCE — the same (banded, sets) tables
+    serve all three steps (the in-batch pass via
+    :func:`_pairs_from_tables`, the probe via
+    :func:`_probe_from_tables`, the admit via
+    :func:`_extend_index_tables`), where signing per step would pay
+    the data-sized tokenize/MinHash kernel three times per batch.
 
     Wire as ``stream.writeStream.foreachBatch(near_dedup_ingest(...))``.
     Delivery note: foreachBatch is at-least-once under retries, and the
@@ -1360,8 +1365,8 @@ def sketch_dedup_ingest(
     :func:`near_dedup_ingest`: per micro-batch, collapse in-batch
     near-dup pairs to the min id, probe the persisted Hamming index and
     drop everything within ``max_distance`` of the accumulated corpus,
-    then admit survivors (:func:`extend_hamming_index`) and append them
-    to ``corpus_path``.  Same snapshot discipline (eager
+    then append survivors to ``corpus_path`` and admit them to the
+    index (:func:`extend_hamming_index`).  Same snapshot discipline (eager
     localCheckpoint before the extend — see near_dedup_ingest's
     self-hit note), the same at-least-once posture, and the same
     load-bearing write order: corpus append BEFORE index extend, so a
