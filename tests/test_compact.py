@@ -213,3 +213,37 @@ def test_staging_lives_outside_the_table_root(spark, tmp_path):
     assert spark.read.parquet(path + "/p=0", path + "/p=1").count() == 4_000
     # nothing named with an '=' was ever created inside the root
     assert all("_compact" not in d for d in os.listdir(path))
+
+
+def test_concurrent_leaf_compaction_matches_serial(spark, tmp_path):
+    """max_concurrency > 1 rewrites leaves from a thread pool; the
+    reports (leaf order, flags, file counts) and the table values must
+    be identical to the serial pass — leaves are independent units, so
+    concurrency must be unobservable in the result."""
+    def build(path):
+        df = spark.range(6_000).select(
+            (F.col("id") % 6).alias("p"), "id", (F.col("id") * 3).alias("v")
+        )
+        for p in range(6):
+            df.where(F.col("p") == p).repartition(10).write.parquet(
+                f"{path}/p={p}"
+            )
+
+    serial, conc = str(tmp_path / "ser"), str(tmp_path / "conc")
+    build(serial)
+    build(conc)
+    r_ser = compact_parquet(spark, serial, target_bytes=512 * 1024)
+    r_conc = compact_parquet(
+        spark, conc, target_bytes=512 * 1024, max_concurrency=4
+    )
+    strip = lambda rs, root: [
+        {**r, "dir": os.path.relpath(r["dir"], root)} for r in rs
+    ]
+    assert strip(r_ser, serial) == strip(r_conc, conc)
+    assert all(r["rewritten"] and r["n_files_after"] == 1 for r in r_conc)
+    a = spark.read.parquet(serial).toPandas().sort_values("id").reset_index(drop=True)
+    b = spark.read.parquet(conc).toPandas().sort_values("id").reset_index(drop=True)
+    assert a.equals(b)
+    # idempotence holds under concurrency too
+    again = compact_parquet(spark, conc, target_bytes=512 * 1024, max_concurrency=4)
+    assert all(not r["rewritten"] for r in again)

@@ -108,85 +108,118 @@ def _finish_swap(stage: str, leaf: str) -> None:
         pass
 
 
+def _compact_leaf(
+    spark: SparkSession,
+    path: str,
+    leaf: str,
+    target_bytes: int,
+    min_files: int,
+) -> dict:
+    """Recover/inspect/rewrite ONE leaf directory — the unit of work,
+    fully independent of every other leaf (own stage dir, own files),
+    which is what makes leaf-level concurrency safe."""
+    # staging lives OUTSIDE the table root (a sibling tree keyed by
+    # the leaf's relative path): a dir named `x=y` inside the root
+    # would be parsed as a phantom partition column by discovery —
+    # underscore prefixes shield files, not directories — and any
+    # extra dir breaks same-level partition inference
+    rel = os.path.relpath(leaf, path)
+    rel = "_root" if rel == "." else rel.replace(os.sep, "__")
+    stage = os.path.join(
+        os.path.dirname(path.rstrip("/")) or ".",
+        "_compact_stage_" + os.path.basename(path.rstrip("/")),
+        rel,
+    )
+    recovered = False
+    if os.path.isdir(stage):
+        if os.path.exists(os.path.join(stage, _MANIFEST)):
+            # committed swap interrupted mid-flight: FINISH it (the
+            # stage may hold the only complete copy of some rows —
+            # discarding it here is exactly the data-loss bug)
+            _finish_swap(stage, leaf)
+            recovered = True
+        else:
+            # uncommitted rewrite leftovers: originals are intact
+            # and complete, the stage is junk
+            shutil.rmtree(stage, ignore_errors=True)
+    files = _parquet_files(leaf)
+    total = sum(sz for _, sz in files)
+    frag = (
+        len(files) >= min_files
+        and total / len(files) < target_bytes * _FRAG_FRACTION
+    )
+    report = {
+        "dir": leaf,
+        "n_files_before": len(files),
+        "bytes": total,
+        "rewritten": bool(frag),
+        "recovered": recovered,
+    }
+    if not frag:
+        report["n_files_after"] = len(files)
+        return report
+    n_out = max(1, math.ceil(total / target_bytes))
+    (
+        spark.read.parquet(*[p for p, _ in files])
+        .coalesce(n_out)
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    # commit point: the manifest is written ATOMICALLY (tmp +
+    # rename) after the rewrite succeeded; from here the swap must
+    # complete — any crash is finished by the recovery branch above
+    manifest = os.path.join(stage, _MANIFEST)
+    with open(manifest + ".tmp", "w") as fh:
+        fh.write("\n".join(os.path.basename(p) for p, _ in files))
+    os.replace(manifest + ".tmp", manifest)
+    # swap order is install-then-retire: staged files enter the leaf
+    # FIRST, originals are removed only after every install landed —
+    # no crash point leaves the leaf missing rows
+    _finish_swap(stage, leaf)
+    report["n_files_after"] = len(_parquet_files(leaf))
+    return report
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
     min_files: int = 2,
+    max_concurrency: int = 1,
 ) -> list[dict]:
     """Compact fragmented leaf directories under ``path``; returns one
     report dict per leaf (``dir, n_files_before, n_files_after, bytes,
-    rewritten``).  A leaf rewrites when it holds ≥ ``min_files`` parquet
-    files whose MEAN size is under half of ``target_bytes`` — the
-    steady-state signature of micro-batch appends; directories already
-    at healthy file sizes are left byte-identical (idempotence: a
-    second run is a listing-only no-op).
+    rewritten``), in leaf order.  A leaf rewrites when it holds ≥
+    ``min_files`` parquet files whose MEAN size is under half of
+    ``target_bytes`` — the steady-state signature of micro-batch
+    appends; directories already at healthy file sizes are left
+    byte-identical (idempotence: a second run is a listing-only no-op).
+
+    ``max_concurrency`` > 1 rewrites that many leaves at once from a
+    driver-side thread pool — safe because the leaf is a fully
+    independent unit (own stage dir, own file set; the Spark scheduler
+    accepts concurrent job submission), and the difference between a
+    serial and a concurrent nightly pass over thousands of fragmented
+    partitions is the whole maintenance window at 100 TB.  Each leaf's
+    two-phase crash contract is unchanged: concurrency never interleaves
+    WITHIN a leaf, and a crash mid-pass leaves every touched leaf in a
+    state the next run recovers independently.
 
     Row contents are preserved exactly (the tests pin count and value
     equality); file-internal row order is not part of the contract —
     re-run ``write_clustered``/``write_zordered`` when ordering is the
     point, compaction when file COUNT is."""
-    reports: list[dict] = []
-    for leaf in _leaf_dirs(path):
-        # staging lives OUTSIDE the table root (a sibling tree keyed by
-        # the leaf's relative path): a dir named `x=y` inside the root
-        # would be parsed as a phantom partition column by discovery —
-        # underscore prefixes shield files, not directories — and any
-        # extra dir breaks same-level partition inference
-        rel = os.path.relpath(leaf, path)
-        rel = "_root" if rel == "." else rel.replace(os.sep, "__")
-        stage = os.path.join(
-            os.path.dirname(path.rstrip("/")) or ".",
-            "_compact_stage_" + os.path.basename(path.rstrip("/")),
-            rel,
-        )
-        recovered = False
-        if os.path.isdir(stage):
-            if os.path.exists(os.path.join(stage, _MANIFEST)):
-                # committed swap interrupted mid-flight: FINISH it (the
-                # stage may hold the only complete copy of some rows —
-                # discarding it here is exactly the data-loss bug)
-                _finish_swap(stage, leaf)
-                recovered = True
-            else:
-                # uncommitted rewrite leftovers: originals are intact
-                # and complete, the stage is junk
-                shutil.rmtree(stage, ignore_errors=True)
-        files = _parquet_files(leaf)
-        total = sum(sz for _, sz in files)
-        frag = (
-            len(files) >= min_files
-            and total / len(files) < target_bytes * _FRAG_FRACTION
-        )
-        report = {
-            "dir": leaf,
-            "n_files_before": len(files),
-            "bytes": total,
-            "rewritten": bool(frag),
-            "recovered": recovered,
-        }
-        if not frag:
-            report["n_files_after"] = len(files)
-            reports.append(report)
-            continue
-        n_out = max(1, math.ceil(total / target_bytes))
-        (
-            spark.read.parquet(*[p for p, _ in files])
-            .coalesce(n_out)
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
-        # commit point: the manifest is written ATOMICALLY (tmp +
-        # rename) after the rewrite succeeded; from here the swap must
-        # complete — any crash is finished by the recovery branch above
-        manifest = os.path.join(stage, _MANIFEST)
-        with open(manifest + ".tmp", "w") as fh:
-            fh.write("\n".join(os.path.basename(p) for p, _ in files))
-        os.replace(manifest + ".tmp", manifest)
-        # swap order is install-then-retire: staged files enter the leaf
-        # FIRST, originals are removed only after every install landed —
-        # no crash point leaves the leaf missing rows
-        _finish_swap(stage, leaf)
-        report["n_files_after"] = len(_parquet_files(leaf))
-        reports.append(report)
-    return reports
+    leaves = _leaf_dirs(path)
+    if max_concurrency <= 1 or len(leaves) <= 1:
+        return [
+            _compact_leaf(spark, path, leaf, target_bytes, min_files)
+            for leaf in leaves
+        ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+        futures = [
+            pool.submit(_compact_leaf, spark, path, leaf, target_bytes, min_files)
+            for leaf in leaves
+        ]
+        return [f.result() for f in futures]  # leaf order preserved

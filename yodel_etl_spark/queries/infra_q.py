@@ -84,7 +84,9 @@ def compact_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("event_type")
             .parquet(path)
         )
-    reports = compact_parquet(spark, path)
+    # 4 leaves rewrite concurrently — the nightly-window lever at scale
+    # (thread-pool job submission; leaves are independent units)
+    reports = compact_parquet(spark, path, max_concurrency=4)
     n_rows = {
         r["event_type"]: r["n"]
         for r in spark.read.parquet(path)
