@@ -889,7 +889,16 @@ def extend_minhash_index(
     """Append ``docs`` to an existing index — delta-only maintenance:
     only the new documents are shingled/signed; parameters come from
     the index's own params table.  Caller contract: ids are globally
-    unique across increments (re-appending an id duplicates its rows)."""
+    unique across increments (re-appending an id duplicates its rows).
+
+    Crash contract: the two appends are not atomic — a crash between
+    them leaves the batch's rows in ``banded/`` but not ``sets/``.
+    Such rows produce probe CANDIDATES that then fail the verify join
+    (no sets row), so the index never emits a false positive, but it
+    silently under-recalls those documents until the extend is re-run
+    (duplicate rows from the re-run are benign: candidates are
+    ``distinct``-ed and verification is per-doc).  The streaming gates
+    recover this automatically via their at-least-once replay."""
     spark = docs.sparkSession
     p = spark.read.parquet(f"{path}/params").collect()[0]
     banded, sets = _minhash_tables(
