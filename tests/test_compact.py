@@ -247,3 +247,32 @@ def test_concurrent_leaf_compaction_matches_serial(spark, tmp_path):
     # idempotence holds under concurrency too
     again = compact_parquet(spark, conc, target_bytes=512 * 1024, max_concurrency=4)
     assert all(not r["rewritten"] for r in again)
+
+
+def test_stage_key_is_injective_for_colliding_leaf_names(spark, tmp_path, monkeypatch):
+    """A literal directory `a=1__b=2` and a nested `a=1/b=2` used to
+    flatten to the SAME stage dir; under max_concurrency > 1 the two
+    rewrites then share a stage and the later overwrite can delete the
+    earlier's committed staged files — a data-loss race serial mode
+    never had.  The flattened key now carries a digest of the raw
+    relative path, so the stages must be distinct."""
+    path = str(tmp_path / "coll")
+    df = spark.range(2_000).select("id", (F.col("id") * 2).alias("v"))
+    df.repartition(8).write.parquet(f"{path}/a=1/b=2")
+    df.repartition(8).write.parquet(f"{path}/a=1__b=2")
+
+    stages = []
+    orig = compact_mod._finish_swap
+
+    def spy(stage, leaf):
+        stages.append(stage)
+        return orig(stage, leaf)
+
+    monkeypatch.setattr(compact_mod, "_finish_swap", spy)
+    reports = compact_parquet(spark, path, target_bytes=512 * 1024)
+    assert len(reports) == 2 and all(r["rewritten"] for r in reports)
+    assert len(stages) == 2 and len(set(stages)) == 2, (
+        "colliding leaf names must map to distinct stage dirs"
+    )
+    for leaf in (f"{path}/a=1/b=2", f"{path}/a=1__b=2"):
+        assert spark.read.parquet(leaf).count() == 2_000

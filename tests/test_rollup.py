@@ -151,3 +151,23 @@ def test_null_partition_values_merge_not_lost(spark, tmp_path):
     got = _read(spark, path)
     assert got[(None, "a")] == (110, 2, 10, 100)  # prior 100 NOT lost
     assert got[("d1", "a")] == (1, 1, 1, 1)
+
+
+def test_avg_reserved_storage_name_collision_refused(spark, tmp_path):
+    """The flat storage dict must refuse an output column that lands on
+    an avg's derived `__sum`/`__cnt` names — last-writer-wins there
+    would silently corrupt the stored state and read_rollup would then
+    drop the user's column (wrong results, no error)."""
+    with pytest.raises(ValueError, match="m__sum"):
+        upsert_rollup(
+            spark, str(tmp_path / "r4"), _facts(spark, [("d1", "a", 1)]),
+            "d", ["k"],
+            {"m": ("avg", "v_cents"), "m__sum": ("sum", "v_cents")},
+        )
+    # avg-output vs avg-output collisions are refused too
+    with pytest.raises(ValueError, match="m__sum"):
+        upsert_rollup(
+            spark, str(tmp_path / "r4b"), _facts(spark, [("d1", "a", 1)]),
+            "d", ["k"],
+            {"m": ("avg", "v_cents"), "m__sum": ("avg", "v_cents")},
+        )

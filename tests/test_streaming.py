@@ -983,3 +983,54 @@ def test_sketch_dedup_ingest_crash_windows_no_loss(spark, tmp_path, monkeypatch)
     assert ids == {1, 3, 11}  # 10 gated (2 bits off landed 3); 11 recovered
     idx = {r["doc"] for r in spark.read.parquet(f"{index}/banded").collect()}
     assert idx == {1, 3, 11}
+
+
+def test_ingest_gates_release_cache_on_failed_batch(spark, tmp_path, monkeypatch):
+    """A crashed land() attempt must leave the CacheManager exactly as
+    it found it: foreachBatch RETRIES failed batches, so one stranded
+    (banded, sets) pair per attempt is the long-running-stream leak
+    register_persisted exists to close — the release now runs in a
+    finally, not only on the success path.  localCheckpoint RDDs are
+    RDD-grain persists, not CacheManager entries, so the emptiness
+    probe is exact even mid-suite."""
+    import pytest
+
+    from yodel_etl_spark.scale import dedup as D
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+
+    words = "red green blue cyan teal pink gold gray onyx jade".split()
+
+    def body(seed):
+        return " ".join(
+            words[(seed * 3 + j * 7) % 10] + str((seed + j) % 11) for j in range(20)
+        )
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "mh_index")
+    land = D.near_dedup_ingest(index, corpus, threshold=0.8)
+    land(spark.createDataFrame([(1, body(1))], "doc_id long, text string"), 0)
+    assert cm.isEmpty(), "successful near_dedup_ingest batch left cached frames"
+
+    def boom(*a, **k):
+        raise RuntimeError("crash in extend")
+
+    monkeypatch.setattr(D, "_extend_index_tables", boom)
+    with pytest.raises(RuntimeError, match="crash in extend"):
+        land(
+            spark.createDataFrame([(2, body(30))], "doc_id long, text string"), 1
+        )
+    assert cm.isEmpty(), "failed near_dedup_ingest batch leaked cached frames"
+
+    corpus2 = str(tmp_path / "corpus2")
+    index2 = str(tmp_path / "hm_index")
+    land2 = D.sketch_dedup_ingest(index2, corpus2, max_distance=3)
+    land2(spark.createDataFrame([(1, 12345)], "doc long, sim long"), 0)
+    assert cm.isEmpty(), "successful sketch_dedup_ingest batch left cached frames"
+
+    monkeypatch.setattr(D, "extend_hamming_index", boom)
+    with pytest.raises(RuntimeError, match="crash in extend"):
+        land2(spark.createDataFrame([(2, 999999)], "doc long, sim long"), 1)
+    assert cm.isEmpty(), "failed sketch_dedup_ingest batch leaked cached frames"

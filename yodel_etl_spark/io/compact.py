@@ -37,6 +37,7 @@ swap) is identical and is what the tests pin.
 
 from __future__ import annotations
 
+import hashlib
 import math
 import os
 import shutil
@@ -124,7 +125,16 @@ def _compact_leaf(
     # underscore prefixes shield files, not directories — and any
     # extra dir breaks same-level partition inference
     rel = os.path.relpath(leaf, path)
-    rel = "_root" if rel == "." else rel.replace(os.sep, "__")
+    if rel == ".":
+        rel = "_root"
+    else:
+        # the flattened name alone is NOT injective (a literal dir
+        # `a=1__b=2` collides with nested `a=1/b=2`); under
+        # max_concurrency > 1 two colliding leaves would share a stage
+        # and the later rewrite could delete the earlier's committed
+        # staged files — suffix a digest of the raw path to disambiguate
+        digest = hashlib.md5(rel.encode("utf-8")).hexdigest()[:8]
+        rel = rel.replace(os.sep, "__") + "-" + digest
     stage = os.path.join(
         os.path.dirname(path.rstrip("/")) or ".",
         "_compact_stage_" + os.path.basename(path.rstrip("/")),

@@ -64,12 +64,35 @@ def _storage_aggs(aggs: dict) -> dict:
     write (:func:`upsert_rollup`) and read (:func:`read_rollup`) so the
     two sides can never disagree about the stored schema."""
     storage: dict = {}
+    reserved = {
+        f"{out}{sfx}"
+        for out, (kind, _) in aggs.items()
+        if kind == "avg"
+        for sfx in ("__sum", "__cnt")
+    }
+    # the storage dict is flat, so an avg's derived names must not
+    # collide with a user output (e.g. {"m": ("avg", v), "m__sum":
+    # ("sum", w)}): last-writer-wins here would silently corrupt the
+    # stored state and read_rollup would then drop the user's column
+    clash = reserved & set(aggs)
+    if clash:
+        raise ValueError(
+            f"output column(s) {sorted(clash)} collide with an avg "
+            "aggregate's reserved __sum/__cnt storage names; rename "
+            "the avg output or the colliding column"
+        )
     for out, (kind, src) in aggs.items():
         if kind == "avg":
             storage[f"{out}__sum"] = ("sum", src)
             storage[f"{out}__cnt"] = ("_countnn", src)
         else:
             storage[out] = (kind, src)
+    n_expected = sum(2 if kind == "avg" else 1 for kind, _ in aggs.values())
+    if len(storage) != n_expected:
+        raise ValueError(
+            "avg aggregates' __sum/__cnt storage names collide with "
+            f"each other in {sorted(aggs)}; rename the avg outputs"
+        )
     return storage
 
 

@@ -1099,54 +1099,63 @@ def near_dedup_ingest(
         banded, sets = _minhash_tables(batch, id_col, text_col, nh, nb, kk)
         banded = banded.persist()
         sets = sets.persist()
-        pairs = _pairs_from_tables(banded, sets, threshold)
-        losers = pairs.select(F.col("doc_b").alias("doc")).distinct()
-        surv_ids = (
-            batch.select(F.col(id_col).alias("doc")).join(losers, "doc", "left_anti")
-        )
-        if have_index:
-            hits = _probe_from_tables(
-                spark,
-                index_path,
-                banded.join(surv_ids, "doc", "left_semi"),
-                sets.join(surv_ids, "doc", "left_semi"),
-                threshold,
+        # try/finally: foreachBatch retries a failed batch, and each
+        # failed attempt would otherwise strand this attempt's cached
+        # frames in the CacheManager for the life of the stream
+        try:
+            pairs = _pairs_from_tables(banded, sets, threshold)
+            losers = pairs.select(F.col("doc_b").alias("doc")).distinct()
+            surv_ids = (
+                batch.select(F.col(id_col).alias("doc")).join(
+                    losers, "doc", "left_anti"
+                )
             )
-            dup_ids = hits.select(F.col("doc_inc").alias("doc")).distinct()
-            novel_ids = surv_ids.join(dup_ids, "doc", "left_anti")
-        else:
-            novel_ids = surv_ids
-        # SNAPSHOT the admitted id set before ANY index mutation:
-        # localCheckpoint (eager) cuts the lineage, so nothing can
-        # re-evaluate the probe afterwards.  A persist()+count() is NOT
-        # enough — releasing the probe's intermediates cascades the
-        # uncache to this dependent plan (Spark uncacheQuery cascade
-        # semantics) — and without the snapshot the sets append would
-        # re-run the probe AFTER the banded append and self-hit the
-        # batch's own just-written posting rows.  Only the narrow id
-        # column pins; the data-sized tables stay in their cache.
-        novel_ids = novel_ids.localCheckpoint(eager=True)
-        novel = batch.join(
-            novel_ids.withColumnRenamed("doc", id_col), id_col, "left_semi"
-        )
-        # corpus BEFORE index (see the delivery note): a crash here
-        # replays into a duplicate corpus append; index-first would
-        # make the replay self-hit and silently lose the batch
-        novel.write.mode("append").parquet(corpus_path)
-        novel_banded = banded.join(novel_ids, "doc", "left_semi")
-        novel_sets = sets.join(novel_ids, "doc", "left_semi")
-        if have_index:
-            _extend_index_tables(novel_banded, novel_sets, index_path)
-        else:
-            novel_banded.write.mode("overwrite").parquet(f"{index_path}/banded")
-            novel_sets.write.mode("overwrite").parquet(f"{index_path}/sets")
-            # params LAST: _index_exists keys on it, so a crash mid-way
-            # leaves "no index" and the replay rebuilds via overwrite
-            spark.createDataFrame(
-                [(nh, nb, kk)], "num_hashes int, bands int, k int"
-            ).write.mode("overwrite").parquet(f"{index_path}/params")
-        release(banded)
-        sets.unpersist()
+            if have_index:
+                hits = _probe_from_tables(
+                    spark,
+                    index_path,
+                    banded.join(surv_ids, "doc", "left_semi"),
+                    sets.join(surv_ids, "doc", "left_semi"),
+                    threshold,
+                )
+                dup_ids = hits.select(F.col("doc_inc").alias("doc")).distinct()
+                novel_ids = surv_ids.join(dup_ids, "doc", "left_anti")
+            else:
+                novel_ids = surv_ids
+            # SNAPSHOT the admitted id set before ANY index mutation:
+            # localCheckpoint (eager) cuts the lineage, so nothing can
+            # re-evaluate the probe afterwards.  A persist()+count() is NOT
+            # enough — releasing the probe's intermediates cascades the
+            # uncache to this dependent plan (Spark uncacheQuery cascade
+            # semantics) — and without the snapshot the sets append would
+            # re-run the probe AFTER the banded append and self-hit the
+            # batch's own just-written posting rows.  Only the narrow id
+            # column pins; the data-sized tables stay in their cache.
+            novel_ids = novel_ids.localCheckpoint(eager=True)
+            novel = batch.join(
+                novel_ids.withColumnRenamed("doc", id_col), id_col, "left_semi"
+            )
+            # corpus BEFORE index (see the delivery note): a crash here
+            # replays into a duplicate corpus append; index-first would
+            # make the replay self-hit and silently lose the batch
+            novel.write.mode("append").parquet(corpus_path)
+            novel_banded = banded.join(novel_ids, "doc", "left_semi")
+            novel_sets = sets.join(novel_ids, "doc", "left_semi")
+            if have_index:
+                _extend_index_tables(novel_banded, novel_sets, index_path)
+            else:
+                novel_banded.write.mode("overwrite").parquet(
+                    f"{index_path}/banded"
+                )
+                novel_sets.write.mode("overwrite").parquet(f"{index_path}/sets")
+                # params LAST: _index_exists keys on it, so a crash mid-way
+                # leaves "no index" and the replay rebuilds via overwrite
+                spark.createDataFrame(
+                    [(nh, nb, kk)], "num_hashes int, bands int, k int"
+                ).write.mode("overwrite").parquet(f"{index_path}/params")
+        finally:
+            release(banded)
+            sets.unpersist()
 
     return land
 
@@ -1391,25 +1400,29 @@ def sketch_dedup_ingest(
         else:
             nb = blocks
         pairs = hamming_pairs(batch, id_col, hash_col, max_distance, nb)
-        losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-        batch = batch.join(losers, id_col, "left_anti")
-        if _index_exists(spark, index_path):
-            hits = probe_hamming_index(
-                spark, index_path, batch, id_col, hash_col, max_distance
-            )
-            dup_ids = hits.select(F.col("doc_inc").alias(id_col)).distinct()
-            novel = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(
-                eager=True
-            )
+        # try/finally: a failed attempt is retried by foreachBatch, and
+        # each attempt would otherwise strand pairs' cached frames in
+        # the CacheManager for the life of the stream
+        try:
+            losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+            batch = batch.join(losers, id_col, "left_anti")
+            if _index_exists(spark, index_path):
+                hits = probe_hamming_index(
+                    spark, index_path, batch, id_col, hash_col, max_distance
+                )
+                dup_ids = hits.select(F.col("doc_inc").alias(id_col)).distinct()
+                novel = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(
+                    eager=True
+                )
+                # corpus BEFORE index — same crash-window ordering as
+                # near_dedup_ingest (index-first + replay = silent loss)
+                novel.write.mode("append").parquet(corpus_path)
+                extend_hamming_index(novel, index_path, id_col, hash_col)
+            else:
+                novel = batch.localCheckpoint(eager=True)
+                novel.write.mode("append").parquet(corpus_path)
+                write_hamming_index(novel, index_path, id_col, hash_col, nb)
+        finally:
             release(pairs)
-            # corpus BEFORE index — same crash-window ordering as
-            # near_dedup_ingest (index-first + replay = silent loss)
-            novel.write.mode("append").parquet(corpus_path)
-            extend_hamming_index(novel, index_path, id_col, hash_col)
-        else:
-            novel = batch.localCheckpoint(eager=True)
-            release(pairs)
-            novel.write.mode("append").parquet(corpus_path)
-            write_hamming_index(novel, index_path, id_col, hash_col, nb)
 
     return land
