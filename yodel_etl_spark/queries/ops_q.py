@@ -58,6 +58,45 @@ def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("key").alias("user_id"), "t1", "t2", "t3", "stage")
 
 
+# Staged round-12 oracle for `tdiff` (see tools/r12_oracle_flip.md):
+# executable NOW via tests/test_r12_flip.py (DuckDB parity against the
+# registered builder at sf0.001 AND sf0.01), wired as `oracle=` only in
+# round 12 when the rotation-window arithmetic admits two insertions
+# without evicting a never-windowed query.  Mirrors the builder above
+# it exactly: old = customers minus %11==3, new = customers minus
+# %13==5 with %7==0 acctbal bumped (round to 2) and %17==0 segment
+# migrated; unchanged rows dropped; changed_cols is the sorted
+# comma-joined null-safe difference list.
+TDIFF_ORACLE = """
+WITH o AS (
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 11 <> 3
+), n AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 7 = 0 THEN round(c_acctbal + 10.0, 2)
+              ELSE c_acctbal END AS c_acctbal,
+         CASE WHEN c_custkey % 17 = 0 THEN 'MIGRATED'
+              ELSE c_mktsegment END AS c_mktsegment
+  FROM customer WHERE c_custkey % 13 <> 5
+)
+SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'added'
+            WHEN n.c_custkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       CASE WHEN o.c_custkey IS NULL OR n.c_custkey IS NULL THEN ''
+            ELSE array_to_string(list_sort(list_filter(
+              [CASE WHEN o.c_name       IS DISTINCT FROM n.c_name       THEN 'c_name' END,
+               CASE WHEN o.c_acctbal    IS DISTINCT FROM n.c_acctbal    THEN 'c_acctbal' END,
+               CASE WHEN o.c_mktsegment IS DISTINCT FROM n.c_mktsegment THEN 'c_mktsegment' END],
+              x -> x IS NOT NULL)), ',') END AS changed_cols
+FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey
+WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+   OR o.c_name IS DISTINCT FROM n.c_name
+   OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+   OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+"""
+
+
 @register(
     "tdiff",
     oracle=None,  # full-outer-join SQL twin exists (tests/test_diff.py);
@@ -95,6 +134,43 @@ def tdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return table_diff(old, new, ["c_custkey"])
+
+
+# Staged round-12 oracle for `xspan` (tools/r12_oracle_flip.md; pinned
+# executable by tests/test_r12_flip.py).  Tokenization mirrors
+# duplicated_spans EXACTLY: split on a literal single space with
+# empties KEPT (`string_split(text, ' ')` ≡ Spark `split(text, " ")`),
+# NOT a \s+ filtered split — the digest need not match (positions are
+# re-derived independently) but the token grid must.  The reprint body
+# mirrors the builder: DuckDB 1-based inclusive tk[10:40] ≡ Spark
+# slice(tk, 10, 31) = elements 10..40.
+XSPAN_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id,
+         'reprint of ' || CAST(doc_id AS VARCHAR) || ' begins ' ||
+         array_to_string(string_split(text, ' ')[10:40], ' ') ||
+         ' ends here' AS text
+  FROM documents WHERE doc_id % 10 = 0
+), tok AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM base
+), anch AS (
+  SELECT doc_id, u.p - 1 AS pos,
+         md5(array_to_string(tk[u.p : u.p + 7], ' ')) AS h
+  FROM tok, UNNEST(generate_series(1, len(tk) - 7)) AS u(p)
+  WHERE len(tk) >= 8
+), dup AS (
+  SELECT h FROM anch GROUP BY h HAVING count(*) > 1
+), runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM anch WHERE h IN (SELECT h FROM dup)
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS start,
+       CAST(max(pos) - min(pos) + 8 AS BIGINT) AS length
+FROM runs GROUP BY doc_id, grp
+"""
 
 
 @register(
