@@ -92,7 +92,7 @@ def test_embedding_cosine_dedup_is_lsh_not_broadcast_brute(spark, sf_small):
     as the DuckDB oracle / cosine_pairs API."""
     import re
 
-    q = load_all()["dedup_embedding_cosine"].build(spark, sf_small)
+    q = load_all()["dedup_emb"].build(spark, sf_small)
     plan = _plan(q)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan

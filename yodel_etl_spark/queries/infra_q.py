@@ -299,3 +299,92 @@ def ingest_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_input, n_landed, n_input - n_landed)],
         "n_input long, n_landed long, n_gated long",
     )
+
+
+def _singest_src(spark: SparkSession, sf_dir: str) -> str:
+    """Two-file SKETCH-stream fixture for the Hamming ingest gate,
+    built once per process (the _ingest_src conventions: construction
+    is setup, not the operator; mtimes pinned 10 s apart so
+    FileStreamSource's mtime order is deterministic).  Sketches are
+    xxhash64(text) — a deterministic stand-in for the dHash/audio-
+    fingerprint kernels, whose cost the multimodal families already
+    bench; the GATE should be measured alone.  Batch 1 = even doc_ids;
+    batch 2 = odd doc_ids plus 2-bit-flipped twins of every 10th
+    batch-1 sketch under fresh ids, so the cross-batch probe has
+    guaranteed hits inside max_distance=3 (random 64-bit sketches sit
+    ~32 bits apart — planted twins are the only pairs in range)."""
+    src = os.path.join(
+        _scratch_root(),
+        f"yodel_singest_src_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    if os.path.isdir(src) and any(p.startswith("part-") for p in os.listdir(src)):
+        return src
+    if src not in _CLEANUP_REGISTERED:
+        _CLEANUP_REGISTERED.add(src)
+        atexit.register(shutil.rmtree, src, ignore_errors=True)
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        F.col("doc_id").alias("doc"), F.xxhash64("text").alias("sim")
+    )
+    b1 = docs.where(F.pmod("doc", F.lit(2)) == 0)
+    twins = b1.where(F.pmod("doc", F.lit(10)) == 0).select(
+        (F.col("doc") + F.lit(10**9)).alias("doc"),
+        F.col("sim").bitwiseXOR(F.lit(0b101)).alias("sim"),
+    )
+    b2 = docs.where(F.pmod("doc", F.lit(2)) == 1).unionByName(twins)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    parts = sorted(
+        (p for p in os.listdir(src) if p.startswith("part-")),
+        key=lambda p: os.path.getmtime(os.path.join(src, p)),
+    )
+    now = os.path.getmtime(os.path.join(src, parts[-1]))
+    os.utime(os.path.join(src, parts[0]), (now - 10, now - 10))
+    return src
+
+
+@register(
+    "singest",
+    oracle=None,  # real streaming machinery (FileStreamSource,
+    # foreachBatch, persisted Hamming index extend); gating semantics +
+    # crash-window ordering + cache-release-on-retry pinned in
+    # tests/test_streaming.py (sketch_dedup_ingest suite)
+    doc="Hamming-index-gated streaming ingest micro-bench (scale/"
+    "dedup.py sketch_dedup_ingest) — the image-dHash/audio-fingerprint "
+    "twin of `ingest`, so the multimodal corpus front door gets the "
+    "same cross-round cost trail as text: two micro-batches of 64-bit "
+    "sketches through in-batch pigeonhole-banded collapse, persisted-"
+    "index probe, survivor append + delta-only extend_hamming_index.  "
+    "Batch 2 plants 2-bit-flipped twins of batch-1 sketches; exactly "
+    "one member of each pair lands regardless of batch order, so "
+    "(n_input, n_landed, n_gated) is deterministic.  Cheaper than "
+    "`ingest` by construction — the sketch gate shuffles 16 bytes/row "
+    "where the text gate signs shingles — which is exactly the "
+    "comparison the two benches exist to record.",
+    tags=("streaming", "dedup", "multimodal", "bench"),
+    bench=True,
+)
+def sketch_ingest_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.dedup import sketch_dedup_ingest
+
+    src = _singest_src(spark, sf_dir)
+    root = _work_dir("singest", sf_dir)
+    index, corpus, ckpt = (os.path.join(root, d) for d in ("idx", "corp", "ckpt"))
+    n_input = spark.read.parquet(src).count()
+    land = sketch_dedup_ingest(index, corpus, max_distance=3)
+    q = (
+        spark.readStream.schema("doc long, sim long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("singest replay did not drain in 600s")
+    n_landed = spark.read.parquet(corpus).select("doc").distinct().count()
+    return spark.createDataFrame(
+        [(n_input, n_landed, n_input - n_landed)],
+        "n_input long, n_landed long, n_gated long",
+    )

@@ -174,7 +174,7 @@ def _with_planted_twins(emb: DataFrame) -> DataFrame:
 
 
 @register(
-    "dedup_embedding_cosine",
+    "dedup_emb",  # r11 rename of dedup_embedding_cosine (byte budget; BASELINE.md bullet)
     oracle="""
     WITH e AS (SELECT vec_id, embedding FROM embeddings),
     t AS (

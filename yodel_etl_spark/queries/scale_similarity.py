@@ -70,7 +70,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(xxhash64-derived components), 4-block pigeonhole banding, exact "
     "cosine verify on candidates only — precision 1 by construction, "
     "recall follows the banding curve.  The brute-force twin "
-    "(dedup_embedding_cosine) is the exact oracle-checked form.",
+    "(dedup_emb) is the exact oracle-checked form.",
     tags=("similarity",),
 )
 def similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
