@@ -1034,3 +1034,110 @@ def test_ingest_gates_release_cache_on_failed_batch(spark, tmp_path, monkeypatch
     with pytest.raises(RuntimeError, match="crash in extend"):
         land2(spark.createDataFrame([(2, 999999)], "doc long, sim long"), 1)
     assert cm.isEmpty(), "failed sketch_dedup_ingest batch leaked cached frames"
+
+
+def test_near_dedup_ingest_component_map_replay_parity(spark, tmp_path, monkeypatch):
+    """The opt-in components_path closes the incremental loop's cluster
+    leg: across a multi-batch replay the persisted (node, component)
+    map must equal connected_components over EVERY pair the gate ever
+    emitted (in-batch pairs + cross-batch probe hits, gated docs
+    included), survive a crash inside the map fold (versioned
+    snapshots: stale-but-complete map until the replay re-folds), and
+    ignore incomplete snapshot directories."""
+    import pytest
+
+    from yodel_etl_spark.scale import cluster as C
+    from yodel_etl_spark.scale import dedup as D
+
+    words = "red green blue cyan teal pink gold gray onyx jade".split()
+
+    def body(seed):
+        return " ".join(
+            words[(seed * 3 + j * 7) % 10] + str((seed + j) % 11) for j in range(20)
+        )
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "mh_index")
+    comps = str(tmp_path / "comps")
+    land = D.near_dedup_ingest(
+        index, corpus, threshold=0.8, components_path=comps
+    )
+
+    seen: list[tuple[int, int]] = []
+    real_update = C.update_component_map
+
+    def spy(spark_, path, pairs, **kw):
+        seen.extend((r["doc_a"], r["doc_b"]) for r in pairs.collect())
+        return real_update(spark_, path, pairs, **kw)
+
+    monkeypatch.setattr(C, "update_component_map", spy)
+
+    def map_dict():
+        return {
+            r["node"]: r["component"]
+            for r in C.read_component_map(spark, comps).collect()
+        }
+
+    # batch 1: docs 1-4 distinct, 5 = in-batch jitter of 1
+    land(
+        spark.createDataFrame(
+            [(i, body(i)) for i in (1, 2, 3, 4)] + [(5, body(1) + " j5")],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    assert map_dict() == {1: 1, 5: 1}
+
+    # batch 2: 10 = jitter of landed 3 (probe pair), 12 = jitter of 10
+    # (in-batch pair; 12 never probes — it loses in-batch), 11 fresh
+    b2 = spark.createDataFrame(
+        [(10, body(3) + " j10"), (11, body(50)), (12, body(3) + " j10 j12")],
+        "doc_id long, text string",
+    )
+    land(b2, 1)
+    assert map_dict() == {1: 1, 5: 1, 3: 3, 10: 3, 12: 3}
+
+    # full-success replay: every doc self-hit-gated, self-pairs dropped,
+    # the same real pairs re-fold — map content must not change
+    land(b2, 1)
+    assert map_dict() == {1: 1, 5: 1, 3: 3, 10: 3, 12: 3}
+
+    # batch 3: 20 = jitter of landed 2 (gated, pair still folds),
+    # 21 fresh (lands) — and the map fold CRASHES after the corpus and
+    # index writes; replay must heal the map without duplicating 21
+    b3 = spark.createDataFrame(
+        [(20, body(2) + " j20"), (21, body(60))], "doc_id long, text string"
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("crash in component-map fold")
+
+    monkeypatch.setattr(C, "update_component_map", boom)
+    with pytest.raises(RuntimeError, match="component-map fold"):
+        land(b3, 2)
+    # crash-window state: 21 landed, map is the stale-but-complete v2
+    ids = {r["doc_id"] for r in spark.read.parquet(corpus).select("doc_id").distinct().collect()}
+    assert 21 in ids
+    assert map_dict() == {1: 1, 5: 1, 3: 3, 10: 3, 12: 3}
+
+    monkeypatch.setattr(C, "update_component_map", spy)
+    land(b3, 2)  # replay: 21 self-hit-gated, (20, 2) re-derived and folded
+    assert map_dict() == {1: 1, 5: 1, 3: 3, 10: 3, 12: 3, 2: 2, 20: 2}
+    assert spark.read.parquet(corpus).where("doc_id = 21").count() == 1
+
+    # THE parity pin: map == connected_components over every pair ever
+    # emitted by the gate (replays included — closure is idempotent)
+    all_pairs = spark.createDataFrame(seen, "doc_a long, doc_b long")
+    want = {
+        r["node"]: r["component"]
+        for r in C.connected_components(all_pairs).collect()
+    }
+    assert map_dict() == want
+
+    # incomplete snapshot dirs (no _SUCCESS) are invisible to readers
+    v = C.latest_component_version(spark, comps)
+    junk = tmp_path / "comps" / "map_v99"
+    junk.mkdir()
+    (junk / "part-junk.parquet").write_bytes(b"not parquet")
+    assert C.latest_component_version(spark, comps) == v
+    assert map_dict() == want

@@ -258,6 +258,76 @@ def extend_components(
     )
 
 
+def _map_fs(spark, path: str):
+    """Hadoop FileSystem handle for the map root (the same client the
+    index existence checks use — local FS in tests, HDFS/S3 at scale)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def latest_component_version(spark, path: str) -> int:
+    """Highest COMPLETE snapshot version under ``path`` (``map_vN``
+    directories carrying Spark's ``_SUCCESS`` marker; incomplete
+    write-crash leftovers are invisible), 0 when none exists."""
+    fs, p, jvm = _map_fs(spark, path)
+    if not fs.exists(p):
+        return 0
+    best = 0
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("map_v") and name[5:].isdigit():
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
+                best = max(best, int(name[5:]))
+    return best
+
+
+def read_component_map(spark, path: str) -> DataFrame | None:
+    """Latest complete ``(node, component)`` snapshot, or None before
+    the first fold."""
+    v = latest_component_version(spark, path)
+    if v == 0:
+        return None
+    return spark.read.parquet(f"{path}/map_v{v}")
+
+
+def update_component_map(
+    spark,
+    path: str,
+    new_pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> int:
+    """Fold ``new_pairs`` into the persisted component map at ``path``
+    and return the new snapshot version — the durable form of
+    :func:`extend_components`, maintained batch-by-batch by the ingest
+    gates alongside their corpus/index writes.
+
+    Crash contract (versioned snapshots, never overwrite-in-place): the
+    new map lands as ``map_v{N+1}`` and readers key on the ``_SUCCESS``
+    marker, so a crash mid-write leaves ``map_vN`` the visible truth
+    and the at-least-once replay simply re-folds the same pairs
+    (transitive closure is idempotent over repeated edges — the replay
+    converges to the identical map, possibly under a higher version
+    number).  Older complete snapshots are pruned only AFTER the new
+    one is fully written.  Scale shape: the map has one row per
+    CLUSTERED doc — unboundedly smaller than the pair history — and the
+    fold's shuffle carries |map| + |batch| id pairs (see
+    :func:`extend_components`)."""
+    prev = read_component_map(spark, path)
+    v = latest_component_version(spark, path)
+    if prev is None:
+        new_map = connected_components(new_pairs, src, dst, max_iter)
+    else:
+        new_map = extend_components(prev, new_pairs, src, dst, max_iter)
+    new_map.write.mode("overwrite").parquet(f"{path}/map_v{v + 1}")
+    fs, _, jvm = _map_fs(spark, path)
+    for i in range(1, v + 1):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/map_v{i}"), True)
+    return v + 1
+
+
 def attach_components(
     df: DataFrame,
     components: DataFrame,

@@ -1043,6 +1043,7 @@ def near_dedup_ingest(
     num_hashes: int = 64,
     bands: int = 16,
     k: int = 3,
+    components_path: str | None = None,
 ):
     """foreachBatch landing function for a NEAR-dup-gated ingest stream
     — the MinHash twin of the exact ``dedup_against`` loop: each
@@ -1071,7 +1072,21 @@ def near_dedup_ingest(
     loss: the replay would self-hit against index rows whose corpus
     rows never landed and drop the whole batch.  Duplicated index rows
     from a replayed extend only duplicate probe CANDIDATES (decisions
-    are ``distinct``-ed), so gating stays correct."""
+    are ``distinct``-ed), so gating stays correct.
+
+    ``components_path`` (opt-in) closes the incremental loop's cluster
+    leg: every batch's near-dup pairs — the in-batch pairs AND the
+    cross-batch probe hits, including GATED documents (provenance:
+    a dropped doc maps to the cluster holding its canonical landed
+    copy) — fold into a persisted ``(node, component)`` map via
+    :func:`yodel_etl_spark.scale.cluster.update_component_map`.  The
+    pair set is snapshotted (eager localCheckpoint, ids only) BEFORE
+    any index write for the same self-hit reason as ``novel_ids``, and
+    the map write lands LAST: it is versioned-snapshot crash-safe on
+    its own (see update_component_map), and a crash before it simply
+    re-folds the same pairs on replay — the map equals
+    ``connected_components`` over every pair the gate ever saw (parity
+    pinned in tests/test_streaming.py)."""
 
     def land(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
@@ -1110,6 +1125,7 @@ def near_dedup_ingest(
                     losers, "doc", "left_anti"
                 )
             )
+            hits = None
             if have_index:
                 hits = _probe_from_tables(
                     spark,
@@ -1132,6 +1148,26 @@ def near_dedup_ingest(
             # batch's own just-written posting rows.  Only the narrow id
             # column pins; the data-sized tables stay in their cache.
             novel_ids = novel_ids.localCheckpoint(eager=True)
+            cluster_pairs = None
+            if components_path is not None:
+                cp = pairs
+                if hits is not None:
+                    cp = cp.unionByName(
+                        hits.select(
+                            F.col("doc_inc").alias("doc_a"),
+                            F.col("doc_idx").alias("doc_b"),
+                        )
+                    )
+                # snapshotted BEFORE any index write (the novel_ids
+                # discipline): a post-extend re-run of the probe would
+                # self-hit the batch's own posting rows.  Self-pairs
+                # (a replayed fully-landed batch probes itself) drop
+                # here; ids only, the data-sized tables stay cached.
+                cluster_pairs = (
+                    cp.where(F.col("doc_a") != F.col("doc_b"))
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
             novel = batch.join(
                 novel_ids.withColumnRenamed("doc", id_col), id_col, "left_semi"
             )
@@ -1153,6 +1189,12 @@ def near_dedup_ingest(
                 spark.createDataFrame(
                     [(nh, nb, kk)], "num_hashes int, bands int, k int"
                 ).write.mode("overwrite").parquet(f"{index_path}/params")
+            # cluster-map fold LAST (own versioned-snapshot crash
+            # contract; a crash anywhere above replays the same pairs)
+            if cluster_pairs is not None and cluster_pairs.count() > 0:
+                from yodel_etl_spark.scale.cluster import update_component_map
+
+                update_component_map(spark, components_path, cluster_pairs)
         finally:
             release(banded)
             sets.unpersist()
