@@ -1141,3 +1141,61 @@ def test_near_dedup_ingest_component_map_replay_parity(spark, tmp_path, monkeypa
     (junk / "part-junk.parquet").write_bytes(b"not parquet")
     assert C.latest_component_version(spark, comps) == v
     assert map_dict() == want
+
+
+def test_sketch_dedup_ingest_component_map(spark, tmp_path, monkeypatch):
+    """Hamming-twin component map: same contract as the MinHash gate —
+    in-batch and probe pairs (gated sketches included) fold into the
+    versioned map, replays leave the content fixed, and the map equals
+    connected_components over every pair the gate emitted."""
+    from yodel_etl_spark.scale import cluster as C
+    from yodel_etl_spark.scale import dedup as D
+
+    def sk(seed):
+        return (seed * 0x9E3779B97F4A7C15) & 0x7FFFFFFFFFFFFFFF
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "hm_index")
+    comps = str(tmp_path / "comps")
+    land = D.sketch_dedup_ingest(
+        index, corpus, max_distance=3, components_path=comps
+    )
+
+    seen: list[tuple[int, int]] = []
+    real_update = C.update_component_map
+
+    def spy(spark_, path, pairs, **kw):
+        seen.extend((r["doc_a"], r["doc_b"]) for r in pairs.collect())
+        return real_update(spark_, path, pairs, **kw)
+
+    monkeypatch.setattr(C, "update_component_map", spy)
+
+    def map_dict():
+        return {
+            r["node"]: r["component"]
+            for r in C.read_component_map(spark, comps).collect()
+        }
+
+    b1 = spark.createDataFrame(
+        [(1, sk(1)), (2, sk(2)), (5, sk(1) ^ 0b11)], "doc long, sim long"
+    )
+    land(b1, 0)
+    assert map_dict() == {1: 1, 5: 1}
+
+    b2 = spark.createDataFrame(
+        [(10, sk(2) ^ 0b101), (11, sk(77))], "doc long, sim long"
+    )
+    land(b2, 1)  # 10 gated by landed 2 (2 bits off) — pair still folds
+    assert map_dict() == {1: 1, 5: 1, 2: 2, 10: 2}
+    ids = {r["doc"] for r in spark.read.parquet(corpus).select("doc").distinct().collect()}
+    assert ids == {1, 2, 11}
+
+    land(b2, 1)  # full-success replay: self-hits drop, content fixed
+    assert map_dict() == {1: 1, 5: 1, 2: 2, 10: 2}
+
+    all_pairs = spark.createDataFrame(seen, "doc_a long, doc_b long")
+    want = {
+        r["node"]: r["component"]
+        for r in C.connected_components(all_pairs).collect()
+    }
+    assert map_dict() == want

@@ -1034,6 +1034,24 @@ def _index_exists(spark, index_path: str) -> bool:
     return bool(fs.exists(p))
 
 
+def _snapshot_cluster_pairs(
+    cluster_src: DataFrame, components_path: str | None
+) -> DataFrame | None:
+    """Eager id-only snapshot of a batch's ``(doc_a, doc_b)`` cluster
+    pairs, taken BEFORE any index mutation (the novel_ids self-hit
+    discipline: a post-extend re-evaluation of the probe would hit the
+    batch's own just-written rows).  Self-pairs — a replayed
+    fully-landed batch probing itself — drop here.  None when the
+    component map is not enabled, costing nothing."""
+    if components_path is None:
+        return None
+    return (
+        cluster_src.where(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
 def near_dedup_ingest(
     index_path: str,
     corpus_path: str,
@@ -1148,26 +1166,15 @@ def near_dedup_ingest(
             # batch's own just-written posting rows.  Only the narrow id
             # column pins; the data-sized tables stay in their cache.
             novel_ids = novel_ids.localCheckpoint(eager=True)
-            cluster_pairs = None
-            if components_path is not None:
-                cp = pairs
-                if hits is not None:
-                    cp = cp.unionByName(
-                        hits.select(
-                            F.col("doc_inc").alias("doc_a"),
-                            F.col("doc_idx").alias("doc_b"),
-                        )
+            cp = pairs
+            if hits is not None and components_path is not None:
+                cp = cp.unionByName(
+                    hits.select(
+                        F.col("doc_inc").alias("doc_a"),
+                        F.col("doc_idx").alias("doc_b"),
                     )
-                # snapshotted BEFORE any index write (the novel_ids
-                # discipline): a post-extend re-run of the probe would
-                # self-hit the batch's own posting rows.  Self-pairs
-                # (a replayed fully-landed batch probes itself) drop
-                # here; ids only, the data-sized tables stay cached.
-                cluster_pairs = (
-                    cp.where(F.col("doc_a") != F.col("doc_b"))
-                    .distinct()
-                    .localCheckpoint(eager=True)
                 )
+            cluster_pairs = _snapshot_cluster_pairs(cp, components_path)
             novel = batch.join(
                 novel_ids.withColumnRenamed("doc", id_col), id_col, "left_semi"
             )
@@ -1419,6 +1426,7 @@ def sketch_dedup_ingest(
     hash_col: str = "sim",
     max_distance: int = 3,
     blocks: int = 8,
+    components_path: str | None = None,
 ):
     """foreachBatch landing function for a SKETCH stream (image dHash,
     audio fingerprints, text SimHash) — the Hamming twin of
@@ -1432,7 +1440,11 @@ def sketch_dedup_ingest(
     load-bearing write order: corpus append BEFORE index extend, so a
     crash between them replays into a duplicate corpus append instead
     of a self-hit-gated silent loss (see near_dedup_ingest's delivery
-    note)."""
+    note).  ``components_path`` (opt-in) folds each batch's pairs —
+    in-batch AND probe hits, gated sketches included — into the same
+    persisted versioned ``(node, component)`` map as the MinHash gate
+    (see near_dedup_ingest's components paragraph; identical snapshot
+    discipline and crash contract)."""
 
     def land(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
@@ -1448,13 +1460,24 @@ def sketch_dedup_ingest(
         try:
             losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
             batch = batch.join(losers, id_col, "left_anti")
+            cluster_src = pairs.select("doc_a", "doc_b")
             if _index_exists(spark, index_path):
                 hits = probe_hamming_index(
                     spark, index_path, batch, id_col, hash_col, max_distance
                 )
                 dup_ids = hits.select(F.col("doc_inc").alias(id_col)).distinct()
+                if components_path is not None:
+                    cluster_src = cluster_src.unionByName(
+                        hits.select(
+                            F.col("doc_inc").alias("doc_a"),
+                            F.col("doc_idx").alias("doc_b"),
+                        )
+                    )
                 novel = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(
                     eager=True
+                )
+                cluster_pairs = _snapshot_cluster_pairs(
+                    cluster_src, components_path
                 )
                 # corpus BEFORE index — same crash-window ordering as
                 # near_dedup_ingest (index-first + replay = silent loss)
@@ -1462,8 +1485,15 @@ def sketch_dedup_ingest(
                 extend_hamming_index(novel, index_path, id_col, hash_col)
             else:
                 novel = batch.localCheckpoint(eager=True)
+                cluster_pairs = _snapshot_cluster_pairs(
+                    cluster_src, components_path
+                )
                 novel.write.mode("append").parquet(corpus_path)
                 write_hamming_index(novel, index_path, id_col, hash_col, nb)
+            if cluster_pairs is not None and cluster_pairs.count() > 0:
+                from yodel_etl_spark.scale.cluster import update_component_map
+
+                update_component_map(spark, components_path, cluster_pairs)
         finally:
             release(pairs)
 
