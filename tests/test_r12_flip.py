@@ -14,7 +14,11 @@ from __future__ import annotations
 
 import pytest
 
-from yodel_etl_spark.queries.ops_q import TDIFF_ORACLE, XSPAN_ORACLE
+from yodel_etl_spark.queries.ops_q import (
+    ANCHOR_ORACLE,
+    TDIFF_ORACLE,
+    XSPAN_ORACLE,
+)
 from yodel_etl_spark.registry import load_all
 from yodel_etl_spark.testing import compare_frames, duckdb_connect
 
@@ -26,7 +30,12 @@ _PROTECTED = ("funnel", "decontam", "split_docs", "cjk_tokens", "cdc", "links")
 
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
 @pytest.mark.parametrize(
-    "name,sql", [("tdiff", TDIFF_ORACLE), ("xspan", XSPAN_ORACLE)]
+    "name,sql",
+    [
+        ("tdiff", TDIFF_ORACLE),
+        ("xspan", XSPAN_ORACLE),
+        ("anchor", ANCHOR_ORACLE),
+    ],
 )
 def test_staged_oracle_matches_registered_builder(spark, name, sql, sf_dir):
     """Driver-grade comparison (columns + rows + values + the driver's

@@ -400,29 +400,119 @@ def crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return register_persisted(out, ranks, kept, cur)
 
 
+# Staged round-12 oracle for `anchor` (tools/r12_oracle_flip.md;
+# executable via tests/test_r12_flip.py): assembled from the pinned
+# SQL twins — the parallel-unnest zip of the two quote-style regex
+# passes (byte-pinned in tests/test_links.py), resolve_href_sql,
+# canonical_url_sql, host_of_sql, and the html_extract chain
+# (html_extract_sql).  Mirrors the documents-derived envelope below.
+def _anchor_oracle() -> str:
+    from yodel_etl_spark.scale.links import (
+        ANCHOR_DQ_RE,
+        ANCHOR_SQ_RE,
+        host_of_sql,
+        resolve_href_sql,
+    )
+    from yodel_etl_spark.scale.textstats import html_extract_sql
+    from yodel_etl_spark.scale.urlnorm import canonical_url_sql
+
+    dq = ANCHOR_DQ_RE.replace("'", "''")
+    sq = ANCHOR_SQ_RE.replace("'", "''")
+    return f"""
+    WITH pages AS (
+      SELECT 'https://page' || CAST(doc_id % 5 AS VARCHAR)
+               || '.example.org/dir/p' || CAST(doc_id AS VARCHAR)
+               || '.html' AS url,
+             '<a href="http://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
+               || '.Example.com:80/x?utm_source=t&q=1">Visit <b>Site '
+               || CAST(doc_id % 7 AS VARCHAR) || '</b> now</a>'
+               || '<A HREF=''//cdn.example.net/asset'
+               || CAST(doc_id % 3 AS VARCHAR) || '''>asset &amp; more</A>'
+               || '<a href="../rel/page' || CAST(doc_id % 4 AS VARCHAR)
+               || '">rel &quot;' || CAST(doc_id % 4 AS VARCHAR) || '&quot;</a>'
+               || '<a href="http://img.example.com/i"><img src="p.png"/></a>'
+               || '<a href="mailto:a@b.c">mail</a><a href="#top">frag</a>'
+               AS html
+      FROM documents
+    ), ex AS (
+      SELECT url, unnest(regexp_extract_all(html, '{dq}', 1)) AS href,
+             unnest(regexp_extract_all(html, '{dq}', 2)) AS atext
+      FROM pages
+      UNION ALL
+      SELECT url, unnest(regexp_extract_all(html, '{sq}', 1)) AS href,
+             unnest(regexp_extract_all(html, '{sq}', 2)) AS atext
+      FROM pages
+    ), rs AS (
+      SELECT atext, {resolve_href_sql('url', 'href')} AS dst FROM ex
+    ), cn AS (
+      SELECT atext, {canonical_url_sql('dst')} AS cd
+      FROM rs WHERE dst IS NOT NULL
+    ), hosts AS (
+      SELECT {host_of_sql('cd')} AS dst_host,
+             {html_extract_sql('atext')} AS anchor
+      FROM cn
+    )
+    SELECT dst_host, anchor, CAST(count(*) AS BIGINT) AS n
+    FROM hosts
+    WHERE dst_host IS NOT NULL AND dst_host <> '' AND anchor <> ''
+    GROUP BY dst_host, anchor
+    """
+
+
+ANCHOR_ORACLE = _anchor_oracle()
+
+
 @register(
     "anchor",
-    oracle=None,  # fixture-container input (the warc/crawl convention);
-    # extraction/resolution SQL twins are byte-pinned in tests/test_links.py
-    doc="Anchor-text table over the crawl fixture — how the web "
-    "DESCRIBES each target host, the weak (query, document) "
-    "supervision signal retrieval pipelines mine: anchor tags (both "
-    "quote styles) zipped positionally from two regexp_extract_all "
-    "passes, hrefs resolved/canonicalized by the staged scan-side "
-    "codegen chain links shares, inner markup reduced by html_extract, "
-    "ONE aggregation shuffle at (dst_host, anchor) grain.  Rows-only: "
-    "deterministic fixture pages give a stable (host, anchor) set.",
+    oracle=None,  # staged: ANCHOR_ORACLE above flips on in round 12
+    # together with tdiff/xspan — the counter-11 three-flip window is
+    # simulation-pinned and the SQL parity executable in
+    # tests/test_r12_flip.py
+    doc="Anchor-text table — how the web DESCRIBES each target host, "
+    "the weak (query, document) supervision signal retrieval pipelines "
+    "mine: anchor tags (both quote styles) zipped positionally from "
+    "two regexp_extract_all passes, hrefs resolved/canonicalized by "
+    "the staged scan-side codegen chain links shares, inner markup "
+    "reduced by html_extract, ONE aggregation shuffle at (dst_host, "
+    "anchor) grain.  r11 rework: pages synthesize from documents with "
+    "a deterministic anchor envelope (the links convention — tracking "
+    "params + www/port to canonicalize, protocol-relative single-"
+    "quoted uppercase tag, dot-segment relative, entity-bearing inner "
+    "markup, mailto/fragment/empty-after-strip drops) so the operator "
+    "carries a DuckDB oracle; WARC-container ingest cost stays benched "
+    "by `warc` and `crawl`.",
     tags=("web", "scale"),
 )
 def anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yodel_etl_spark.io.warc import read_warc
     from yodel_etl_spark.scale.links import anchor_text_table
+    from yodel_etl_spark.session import spread
 
-    path = os.path.join(crawl_fixture_dir(), "*.warc.gz")
-    raw = read_warc(spark, path)
-    pages = raw.where(
-        (~F.col("url").rlike("/robots\\.txt$"))
-        & (F.col("status") >= 200)
-        & (F.col("status") < 300)
-    ).select("url", F.col("payload").cast("string").alias("html"))
+    docs = spread(load_tables(spark, sf_dir, ("documents",))["documents"])
+    d7 = (F.col("doc_id") % 7).cast("string")
+    d4 = (F.col("doc_id") % 4).cast("string")
+    url = F.concat(
+        F.lit("https://page"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.org/dir/p"),
+        F.col("doc_id").cast("string"),
+        F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit('<a href="http://WWW.Site'),
+        d7,
+        F.lit('.Example.com:80/x?utm_source=t&q=1">Visit <b>Site '),
+        d7,
+        F.lit("</b> now</a>"),
+        F.lit("<A HREF='//cdn.example.net/asset"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("'>asset &amp; more</A>"),
+        F.lit('<a href="../rel/page'),
+        d4,
+        F.lit('">rel &quot;'),
+        d4,
+        F.lit('&quot;</a>'),
+        F.lit('<a href="http://img.example.com/i"><img src="p.png"/></a>'),
+        F.lit('<a href="mailto:a@b.c">mail</a><a href="#top">frag</a>'),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
     return anchor_text_table(pages, "url", "html")

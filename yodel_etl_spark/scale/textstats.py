@@ -465,3 +465,23 @@ def html_extract(col: Column) -> Column:
     ):
         out = F.replace(out, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def html_extract_sql(col: str) -> str:
+    """DuckDB twin of :func:`html_extract` — the identical pattern
+    chain (the patterns live in the RE2 ∩ Java-regex dialect on
+    purpose), for assembling oracles that reduce inner markup the way
+    the corpus path does (the `anchor` oracle; the `text_html` oracle
+    spells the same chain inline)."""
+    t = (
+        f"regexp_replace(regexp_replace(regexp_replace({col}, "
+        f"'(?is)<script[^>]*>.*?</script>', ' ', 'g'), "
+        f"'(?is)<style[^>]*>.*?</style>', ' ', 'g'), "
+        f"'(?s)<[^>]*>', ' ', 'g')"
+    )
+    t = (
+        f"replace(replace(replace(replace(replace(replace({t}, "
+        f"'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), "
+        f"'&nbsp;', ' '), '&amp;', '&')"
+    )
+    return f"trim(regexp_replace({t}, '\\s+', ' ', 'g'))"
