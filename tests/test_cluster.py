@@ -205,3 +205,44 @@ def test_extend_components_converges_fast_on_star_history(spark):
     got = {r["node"]: r["component"] for r in out.collect()}
     assert all(v == 0 for v in got.values())
     assert set(got) == set(range(65)) | {100, 101}
+
+
+def test_component_map_versioned_roundtrip(spark, tmp_path):
+    """update_component_map standalone (outside the ingest gates):
+    first fold == connected_components, later folds extend, old
+    complete snapshots are pruned after the new one lands, and
+    read/latest agree on the newest _SUCCESS-complete version."""
+    import os
+
+    from yodel_etl_spark.scale.cluster import (
+        connected_components,
+        latest_component_version,
+        read_component_map,
+        update_component_map,
+    )
+
+    path = str(tmp_path / "cmap")
+    assert latest_component_version(spark, path) == 0
+    assert read_component_map(spark, path) is None
+
+    p1 = spark.createDataFrame([(1, 2), (3, 4)], "doc_a long, doc_b long")
+    assert update_component_map(spark, path, p1) == 1
+    got = {
+        r["node"]: r["component"]
+        for r in read_component_map(spark, path).collect()
+    }
+    want = {
+        r["node"]: r["component"] for r in connected_components(p1).collect()
+    }
+    assert got == want == {1: 1, 2: 1, 3: 3, 4: 3}
+
+    p2 = spark.createDataFrame([(2, 3), (7, 8)], "doc_a long, doc_b long")
+    assert update_component_map(spark, path, p2) == 2
+    got = {
+        r["node"]: r["component"]
+        for r in read_component_map(spark, path).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+    # pruned: only the newest complete snapshot remains on disk
+    vers = [d for d in os.listdir(path) if d.startswith("map_v")]
+    assert vers == ["map_v2"]

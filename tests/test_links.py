@@ -267,3 +267,33 @@ def test_anchor_table_plan_one_exchange(spark):
     plan = anchor_text_table(pages)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_html_extract_sql_twin_parity(spark):
+    """html_extract_sql must reduce inner markup byte-identically to
+    the Spark chain — the assembled `anchor` oracle rides on it."""
+    cases = [
+        "Visit <b>Site 3</b> now",
+        "asset &amp; more",
+        'rel &quot;2&quot;',
+        '<img src="p.png"/>',
+        "a < b &gt; c &nbsp; d &#39;q&#39;",
+        "<script>x</script>keep<style>s</style> tail",
+        "  spaced   <i>out</i>  ",
+    ]
+    from yodel_etl_spark.scale.textstats import html_extract, html_extract_sql
+
+    got = [
+        r["e"]
+        for r in spark.createDataFrame([(c,) for c in cases], ["h"])
+        .select(html_extract(F.col("h")).alias("e"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            f"SELECT {html_extract_sql('h')} FROM (SELECT ? AS h)", [c]
+        ).fetchone()[0]
+        for c in cases
+    ]
+    assert got == want
