@@ -206,3 +206,63 @@ def test_lsh_near_threshold_recall_32x8_bands(spark):
     # contrast: the 16-bit banding misses a large fraction of the same
     # pairs — the honest number decontam_q.py documents
     assert recall(192, 12) <= 0.9
+
+
+def test_extend_ivf_index_and_probe(spark, sf_small, tmp_path):
+    """Delta-only IVF maintenance: extend assigns ONLY the new batch to
+    the frozen centroids, planted twins probe back to their base
+    vectors (recall 1 at near-dup cosine), fresh orthogonal-ish
+    vectors probe to nothing, and a centroid-less build refuses
+    instead of persisting an unreachable index."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from yodel_etl_spark.scale.similarity import (
+        extend_ivf_index,
+        ivf_index_read,
+        ivf_index_write,
+        probe_ivf_index,
+    )
+    from yodel_etl_spark.session import load_tables
+
+    emb = load_tables(spark, sf_small, ("embeddings",))["embeddings"].select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    path = str(tmp_path / "ivf")
+    ivf_index_write(emb, "vec_id", "embedding", path, centroid_every=50)
+    n_before = ivf_index_read(spark, path)[0].count()
+
+    # twins: every 10th vector, 0.98/0.02 rotate-blend (cos ≈ 0.9998)
+    twins = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> 0.98 * x + "
+            "0.02 * embedding[(i + 1) % size(embedding)])"
+        ).alias("embedding"),
+    )
+    extend_ivf_index(twins, path, "vec_id", "embedding")
+    assign, _ = ivf_index_read(spark, path)
+    n_twins = twins.count()
+    assert assign.count() == n_before + n_twins  # delta-only append
+
+    hits = probe_ivf_index(
+        spark, path, twins, "vec_id", "embedding", threshold=0.9, nprobe=3
+    )
+    by_inc = {
+        r["id_inc"]: r for r in hits.where("id_inc != id_idx").collect()
+    }
+    # every twin finds its base vector (id 1_000_000 + b -> b)
+    for tid in [r["vec_id"] for r in twins.select("vec_id").collect()]:
+        assert tid in by_inc, f"twin {tid} missed its base"
+        assert by_inc[tid]["id_idx"] == tid - 1_000_000
+        assert by_inc[tid]["cosine_r"] >= 0.999
+
+    with pytest.raises(ValueError, match="no centroid"):
+        ivf_index_write(
+            emb.where(F.col("vec_id").isin(1, 3, 7)),
+            "vec_id",
+            "embedding",
+            str(tmp_path / "ivf_bad"),
+            centroid_every=50,
+        )

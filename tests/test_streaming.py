@@ -1199,3 +1199,97 @@ def test_sketch_dedup_ingest_component_map(spark, tmp_path, monkeypatch):
         for r in C.connected_components(all_pairs).collect()
     }
     assert map_dict() == want
+
+
+def test_foreachbatch_embedding_dedup_ingest(spark, tmp_path, monkeypatch):
+    """The ANN member of the ingest-gate family: in-batch LSH+verify
+    collapse, approximate IVF probe of the accumulated corpus, corpus-
+    before-index crash windows on BOTH branches, component-map leg,
+    and full-success replay idempotency — the near/sketch gate
+    contract, embedding-typed."""
+    import pytest
+
+    from yodel_etl_spark.scale import cluster as C
+    from yodel_etl_spark.scale import dedup as D
+    from yodel_etl_spark.scale import similarity as S
+
+    def onehot(dim, eps_at=None):
+        v = [0.0] * 8
+        v[dim] = 1.0
+        if eps_at is not None:
+            v[eps_at] = 0.01
+        return v
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "ivf_index")
+    comps = str(tmp_path / "comps")
+    land = D.embedding_dedup_ingest(
+        index,
+        corpus,
+        threshold=0.9,
+        nprobe=3,
+        centroid_every=2,
+        components_path=comps,
+    )
+
+    def map_dict():
+        return {
+            r["node"]: r["component"]
+            for r in C.read_component_map(spark, comps).collect()
+        }
+
+    schema = "vec_id long, embedding array<double>"
+    # batch 1: one-hots 0..3 under ids 0..3; id 4 = twin of id 0
+    b1 = spark.createDataFrame(
+        [(i, onehot(i)) for i in range(4)] + [(4, onehot(0, eps_at=7))], schema
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before index build")
+
+    real_write = S.ivf_index_write
+    monkeypatch.setattr(S, "ivf_index_write", boom)
+    with pytest.raises(RuntimeError, match="crash before index build"):
+        land(b1, 0)
+    # corpus landed, no index yet (centroids is the commit marker)
+    assert not D._index_exists(spark, index, marker="centroids")
+    monkeypatch.setattr(S, "ivf_index_write", real_write)
+    land(b1, 0)  # replay rebuilds; duplicate corpus rows are the contract
+    got = spark.read.parquet(corpus)
+    assert {r["vec_id"] for r in got.select("vec_id").distinct().collect()} == {
+        0, 1, 2, 3,
+    }  # 4 collapsed onto 0 in-batch
+    assert map_dict() == {0: 0, 4: 0}
+
+    # batch 2: 10 = twin of landed 2 (gated via IVF probe), 11 fresh —
+    # and the extend crashes AFTER the corpus append (the family's
+    # crash window: replay = duplicate append, never loss)
+    b2 = spark.createDataFrame(
+        [(10, onehot(2, eps_at=6)), (11, onehot(5))], schema
+    )
+    real_extend = S.extend_ivf_index
+
+    def boom2(*a, **k):
+        raise RuntimeError("crash between corpus append and extend")
+
+    monkeypatch.setattr(S, "extend_ivf_index", boom2)
+    with pytest.raises(RuntimeError, match="crash between"):
+        land(b2, 1)
+    got = spark.read.parquet(corpus)
+    assert got.where("vec_id = 11").count() == 1  # landed before the crash
+    assign = spark.read.parquet(f"{index}/assignments")
+    assert assign.where("id = 11").count() == 0  # not yet admitted
+
+    monkeypatch.setattr(S, "extend_ivf_index", real_extend)
+    land(b2, 1)  # at-least-once replay
+    got = spark.read.parquet(corpus)
+    ids = {r["vec_id"] for r in got.select("vec_id").distinct().collect()}
+    assert ids == {0, 1, 2, 3, 11}  # 10 gated; 11 recovered, duplicated
+    assert got.where("vec_id = 11").count() == 2
+    assign = spark.read.parquet(f"{index}/assignments")
+    assert assign.where("id = 11").count() == 1
+    assert map_dict() == {0: 0, 4: 0, 2: 2, 10: 2}
+
+    land(b2, 1)  # full-success replay: self-hit gate makes it a no-op
+    assert spark.read.parquet(corpus).where("vec_id = 11").count() == 2
+    assert map_dict() == {0: 0, 4: 0, 2: 2, 10: 2}

@@ -1023,13 +1023,16 @@ def _pairs_from_tables(
     return verified.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b")
 
 
-def _index_exists(spark, index_path: str) -> bool:
-    """True iff the index's params table exists — a Hadoop FS existence
-    check, NOT a swallowed read error: treating a transient storage
-    failure as 'no index yet' would let the first-batch branch
-    OVERWRITE the accumulated index with one batch's docs."""
+def _index_exists(spark, index_path: str, marker: str = "params") -> bool:
+    """True iff the index's commit-marker table exists — a Hadoop FS
+    existence check, NOT a swallowed read error: treating a transient
+    storage failure as 'no index yet' would let the first-batch branch
+    OVERWRITE the accumulated index with one batch's docs.  The marker
+    is whatever table the build writes LAST (``params`` for the
+    MinHash/Hamming indexes, ``centroids`` for IVF), so a crash mid-
+    build reads as 'no index' and the replay rebuilds via overwrite."""
     jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/params")
+    p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/{marker}")
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     return bool(fs.exists(p))
 
@@ -1490,6 +1493,105 @@ def sketch_dedup_ingest(
                 )
                 novel.write.mode("append").parquet(corpus_path)
                 write_hamming_index(novel, index_path, id_col, hash_col, nb)
+            if cluster_pairs is not None and cluster_pairs.count() > 0:
+                from yodel_etl_spark.scale.cluster import update_component_map
+
+                update_component_map(spark, components_path, cluster_pairs)
+        finally:
+            release(pairs)
+
+    return land
+
+
+def embedding_dedup_ingest(
+    index_path: str,
+    corpus_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    nprobe: int = 3,
+    centroid_every: int = 50,
+    n_planes: int = 16,
+    blocks: int = 4,
+    components_path: str | None = None,
+):
+    """foreachBatch landing function for an EMBEDDING stream — the ANN
+    member of the ingest-gate family (text shingles →
+    :func:`near_dedup_ingest`, 64-bit sketches →
+    :func:`sketch_dedup_ingest`, embedding vectors → this): per
+    micro-batch, collapse in-batch near-dups via hyperplane-LSH
+    candidates + exact cosine verify (min id per pair survives), probe
+    the persisted IVF index and drop everything with cosine ≥
+    ``threshold`` against the accumulated corpus, then append
+    survivors to ``corpus_path`` and admit them to the index
+    (:func:`~yodel_etl_spark.scale.similarity.extend_ivf_index` —
+    delta-only: new vectors score against the frozen broadcast
+    centroids; the corpus is never re-assigned).
+
+    Same load-bearing write order (corpus append BEFORE index extend —
+    see near_dedup_ingest's delivery note), the same at-least-once
+    posture and cache discipline, and the same opt-in
+    ``components_path`` cluster leg.  One honesty divergence from its
+    two siblings: the cross-batch probe is APPROXIMATE — recall
+    follows the nprobe/centroid geometry (see probe_ivf_index), where
+    the MinHash/Hamming verifies are exact.  Near-dup thresholds live
+    where the geometry is benign (planted-twin recall ~1, pinned in
+    tests), and a missed duplicate degrades to a redundant corpus row,
+    never a lost one.  Centroids are frozen at first-batch build;
+    schedule a full :func:`ivf_index_write` rebuild when cells fatten
+    (the compaction analogue — see extend_ivf_index)."""
+
+    def land(batch: DataFrame, _batch_id: int) -> None:
+        from yodel_etl_spark.scale.similarity import (
+            extend_ivf_index,
+            hyperplane_lsh_pairs,
+            ivf_index_write,
+            probe_ivf_index,
+        )
+
+        spark = batch.sparkSession
+        batch = batch.dropDuplicates([id_col])
+        pairs = hyperplane_lsh_pairs(
+            batch, id_col, vec_col, threshold, n_planes, blocks
+        )
+        # try/finally: the retried-batch cache-leak contract the other
+        # two gates carry (pairs registers its persisted sketch)
+        try:
+            losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+            batch = batch.join(losers, id_col, "left_anti")
+            cluster_src = pairs.select(
+                F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+            )
+            if _index_exists(spark, index_path, marker="centroids"):
+                hits = probe_ivf_index(
+                    spark, index_path, batch, id_col, vec_col, threshold, nprobe
+                )
+                dup_ids = hits.select(F.col("id_inc").alias(id_col)).distinct()
+                if components_path is not None:
+                    cluster_src = cluster_src.unionByName(
+                        hits.select(
+                            F.col("id_inc").alias("doc_a"),
+                            F.col("id_idx").alias("doc_b"),
+                        )
+                    )
+                novel = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(
+                    eager=True
+                )
+                cluster_pairs = _snapshot_cluster_pairs(
+                    cluster_src, components_path
+                )
+                # corpus BEFORE index — the family's crash-window order
+                novel.write.mode("append").parquet(corpus_path)
+                extend_ivf_index(novel, index_path, id_col, vec_col)
+            else:
+                novel = batch.localCheckpoint(eager=True)
+                cluster_pairs = _snapshot_cluster_pairs(
+                    cluster_src, components_path
+                )
+                novel.write.mode("append").parquet(corpus_path)
+                # assignments then centroids — centroids is the commit
+                # marker, so a crash mid-build replays as a rebuild
+                ivf_index_write(novel, id_col, vec_col, index_path, centroid_every)
             if cluster_pairs is not None and cluster_pairs.count() > 0:
                 from yodel_etl_spark.scale.cluster import update_component_map
 

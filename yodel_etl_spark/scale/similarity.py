@@ -171,6 +171,17 @@ def ivf_index_write(
     through parquet, so a reloaded index reproduces search results
     row for row."""
     assign, cents = assign_ivf_cells(df, id_col, vec_col, centroid_every)
+    if cents.limit(1).count() == 0:
+        # a corpus with no id ≡ 0 (mod centroid_every) selects zero
+        # centroids, which would silently persist an EMPTY posting
+        # table (every stored vector unreachable, every later probe a
+        # miss) — refuse instead of degrading
+        raise ValueError(
+            f"no centroid selected: no id divisible by {centroid_every} "
+            "in the corpus; lower centroid_every or remap ids"
+        )
+    # centroids LAST: existence checks key on it, so a crash mid-build
+    # reads as 'no index' and the replay rebuilds via overwrite
     assign.write.mode("overwrite").parquet(f"{path}/assignments")
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
 
@@ -180,6 +191,89 @@ def ivf_index_read(spark, path: str) -> tuple[DataFrame, DataFrame]:
     return (
         spark.read.parquet(f"{path}/assignments"),
         spark.read.parquet(f"{path}/centroids"),
+    )
+
+
+def extend_ivf_index(
+    df: DataFrame, path: str, id_col: str, vec_col: str
+) -> None:
+    """Append a batch of vectors to an existing IVF index — delta-only
+    maintenance, the embedding twin of ``extend_minhash_index``: only
+    the NEW vectors score against the (broadcast) stored centroid
+    table and append to ``assignments``; the accumulated corpus is
+    never re-assigned.  Caller contract: ids are globally unique
+    across increments (re-appending an id duplicates its posting row).
+
+    The centroid set is FROZEN at build time on purpose — extends stay
+    O(|batch|·C) and bit-deterministic, and every stored vector keeps
+    a valid cell.  The cost is staleness: as the corpus outgrows the
+    original centroid density, cells fatten and probe candidate counts
+    drift up — the rebuild trigger, exactly compaction's role for
+    small files (schedule :func:`ivf_index_write` over the full corpus
+    when mean cell size crosses the probe budget)."""
+    spark = df.sparkSession
+    cents = spark.read.parquet(f"{path}/centroids")
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    scored = v.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", cosine(F.col("vec"), F.col("cvec"))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cell"))
+    assign = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("id", "vec", "cell")
+    )
+    assign.write.mode("append").parquet(f"{path}/assignments")
+
+
+def probe_ivf_index(
+    spark,
+    path: str,
+    incoming: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Near-duplicate hits of ``incoming`` against a persisted IVF
+    index: ``(id_inc, id_idx, cosine_r)`` for every stored vector with
+    cosine ≥ ``threshold`` inside the ``nprobe`` nearest cells of each
+    incoming vector.  Probing does not modify the index; call
+    :func:`extend_ivf_index` afterwards to admit the batch.
+
+    Honesty note (the IVF trade): recall follows the nprobe/centroid
+    geometry — a duplicate stored in a cell none of the query's
+    ``nprobe`` probes cover is missed.  Near-dup thresholds (≥ 0.9)
+    live where query and duplicate rank the same cells first, so
+    planted-twin recall is ~1 in practice (measured in tests), but the
+    gate built on this is APPROXIMATE by design — unlike the exact
+    MinHash-Jaccard verify, which has no geometric miss mode."""
+    assign, cents = ivf_index_read(spark, path)
+    q = incoming.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    qcells = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cvec")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("sim").desc(), F.col("cell")
+                )
+            ),
+        )
+        .where(F.col("rk") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    cand = qcells.join(assign, "cell")
+    scored = cand.withColumn(
+        "cosine_r", F.round(cosine(F.col("vec"), F.col("qv")), 6)
+    )
+    return scored.where(F.col("cosine_r") >= threshold).select(
+        F.col("query_id").alias("id_inc"),
+        F.col("id").alias("id_idx"),
+        "cosine_r",
     )
 
 
