@@ -388,3 +388,92 @@ def sketch_ingest_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_input, n_landed, n_input - n_landed)],
         "n_input long, n_landed long, n_gated long",
     )
+
+
+def _eingest_src(spark: SparkSession, sf_dir: str) -> str:
+    """Two-file EMBEDDING-stream fixture for the ANN ingest gate (the
+    _ingest_src/_singest_src conventions: per-process, construction is
+    setup, mtimes pinned 10 s apart).  Batch 1 = even vec_ids; batch 2
+    = odd vec_ids plus 0.98/0.02 rotate-blend twins of every 10th
+    batch-1 vector under fresh ids (cos ≈ 0.9998 — the re-encoded-
+    duplicate case), so the cross-batch IVF probe has guaranteed hits
+    at threshold 0.9."""
+    src = os.path.join(
+        _scratch_root(),
+        f"yodel_eingest_src_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    if os.path.isdir(src) and any(p.startswith("part-") for p in os.listdir(src)):
+        return src
+    if src not in _CLEANUP_REGISTERED:
+        _CLEANUP_REGISTERED.add(src)
+        atexit.register(shutil.rmtree, src, ignore_errors=True)
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    b1 = emb.where(F.pmod("vec_id", F.lit(2)) == 0)
+    twins = b1.where(F.pmod("vec_id", F.lit(10)) == 0).select(
+        (F.col("vec_id") + F.lit(10**9)).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> 0.98 * x + "
+            "0.02 * embedding[(i + 1) % size(embedding)])"
+        ).alias("embedding"),
+    )
+    b2 = emb.where(F.pmod("vec_id", F.lit(2)) == 1).unionByName(twins)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    parts = sorted(
+        (p for p in os.listdir(src) if p.startswith("part-")),
+        key=lambda p: os.path.getmtime(os.path.join(src, p)),
+    )
+    now = os.path.getmtime(os.path.join(src, parts[-1]))
+    os.utime(os.path.join(src, parts[0]), (now - 10, now - 10))
+    return src
+
+
+@register(
+    "eingest",
+    oracle=None,  # real streaming machinery through the ANN gate;
+    # gating semantics, crash windows (both branches), cache release
+    # and the component-map leg pinned in tests/test_streaming.py,
+    # extend/probe primitives in tests/test_scale_similarity.py
+    doc="IVF-index-gated embedding ingest micro-bench (scale/dedup.py "
+    "embedding_dedup_ingest) — the ANN member of the front-door trio "
+    "(`ingest` text, `singest` sketches), so every corpus modality "
+    "carries a cross-round ingest cost trail: two micro-batches of "
+    "embeddings through in-batch hyperplane-LSH + exact-cosine "
+    "collapse, persisted-IVF probe (approximate by design — recall "
+    "follows nprobe; a miss degrades to a redundant corpus row, never "
+    "loss), survivor append + delta-only extend_ivf_index against the "
+    "frozen first-batch centroids.  Batch 2 plants rotate-blend twins "
+    "of batch-1 vectors; exactly one member of each pair lands "
+    "regardless of batch order — (n_input, n_landed, n_gated) is "
+    "deterministic.",
+    tags=("streaming", "dedup", "similarity", "bench"),
+    bench=True,
+)
+def embedding_ingest_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.scale.dedup import embedding_dedup_ingest
+
+    src = _eingest_src(spark, sf_dir)
+    root = _work_dir("eingest", sf_dir)
+    index, corpus, ckpt = (os.path.join(root, d) for d in ("idx", "corp", "ckpt"))
+    n_input = spark.read.parquet(src).count()
+    land = embedding_dedup_ingest(index, corpus, threshold=0.9, nprobe=3)
+    q = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("eingest replay did not drain in 600s")
+    n_landed = spark.read.parquet(corpus).select("vec_id").distinct().count()
+    return spark.createDataFrame(
+        [(n_input, n_landed, n_input - n_landed)],
+        "n_input long, n_landed long, n_gated long",
+    )

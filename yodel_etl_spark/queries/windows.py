@@ -23,7 +23,7 @@ from yodel_etl_spark.streaming.events import (
 
 
 @register(
-    "events_tumbling_hourly",
+    "ev_hourly",  # r11 rename of events_tumbling_hourly (byte budget; BASELINE.md bullet)
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
            time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
