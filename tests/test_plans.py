@@ -263,3 +263,70 @@ def test_audiox_blobs_never_shuffle(spark, sf_small):
     assert "MapInPandas" in plan, plan
     assert plan.count("Exchange") <= 1, plan
     assert "Join" not in plan, plan
+
+
+def test_ivf_probe_broadcasts_centroids_never_corpus(spark, sf_small, tmp_path):
+    """probe_ivf_index's scale contract: the incoming batch crosses
+    ONLY the (broadcast) centroid table — C rows, never the corpus —
+    and the candidate join against the posting table is an equi join
+    on the cell key.  A regression that plans a corpus-sized nested
+    loop (the brute-force shape the IVF split exists to avoid) fails
+    here."""
+    import re
+
+    from yodel_etl_spark.scale.similarity import ivf_index_write, probe_ivf_index
+    from yodel_etl_spark.session import load_tables
+
+    emb = load_tables(spark, sf_small, ("embeddings",))["embeddings"].select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    path = str(tmp_path / "ivf")
+    ivf_index_write(emb, "vec_id", "embedding", path, centroid_every=50)
+    probe = probe_ivf_index(
+        spark, path, emb.limit(20), "vec_id", "embedding", 0.9, 3
+    )
+    plan = _plan(probe)
+    assert "CartesianProduct" not in plan, plan
+    # exactly one nested-loop: the batch x centroids broadcast (C rows)
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    # candidates come from an equi join on the cell id
+    assert re.search(r"(HashJoin|SortMergeJoin).*\[cell#\d+L?\]", plan), plan
+
+
+def test_ivf_extend_is_delta_only_single_exchange(spark, sf_small, tmp_path):
+    """extend_ivf_index assigns ONLY the new batch: the plan reads the
+    centroid table (broadcast), never the assignments table, and the
+    only exchange is the per-id argmax window over the batch."""
+    from yodel_etl_spark.scale.similarity import ivf_index_write
+    from yodel_etl_spark.session import load_tables
+
+    emb = load_tables(spark, sf_small, ("embeddings",))["embeddings"].select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    path = str(tmp_path / "ivf")
+    ivf_index_write(emb, "vec_id", "embedding", path, centroid_every=50)
+    # reproduce the extend's assignment plan (the write is the action)
+    from pyspark.sql import Window
+
+    from yodel_etl_spark.scale.similarity import cosine
+
+    delta = emb.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 10_000).alias("id"), F.col("embedding").alias("vec")
+    )
+    cents = spark.read.parquet(f"{path}/centroids")
+    scored = delta.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", cosine(F.col("vec"), F.col("cvec"))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cell"))
+    assign = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("id", "vec", "cell")
+    )
+    plan = _plan(assign)
+    assert "assignments" not in plan, plan  # corpus never re-read
+    assert "BroadcastExchange" in plan, plan  # centroids ship broadcast
+    # the ONLY data shuffle is the per-id argmax window over the batch
+    assert plan.count("Exchange hashpartitioning") == 1, plan
