@@ -862,3 +862,65 @@ def test_extend_components_cost_tracks_delta_not_history(spark):
     print(f"STRESS extend {t_inc:.2f}s vs recompute {t_full:.2f}s "
           f"({t_full / t_inc:.1f}x saved)")
     assert t_inc * 1.5 < t_full, (t_inc, t_full)
+
+
+def test_ivf_probe_cost_tracks_batch_not_corpus(spark, tmp_path):
+    """The persisted-IVF promise: probing a FIXED incoming batch
+    against a 10x corpus costs nowhere near 10x — the probe reads the
+    broadcast centroid table plus only the nprobe cells' postings, so
+    wall tracks batch x cell-width, not corpus size.  The local
+    evidence for the embedding gate's at-scale posture (the same
+    claim shape as the CDC delta test)."""
+    from yodel_etl_spark.scale.similarity import ivf_index_write, probe_ivf_index
+    from yodel_etl_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.1", ("embeddings",))[
+        "embeddings"
+    ].select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    big = emb.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x + 0.001 * cast(rep as double) "
+            "* embedding[(i + 3) % size(embedding)])"
+        ).alias("embedding"),
+    )
+    small_p = str(tmp_path / "emb_small")
+    big_p = str(tmp_path / "emb_big")
+    emb.write.parquet(small_p)
+    big.write.parquet(big_p)
+    small = spark.read.parquet(small_p)
+    large = spark.read.parquet(big_p)
+
+    # same centroid COUNT for both (the gate's frozen-centroid regime:
+    # the corpus outgrows the centroid set between rebuilds)
+    idx_s = str(tmp_path / "ivf_s")
+    idx_b = str(tmp_path / "ivf_b")
+    # wide spacing keeps the SETUP (index builds) cheap — the claim
+    # under test is the probe, and cell width (corpus/centroids) is
+    # what matters for it, not the absolute centroid count
+    ivf_index_write(small, "vec_id", "embedding", idx_s, centroid_every=500)
+    ivf_index_write(large, "vec_id", "embedding", idx_b, centroid_every=500)
+
+    batch = small.where(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 77_000_000).alias("vec_id"), "embedding"
+    )
+    batch = batch.localCheckpoint(eager=True)
+
+    def probe_wall(idx):
+        t = time.perf_counter()
+        _force(probe_ivf_index(spark, idx, batch, "vec_id", "embedding", 0.9, 3))
+        return time.perf_counter() - t
+
+    probe_wall(idx_s)  # warm-up
+    t_small = min(probe_wall(idx_s) for _ in range(3))
+    t_large = min(probe_wall(idx_b) for _ in range(3))
+    ratio = t_large / t_small
+    print(f"ivf probe: small {t_small:.2f}s large {t_large:.2f}s ratio {ratio:.2f}")
+    # 10x corpus with a frozen centroid count fattens cells ~10x, so
+    # candidate verify grows — but far below the 10x a corpus-shuffling
+    # plan would pay; the centroid broadcast and batch side are fixed
+    assert ratio < 5.0, (t_small, t_large)
