@@ -243,6 +243,12 @@ def test_component_map_versioned_roundtrip(spark, tmp_path):
         for r in read_component_map(spark, path).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
-    # pruned: only the newest complete snapshot remains on disk
-    vers = [d for d in os.listdir(path) if d.startswith("map_v")]
-    assert vers == ["map_v2"]
+    # retention window of ONE: v1 survives the v2 fold (a lazy reader
+    # that resolved v1 must not lose its files mid-scan), and only
+    # strictly older snapshots prune on the next fold
+    vers = sorted(d for d in os.listdir(path) if d.startswith("map_v"))
+    assert vers == ["map_v1", "map_v2"]
+    p3 = spark.createDataFrame([(8, 9)], "doc_a long, doc_b long")
+    assert update_component_map(spark, path, p3) == 3
+    vers = sorted(d for d in os.listdir(path) if d.startswith("map_v"))
+    assert vers == ["map_v2", "map_v3"]

@@ -276,3 +276,44 @@ def test_stage_key_is_injective_for_colliding_leaf_names(spark, tmp_path, monkey
     )
     for leaf in (f"{path}/a=1/b=2", f"{path}/a=1__b=2"):
         assert spark.read.parquet(leaf).count() == 2_000
+
+
+def test_recovery_finishes_legacy_pre_digest_stage(spark, tmp_path, monkeypatch):
+    """Upgrade safety: a committed swap staged under the OLD
+    (pre-digest) flattened name must still be FINISHED by the new
+    code's recovery — orphaning it would leave the leaf with the
+    retire step never applied (duplicate rows forever)."""
+    path = str(tmp_path / "t")
+    df = spark.range(1_000).select("id", (F.col("id") * 2).alias("v"))
+    df.repartition(6).write.parquet(f"{path}/p=1")
+    leaf = f"{path}/p=1"
+
+    # simulate the old version crashing mid-retire: staged files are
+    # already installed, the manifest still lists the originals
+    import shutil as _sh
+
+    legacy_stage = str(tmp_path / "_compact_stage_t" / "p=1")
+    os.makedirs(legacy_stage)
+    originals = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+    # the "rewrite" that was installed before the crash: one compacted
+    # copy of the leaf, present in the leaf alongside the originals
+    spark.read.parquet(leaf).coalesce(1).write.parquet(str(tmp_path / "rw"))
+    rewritten = [
+        f for f in os.listdir(str(tmp_path / "rw")) if f.endswith(".parquet")
+    ]
+    _sh.copy(
+        os.path.join(str(tmp_path / "rw"), rewritten[0]),
+        os.path.join(leaf, "part-legacy-rewrite.parquet"),
+    )
+    with open(os.path.join(legacy_stage, "_SWAP_MANIFEST"), "w") as fh:
+        fh.write("\n".join(originals))
+
+    before = spark.read.parquet(leaf).count()
+    assert before == 2_000  # duplicated: originals + installed copy
+
+    reports = compact_parquet(spark, path, target_bytes=512 * 1024)
+    assert reports[0]["recovered"]
+    # the legacy stage is finished: originals retired, values restored
+    after = spark.read.parquet(leaf)
+    assert after.count() == 1_000
+    assert not os.path.isdir(legacy_stage)

@@ -1293,3 +1293,30 @@ def test_foreachbatch_embedding_dedup_ingest(spark, tmp_path, monkeypatch):
     land(b2, 1)  # full-success replay: self-hit gate makes it a no-op
     assert spark.read.parquet(corpus).where("vec_id = 11").count() == 2
     assert map_dict() == {0: 0, 4: 0, 2: 2, 10: 2}
+
+
+def test_embedding_ingest_refuses_uncentroidable_first_batch_before_append(
+    spark, tmp_path
+):
+    """The no-centroid refusal is DETERMINISTIC, so it must fire BEFORE
+    the corpus append: raising after a side-effecting write would turn
+    every foreachBatch retry into another duplicate append, forever."""
+    import os
+
+    import pytest
+
+    from yodel_etl_spark.scale import dedup as D
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "ivf")
+    land = D.embedding_dedup_ingest(index, corpus, centroid_every=50)
+    b = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0]) for i in (1, 2, 3)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="no centroid selectable"):
+        land(b, 0)
+    # nothing landed anywhere: the batch is rejectable forever, so the
+    # corpus must be untouched on every attempt
+    assert not os.path.exists(corpus)
+    assert not os.path.exists(index)

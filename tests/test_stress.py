@@ -895,15 +895,26 @@ def test_ivf_probe_cost_tracks_batch_not_corpus(spark, tmp_path):
     small = spark.read.parquet(small_p)
     large = spark.read.parquet(big_p)
 
-    # same centroid COUNT for both (the gate's frozen-centroid regime:
-    # the corpus outgrows the centroid set between rebuilds)
     idx_s = str(tmp_path / "ivf_s")
     idx_b = str(tmp_path / "ivf_b")
-    # wide spacing keeps the SETUP (index builds) cheap — the claim
-    # under test is the probe, and cell width (corpus/centroids) is
-    # what matters for it, not the absolute centroid count
-    ivf_index_write(small, "vec_id", "embedding", idx_s, centroid_every=500)
-    ivf_index_write(large, "vec_id", "embedding", idx_b, centroid_every=500)
+    # 40 centroids: nprobe/C must be SMALL for the IVF claim to mean
+    # anything (with a handful of centroids nprobe covers most of the
+    # corpus and the probe degenerates to a scan)
+    ivf_index_write(small, "vec_id", "embedding", idx_s, centroid_every=50)
+    # the big index is built the way the GATE actually grows one: the
+    # same first-snapshot build, then the 9 replica batches arrive via
+    # delta-only extends against the FROZEN centroids — same centroid
+    # count as the small index, cells ~10x fatter (building the big
+    # corpus from scratch would re-select 10x centroids and dodge the
+    # staleness regime under test)
+    ivf_index_write(small, "vec_id", "embedding", idx_b, centroid_every=50)
+    from yodel_etl_spark.scale.similarity import extend_ivf_index
+
+    extend_ivf_index(
+        large.where(F.col("vec_id") >= 1_000_000), idx_b, "vec_id", "embedding"
+    )
+    n_cents = spark.read.parquet(f"{idx_b}/centroids").count()
+    assert n_cents == spark.read.parquet(f"{idx_s}/centroids").count()
 
     batch = small.where(F.col("vec_id") % 40 == 0).select(
         (F.col("vec_id") + 77_000_000).alias("vec_id"), "embedding"
@@ -920,7 +931,8 @@ def test_ivf_probe_cost_tracks_batch_not_corpus(spark, tmp_path):
     t_large = min(probe_wall(idx_b) for _ in range(3))
     ratio = t_large / t_small
     print(f"ivf probe: small {t_small:.2f}s large {t_large:.2f}s ratio {ratio:.2f}")
-    # 10x corpus with a frozen centroid count fattens cells ~10x, so
+    # 10x corpus with a FROZEN centroid set fattens cells ~10x, so the
     # candidate verify grows — but far below the 10x a corpus-shuffling
-    # plan would pay; the centroid broadcast and batch side are fixed
+    # plan would pay: the centroid broadcast, the batch side, and the
+    # per-job constants are all fixed
     assert ratio < 5.0, (t_small, t_large)

@@ -126,32 +126,40 @@ def _compact_leaf(
     # extra dir breaks same-level partition inference
     rel = os.path.relpath(leaf, path)
     if rel == ".":
-        rel = "_root"
+        rel = legacy_rel = "_root"
     else:
         # the flattened name alone is NOT injective (a literal dir
         # `a=1__b=2` collides with nested `a=1/b=2`); under
         # max_concurrency > 1 two colliding leaves would share a stage
         # and the later rewrite could delete the earlier's committed
         # staged files — suffix a digest of the raw path to disambiguate
+        legacy_rel = rel.replace(os.sep, "__")
         digest = hashlib.md5(rel.encode("utf-8")).hexdigest()[:8]
-        rel = rel.replace(os.sep, "__") + "-" + digest
-    stage = os.path.join(
+        rel = legacy_rel + "-" + digest
+    stage_root = os.path.join(
         os.path.dirname(path.rstrip("/")) or ".",
         "_compact_stage_" + os.path.basename(path.rstrip("/")),
-        rel,
     )
+    stage = os.path.join(stage_root, rel)
+    legacy_stage = os.path.join(stage_root, legacy_rel)
     recovered = False
-    if os.path.isdir(stage):
-        if os.path.exists(os.path.join(stage, _MANIFEST)):
+    # recovery probes the pre-digest stage name too: a committed swap
+    # staged by an older version must still FINISH after an upgrade —
+    # orphaning it would leave the leaf with duplicate rows forever
+    probes = (stage,) if legacy_stage == stage else (legacy_stage, stage)
+    for st in probes:
+        if not os.path.isdir(st):
+            continue
+        if os.path.exists(os.path.join(st, _MANIFEST)):
             # committed swap interrupted mid-flight: FINISH it (the
             # stage may hold the only complete copy of some rows —
             # discarding it here is exactly the data-loss bug)
-            _finish_swap(stage, leaf)
+            _finish_swap(st, leaf)
             recovered = True
         else:
             # uncommitted rewrite leftovers: originals are intact
             # and complete, the stage is junk
-            shutil.rmtree(stage, ignore_errors=True)
+            shutil.rmtree(st, ignore_errors=True)
     files = _parquet_files(leaf)
     total = sum(sz for _, sz in files)
     frag = (

@@ -87,12 +87,10 @@ def _storage_aggs(aggs: dict) -> dict:
             storage[f"{out}__cnt"] = ("_countnn", src)
         else:
             storage[out] = (kind, src)
-    n_expected = sum(2 if kind == "avg" else 1 for kind, _ in aggs.values())
-    if len(storage) != n_expected:
-        raise ValueError(
-            "avg aggregates' __sum/__cnt storage names collide with "
-            f"each other in {sorted(aggs)}; rename the avg outputs"
-        )
+    # no second guard needed: derived-vs-derived collisions are
+    # impossible (equal outs can't coexist in a dict, and
+    # s1+'__sum' == s2+'__cnt' has no string solution), and every
+    # derived-vs-plain collision names an output already caught above
     return storage
 
 

@@ -315,15 +315,19 @@ def update_component_map(
     CLUSTERED doc — unboundedly smaller than the pair history — and the
     fold's shuffle carries |map| + |batch| id pairs (see
     :func:`extend_components`)."""
-    prev = read_component_map(spark, path)
     v = latest_component_version(spark, path)
+    prev = None if v == 0 else spark.read.parquet(f"{path}/map_v{v}")
     if prev is None:
         new_map = connected_components(new_pairs, src, dst, max_iter)
     else:
         new_map = extend_components(prev, new_pairs, src, dst, max_iter)
     new_map.write.mode("overwrite").parquet(f"{path}/map_v{v + 1}")
+    # retention window of ONE: keep v alongside the new v+1 so a lazy
+    # reader that resolved v before this fold never loses its files
+    # mid-scan (read_component_map returns an unevaluated plan); only
+    # strictly older snapshots prune
     fs, _, jvm = _map_fs(spark, path)
-    for i in range(1, v + 1):
+    for i in range(1, v):
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/map_v{i}"), True)
     return v + 1
 

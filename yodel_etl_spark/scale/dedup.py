@@ -1155,6 +1155,15 @@ def near_dedup_ingest(
                     sets.join(surv_ids, "doc", "left_semi"),
                     threshold,
                 )
+                if components_path is not None:
+                    # snapshot the probe ONCE (ids only): the novel
+                    # filter AND the cluster union both read this
+                    # frame, so the index join never runs twice per
+                    # batch — and it is evaluated before any index
+                    # write, same self-hit discipline as novel_ids
+                    hits = hits.select("doc_inc", "doc_idx").localCheckpoint(
+                        eager=True
+                    )
                 dup_ids = hits.select(F.col("doc_inc").alias("doc")).distinct()
                 novel_ids = surv_ids.join(dup_ids, "doc", "left_anti")
             else:
@@ -1468,6 +1477,12 @@ def sketch_dedup_ingest(
                 hits = probe_hamming_index(
                     spark, index_path, batch, id_col, hash_col, max_distance
                 )
+                if components_path is not None:
+                    # probe snapshot shared by gate + cluster union
+                    # (the near-gate discipline: one index join/batch)
+                    hits = hits.select("doc_inc", "doc_idx").localCheckpoint(
+                        eager=True
+                    )
                 dup_ids = hits.select(F.col("doc_inc").alias(id_col)).distinct()
                 if components_path is not None:
                     cluster_src = cluster_src.unionByName(
@@ -1566,6 +1581,12 @@ def embedding_dedup_ingest(
                 hits = probe_ivf_index(
                     spark, index_path, batch, id_col, vec_col, threshold, nprobe
                 )
+                if components_path is not None:
+                    # probe snapshot shared by gate + cluster union
+                    # (the near-gate discipline: one index join/batch)
+                    hits = hits.select("id_inc", "id_idx").localCheckpoint(
+                        eager=True
+                    )
                 dup_ids = hits.select(F.col("id_inc").alias(id_col)).distinct()
                 if components_path is not None:
                     cluster_src = cluster_src.unionByName(
@@ -1585,6 +1606,23 @@ def embedding_dedup_ingest(
                 extend_ivf_index(novel, index_path, id_col, vec_col)
             else:
                 novel = batch.localCheckpoint(eager=True)
+                # centroid feasibility BEFORE the corpus append: the
+                # build's no-centroid refusal is DETERMINISTIC, so
+                # raising after a side-effecting write would replay
+                # into an unbounded duplicate-append loop (the crash
+                # contract covers transient failures, not a batch that
+                # can never build an index)
+                if (
+                    novel.where(
+                        F.pmod(F.col(id_col), F.lit(centroid_every)) == 0
+                    ).limit(1).count()
+                    == 0
+                ):
+                    raise ValueError(
+                        "no centroid selectable from the first batch: no "
+                        f"id divisible by {centroid_every}; lower "
+                        "centroid_every or remap ids"
+                    )
                 cluster_pairs = _snapshot_cluster_pairs(
                     cluster_src, components_path
                 )
