@@ -1035,6 +1035,29 @@ def test_ingest_gates_release_cache_on_failed_batch(spark, tmp_path, monkeypatch
         land2(spark.createDataFrame([(2, 999999)], "doc long, sim long"), 1)
     assert cm.isEmpty(), "failed sketch_dedup_ingest batch leaked cached frames"
 
+    # embedding twin: pairs registers the persisted LSH sketch
+    from yodel_etl_spark.scale import similarity as S
+
+    corpus3 = str(tmp_path / "corpus3")
+    index3 = str(tmp_path / "ivf_index")
+    land3 = D.embedding_dedup_ingest(index3, corpus3, centroid_every=1)
+    land3(
+        spark.createDataFrame(
+            [(1, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+        ),
+        0,
+    )
+    assert cm.isEmpty(), "successful embedding_dedup_ingest batch left cached frames"
+    monkeypatch.setattr(S, "extend_ivf_index", boom)
+    with pytest.raises(RuntimeError, match="crash in extend"):
+        land3(
+            spark.createDataFrame(
+                [(2, [0.0, 1.0, 0.0])], "vec_id long, embedding array<double>"
+            ),
+            1,
+        )
+    assert cm.isEmpty(), "failed embedding_dedup_ingest batch leaked cached frames"
+
 
 def test_near_dedup_ingest_component_map_replay_parity(spark, tmp_path, monkeypatch):
     """The opt-in components_path closes the incremental loop's cluster
