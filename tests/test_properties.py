@@ -488,3 +488,58 @@ def test_rollup_upsert_sequence_matches_recompute(spark, tmp_path_factory, facts
         .collect()
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=30),
+                st.integers(min_value=0, max_value=30),
+            ),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_component_map_fold_matches_one_shot(spark, tmp_path_factory, batches):
+    """Random pair batches folded through update_component_map must
+    equal connected_components over the UNION of all batches —
+    transitive closure is associative, and the versioned fold must not
+    depend on how history was sliced (self-loops and duplicate pairs
+    included, as the ingest gates' replays produce them)."""
+    from yodel_etl_spark.scale.cluster import (
+        connected_components,
+        read_component_map,
+        update_component_map,
+    )
+
+    path = str(tmp_path_factory.mktemp("cmap_prop") / "map")
+    seen: list[tuple[int, int]] = []
+    for b in batches:
+        pairs = [(a, c) for a, c in b if a != c]
+        if not pairs:
+            continue
+        seen.extend(pairs)
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        update_component_map(spark, path, df)
+    got_df = read_component_map(spark, path)
+    got = (
+        {}
+        if got_df is None
+        else {r["node"]: r["component"] for r in got_df.collect()}
+    )
+    want = (
+        {}
+        if not seen
+        else {
+            r["node"]: r["component"]
+            for r in connected_components(
+                spark.createDataFrame(seen, "doc_a long, doc_b long")
+            ).collect()
+        }
+    )
+    assert got == want
