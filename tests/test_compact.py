@@ -317,3 +317,46 @@ def test_recovery_finishes_legacy_pre_digest_stage(spark, tmp_path, monkeypatch)
     after = spark.read.parquet(leaf)
     assert after.count() == 1_000
     assert not os.path.isdir(legacy_stage)
+
+
+def test_legacy_stage_recovers_into_its_own_leaf_only(spark, tmp_path):
+    """The pre-digest legacy stage name is NOT leaf-unique: with both
+    a nested `a=1/b=2` and a literal `a=1__b=2` leaf present, a
+    committed legacy swap must finish into the leaf whose files its
+    manifest actually names — never into the colliding leaf."""
+    import shutil as _sh
+
+    path = str(tmp_path / "t")
+    df = spark.range(1_000).select("id", (F.col("id") * 2).alias("v"))
+    df.repartition(6).write.parquet(f"{path}/a=1/b=2")
+    df.repartition(6).write.parquet(f"{path}/a=1__b=2")
+    nested, literal = f"{path}/a=1/b=2", f"{path}/a=1__b=2"
+    nested_before = sorted(os.listdir(nested))
+
+    # committed legacy swap FOR THE LITERAL LEAF, crashed mid-retire:
+    # installed copy present, originals still listed in the manifest
+    legacy_stage = str(tmp_path / "_compact_stage_t" / "a=1__b=2")
+    os.makedirs(legacy_stage)
+    originals = [f for f in os.listdir(literal) if f.endswith(".parquet")]
+    spark.read.parquet(literal).coalesce(1).write.parquet(str(tmp_path / "rw"))
+    rewritten = [
+        f for f in os.listdir(str(tmp_path / "rw")) if f.endswith(".parquet")
+    ]
+    _sh.copy(
+        os.path.join(str(tmp_path / "rw"), rewritten[0]),
+        os.path.join(literal, "part-legacy-rewrite.parquet"),
+    )
+    with open(os.path.join(legacy_stage, "_SWAP_MANIFEST"), "w") as fh:
+        fh.write("\n".join(originals))
+
+    compact_parquet(spark, path, target_bytes=512 * 1024, max_concurrency=2)
+    # literal leaf: swap finished (originals retired, values restored)
+    assert spark.read.parquet(literal).count() == 1_000
+    assert not os.path.isdir(legacy_stage)
+    # nested leaf: never received the literal leaf's staged files —
+    # it was compacted normally from its OWN originals
+    assert spark.read.parquet(nested).count() == 1_000
+    assert not any(
+        f.startswith("part-legacy") for f in os.listdir(nested)
+    ), sorted(os.listdir(nested))
+    assert sorted(os.listdir(nested)) != nested_before  # own rewrite ran

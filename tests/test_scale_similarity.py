@@ -266,3 +266,33 @@ def test_extend_ivf_index_and_probe(spark, sf_small, tmp_path):
             str(tmp_path / "ivf_bad"),
             centroid_every=50,
         )
+
+
+def test_probe_ivf_index_thresholds_raw_cosine_not_rounded(spark, tmp_path):
+    """The probe must compare the RAW cosine against the threshold —
+    rounding first would gate vectors within 5e-7 BELOW threshold,
+    and in the ingest gate that is a dropped non-duplicate (silent
+    loss, the family's forbidden failure mode)."""
+    import math
+
+    from yodel_etl_spark.scale.similarity import ivf_index_write, probe_ivf_index
+
+    c = 0.8999996  # rounds to 0.9 at 6 digits, but is BELOW 0.9
+    stored = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "ivf")
+    ivf_index_write(stored, "vec_id", "embedding", path, centroid_every=1)
+    probe = spark.createDataFrame(
+        [
+            (100, [c, math.sqrt(1 - c * c)]),  # cos vs id 0 = 0.8999996
+            (101, [1.0, 0.0]),                 # cos vs id 0 = 1.0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    hits = probe_ivf_index(
+        spark, path, probe, "vec_id", "embedding", threshold=0.9, nprobe=2
+    )
+    got = {(r["id_inc"], r["id_idx"]) for r in hits.collect()}
+    assert (101, 0) in got
+    assert (100, 0) not in got, "rounded-boundary vector must NOT gate"

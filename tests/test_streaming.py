@@ -1343,3 +1343,26 @@ def test_embedding_ingest_refuses_uncentroidable_first_batch_before_append(
     # corpus must be untouched on every attempt
     assert not os.path.exists(corpus)
     assert not os.path.exists(index)
+
+
+def test_embedding_ingest_empty_first_batch_is_noop(spark, tmp_path):
+    """An empty trigger before any index exists must be a benign no-op
+    (the near/sketch gate behavior), not a deterministic 'no centroid'
+    refusal that kills the stream forever."""
+    import os
+
+    from yodel_etl_spark.scale import dedup as D
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "ivf")
+    land = D.embedding_dedup_ingest(index, corpus, centroid_every=2)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    land(empty, 0)  # must not raise
+    assert not os.path.exists(corpus) and not os.path.exists(index)
+    land(
+        spark.createDataFrame(
+            [(2, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        ),
+        1,
+    )
+    assert spark.read.parquet(corpus).count() == 1

@@ -145,12 +145,30 @@ def _compact_leaf(
     recovered = False
     # recovery probes the pre-digest stage name too: a committed swap
     # staged by an older version must still FINISH after an upgrade —
-    # orphaning it would leave the leaf with duplicate rows forever
-    probes = (stage,) if legacy_stage == stage else (legacy_stage, stage)
-    for st in probes:
+    # orphaning it would leave the leaf with duplicate rows forever.
+    # The legacy name is NOT leaf-unique (`a=1__b=2` vs `a=1/b=2`), so
+    # a legacy stage is finished only when its manifest provably names
+    # THIS leaf's files (part-file basenames are UUID-unique) —
+    # finishing into the wrong leaf would install foreign rows under
+    # the wrong partition path.  A committed legacy stage whose
+    # originals were ALL already retired has no overlap with any leaf
+    # and stays as an inert orphan dir (rows are complete everywhere:
+    # install precedes retire), which beats either wrong outcome.
+    probes = (
+        ((stage, False),)
+        if legacy_stage == stage
+        else ((legacy_stage, True), (stage, False))
+    )
+    for st, need_ownership in probes:
         if not os.path.isdir(st):
             continue
-        if os.path.exists(os.path.join(st, _MANIFEST)):
+        mf = os.path.join(st, _MANIFEST)
+        if os.path.exists(mf):
+            if need_ownership:
+                with open(mf) as fh:
+                    listed = {ln for ln in fh.read().splitlines() if ln}
+                if not (listed & set(os.listdir(leaf))):
+                    continue
             # committed swap interrupted mid-flight: FINISH it (the
             # stage may hold the only complete copy of some rows —
             # discarding it here is exactly the data-loss bug)
@@ -158,7 +176,9 @@ def _compact_leaf(
             recovered = True
         else:
             # uncommitted rewrite leftovers: originals are intact
-            # and complete, the stage is junk
+            # and complete, the stage is junk (for a shared legacy
+            # name, junk for every candidate owner alike; concurrent
+            # double-rmtree is tolerated by ignore_errors)
             shutil.rmtree(st, ignore_errors=True)
     files = _parquet_files(leaf)
     total = sum(sz for _, sz in files)

@@ -1560,6 +1560,7 @@ def embedding_dedup_ingest(
         from yodel_etl_spark.scale.similarity import (
             extend_ivf_index,
             hyperplane_lsh_pairs,
+            is_centroid_id,
             ivf_index_write,
             probe_ivf_index,
         )
@@ -1606,15 +1607,20 @@ def embedding_dedup_ingest(
                 extend_ivf_index(novel, index_path, id_col, vec_col)
             else:
                 novel = batch.localCheckpoint(eager=True)
-                # centroid feasibility BEFORE the corpus append: the
-                # build's no-centroid refusal is DETERMINISTIC, so
-                # raising after a side-effecting write would replay
-                # into an unbounded duplicate-append loop (the crash
-                # contract covers transient failures, not a batch that
-                # can never build an index)
+                # an EMPTY trigger before any index exists is a no-op,
+                # not a refusal — the near/sketch gates land empty
+                # batches benignly and this gate must too
+                if novel.limit(1).count() == 0:
+                    return
+                # centroid feasibility BEFORE the corpus append, using
+                # THE build's own selection predicate: the refusal is
+                # DETERMINISTIC, so raising after a side-effecting
+                # write would replay into an unbounded duplicate-
+                # append loop (the crash contract covers transient
+                # failures, not a batch that can never build an index)
                 if (
                     novel.where(
-                        F.pmod(F.col(id_col), F.lit(centroid_every)) == 0
+                        is_centroid_id(F.col(id_col), centroid_every)
                     ).limit(1).count()
                     == 0
                 ):

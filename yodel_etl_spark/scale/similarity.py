@@ -99,6 +99,35 @@ def brute_force_topk(
     )
 
 
+def is_centroid_id(col: Column, centroid_every: int) -> Column:
+    """THE centroid-selection predicate — every ``centroid_every``-th
+    vector by id.  Single definition shared by the index build and the
+    embedding gate's pre-append feasibility check: if these two ever
+    diverged, the gate would refuse buildable batches (or worse, append
+    a never-buildable batch to the corpus first)."""
+    return col % centroid_every == 0
+
+
+def _nearest_cells(
+    frame: DataFrame, cents: DataFrame, key: str, vec: str, n: int
+) -> DataFrame:
+    """``frame`` + its ``n`` nearest centroid cells by cosine:
+    broadcast the (small) centroid table, deterministic tie-break on
+    cell id.  The single definition of 'nearest cell' shared by index
+    build, delta extend, serving, and probe — the nprobe/assignment
+    geometry must be identical everywhere or extends and probes
+    disagree about where a vector lives."""
+    scored = frame.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", cosine(F.col(vec), F.col("cvec"))
+    )
+    w = Window.partitionBy(key).orderBy(F.col("sim").desc(), F.col("cell"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= n)
+        .drop("rk", "sim", "cvec")
+    )
+
+
 def assign_ivf_cells(
     df: DataFrame, id_col: str, vec_col: str, centroid_every: int = 50
 ) -> tuple[DataFrame, DataFrame]:
@@ -106,18 +135,10 @@ def assign_ivf_cells(
     vector (by id) is a centroid; each vector joins its nearest
     centroid by cosine.  Returns (assignments, centroids)."""
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    cents = v.where(F.col("id") % centroid_every == 0).select(
+    cents = v.where(is_centroid_id(F.col("id"), centroid_every)).select(
         F.col("id").alias("cell"), F.col("vec").alias("cvec")
     )
-    scored = v.crossJoin(F.broadcast(cents)).withColumn(
-        "sim", cosine(F.col("vec"), F.col("cvec"))
-    )
-    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cell"))
-    assign = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("id", "vec", "cell")
-    )
+    assign = _nearest_cells(v, cents, "id", "vec", 1).select("id", "vec", "cell")
     return assign, cents
 
 
@@ -137,14 +158,8 @@ def ivf_search(
     (cell, cvec) centroid table, ``queries`` an external (query_id, qv)
     batch — query vectors need not be index members; index members are
     excluded from their own result list."""
-    qcells = (
-        queries.crossJoin(F.broadcast(cents))
-        .withColumn("sim", cosine(F.col("qv"), F.col("cvec")))
-        .withColumn(
-            "rk", F.row_number().over(Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cell")))
-        )
-        .where(F.col("rk") <= nprobe)
-        .select("query_id", "qv", "cell")
+    qcells = _nearest_cells(queries, cents, "query_id", "qv", nprobe).select(
+        "query_id", "qv", "cell"
     )
     cand = qcells.join(assign, "cell").where(F.col("id") != F.col("query_id"))
     scored = cand.withColumn("cosine", cosine(F.col("vec"), F.col("qv"))).withColumn(
@@ -214,15 +229,7 @@ def extend_ivf_index(
     spark = df.sparkSession
     cents = spark.read.parquet(f"{path}/centroids")
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    scored = v.crossJoin(F.broadcast(cents)).withColumn(
-        "sim", cosine(F.col("vec"), F.col("cvec"))
-    )
-    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cell"))
-    assign = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("id", "vec", "cell")
-    )
+    assign = _nearest_cells(v, cents, "id", "vec", 1).select("id", "vec", "cell")
     assign.write.mode("append").parquet(f"{path}/assignments")
 
 
@@ -252,28 +259,20 @@ def probe_ivf_index(
     q = incoming.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    qcells = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("sim", cosine(F.col("qv"), F.col("cvec")))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col("sim").desc(), F.col("cell")
-                )
-            ),
-        )
-        .where(F.col("rk") <= nprobe)
-        .select("query_id", "qv", "cell")
+    qcells = _nearest_cells(q, cents, "query_id", "qv", nprobe).select(
+        "query_id", "qv", "cell"
     )
     cand = qcells.join(assign, "cell")
-    scored = cand.withColumn(
-        "cosine_r", F.round(cosine(F.col("vec"), F.col("qv")), 6)
-    )
-    return scored.where(F.col("cosine_r") >= threshold).select(
+    # threshold on the RAW cosine — the same comparison the in-batch
+    # verify (hyperplane_lsh_pairs) and the MinHash/Hamming probes
+    # make; thresholding the rounded value would gate boundary vectors
+    # within 5e-7 BELOW threshold, and for the ingest gate that is a
+    # dropped non-duplicate (silent loss, the family's forbidden mode)
+    scored = cand.withColumn("cosine", cosine(F.col("vec"), F.col("qv")))
+    return scored.where(F.col("cosine") >= threshold).select(
         F.col("query_id").alias("id_inc"),
         F.col("id").alias("id_idx"),
-        "cosine_r",
+        F.round("cosine", 6).alias("cosine_r"),
     )
 
 
