@@ -53,39 +53,44 @@ def test_staged_oracle_matches_registered_builder(spark, name, sql, sf_dir):
     assert len(spark_pdf) > 0
 
 
-@pytest.mark.parametrize(
-    "flips",
-    [("tdiff", "xspan"), ("tdiff", "xspan", "anchor")],
-    ids=["two-flip", "three-flip-with-anchor"],
-)
-def test_counter11_window_admits_the_flip(monkeypatch, flips):
-    """Round 12 runs at counter 11.  Shadow-flip the named rows-only
-    queries to oracle-backed tier 4 (fresh highest tier ⇒ they append
-    at the end of the oracle block — the placement the recipe requires)
-    and verify the rotated 50-slot window keeps every protected name
-    AND windows the new oracles immediately.  If this ever breaks
-    (registry grew, counter drifted), the flip recipe must be
-    re-simulated before executing."""
+def test_flip_executed_oracles_live():
+    """Round 12 executed the staged flip: all three carry their staged
+    SQL as the LIVE driver oracle at tier 4 (end of the oracle block —
+    the placement the window simulation assumed)."""
+    qs = load_all()
+    for name, sql in (
+        ("tdiff", TDIFF_ORACLE),
+        ("xspan", XSPAN_ORACLE),
+        ("anchor", ANCHOR_ORACLE),
+    ):
+        assert qs[name].oracle == sql, f"{name} oracle not wired"
+        assert qs[name].tier == 4, f"{name} not tier 4"
+
+
+def test_counter11_window_post_flip(monkeypatch):
+    """THIS round's invariant (round 12 = counter 11) on the registry
+    exactly as committed — the flip real, not shadowed: every protected
+    name stays inside the 50-slot driver window and all three new
+    oracles are windowed immediately (their first driver rows)."""
     import __spark_entry__ as e
 
-    qs = load_all()
-    for n in flips:
-        monkeypatch.setattr(qs[n], "oracle", "SELECT 1")
-        monkeypatch.setattr(qs[n], "tier", 4)
     monkeypatch.setattr(e, "_round_counter", lambda: 11)
     window = list(e.queries())[:50]
-    missing = [q for q in _PROTECTED + tuple(flips) if q not in window]
+    missing = [
+        q for q in _PROTECTED + ("tdiff", "xspan", "anchor") if q not in window
+    ]
     assert not missing, f"counter-11 window evicts {missing}"
 
 
-def test_counter10_window_protects_first_timers(monkeypatch):
-    """THIS round's invariant (round 11 = counter 10): with the registry
-    exactly as committed — no oracle insertions — split_docs (position
-    49, the last slot), decontam, funnel and cjk_tokens are all inside
-    the driver window for their first/banked green rows."""
+def test_counter12_window_admits_ev_hourly(monkeypatch):
+    """The starvation-bound promise for ``ev_hourly``: it sits at
+    position 51 at counter 11 (one slot out — its second consecutive
+    miss after the r11 rename broke its green-row history), so counter
+    12 (round 13) MUST window it, alongside the three new oracles'
+    second rows.  If the registry grows before round 13, re-simulate."""
     import __spark_entry__ as e
 
-    monkeypatch.setattr(e, "_round_counter", lambda: 10)
+    monkeypatch.setattr(e, "_round_counter", lambda: 12)
     window = list(e.queries())[:50]
-    for q in ("funnel", "decontam", "split_docs", "cjk_tokens"):
-        assert q in window, f"counter-10 window lost {q}"
+    for q in ("ev_hourly", "tdiff", "xspan", "anchor"):
+        assert q in window, f"counter-12 window lost {q}"

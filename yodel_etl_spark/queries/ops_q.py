@@ -3,13 +3,13 @@ end-to-end crawl-curation chain.
 
 ``funnel`` is oracle-backed (tier 3: it yields its driver-window slot to
 the established queries; parity also pinned by the join-chain oracle in
-tests/test_funnel.py).  ``tdiff`` and ``crawl`` are registered rows-only
-this round — ``tdiff``'s full-outer-join oracle exists (tests/
-test_diff.py) and flips on once the rotation-window simulation says the
-extra oracle entry cannot evict a never-windowed query (the cdc/links
-protection rule); ``crawl`` composes container ingest, the robots gate,
-curation, link extraction and PageRank, whose iterative core is not a
-single SQL statement.
+tests/test_funnel.py).  ``tdiff``/``xspan``/``anchor`` flipped to
+oracle-backed (tier 4) in round 12 per the staged recipe in
+tools/r12_oracle_flip.md — the counter-11 window simulation and both-SF
+DuckDB parity were pinned in tests/test_r12_flip.py a round before the
+wire-up.  ``crawl`` stays rows-only: it composes container ingest, the
+robots gate, curation, link extraction and PageRank, whose iterative
+core is not a single SQL statement.
 """
 
 from __future__ import annotations
@@ -99,10 +99,12 @@ WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
 
 @register(
     "tdiff",
-    oracle=None,  # full-outer-join SQL twin exists (tests/test_diff.py);
-    # kept rows-only this round so the oracle-block length leaves the
-    # never-windowed cdc/links entries inside the round-9 driver window
-    # (rotation k = counter*10 % len shifts with every oracle add)
+    oracle=TDIFF_ORACLE,  # flipped on in round 12 per the staged recipe
+    # (tools/r12_oracle_flip.md): parity pinned at both SFs by
+    # tests/test_r12_flip.py before the wire-up; tier 4 appends it at
+    # the end of the oracle block, the placement the counter-11 window
+    # simulation assumes
+    tier=4,
     doc="Keyed table diff between two deterministic customer snapshots "
     "(keys dropped on either side, acctbal bumped on a residue class, "
     "segment migrated on another): ONE co-partitioned full-outer join "
@@ -175,9 +177,10 @@ FROM runs GROUP BY doc_id, grp
 
 @register(
     "xspan",
-    oracle=None,  # the DuckDB twin (same anchors + gaps-and-islands)
-    # is pinned in tests/test_scale_dedup.py; kept rows-only this round
-    # for the same rotation-window reason as tdiff
+    oracle=XSPAN_ORACLE,  # flipped on in round 12 (tools/
+    # r12_oracle_flip.md) — the single-space-with-empties tokenization
+    # twin, parity pinned at both SFs by tests/test_r12_flip.py
+    tier=4,
     doc="Exact-substring duplicate spans, the suffix-array move of Lee "
     "et al. 2022 §4.1 reformulated for a 1000-executor plan (no global "
     "suffix sort): every position emits its k-token anchor digest, "
@@ -464,10 +467,10 @@ ANCHOR_ORACLE = _anchor_oracle()
 
 @register(
     "anchor",
-    oracle=None,  # staged: ANCHOR_ORACLE above flips on in round 12
-    # together with tdiff/xspan — the counter-11 three-flip window is
-    # simulation-pinned and the SQL parity executable in
-    # tests/test_r12_flip.py
+    oracle=ANCHOR_ORACLE,  # flipped on in round 12 together with
+    # tdiff/xspan — the counter-11 three-flip window was simulation-
+    # pinned and the SQL parity pre-verified in tests/test_r12_flip.py
+    tier=4,
     doc="Anchor-text table — how the web DESCRIBES each target host, "
     "the weak (query, document) supervision signal retrieval pipelines "
     "mine: anchor tags (both quote styles) zipped positionally from "
