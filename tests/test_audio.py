@@ -545,3 +545,58 @@ def test_audio_fingerprint_gain_invariance_and_near_dup(spark):
     release(pairs)
     assert frozenset((0, 1)) in got and frozenset((0, 2)) in got
     assert frozenset((0, 3)) not in got
+
+
+def test_external_decoder_hook_end_to_end(spark):
+    """The r12 pluggable-codec hook: a fake compressed blob (non-RIFF)
+    rides audio_features/audio_spectral/audio_fingerprint through a
+    mocked external decoder alongside a real WAV — bits=0 marks the
+    external rows — while WITHOUT the decoder the same frame still
+    raises (the honest default gate, untouched)."""
+    from yodel_etl_spark.scale.audio import (
+        audio_features,
+        audio_fingerprint,
+        audio_spectral,
+    )
+
+    t = np.arange(2000)
+    wav = wav_pack(
+        (3000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16),
+        sample_rate=8000,
+    )
+    fake_mp3 = b"ID3\x03\x00" + bytes(range(64))
+
+    def mock_decoder(blob):
+        # deterministic samples keyed off the blob bytes
+        n = 1600
+        x = np.frombuffer((blob * (n // len(blob) + 1))[:n], dtype=np.uint8)
+        return (x.astype(np.int16) - 128) * 64, 16000
+
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(fake_mp3))],
+        "id long, content binary",
+    )
+    feats = {
+        r["id"]: r
+        for r in audio_features(df, decoder=mock_decoder).collect()
+    }
+    assert feats[1]["bits"] == 16 and feats[1]["sample_rate"] == 8000
+    assert feats[2]["bits"] == 0  # external decode marker
+    assert feats[2]["sample_rate"] == 16000
+    assert feats[2]["n_samples"] == 1600
+    assert feats[2]["sum_abs"] > 0
+
+    spec = {
+        r["id"]: r
+        for r in audio_spectral(df, decoder=mock_decoder).collect()
+    }
+    assert spec[2]["n_frames"] > 0 and len(spec[2]["log_mel_mean"]) == 16
+    fp = {
+        r["id"]: r["fp"]
+        for r in audio_fingerprint(df, decoder=mock_decoder).collect()
+    }
+    assert isinstance(fp[2], int)
+
+    # default gate intact: same frame, no decoder → the honest raise
+    with pytest.raises(Exception, match="RIFF|NotImplemented"):
+        audio_features(df).collect()

@@ -81,6 +81,35 @@ class _Handler(BaseHTTPRequestHandler):
             # 200 with empty candidates = safety block shape
             body = json.dumps({"promptFeedback": {"blockReason": "SAFETY"}})
             self._send(200, body.encode())
+        elif self.path == "/embed":
+            # OpenAI-compatible envelope, served out of order to prove
+            # the index re-sort; vector = [len(text), position]
+            n = int(self.headers["Content-Length"])
+            req = json.loads(self.rfile.read(n))
+            data = [
+                {"index": i, "embedding": [float(len(t)), float(i)]}
+                for i, t in enumerate(req["input"])
+            ]
+            body = json.dumps({"data": list(reversed(data)), "model": req.get("model")})
+            self._send(200, body.encode())
+        elif self.path == "/embed-bare":
+            # bare {"embeddings": [[...]]} envelope (TEI-style)
+            n = int(self.headers["Content-Length"])
+            req = json.loads(self.rfile.read(n))
+            body = json.dumps(
+                {"embeddings": [[float(len(t)), 1.0] for t in req["input"]]}
+            )
+            self._send(200, body.encode())
+        elif self.path == "/embed-short":
+            # 200 with a MISSING vector — must fail, never misalign
+            n = int(self.headers["Content-Length"])
+            req = json.loads(self.rfile.read(n))
+            body = json.dumps(
+                {"embeddings": [[1.0, 1.0] for _ in req["input"][1:]]}
+            )
+            self._send(200, body.encode())
+        elif self.path == "/embed-broken":
+            self._send(503, b"model loading")
         else:
             self._send(404, b"nope")
 
@@ -238,3 +267,60 @@ def test_clients_are_picklable():
     c._sess()  # materialize the live session, must not ride the pickle
     c2 = pickle.loads(pickle.dumps(c))
     assert c2._session is None and c2.api_key == "k"
+
+
+def test_embedding_client_reorders_openai_envelope(server):
+    from yodel_etl_spark.llm.clients import EmbeddingEndpointClient
+
+    client = EmbeddingEndpointClient(f"{server}/embed", model="m", retry=FAST_RETRY)
+    vecs = client(["a", "bbb", "cc"])
+    # served reversed; index re-sort restores text order ([len, pos])
+    assert vecs == [[1.0, 0.0], [3.0, 1.0], [2.0, 2.0]]
+
+
+def test_embedding_client_bare_envelope_and_count_guard(server):
+    from yodel_etl_spark.llm.clients import EmbeddingEndpointClient
+
+    client = EmbeddingEndpointClient(f"{server}/embed-bare", retry=FAST_RETRY)
+    assert client(["xy", "z"]) == [[2.0, 1.0], [1.0, 1.0]]
+    short = EmbeddingEndpointClient(f"{server}/embed-short", retry=FAST_RETRY)
+    with pytest.raises(HttpStatusError, match="count mismatch"):
+        short(["a", "b", "c"])  # misaligned vectors must never pass
+
+
+def test_encode_via_endpoint_schema_and_failsoft(spark, server):
+    """The production encoder twin: vector column matches encode_text's
+    (array<float> named `embedding`), a dead endpoint becomes NULL
+    vectors + status/error columns for exactly its rows — the pipeline
+    continues, retryable via status != 200."""
+    from yodel_etl_spark.llm.clients import EmbeddingEndpointClient
+    from yodel_etl_spark.scale.encode import encode_via_endpoint
+
+    df = spark.createDataFrame(
+        [(i, "tok " * (i + 1)) for i in range(6)], "doc_id long, text string"
+    )
+    ok = encode_via_endpoint(
+        df,
+        EmbeddingEndpointClient(f"{server}/embed", retry=FAST_RETRY),
+        batch_size=4,
+        max_concurrency=2,
+    )
+    assert [f.name for f in ok.schema.fields] == [
+        "doc_id", "text", "embedding", "encode_status", "encode_error",
+    ]
+    assert dict(ok.dtypes)["embedding"] == "array<float>"
+    rows = {r["doc_id"]: r for r in ok.collect()}
+    assert all(r["encode_status"] == 200 for r in rows.values())
+    # vector[0] = len(text) — alignment survived batching + repartition
+    for i, r in rows.items():
+        assert r["embedding"][0] == float(len("tok " * (i + 1)))
+        assert r["encode_error"] is None
+
+    bad = encode_via_endpoint(
+        df,
+        EmbeddingEndpointClient(f"{server}/embed-broken", retry=FAST_RETRY),
+        batch_size=4,
+    ).collect()
+    assert all(r["encode_status"] == 503 for r in bad)
+    assert all(r["embedding"] is None for r in bad)
+    assert all("503" in r["encode_error"] for r in bad)

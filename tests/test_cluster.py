@@ -252,3 +252,67 @@ def test_component_map_versioned_roundtrip(spark, tmp_path):
     assert update_component_map(spark, path, p3) == 3
     vers = sorted(d for d in os.listdir(path) if d.startswith("map_v"))
     assert vers == ["map_v2", "map_v3"]
+
+
+def test_component_map_detects_cross_version_writer_race(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11 (single-writer contract): when a racing writer lands
+    a COMPLETE snapshot newer than the one this fold wrote (it folded
+    from a map that misses this batch's edges), the fold must raise
+    instead of silently pruning — surfacing the two-gates-one-path
+    misconfiguration.  The same-version clobber is undetectable without
+    writer tokens and stays documented contract."""
+    import pytest
+
+    from yodel_etl_spark.scale import cluster as C
+
+    path = str(tmp_path / "cmap")
+    p1 = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    assert C.update_component_map(spark, path, p1) == 1
+
+    real_extend = C.extend_components
+
+    def racing_extend(prev, new_pairs, *a, **k):
+        # the racing writer completes map_v3 while our fold computes
+        out = real_extend(prev, new_pairs, *a, **k)
+        spark.createDataFrame(
+            [(9, 9)], "node long, component long"
+        ).write.mode("overwrite").parquet(f"{path}/map_v3")
+        return out
+
+    monkeypatch.setattr(C, "extend_components", racing_extend)
+    p2 = spark.createDataFrame([(3, 4)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="single-writer"):
+        C.update_component_map(spark, path, p2)
+    # nothing pruned on the refusal path: both complete snapshots and
+    # the replayable truth (map_v3, the racer's) are intact
+    import os
+
+    vers = sorted(d for d in os.listdir(path) if d.startswith("map_v"))
+    assert vers == ["map_v1", "map_v2", "map_v3"]
+
+
+def test_component_map_prune_skips_missing_versions(spark, tmp_path):
+    """The prune walks the LISTING, not range(1, v): with a hole in the
+    version sequence (v1 pruned long ago), a later fold deletes only
+    the snapshot dirs that exist — the O(v²) blind-delete RPC pattern
+    is gone and behavior is unchanged."""
+    import os
+
+    from yodel_etl_spark.scale import cluster as C
+
+    path = str(tmp_path / "cmap")
+    for a, b in ((1, 2), (3, 4), (5, 6), (7, 8)):
+        C.update_component_map(
+            spark,
+            path,
+            spark.createDataFrame([(a, b)], "doc_a long, doc_b long"),
+        )
+    vers = sorted(d for d in os.listdir(path) if d.startswith("map_v"))
+    assert vers == ["map_v3", "map_v4"]  # retention window of ONE
+    got = {
+        r["node"]: r["component"]
+        for r in C.read_component_map(spark, path).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5, 6: 5, 7: 7, 8: 7}

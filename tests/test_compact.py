@@ -360,3 +360,64 @@ def test_legacy_stage_recovers_into_its_own_leaf_only(spark, tmp_path):
         f.startswith("part-legacy") for f in os.listdir(nested)
     ), sorted(os.listdir(nested))
     assert sorted(os.listdir(nested)) != nested_before  # own rewrite ran
+
+
+def test_fully_finished_legacy_stage_is_reaped_not_orphaned(spark, tmp_path):
+    """ADVICE r11: a committed legacy stage whose install AND retire
+    both completed (no staged parquet, manifest basenames exist nowhere
+    under the root) used to be skipped by the ownership check forever —
+    re-probed by every colliding leaf on every pass.  It is provably
+    finished, so the next compaction reaps it."""
+    path = str(tmp_path / "t")
+    df = spark.range(1_000).select("id", (F.col("id") * 2).alias("v"))
+    df.repartition(6).write.parquet(f"{path}/p=1")
+
+    # a finished legacy swap: manifest lists basenames that no longer
+    # exist anywhere (retired), and no staged parquet remains (installed)
+    legacy_stage = str(tmp_path / "_compact_stage_t" / "p=1")
+    os.makedirs(legacy_stage)
+    with open(os.path.join(legacy_stage, "_SWAP_MANIFEST"), "w") as fh:
+        fh.write("part-gone-1.parquet\npart-gone-2.parquet")
+
+    before = spark.read.parquet(f"{path}/p=1").count()
+    compact_parquet(spark, path, target_bytes=512 * 1024)
+    assert not os.path.isdir(legacy_stage), "finished stage not reaped"
+    assert spark.read.parquet(f"{path}/p=1").count() == before
+
+
+def test_half_finished_legacy_stage_for_other_leaf_stays_inert(
+    spark, tmp_path
+):
+    """The reap must NOT fire while the rightful owner still needs the
+    manifest: a legacy stage whose install completed but whose retire
+    did not (its originals still exist in the COLLIDING leaf) stays on
+    disk when probed from the non-owning leaf, and is then finished by
+    its owner in the same pass — never rmtree'd out from under it."""
+    import shutil as _sh
+
+    path = str(tmp_path / "t")
+    df = spark.range(1_000).select("id", (F.col("id") * 2).alias("v"))
+    df.repartition(6).write.parquet(f"{path}/a=1/b=2")
+    df.repartition(6).write.parquet(f"{path}/a=1__b=2")
+    literal = f"{path}/a=1__b=2"
+
+    legacy_stage = str(tmp_path / "_compact_stage_t" / "a=1__b=2")
+    os.makedirs(legacy_stage)
+    originals = [f for f in os.listdir(literal) if f.endswith(".parquet")]
+    spark.read.parquet(literal).coalesce(1).write.parquet(str(tmp_path / "rw"))
+    rewritten = [
+        f for f in os.listdir(str(tmp_path / "rw")) if f.endswith(".parquet")
+    ]
+    _sh.copy(
+        os.path.join(str(tmp_path / "rw"), rewritten[0]),
+        os.path.join(literal, "part-legacy-rewrite.parquet"),
+    )
+    with open(os.path.join(legacy_stage, "_SWAP_MANIFEST"), "w") as fh:
+        fh.write("\n".join(originals))
+
+    # the nested leaf sorts FIRST (a=1/b=2 < a=1__b=2 in leaf order),
+    # so its probe sees the stage before the owner finishes it — the
+    # serial pass exercises exactly the wrong-leaf-probe window
+    compact_parquet(spark, path, target_bytes=512 * 1024)
+    assert spark.read.parquet(literal).count() == 1_000  # owner finished
+    assert not os.path.isdir(legacy_stage)

@@ -224,3 +224,50 @@ def test_jpeg_header_walk_skips_fill_bytes(spark):
     app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
     blob = b"\xff\xd8" + b"\xff" + app0 + b"\xff" + sof
     assert parse_image_header(blob) == (9, 7, 3)
+
+
+def test_decode_pixels_external_decoder_hook(spark):
+    """The r12 pluggable-codec hook on the image side: unrecognized
+    containers (a fake video frame) and recognized-but-broken profiles
+    (a truncated BMP) fall through to the external decoder; dHash rides
+    the same hook end-to-end; and without a decoder both gates still
+    raise — the honest defaults, untouched."""
+    import numpy as np
+    import pytest
+
+    from yodel_etl_spark.scale.codecs import bmp_pack
+    from yodel_etl_spark.scale.multimodal import decode_pixels
+    from yodel_etl_spark.scale.phash import dhash64, image_dhash
+
+    grad = np.tile(
+        np.arange(0, 160, 10, dtype=np.uint8)[None, :, None], (12, 1, 3)
+    )
+
+    def mock_decoder(blob):
+        # deterministic 12x16x3 plane keyed off the first payload byte
+        return (grad + (blob[-1] % 7)).astype(np.uint8)
+
+    fake_frame = b"\x00\x00\x01\xb3video-frame-payload"  # no known magic
+    bad_bmp = b"BM" + b"\x01" * 10  # recognized magic, truncated body
+
+    px = decode_pixels(fake_frame, decoder=mock_decoder)
+    assert px.shape == (12, 16, 3)
+    assert decode_pixels(bad_bmp, decoder=mock_decoder).shape == (12, 16, 3)
+    with pytest.raises(NotImplementedError):
+        decode_pixels(fake_frame)
+    with pytest.raises(ValueError):
+        decode_pixels(bad_bmp)
+
+    real_bmp = bmp_pack(grad)
+    df = spark.createDataFrame(
+        [(1, bytearray(real_bmp)), (2, bytearray(fake_frame))],
+        "id long, content binary",
+    )
+    got = {
+        r["id"]: r for r in image_dhash(df, decoder=mock_decoder).collect()
+    }
+    assert got[1]["dhash"] == dhash64(grad)  # builtin path untouched
+    assert got[2]["dhash"] == dhash64(mock_decoder(fake_frame))
+    assert (got[2]["img_h"], got[2]["img_w"]) == (12, 16)
+    with pytest.raises(Exception, match="NotImplemented|pyav"):
+        image_dhash(df).collect()  # default gate intact

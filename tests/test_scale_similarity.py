@@ -296,3 +296,141 @@ def test_probe_ivf_index_thresholds_raw_cosine_not_rounded(spark, tmp_path):
     got = {(r["id_inc"], r["id_idx"]) for r in hits.collect()}
     assert (101, 0) in got
     assert (100, 0) not in got, "rounded-boundary vector must NOT gate"
+
+
+def test_ivf_staleness_trigger_and_rebuild(spark, sf_small, tmp_path):
+    """The automated rebuild trigger (r12): a fresh build reads fatness
+    1.0; extends under the bound pass; the extend that would cross
+    ``max_fatness`` raises StaleIVFIndexError BEFORE writing anything
+    (posting table byte-identical after the refusal); rebuild_ivf_index
+    from the corpus resets fatness to 1.0 with the current density,
+    after which the refused batch admits — and planted twins still
+    probe back to their bases (recall survives the rebuild)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from yodel_etl_spark.scale.similarity import (
+        StaleIVFIndexError,
+        extend_ivf_index,
+        ivf_index_read,
+        ivf_index_stats,
+        ivf_index_write,
+        probe_ivf_index,
+        rebuild_ivf_index,
+    )
+    from yodel_etl_spark.session import load_tables
+
+    emb = load_tables(spark, sf_small, ("embeddings",))["embeddings"].select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    base = emb.where(F.col("vec_id") < 100)
+    path = str(tmp_path / "ivf")
+    corpus_path = str(tmp_path / "corpus")
+    ivf_index_write(base, "vec_id", "embedding", path, centroid_every=50)
+    base.write.mode("append").parquet(corpus_path)
+
+    s0 = ivf_index_stats(spark, path)
+    assert s0["fatness"] == pytest.approx(1.0)
+    assert s0["n_vectors"] == base.count()
+
+    def shifted(lo, hi, offset):
+        return emb.where(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).select((F.col("vec_id") + offset).alias("vec_id"), "embedding")
+
+    # batch 1: 100 rows onto 100 → projected fatness 2.0, bound 2.5 ok
+    b1 = shifted(100, 200, 0)
+    extend_ivf_index(b1, path, "vec_id", "embedding", max_fatness=2.5)
+    b1.write.mode("append").parquet(corpus_path)
+    assert ivf_index_stats(spark, path)["fatness"] == pytest.approx(2.0)
+
+    # batch 2 would project 3.0 > 2.5 → deterministic pre-write refusal
+    b2 = shifted(200, 300, 0)
+    n_before = ivf_index_read(spark, path)[0].count()
+    with pytest.raises(StaleIVFIndexError, match="rebuild_ivf_index"):
+        extend_ivf_index(b2, path, "vec_id", "embedding", max_fatness=2.5)
+    assert ivf_index_read(spark, path)[0].count() == n_before  # no write
+
+    # operator move: rebuild from the corpus (the source of truth),
+    # fatness back to 1.0 at the CURRENT density, refused batch admits
+    corpus = spark.read.parquet(corpus_path)
+    rebuild_ivf_index(spark, path, corpus, "vec_id", "embedding")
+    s1 = ivf_index_stats(spark, path)
+    assert s1["fatness"] == pytest.approx(1.0)
+    assert s1["n_vectors"] == corpus.count()
+    extend_ivf_index(b2, path, "vec_id", "embedding", max_fatness=2.5)
+
+    # recall survives the rebuild: rotate-blend twins of stored vectors
+    twins = (
+        spark.read.parquet(corpus_path)
+        .where(F.col("vec_id") % 10 == 0)
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> 0.98 * x + "
+                "0.02 * embedding[(i + 1) % size(embedding)])"
+            ).alias("embedding"),
+        )
+    )
+    hits = probe_ivf_index(
+        spark, path, twins, "vec_id", "embedding", threshold=0.9, nprobe=3
+    )
+    found = {r["id_inc"] for r in hits.collect() if r["id_idx"] == r["id_inc"] - 1_000_000}
+    want = {r["vec_id"] for r in twins.select("vec_id").collect()}
+    assert found == want, f"twins missed after rebuild: {want - found}"
+
+
+def test_ivf_rebuild_centroids_delete_first_and_params_guard(
+    spark, tmp_path
+):
+    """Crash-discipline corners: (a) rebuild_ivf_index with no explicit
+    centroid_every reads it from params; (b) a pre-params index (params
+    dir removed, simulating a pre-r12 build) refuses max_fatness
+    enforcement and refuses a parameterless rebuild with the honest
+    errors, while plain extends still work; (c) ivf_index_stats on a
+    pre-params index reports built_mean/fatness None."""
+    import shutil
+
+    import pytest
+
+    from yodel_etl_spark.scale.similarity import (
+        extend_ivf_index,
+        ivf_index_read,
+        ivf_index_stats,
+        ivf_index_write,
+        rebuild_ivf_index,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7 + 1), float(i % 3 + 1)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivf")
+    ivf_index_write(vecs, "vec_id", "embedding", path, centroid_every=10)
+
+    # (a) centroid_every comes from params (10, not the default 50 —
+    # a 50 rebuild over ids 0..39 would pick fewer centroids)
+    rebuild_ivf_index(spark, path, vecs, "vec_id", "embedding")
+    p = spark.read.parquet(f"{path}/params").first()
+    assert p["centroid_every"] == 10
+    assert ivf_index_stats(spark, path)["fatness"] == pytest.approx(1.0)
+
+    # (b)+(c) pre-params index
+    shutil.rmtree(f"{path}/params")
+    s = ivf_index_stats(spark, path)
+    assert s["built_mean"] is None and s["fatness"] is None
+    delta = spark.createDataFrame(
+        [(100, [1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="no params"):
+        extend_ivf_index(delta, path, "vec_id", "embedding", max_fatness=2.0)
+    with pytest.raises(ValueError, match="params"):
+        rebuild_ivf_index(spark, path, vecs, "vec_id", "embedding")
+    n0 = ivf_index_read(spark, path)[0].count()
+    extend_ivf_index(delta, path, "vec_id", "embedding")  # unguarded ok
+    assert ivf_index_read(spark, path)[0].count() == n0 + 1
+    # explicit centroid_every rebuilds a pre-params index (and records
+    # params going forward — the upgrade path)
+    rebuild_ivf_index(spark, path, vecs, "vec_id", "embedding", centroid_every=10)
+    assert ivf_index_stats(spark, path)["fatness"] == pytest.approx(1.0)

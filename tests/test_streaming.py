@@ -1366,3 +1366,56 @@ def test_embedding_ingest_empty_first_batch_is_noop(spark, tmp_path):
         1,
     )
     assert spark.read.parquet(corpus).count() == 1
+
+
+def test_embedding_ingest_max_fatness_refuses_before_corpus_append(
+    spark, tmp_path
+):
+    """The r12 staleness guard in the gate: a batch whose admission
+    would cross max_fatness raises StaleIVFIndexError BEFORE the corpus
+    append (corpus/index byte-identical after the refusal — a post-
+    append refusal would replay into a duplicate loop); after the
+    operator runs rebuild_ivf_index from the corpus, the SAME batch
+    lands on retry."""
+    import pytest
+
+    from yodel_etl_spark.scale import dedup as D
+    from yodel_etl_spark.scale.similarity import (
+        StaleIVFIndexError,
+        ivf_index_stats,
+        rebuild_ivf_index,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "ivf")
+    land = D.embedding_dedup_ingest(
+        index, corpus, centroid_every=1, max_fatness=2.5
+    )
+
+    def onehot(dim, n=16):
+        v = [0.0] * n
+        v[dim] = 1.0
+        return v
+
+    schema = "vec_id long, embedding array<double>"
+    b1 = spark.createDataFrame([(i, onehot(i)) for i in range(4)], schema)
+    land(b1, 0)  # first batch builds: fatness 1.0
+    b2 = spark.createDataFrame([(i, onehot(i)) for i in range(4, 8)], schema)
+    land(b2, 1)  # projected 2.0 <= 2.5: admitted
+    n_corpus = spark.read.parquet(corpus).count()
+    n_index = spark.read.parquet(f"{index}/assignments").count()
+    assert n_corpus == n_index == 8
+
+    b3 = spark.createDataFrame([(i, onehot(i)) for i in range(8, 12)], schema)
+    with pytest.raises(StaleIVFIndexError, match="rebuild_ivf_index"):
+        land(b3, 2)  # projected 3.0 > 2.5
+    assert spark.read.parquet(corpus).count() == n_corpus  # pre-append
+    assert spark.read.parquet(f"{index}/assignments").count() == n_index
+
+    rebuild_ivf_index(
+        spark, index, spark.read.parquet(corpus), "vec_id", "embedding"
+    )
+    assert ivf_index_stats(spark, index)["fatness"] == pytest.approx(1.0)
+    land(b3, 2)  # retry of the refused batch now admits
+    assert spark.read.parquet(corpus).count() == n_corpus + 4
+    assert spark.read.parquet(f"{index}/assignments").count() == n_index + 4

@@ -109,6 +109,18 @@ def _finish_swap(stage: str, leaf: str) -> None:
         pass
 
 
+def _basenames_exist_under(root: str, basenames: set[str]) -> bool:
+    """True when ANY of ``basenames`` exists anywhere under ``root`` —
+    the cross-leaf retire-completeness probe for reaping a finished
+    legacy stage.  Part-file basenames carry Spark job UUIDs, so a hit
+    can only be the file the manifest meant.  Walk cost is paid only on
+    the rare colliding-legacy-stage probe, never per healthy leaf."""
+    for _, _, files in os.walk(root):
+        if basenames.intersection(files):
+            return True
+    return False
+
+
 def _compact_leaf(
     spark: SparkSession,
     path: str,
@@ -150,9 +162,12 @@ def _compact_leaf(
     # a legacy stage is finished only when its manifest provably names
     # THIS leaf's files (part-file basenames are UUID-unique) —
     # finishing into the wrong leaf would install foreign rows under
-    # the wrong partition path.  A committed legacy stage whose
-    # originals were ALL already retired has no overlap with any leaf
-    # and stays as an inert orphan dir (rows are complete everywhere:
+    # the wrong partition path.  A committed legacy stage that holds no
+    # staged parquet (install complete) and whose manifest basenames
+    # exist NOWHERE under the table root (retire complete — basenames
+    # are UUID-unique) is provably finished end-to-end: reap it, so it
+    # stops being re-probed by every colliding leaf forever.  If either
+    # check fails the stage stays inert (rows are complete everywhere:
     # install precedes retire), which beats either wrong outcome.
     probes = (
         ((stage, False),)
@@ -168,6 +183,14 @@ def _compact_leaf(
                 with open(mf) as fh:
                     listed = {ln for ln in fh.read().splitlines() if ln}
                 if not (listed & set(os.listdir(leaf))):
+                    if not any(
+                        f.endswith(".parquet") for f in os.listdir(st)
+                    ) and not _basenames_exist_under(path, listed):
+                        shutil.rmtree(st, ignore_errors=True)
+                        try:
+                            os.rmdir(os.path.dirname(st))
+                        except OSError:
+                            pass
                     continue
             # committed swap interrupted mid-flight: FINISH it (the
             # stage may hold the only complete copy of some rows —

@@ -57,6 +57,7 @@ __all__ = [
     "AnthropicJudgeClient",
     "BearerFanoutClient",
     "BearerPageClient",
+    "EmbeddingEndpointClient",
     "GeminiGenerateClient",
     "HttpStatusError",
     "RetryPolicy",
@@ -272,6 +273,74 @@ class GeminiGenerateClient(_HttpClientBase):
             ) or payload.get("promptFeedback", {}).get("blockReason", "EMPTY")
             raise HttpStatusError(resp.status_code, f"empty candidates: {reason}")
         return text
+
+
+class EmbeddingEndpointClient(_HttpClientBase):
+    """Batched text→vector client for a model-serving embedding
+    endpoint — the production swap for the deterministic hashed encoder
+    (``scale/encode.py``'s documented stand-in): same per-partition
+    session, retry, env-key and fail-soft conventions as the U1/U2
+    clients, but ``(texts: list[str]) -> list[list[float]]`` because
+    embedding servers batch natively.
+
+    Request body is the ubiquitous open-server shape
+    ``{"input": [...], "model": ...}`` (vLLM / TEI / any
+    OpenAI-compatible `/v1/embeddings` surface speak it); the response
+    parse accepts both common envelopes — ``{"data": [{"embedding":
+    [...]}, ...]}`` (index-ordered) and the bare ``{"embeddings":
+    [[...], ...]}`` — so one client covers the open-source servers
+    without vendor SDKs.  A 200 whose vector count disagrees with the
+    input count is a FAILURE (raising routes the whole sub-batch to
+    the fail-soft columns; silently misaligning vectors to texts is
+    the corrupt-every-downstream-cosine bug).  Plug into
+    :func:`yodel_etl_spark.scale.encode.encode_via_endpoint`."""
+
+    def __init__(
+        self,
+        endpoint: str,
+        model: str | None = None,
+        api_key: str | None = None,
+        api_key_env: tuple[str, ...] = ("EMBEDDING_API_KEY",),
+        timeout: float = 60.0,
+        retry: RetryPolicy | None = None,
+    ):
+        super().__init__(retry)
+        self.endpoint = endpoint
+        self.model = model
+        self.api_key = api_key
+        self.api_key_env = api_key_env
+        self.timeout = timeout
+
+    def __call__(self, texts: list[str]) -> list[list[float]]:
+        headers = {"Content-Type": "application/json"}
+        key = self.api_key or next(
+            (os.getenv(n) for n in self.api_key_env if os.getenv(n)), None
+        )
+        if key:  # many local servers are unauthenticated — key optional
+            headers["Authorization"] = f"Bearer {key}"
+        body: dict = {"input": list(texts)}
+        if self.model:
+            body["model"] = self.model
+        resp = self._request(
+            "POST",
+            self.endpoint,
+            headers=headers,
+            json_body=body,
+            timeout=self.timeout,
+        )
+        payload = resp.json()
+        if "data" in payload:
+            rows = sorted(payload["data"], key=lambda r: r.get("index", 0))
+            vecs = [r["embedding"] for r in rows]
+        else:
+            vecs = payload.get("embeddings", [])
+        if len(vecs) != len(texts):
+            raise HttpStatusError(
+                resp.status_code,
+                f"embedding count mismatch: sent {len(texts)} texts, "
+                f"got {len(vecs)} vectors",
+            )
+        return [[float(x) for x in v] for v in vecs]
 
 
 class BearerPageClient(_HttpClientBase):

@@ -246,7 +246,12 @@ def links_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hyperplane_lsh_pairs at cosine ≥ 0.98 (32 planes × 4 blocks — 8-bit bands: the synthetic corpus is ONE dense BOW cluster, so 4-bit keys would drown the verify stage in candidates; numpy banded sketch past 16 planes) with exact verify.  "
     "Exercises the encode→LSH→verify chain the similarity/SemDeDup "
     "family otherwise only runs from pre-baked vectors, and records "
-    "the encode-stage cost shape.  Rows-only: pair rows with exact "
+    "the encode-stage cost shape.  The PRODUCTION encoder swap is "
+    "scale/encode.py encode_via_endpoint (per-partition "
+    "EmbeddingEndpointClient, fail-soft status columns, token-bucket "
+    "pacing — mocked-service tests in tests/test_clients.py); it emits "
+    "the same vector column, so this chain takes either encoder "
+    "unchanged.  Rows-only: pair rows with exact "
     "ids + cosine rounded to 4 dp (float32 per-row arithmetic, "
     "deterministic).",
     tags=("similarity", "scale", "encode"),

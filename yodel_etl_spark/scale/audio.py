@@ -244,6 +244,32 @@ def decode_wav_samples(blob: bytes, header: dict | None = None):
     return arr[: n * ch].reshape(n, ch)
 
 
+def _decoded_frames(b: bytes, decoder):
+    """``(samples (n, ch), sample_rate, channels, bits)`` via the
+    container decode, falling through to the optional EXTERNAL
+    ``decoder`` on exactly the honest gates (not-a-RIFF container,
+    unsupported format tag) — the pluggable-codec hook for MP3/AAC-class
+    audio without touching the default raise.  Decoder contract:
+    ``(blob) -> (samples, sample_rate)`` with samples ``(n,)`` or
+    ``(n, ch)``; ``bits`` reports 0 for externally-decoded blobs (the
+    container never told us).  A decoder failure propagates — a silent
+    fake is the forbidden mode."""
+    import numpy as np
+
+    h = parse_wav_header(b)
+    try:
+        arr = decode_wav_samples(b, header=h)
+        return arr, h["sample_rate"], h["channels"], h["bits"]
+    except NotImplementedError:
+        if decoder is None:
+            raise
+    arr, rate = decoder(b)
+    arr = np.asarray(arr)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    return arr, int(rate), int(arr.shape[1]), 0
+
+
 def wav_pack(samples, sample_rate: int = 8000, bits: int = 16) -> bytes:
     """Build a canonical PCM WAV blob from an ``(n, ch)`` int array —
     the synth side of the roundtrip (tests and the planted query blobs
@@ -271,12 +297,16 @@ def wav_pack(samples, sample_rate: int = 8000, bits: int = 16) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
-def audio_features(df: DataFrame, binary_col: str = "content") -> DataFrame:
+def audio_features(
+    df: DataFrame, binary_col: str = "content", decoder=None
+) -> DataFrame:
     """Attach AUDIO_FEATURES_SCHEMA columns from a WAV binary column via
     ``mapInPandas`` — exact integer aggregates over the decoded samples
     (int64 accumulation: 32-bit samples × realistic lengths stay far
     from overflow; float32 WAVs quantize to micro-units first so the
-    sums remain exact integers)."""
+    sums remain exact integers).  ``decoder`` (opt-in) plugs an external
+    codec into the honest MP3/AAC gates — see :func:`_decoded_frames`
+    for the contract; by default those blobs still raise."""
     import numpy as np
 
     out_schema = T.StructType(df.schema.fields + list(AUDIO_FEATURES_SCHEMA))
@@ -286,8 +316,7 @@ def audio_features(df: DataFrame, binary_col: str = "content") -> DataFrame:
             rows = []
             for blob in pdf[binary_col]:
                 b = bytes(blob)
-                h = parse_wav_header(b)
-                arr = decode_wav_samples(b, header=h)
+                arr, rate, ch, bits = _decoded_frames(b, decoder)
                 if arr.dtype.kind == "f":
                     arr = np.round(arr.astype(np.float64) * 1e6).astype(np.int64)
                 else:
@@ -295,9 +324,9 @@ def audio_features(df: DataFrame, binary_col: str = "content") -> DataFrame:
                 rows.append(
                     (
                         int(arr.shape[0]),
-                        int(h["sample_rate"]),
-                        int(h["channels"]),
-                        int(h["bits"]),
+                        int(rate),
+                        int(ch),
+                        int(bits),
                         int(np.abs(arr).max()) if arr.size else 0,
                         int(np.abs(arr).sum()),
                         int((arr * arr).sum()),
@@ -458,12 +487,14 @@ def audio_spectral(
     n_mels: int = 16,
     frame: int = 256,
     hop: int = 128,
+    decoder=None,
 ) -> DataFrame:
     """Attach SPECTRAL_SCHEMA columns from a WAV binary column — the
     log-mel front-end an audio-model training pipeline runs after
     decode (frame → window → rfft → mel → log), Arrow-batched like
     :func:`audio_features`; blobs never leave their decode partition.
-    Same honest gate as decode: non-PCM codecs raise upstream."""
+    Same honest gate as decode: non-PCM codecs raise upstream, unless
+    an external ``decoder`` is plugged in (:func:`_decoded_frames`)."""
     import numpy as np
 
     out_schema = T.StructType(df.schema.fields + list(SPECTRAL_SCHEMA))
@@ -473,11 +504,11 @@ def audio_spectral(
             rows = []
             for blob in pdf[binary_col]:
                 b = bytes(blob)
-                h = parse_wav_header(b)
-                arr = decode_wav_samples(b, header=h).astype(np.float64)
+                arr, rate, ch, _bits = _decoded_frames(b, decoder)
+                arr = arr.astype(np.float64)
                 rows.append(
                     spectral_features_of(
-                        arr, h["sample_rate"], h["channels"],
+                        arr, rate, ch,
                         n_mels=n_mels, frame=frame, hop=hop,
                     )
                 )
@@ -496,6 +527,7 @@ def audio_fingerprint(
     binary_col: str = "content",
     frame: int = 256,
     hop: int = 128,
+    decoder=None,
 ) -> DataFrame:
     """Attach a 64-bit perceptual fingerprint (``fp`` LongType) per WAV
     blob — the audio member of the near-dup sketch family (text SimHash,
@@ -523,10 +555,10 @@ def audio_fingerprint(
             fps = []
             for blob in pdf[binary_col]:
                 b = bytes(blob)
-                h = parse_wav_header(b)
-                arr = decode_wav_samples(b, header=h).astype(np.float64)
+                arr, rate, ch, _bits = _decoded_frames(b, decoder)
+                arr = arr.astype(np.float64)
                 _nf, _zc, log_mel, _c = spectral_features_of(
-                    arr, h["sample_rate"], h["channels"],
+                    arr, rate, ch,
                     n_mels=65, frame=frame, hop=hop,
                 )
                 lm = np.asarray(log_mel)

@@ -314,7 +314,22 @@ def update_component_map(
     one is fully written.  Scale shape: the map has one row per
     CLUSTERED doc — unboundedly smaller than the pair history — and the
     fold's shuffle carries |map| + |batch| id pairs (see
-    :func:`extend_components`)."""
+    :func:`extend_components`).
+
+    SINGLE WRITER PER PATH — the contract every gate sharing a
+    ``components_path`` must honor (one stream per map; fan multiple
+    streams into one logical map by unioning their pair sources into
+    one gate, not by pointing two gates at one path).  Two concurrent
+    folds would both read version v and both target ``map_v{v+1}``
+    with mode=overwrite, clobbering each other file-by-file — the
+    losing batch is already committed upstream and never replayed, so
+    its edges would vanish from the visible map silently.  The
+    cross-version half of a race IS detected: before pruning, the
+    listing is re-checked and a complete snapshot NEWER than the one
+    this fold wrote (a writer that raced past us folded from a map
+    missing our edges) raises instead of pruning — the same-version
+    clobber cannot be detected without writer tokens, hence the
+    contract."""
     v = latest_component_version(spark, path)
     prev = None if v == 0 else spark.read.parquet(f"{path}/map_v{v}")
     if prev is None:
@@ -325,10 +340,31 @@ def update_component_map(
     # retention window of ONE: keep v alongside the new v+1 so a lazy
     # reader that resolved v before this fold never loses its files
     # mid-scan (read_component_map returns an unevaluated plan); only
-    # strictly older snapshots prune
-    fs, _, jvm = _map_fs(spark, path)
-    for i in range(1, v):
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/map_v{i}"), True)
+    # strictly older snapshots prune.  ONE listing drives both the
+    # race check and the prune — only snapshot dirs that actually
+    # exist are deleted (a blind range(1, v) delete is O(v²) no-op
+    # namenode/object-store RPCs over a long-lived stream).
+    fs, p, jvm = _map_fs(spark, path)
+    latest = 0
+    versions: list[int] = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("map_v") and name[5:].isdigit():
+            i = int(name[5:])
+            versions.append(i)
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
+                latest = max(latest, i)
+    if latest > v + 1:
+        raise RuntimeError(
+            f"concurrent component-map writers detected at {path!r}: this "
+            f"fold wrote map_v{v + 1} but map_v{latest} is already "
+            "complete — a racing writer folded from a snapshot missing "
+            "this batch's edges; the map path has a single-writer "
+            "contract (see update_component_map)"
+        )
+    for i in versions:
+        if i < v:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/map_v{i}"), True)
     return v + 1
 
 

@@ -1107,7 +1107,11 @@ def near_dedup_ingest(
     its own (see update_component_map), and a crash before it simply
     re-folds the same pairs on replay — the map equals
     ``connected_components`` over every pair the gate ever saw (parity
-    pinned in tests/test_streaming.py)."""
+    pinned in tests/test_streaming.py).  A ``components_path`` has a
+    SINGLE-WRITER contract (one gate per map path — see
+    update_component_map): two gates folding into one path clobber each
+    other's same-version snapshots and edges vanish silently; to merge
+    modalities, union the pair sources into one gate instead."""
 
     def land(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
@@ -1456,7 +1460,7 @@ def sketch_dedup_ingest(
     in-batch AND probe hits, gated sketches included — into the same
     persisted versioned ``(node, component)`` map as the MinHash gate
     (see near_dedup_ingest's components paragraph; identical snapshot
-    discipline and crash contract)."""
+    discipline, crash contract, and single-writer-per-path rule)."""
 
     def land(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
@@ -1529,6 +1533,7 @@ def embedding_dedup_ingest(
     n_planes: int = 16,
     blocks: int = 4,
     components_path: str | None = None,
+    max_fatness: float | None = None,
 ):
     """foreachBatch landing function for an EMBEDDING stream — the ANN
     member of the ingest-gate family (text shingles →
@@ -1546,15 +1551,24 @@ def embedding_dedup_ingest(
     Same load-bearing write order (corpus append BEFORE index extend —
     see near_dedup_ingest's delivery note), the same at-least-once
     posture and cache discipline, and the same opt-in
-    ``components_path`` cluster leg.  One honesty divergence from its
+    ``components_path`` cluster leg (single-writer-per-path, like its
+    siblings).  One honesty divergence from its
     two siblings: the cross-batch probe is APPROXIMATE — recall
     follows the nprobe/centroid geometry (see probe_ivf_index), where
     the MinHash/Hamming verifies are exact.  Near-dup thresholds live
     where the geometry is benign (planted-twin recall ~1, pinned in
     tests), and a missed duplicate degrades to a redundant corpus row,
     never a lost one.  Centroids are frozen at first-batch build;
-    schedule a full :func:`ivf_index_write` rebuild when cells fatten
-    (the compaction analogue — see extend_ivf_index)."""
+    ``max_fatness`` (opt-in) automates the rebuild trigger — before the
+    corpus append, the batch's projected post-extend mean-cell load vs
+    the build-time mean is checked and a breach raises
+    :class:`~yodel_etl_spark.scale.similarity.StaleIVFIndexError`
+    (deterministic, BEFORE any write — the centroid-feasibility
+    convention: a refusal after a side-effecting append would replay
+    into an unbounded duplicate loop).  The operator then runs
+    :func:`~yodel_etl_spark.scale.similarity.rebuild_ivf_index` from
+    ``corpus_path`` and restarts the stream; with it unset the gate
+    keeps the documented schedule-it-yourself posture."""
 
     def land(batch: DataFrame, _batch_id: int) -> None:
         from yodel_etl_spark.scale.similarity import (
@@ -1599,6 +1613,34 @@ def embedding_dedup_ingest(
                 novel = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(
                     eager=True
                 )
+                if max_fatness is not None:
+                    # staleness refusal BEFORE any write (the centroid-
+                    # feasibility convention): a breach after the corpus
+                    # append would replay into a duplicate-append loop
+                    from yodel_etl_spark.scale.similarity import (
+                        StaleIVFIndexError,
+                        ivf_index_stats,
+                    )
+
+                    stats = ivf_index_stats(spark, index_path)
+                    if stats["built_mean"] is None:
+                        raise ValueError(
+                            "cannot enforce max_fatness: index at "
+                            f"{index_path!r} has no params table; rebuild "
+                            "once with rebuild_ivf_index"
+                        )
+                    projected = (
+                        stats["n_vectors"] + novel.count()
+                    ) / stats["n_cells"]
+                    fatness = projected / stats["built_mean"]
+                    if fatness > max_fatness:
+                        raise StaleIVFIndexError(
+                            "admitting this batch would push mean cell "
+                            f"fatness to {fatness:.2f}× the build-time "
+                            f"mean (bound {max_fatness}×) — run "
+                            f"rebuild_ivf_index({index_path!r}) from "
+                            f"{corpus_path!r} and restart the stream"
+                        )
                 cluster_pairs = _snapshot_cluster_pairs(
                     cluster_src, components_path
                 )

@@ -22,7 +22,11 @@ benchable).  Properties that make the mock useful rather than noise:
 Scale shape: pure map — no shuffle, no state; the encode stage cost
 scales linearly with corpus tokens and parallelizes at row grain.  At
 100 TB the same plan holds with a GPU/model-server kernel inside the
-batch function (the only part that changes).
+batch function (the only part that changes) —
+:func:`encode_via_endpoint` IS that production shape: the U1/U2
+per-partition-client pattern pointed at an embedding endpoint
+(``llm.clients.EmbeddingEndpointClient``), fail-soft status columns
+and token-bucket pacing included, emitting the same vector column.
 """
 
 from __future__ import annotations
@@ -118,3 +122,92 @@ def encode_text(
             yield res
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+def encode_via_endpoint(
+    df: DataFrame,
+    client,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    batch_size: int = 64,
+    rate_per_sec: float | None = None,
+    max_concurrency: int | None = None,
+) -> DataFrame:
+    """The PRODUCTION encoder shape — ``infer_map``'s per-partition
+    external-call pattern pointed at an embedding endpoint: one
+    picklable batched ``client`` (``(texts: list[str]) ->
+    list[list[float]]``, e.g.
+    :class:`~yodel_etl_spark.llm.clients.EmbeddingEndpointClient`) per
+    partition, Arrow batches sliced into ``batch_size`` server calls, a
+    per-partition token bucket (``rate_per_sec`` paces CALLS, the unit
+    an embedding server rate-limits), and the fail-soft contract:
+    exceptions never cross the UDF boundary — a failed call yields
+    ``(NULL vector, status, error)`` for exactly its rows, retryable
+    later with ``status != 200``.
+
+    Schema = input + ``out_col array<float>`` + ``encode_status int`` +
+    ``encode_error string`` — the vector column matches
+    :func:`encode_text`'s, so every downstream consumer (LSH, IVF,
+    SemDeDup, the embedding ingest gate) takes either encoder
+    unchanged.  ``max_concurrency`` caps concurrently-calling
+    partitions exactly like ``infer_map`` (default: the
+    ``spark.yodel.llm.maxConcurrency`` conf) — cluster-wide pacing is
+    ``partitions × rate_per_sec``, the declarative form of the
+    reference's global sleep.  Catalyst cannot push work through the
+    opaque map: apply AFTER all prunable projections/filters."""
+    from yodel_etl_spark.session import ship_package
+
+    spark = df.sparkSession
+    ship_package(spark)
+    if max_concurrency is None:
+        conf = spark.conf.get("spark.yodel.llm.maxConcurrency", None)
+        max_concurrency = int(conf) if conf else None
+    if max_concurrency:
+        df = df.repartition(max_concurrency)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField(out_col, T.ArrayType(T.FloatType())),
+            T.StructField("encode_status", T.IntegerType()),
+            T.StructField("encode_error", T.StringType()),
+        ]
+    )
+    min_interval = 1.0 / rate_per_sec if rate_per_sec else 0.0
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time
+
+        last = 0.0
+        for pdf in it:
+            texts = [("" if t is None else str(t)) for t in pdf[text_col]]
+            vecs: list[list[float] | None] = []
+            statuses: list[int] = []
+            errors: list[str | None] = []
+            for lo in range(0, len(texts), batch_size):
+                chunk = texts[lo : lo + batch_size]
+                if min_interval:
+                    now = time.monotonic()
+                    if now - last < min_interval:
+                        time.sleep(min_interval - (now - last))
+                    last = time.monotonic()
+                try:
+                    got = client(chunk)
+                    if len(got) != len(chunk):
+                        raise RuntimeError(
+                            f"client returned {len(got)} vectors for "
+                            f"{len(chunk)} texts"
+                        )
+                    vecs.extend(got)
+                    statuses.extend([200] * len(chunk))
+                    errors.extend([None] * len(chunk))
+                except Exception as exc:  # noqa: BLE001 - fail-soft by contract
+                    vecs.extend([None] * len(chunk))
+                    statuses.extend([getattr(exc, "status", 500)] * len(chunk))
+                    errors.extend([f"{type(exc).__name__}: {exc}"] * len(chunk))
+            res = pdf.copy()
+            res[out_col] = vecs
+            res["encode_status"] = statuses
+            res["encode_error"] = errors
+            yield res
+
+    return df.mapInPandas(run, schema=out_schema)

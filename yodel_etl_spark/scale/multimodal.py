@@ -203,32 +203,53 @@ def decode_png_pixels(blob: bytes):
     return px
 
 
-def decode_pixels(blob: bytes):
+def decode_pixels(blob: bytes, decoder=None):
     """Pure-stdlib pixel decode to a ``(h, w, channels)`` uint8 array
     for every image format :func:`parse_image_header` recognizes.
     Raises (ValueError for unsupported profiles, NotImplementedError for
-    non-image formats) — never a silent fake."""
-    if blob[:8] == _PNG_MAGIC:
-        return decode_png_pixels(blob)
-    if blob[:3] == b"\xff\xd8\xff":
-        from yodel_etl_spark.scale.jpeg import decode_jpeg_pixels
+    non-image formats) — never a silent fake.
 
-        return decode_jpeg_pixels(blob)
-    if blob[:6] in (b"GIF87a", b"GIF89a"):
-        from yodel_etl_spark.scale.codecs import decode_gif_pixels
+    ``decoder`` (opt-in) is the pluggable-codec hook for exactly those
+    two honest gates: an unrecognized container (H.26x/AV1 video frame,
+    WebP, …) or a recognized-but-unsupported profile (progressive JPEG,
+    RLE BMP, 16-bit/Adam7 PNG) falls through to ``decoder(blob)``,
+    which must return an ``(h, w, channels)`` uint8 array.  A decoder
+    failure propagates — the defaults stay raising."""
+    import numpy as np
 
-        return decode_gif_pixels(blob)
-    if blob[:2] == b"BM":
-        from yodel_etl_spark.scale.codecs import decode_bmp_pixels
+    try:
+        if blob[:8] == _PNG_MAGIC:
+            return decode_png_pixels(blob)
+        if blob[:3] == b"\xff\xd8\xff":
+            from yodel_etl_spark.scale.jpeg import decode_jpeg_pixels
 
-        return decode_bmp_pixels(blob)
-    raise NotImplementedError(
-        "pixel decode for video/audio requires pyav, absent from this "
-        "runtime; every image format parse_image_header recognizes "
-        "(PNG/JPEG/GIF/BMP) decodes pure-stdlib above (unsupported "
-        "profiles — progressive JPEG, RLE BMP, 16-bit/Adam7 PNG — "
-        "raise ValueError, never a silent fake)"
-    )
+            return decode_jpeg_pixels(blob)
+        if blob[:6] in (b"GIF87a", b"GIF89a"):
+            from yodel_etl_spark.scale.codecs import decode_gif_pixels
+
+            return decode_gif_pixels(blob)
+        if blob[:2] == b"BM":
+            from yodel_etl_spark.scale.codecs import decode_bmp_pixels
+
+            return decode_bmp_pixels(blob)
+        raise NotImplementedError(
+            "pixel decode for video/audio requires pyav, absent from this "
+            "runtime; every image format parse_image_header recognizes "
+            "(PNG/JPEG/GIF/BMP) decodes pure-stdlib above (unsupported "
+            "profiles — progressive JPEG, RLE BMP, 16-bit/Adam7 PNG — "
+            "raise ValueError, never a silent fake)"
+        )
+    except (NotImplementedError, ValueError):
+        if decoder is None:
+            raise
+    px = np.asarray(decoder(blob))
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.ndim != 3:
+        raise ValueError(
+            f"external decoder returned shape {px.shape}; want (h, w, c)"
+        )
+    return px.astype(np.uint8, copy=False)
 
 
 def try_real_decode(blob: bytes):

@@ -99,12 +99,17 @@ DHASH_SCHEMA = [
 ]
 
 
-def image_dhash(df: DataFrame, binary_col: str = "content") -> DataFrame:
+def image_dhash(
+    df: DataFrame, binary_col: str = "content", decoder=None
+) -> DataFrame:
     """Append ``(dhash, img_h, img_w)`` from an image binary column via
     one Arrow ``mapInPandas`` pass — pure-stdlib decode
     (``scale.multimodal.decode_pixels``: PNG/JPEG/GIF/BMP) + the exact
     integer dHash; corrupt or undersized images raise (honest gate,
-    same policy as the decoders themselves)."""
+    same policy as the decoders themselves).  ``decoder`` (opt-in)
+    rides through to decode_pixels' pluggable-codec hook, so video
+    frames / WebP hash through the same banding family once an external
+    codec is plugged in."""
     from yodel_etl_spark.scale.multimodal import decode_pixels
     from yodel_etl_spark.session import ship_package
 
@@ -115,7 +120,7 @@ def image_dhash(df: DataFrame, binary_col: str = "content") -> DataFrame:
         for pdf in it:
             hashes, hs, ws = [], [], []
             for blob in pdf[binary_col]:
-                px = decode_pixels(bytes(blob))
+                px = decode_pixels(bytes(blob), decoder=decoder)
                 hashes.append(dhash64(px))
                 hs.append(int(px.shape[0]))
                 ws.append(int(px.shape[1]))

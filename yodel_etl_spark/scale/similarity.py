@@ -173,6 +173,14 @@ def ivf_search(
     )
 
 
+class StaleIVFIndexError(RuntimeError):
+    """An extend would push the index past the caller's cell-fatness
+    bound: the frozen centroid set no longer matches the corpus density
+    and probe candidate counts have drifted past budget.  Rebuild with
+    :func:`rebuild_ivf_index` (from the corpus, not the index) and
+    retry — raised BEFORE any write, so nothing needs undoing."""
+
+
 def ivf_index_write(
     df: DataFrame,
     id_col: str,
@@ -180,13 +188,17 @@ def ivf_index_write(
     path: str,
     centroid_every: int = 50,
 ) -> None:
-    """Materialize the IVF index to ``path`` (two parquet tables:
-    ``assignments`` and ``centroids``).  At 100 TB this is the build
-    phase that runs once per corpus snapshot; doubles stay bit-exact
-    through parquet, so a reloaded index reproduces search results
-    row for row."""
+    """Materialize the IVF index to ``path`` (three parquet tables:
+    ``assignments``, ``params`` and ``centroids``).  At 100 TB this is
+    the build phase that runs once per corpus snapshot; doubles stay
+    bit-exact through parquet, so a reloaded index reproduces search
+    results row for row.  ``params`` (one row: centroid_every plus the
+    build-time vector/cell counts) is the denominator the staleness
+    probe (:func:`ivf_index_stats`) and the ``max_fatness`` extend
+    guard compare against."""
     assign, cents = assign_ivf_cells(df, id_col, vec_col, centroid_every)
-    if cents.limit(1).count() == 0:
+    n_cells = cents.count()
+    if n_cells == 0:
         # a corpus with no id ≡ 0 (mod centroid_every) selects zero
         # centroids, which would silently persist an EMPTY posting
         # table (every stored vector unreachable, every later probe a
@@ -198,6 +210,12 @@ def ivf_index_write(
     # centroids LAST: existence checks key on it, so a crash mid-build
     # reads as 'no index' and the replay rebuilds via overwrite
     assign.write.mode("overwrite").parquet(f"{path}/assignments")
+    spark = df.sparkSession
+    n_vectors = spark.read.parquet(f"{path}/assignments").count()
+    spark.createDataFrame(
+        [(int(centroid_every), int(n_vectors), int(n_cells))],
+        "centroid_every int, n_vectors long, n_cells long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
@@ -209,8 +227,57 @@ def ivf_index_read(spark, path: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+def ivf_index_stats(spark, path: str) -> dict:
+    """Cell-fatness probe for a persisted IVF index — the staleness
+    gauge the frozen-centroid trade requires (see
+    :func:`extend_ivf_index`).  One map-side-combined cell-grain
+    aggregate over the posting table plus the 1-row ``params`` read:
+
+    - ``n_vectors`` / ``n_cells``: current posting rows and built cells
+    - ``mean_cell`` / ``max_cell``: current rows per built cell (mean
+      over ALL built cells, empties included — same denominator as the
+      build) and the fattest single cell (drift concentration)
+    - ``built_mean``: rows per cell at build time (from ``params``;
+      None for a pre-params index, which cannot gauge staleness until
+      its first :func:`rebuild_ivf_index`)
+    - ``fatness``: ``mean_cell / built_mean`` — 1.0 right after a
+      build/rebuild, grows with every extend; the probe's candidate
+      count per query scales with it."""
+    assign = spark.read.parquet(f"{path}/assignments")
+    row = (
+        assign.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum("n").alias("n_vectors"),
+            F.max("n").alias("max_cell"),
+        )
+        .first()
+    )
+    n_vectors = int(row["n_vectors"] or 0)
+    try:
+        p = spark.read.parquet(f"{path}/params").first()
+        n_cells = int(p["n_cells"])
+        built_mean = p["n_vectors"] / p["n_cells"]
+    except Exception:  # pre-params index (built before round 12)
+        n_cells = spark.read.parquet(f"{path}/centroids").count()
+        built_mean = None
+    mean_cell = n_vectors / n_cells if n_cells else 0.0
+    return {
+        "n_vectors": n_vectors,
+        "n_cells": n_cells,
+        "mean_cell": mean_cell,
+        "max_cell": int(row["max_cell"] or 0),
+        "built_mean": built_mean,
+        "fatness": (mean_cell / built_mean) if built_mean else None,
+    }
+
+
 def extend_ivf_index(
-    df: DataFrame, path: str, id_col: str, vec_col: str
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    max_fatness: float | None = None,
 ) -> None:
     """Append a batch of vectors to an existing IVF index — delta-only
     maintenance, the embedding twin of ``extend_minhash_index``: only
@@ -223,14 +290,75 @@ def extend_ivf_index(
     O(|batch|·C) and bit-deterministic, and every stored vector keeps
     a valid cell.  The cost is staleness: as the corpus outgrows the
     original centroid density, cells fatten and probe candidate counts
-    drift up — the rebuild trigger, exactly compaction's role for
-    small files (schedule :func:`ivf_index_write` over the full corpus
-    when mean cell size crosses the probe budget)."""
+    drift up.  ``max_fatness`` automates the rebuild trigger (exactly
+    compaction's role for small files): when set, the PROJECTED
+    post-extend mean cell load vs the build-time mean
+    (:func:`ivf_index_stats`) is checked BEFORE any write, and a breach
+    raises :class:`StaleIVFIndexError` — run :func:`rebuild_ivf_index`
+    from the corpus, then retry the extend.  The refusal is
+    deterministic and side-effect-free, so a replayed caller never
+    half-admits a batch."""
     spark = df.sparkSession
-    cents = spark.read.parquet(f"{path}/centroids")
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if max_fatness is not None:
+        stats = ivf_index_stats(spark, path)
+        if stats["built_mean"] is None:
+            raise ValueError(
+                "cannot enforce max_fatness: index at "
+                f"{path!r} has no params table (pre-round-12 build); "
+                "rebuild once with rebuild_ivf_index to record the "
+                "build-time mean"
+            )
+        projected = (stats["n_vectors"] + v.count()) / stats["n_cells"]
+        fatness = projected / stats["built_mean"]
+        if fatness > max_fatness:
+            raise StaleIVFIndexError(
+                f"extend would push mean cell fatness to {fatness:.2f}× "
+                f"the build-time mean (bound {max_fatness}×): the frozen "
+                f"centroid set is stale — rebuild_ivf_index({path!r}) "
+                "from the corpus, then retry"
+            )
+    cents = spark.read.parquet(f"{path}/centroids")
     assign = _nearest_cells(v, cents, "id", "vec", 1).select("id", "vec", "cell")
     assign.write.mode("append").parquet(f"{path}/assignments")
+
+
+def rebuild_ivf_index(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_every: int | None = None,
+) -> None:
+    """Rebuild a stale IVF index in place from the CORPUS (the source
+    of truth the ingest gate appends before every extend) — fresh
+    centroid set at the current density, fatness back to 1.0.
+
+    Crash discipline mirrors the build's centroids-last marker: the old
+    ``centroids`` table is deleted FIRST, so from that instant the
+    index reads as absent (``_index_exists`` keys on it) rather than
+    ever pairing old centroids with new assignments — a geometry
+    mismatch would make probes silently miss stored vectors, the
+    family's forbidden mode.  A crash anywhere mid-rebuild therefore
+    leaves 'no index'; nothing is lost (the corpus is external) and the
+    re-run rebuilds from it.  ``centroid_every`` defaults to the value
+    recorded in ``params`` at the previous build."""
+    if centroid_every is None:
+        try:
+            centroid_every = int(
+                spark.read.parquet(f"{path}/params").first()["centroid_every"]
+            )
+        except Exception:
+            raise ValueError(
+                f"index at {path!r} has no params table; pass "
+                "centroid_every explicitly"
+            ) from None
+    jvm = spark._jvm
+    cpath = jvm.org.apache.hadoop.fs.Path(f"{path}/centroids")
+    fs = cpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(cpath, True)  # marker gone → index invisible until done
+    ivf_index_write(corpus, id_col, vec_col, path, centroid_every)
 
 
 def probe_ivf_index(
