@@ -66,7 +66,7 @@ def test_split_is_narrow_no_shuffle(spark, sf_small):
 
 def test_registered_sampling_queries_build(spark, sf_small):
     qs = load_all()
-    for name in ("split_docs", "events_type_profile"):
+    for name in ("split_docs", "ev_types"):
         assert qs[name].build(spark, sf_small).count() > 0
 
 

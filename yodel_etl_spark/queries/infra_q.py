@@ -13,7 +13,7 @@ tests/test_compact.py, tests/test_shards.py, tests/test_rollup.py and
 tests/test_streaming.py, and the returned aggregates are exact integer
 reductions so the rows-only stability check keeps deterministic
 values.  A SQL oracle would only re-state the batch twins that are
-already oracle-backed (events_daily_rollup, dedup_minhash_lsh).
+already oracle-backed (ev_daily, dedup_minhash_lsh).
 """
 
 from __future__ import annotations
@@ -152,7 +152,7 @@ def shards_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup",
     oracle=None,  # upsert ≡ recompute is the interesting surface and is
     # verified INSIDE the query (matches column) + tests/test_rollup.py;
-    # the recompute itself is already oracle-backed (events_daily_rollup)
+    # the recompute itself is already oracle-backed (ev_daily)
     doc="Incremental rollup upkeep (io/rollup.py): events split into a "
     "history batch and a trailing-week delta, folded into a (day, "
     "event_type) rollup via two upsert_rollup calls — delta-grain "

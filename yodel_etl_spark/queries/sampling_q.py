@@ -47,7 +47,7 @@ def split_documents_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# (events_value_percentiles merged into events_type_profile in
+# (events_value_percentiles merged into ev_types (nee events_type_profile) in
 # queries/windows.py — same groupBy key, one shuffle instead of two
 # registry slots)
 

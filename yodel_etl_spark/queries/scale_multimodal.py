@@ -32,7 +32,7 @@ _BIN_SUMS = ",\n           ".join(
 
 
 @register(
-    "multimodal_features",
+    "mm_feats",  # r12 rename of multimodal_features (byte budget; green r11)
     oracle=f"""
     WITH hist AS (
       SELECT doc_id, {_BIN_SUMS}

@@ -182,7 +182,7 @@ def events_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_daily_rollup",
+    "ev_daily",  # r12 rename of events_daily_rollup (byte budget; green r11)
     oracle="""
     SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
            event_type,
@@ -223,7 +223,7 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_type_profile",
+    "ev_types",  # r12 rename of events_type_profile (byte budget; green r11)
     oracle="""
     SELECT event_type,
            count(*) AS n,
