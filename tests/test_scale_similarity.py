@@ -385,12 +385,12 @@ def test_ivf_rebuild_centroids_delete_first_and_params_guard(
     spark, tmp_path
 ):
     """Crash-discipline corners: (a) rebuild_ivf_index with no explicit
-    centroid_every reads it from params; (b) a pre-params index (params
-    dir removed, simulating a pre-r12 build) refuses max_fatness
+    centroid_every reads it from params.json; (b) a pre-params index
+    (params.json removed, simulating a pre-r12 build) refuses max_fatness
     enforcement and refuses a parameterless rebuild with the honest
     errors, while plain extends still work; (c) ivf_index_stats on a
     pre-params index reports built_mean/fatness None."""
-    import shutil
+    import os
 
     import pytest
 
@@ -409,15 +409,15 @@ def test_ivf_rebuild_centroids_delete_first_and_params_guard(
     path = str(tmp_path / "ivf")
     ivf_index_write(vecs, "vec_id", "embedding", path, centroid_every=10)
 
-    # (a) centroid_every comes from params (10, not the default 50 —
-    # a 50 rebuild over ids 0..39 would pick fewer centroids)
+    # (a) centroid_every comes from params.json (10, not the default
+    # 50 — a 50 rebuild over ids 0..39 would pick fewer centroids)
     rebuild_ivf_index(spark, path, vecs, "vec_id", "embedding")
-    p = spark.read.parquet(f"{path}/params").first()
-    assert p["centroid_every"] == 10
+    from yodel_etl_spark.scale.similarity import _read_ivf_params
+    assert _read_ivf_params(spark, path)["centroid_every"] == 10
     assert ivf_index_stats(spark, path)["fatness"] == pytest.approx(1.0)
 
     # (b)+(c) pre-params index
-    shutil.rmtree(f"{path}/params")
+    os.remove(f"{path}/params.json")
     s = ivf_index_stats(spark, path)
     assert s["built_mean"] is None and s["fatness"] is None
     delta = spark.createDataFrame(
@@ -434,3 +434,43 @@ def test_ivf_rebuild_centroids_delete_first_and_params_guard(
     # params going forward — the upgrade path)
     rebuild_ivf_index(spark, path, vecs, "vec_id", "embedding", centroid_every=10)
     assert ivf_index_stats(spark, path)["fatness"] == pytest.approx(1.0)
+
+
+def test_ivf_rebuild_crash_window_reads_as_no_index(spark, tmp_path, monkeypatch):
+    """rebuild_ivf_index's commit discipline: the old centroids marker
+    is deleted FIRST, so a crash anywhere mid-rebuild leaves a state
+    that reads as 'no index' (_index_exists false) — never old
+    centroids paired with new assignments (the silent-miss geometry).
+    The corpus is external, so the re-run rebuild recovers fully."""
+    import pytest
+
+    from yodel_etl_spark.scale import similarity as S
+    from yodel_etl_spark.scale.dedup import _index_exists
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 5 + 1), float(i % 3 + 1)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivf")
+    S.ivf_index_write(vecs, "vec_id", "embedding", path, centroid_every=10)
+    assert _index_exists(spark, path, marker="centroids")
+
+    real_write = S.ivf_index_write
+
+    def boom(*a, **k):
+        raise RuntimeError("crash after centroids delete")
+
+    monkeypatch.setattr(S, "ivf_index_write", boom)
+    with pytest.raises(RuntimeError, match="crash after"):
+        S.rebuild_ivf_index(spark, path, vecs, "vec_id", "embedding")
+    # the marker is gone: readers and gates see NO index, not a
+    # stale-geometry one
+    assert not _index_exists(spark, path, marker="centroids")
+
+    monkeypatch.setattr(S, "ivf_index_write", real_write)
+    S.rebuild_ivf_index(
+        spark, path, vecs, "vec_id", "embedding", centroid_every=10
+    )
+    assert _index_exists(spark, path, marker="centroids")
+    assert S.ivf_index_stats(spark, path)["fatness"] == pytest.approx(1.0)
+    assert S.ivf_index_read(spark, path)[0].count() == 30

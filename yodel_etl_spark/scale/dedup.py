@@ -1626,7 +1626,7 @@ def embedding_dedup_ingest(
                     if stats["built_mean"] is None:
                         raise ValueError(
                             "cannot enforce max_fatness: index at "
-                            f"{index_path!r} has no params table; rebuild "
+                            f"{index_path!r} has no params.json; rebuild "
                             "once with rebuild_ivf_index"
                         )
                     projected = (

@@ -173,6 +173,49 @@ def ivf_search(
     )
 
 
+def _ivf_fs(spark, path: str):
+    """Hadoop FileSystem handle (local FS in tests, HDFS/S3 at scale —
+    the cluster._map_fs convention)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _write_ivf_params(spark, path: str, params: dict) -> None:
+    """1-row build metadata as DRIVER-SIDE JSON (tmp + atomic rename)
+    through the Hadoop FS client — a Spark job for three integers is
+    pure per-job constant (the dominant cost of the ingest
+    micro-benches; see BASELINE's eingest phase decomposition)."""
+    import json
+
+    fs, jvm = _ivf_fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/params.json.tmp")
+    dst = jvm.org.apache.hadoop.fs.Path(f"{path}/params.json")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(params).encode("utf-8")))
+    finally:
+        out.close()
+    fs.delete(dst, False)
+    fs.rename(tmp, dst)
+
+
+def _read_ivf_params(spark, path: str) -> dict | None:
+    """Params dict, or None for a pre-params index."""
+    import json
+
+    fs, jvm = _ivf_fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/params.json")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))
+
+
 class StaleIVFIndexError(RuntimeError):
     """An extend would push the index past the caller's cell-fatness
     bound: the frozen centroid set no longer matches the corpus density
@@ -188,34 +231,54 @@ def ivf_index_write(
     path: str,
     centroid_every: int = 50,
 ) -> None:
-    """Materialize the IVF index to ``path`` (three parquet tables:
-    ``assignments``, ``params`` and ``centroids``).  At 100 TB this is
-    the build phase that runs once per corpus snapshot; doubles stay
-    bit-exact through parquet, so a reloaded index reproduces search
-    results row for row.  ``params`` (one row: centroid_every plus the
-    build-time vector/cell counts) is the denominator the staleness
-    probe (:func:`ivf_index_stats`) and the ``max_fatness`` extend
-    guard compare against."""
+    """Materialize the IVF index to ``path`` (parquet ``assignments``
+    and ``centroids`` plus a driver-side ``params.json``).  At 100 TB
+    this is the build phase that runs once per corpus snapshot; doubles
+    stay bit-exact through parquet, so a reloaded index reproduces
+    search results row for row.  ``params.json`` (centroid_every plus
+    the build-time vector/cell counts) is the denominator the
+    staleness probe (:func:`ivf_index_stats`) and the ``max_fatness``
+    extend guard compare against."""
     assign, cents = assign_ivf_cells(df, id_col, vec_col, centroid_every)
-    n_cells = cents.count()
-    if n_cells == 0:
+    # centroids LAST: existence checks key on it, so a crash mid-build
+    # (or the no-centroid refusal below) reads as 'no index' and the
+    # replay rebuilds via overwrite.  Both build-time counts come from
+    # ONE aggregate over the just-written (small) posting table —
+    # every centroid is itself a corpus row, so the centroid count is
+    # a predicate sum, not a second scan of the corpus (job count is
+    # the dominant cost of the ingest micro-benches; see BASELINE's
+    # eingest phase decomposition).
+    assign.write.mode("overwrite").parquet(f"{path}/assignments")
+    spark = df.sparkSession
+    row = (
+        spark.read.parquet(f"{path}/assignments")
+        .agg(
+            F.count(F.lit(1)).alias("nv"),
+            F.sum(
+                is_centroid_id(F.col("id"), centroid_every).cast("long")
+            ).alias("nc"),
+        )
+        .first()
+    )
+    if not row["nc"]:
         # a corpus with no id ≡ 0 (mod centroid_every) selects zero
         # centroids, which would silently persist an EMPTY posting
         # table (every stored vector unreachable, every later probe a
-        # miss) — refuse instead of degrading
+        # miss) — refuse instead of degrading; the orphaned assignments
+        # carry no centroids marker, so nothing reads as an index
         raise ValueError(
             f"no centroid selected: no id divisible by {centroid_every} "
             "in the corpus; lower centroid_every or remap ids"
         )
-    # centroids LAST: existence checks key on it, so a crash mid-build
-    # reads as 'no index' and the replay rebuilds via overwrite
-    assign.write.mode("overwrite").parquet(f"{path}/assignments")
-    spark = df.sparkSession
-    n_vectors = spark.read.parquet(f"{path}/assignments").count()
-    spark.createDataFrame(
-        [(int(centroid_every), int(n_vectors), int(n_cells))],
-        "centroid_every int, n_vectors long, n_cells long",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+    _write_ivf_params(
+        spark,
+        path,
+        {
+            "centroid_every": int(centroid_every),
+            "n_vectors": int(row["nv"]),
+            "n_cells": int(row["nc"]),
+        },
+    )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
@@ -254,11 +317,11 @@ def ivf_index_stats(spark, path: str) -> dict:
         .first()
     )
     n_vectors = int(row["n_vectors"] or 0)
-    try:
-        p = spark.read.parquet(f"{path}/params").first()
+    p = _read_ivf_params(spark, path)
+    if p is not None:
         n_cells = int(p["n_cells"])
         built_mean = p["n_vectors"] / p["n_cells"]
-    except Exception:  # pre-params index (built before round 12)
+    else:  # pre-params index (built before round 12)
         n_cells = spark.read.parquet(f"{path}/centroids").count()
         built_mean = None
     mean_cell = n_vectors / n_cells if n_cells else 0.0
@@ -305,7 +368,7 @@ def extend_ivf_index(
         if stats["built_mean"] is None:
             raise ValueError(
                 "cannot enforce max_fatness: index at "
-                f"{path!r} has no params table (pre-round-12 build); "
+                f"{path!r} has no params.json (pre-round-12 build); "
                 "rebuild once with rebuild_ivf_index to record the "
                 "build-time mean"
             )
@@ -345,18 +408,15 @@ def rebuild_ivf_index(
     re-run rebuilds from it.  ``centroid_every`` defaults to the value
     recorded in ``params`` at the previous build."""
     if centroid_every is None:
-        try:
-            centroid_every = int(
-                spark.read.parquet(f"{path}/params").first()["centroid_every"]
-            )
-        except Exception:
+        p = _read_ivf_params(spark, path)
+        if p is None:
             raise ValueError(
-                f"index at {path!r} has no params table; pass "
+                f"index at {path!r} has no params.json; pass "
                 "centroid_every explicitly"
-            ) from None
-    jvm = spark._jvm
+            )
+        centroid_every = int(p["centroid_every"])
+    fs, jvm = _ivf_fs(spark, path)
     cpath = jvm.org.apache.hadoop.fs.Path(f"{path}/centroids")
-    fs = cpath.getFileSystem(spark._jsc.hadoopConfiguration())
     fs.delete(cpath, True)  # marker gone → index invisible until done
     ivf_index_write(corpus, id_col, vec_col, path, centroid_every)
 
