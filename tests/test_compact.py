@@ -421,3 +421,161 @@ def test_half_finished_legacy_stage_for_other_leaf_stays_inert(
     compact_parquet(spark, path, target_bytes=512 * 1024)
     assert spark.read.parquet(literal).count() == 1_000  # owner finished
     assert not os.path.isdir(legacy_stage)
+
+
+def _dup_corpus(spark, tmp_path, name="corpus"):
+    """A gate-corpus replica with replay duplicates: batch1 appended
+    twice (the crash-between-corpus-and-index window), batch2 once."""
+    path = str(tmp_path / name)
+    b1 = spark.range(500).select(
+        F.col("id").alias("vec_id"), (F.col("id") * 2.0).alias("v")
+    )
+    b2 = spark.range(500, 800).select(
+        F.col("id").alias("vec_id"), (F.col("id") * 2.0).alias("v")
+    )
+    b1.write.mode("append").parquet(path)
+    b1.write.mode("append").parquet(path)  # at-least-once replay
+    b2.write.mode("append").parquet(path)
+    return path
+
+
+def test_vacuum_collapses_replay_duplicates(spark, tmp_path):
+    """The ingest-gate cleanup move: one row per key afterwards, values
+    intact, duplicate count reported, and a second vacuum is a no-op
+    (idempotence via the duplicate-free fast path)."""
+    from yodel_etl_spark.io.compact import vacuum_parquet
+
+    path = _dup_corpus(spark, tmp_path)
+    assert spark.read.parquet(path).count() == 1300  # 500 dup rows
+
+    rep = vacuum_parquet(spark, path, ["vec_id"], target_bytes=1 << 30)
+    assert rep["rows_before"] == 1300 and rep["rows_after"] == 800
+    assert rep["n_dup_rows"] == 500 and rep["rewritten"]
+    got = spark.read.parquet(path)
+    assert got.count() == 800
+    assert got.select("vec_id").distinct().count() == 800
+    # values intact: every key keeps its (identical) payload
+    assert got.where(F.col("v") != F.col("vec_id") * 2.0).count() == 0
+
+    rep2 = vacuum_parquet(spark, path, ["vec_id"], target_bytes=1 << 30)
+    assert not rep2["rewritten"] and rep2["n_dup_rows"] == 0
+    assert rep2["n_files_after"] == rep2["n_files_before"]
+
+
+def test_vacuum_crash_windows_lose_no_key(spark, tmp_path, monkeypatch):
+    """Two-phase contract inherited from compaction, re-proven for the
+    semantic rewrite: (a) crash at the commit point leaves the corpus
+    byte-identical; (b) crash mid-install leaves every key present
+    (extra duplicates allowed, loss not) and the re-run finishes to
+    the exact deduped table."""
+    from yodel_etl_spark.io import compact as compact_mod
+    from yodel_etl_spark.io.compact import vacuum_parquet
+
+    path = _dup_corpus(spark, tmp_path, "c1")
+
+    def boom(stage, leaf):
+        raise RuntimeError("crash at vacuum commit")
+
+    monkeypatch.setattr(compact_mod, "_finish_swap", boom)
+    with pytest.raises(RuntimeError, match="vacuum commit"):
+        vacuum_parquet(spark, path, ["vec_id"], target_bytes=1 << 30)
+    monkeypatch.undo()
+    assert spark.read.parquet(path).count() == 1300  # byte-identical
+
+    rep = vacuum_parquet(spark, path, ["vec_id"], target_bytes=1 << 30)
+    assert rep["recovered"] or rep["rewritten"]
+    assert spark.read.parquet(path).count() == 800
+
+    # (b) mid-retire: staged files installed, SOME originals deleted
+    # (the duplicate-visible window) — every key present, loss never
+    path2 = _dup_corpus(spark, tmp_path, "c2")
+    removed = {"n": 0}
+    real_remove = compact_mod._remove
+
+    def remove_once_then_crash(p):
+        if removed["n"] >= 1:
+            raise RuntimeError("crash mid-vacuum-retire")
+        removed["n"] += 1
+        return real_remove(p)
+
+    monkeypatch.setattr(compact_mod, "_remove", remove_once_then_crash)
+    with pytest.raises(RuntimeError, match="mid-vacuum-retire"):
+        vacuum_parquet(spark, path2, ["vec_id"], target_bytes=1 << 30)
+    monkeypatch.undo()
+    # crash window: every key still present (dupes allowed, loss not)
+    assert spark.read.parquet(path2).select("vec_id").distinct().count() == 800
+    assert spark.read.parquet(path2).count() > 800  # the visible window
+
+    rep = vacuum_parquet(spark, path2, ["vec_id"], target_bytes=1 << 30)
+    assert rep["recovered"]
+    assert spark.read.parquet(path2).count() == 800
+
+
+def test_vacuum_refuses_partitioned_tables_and_handles_empty(
+    spark, tmp_path
+):
+    from yodel_etl_spark.io.compact import vacuum_parquet
+
+    nested = str(tmp_path / "t")
+    spark.range(10).withColumn("p", F.col("id") % 2).write.partitionBy(
+        "p"
+    ).parquet(nested)
+    with pytest.raises(ValueError, match="FLAT"):
+        vacuum_parquet(spark, nested, ["id"])
+    empty = str(tmp_path / "nothing")
+    rep = vacuum_parquet(spark, empty, ["id"])
+    assert rep["rows_before"] == 0 and not rep["rewritten"]
+
+
+def test_vacuum_then_gate_probe_still_gates(spark, tmp_path):
+    """End-to-end with the embedding gate: replay-duplicate the corpus
+    via a crash between corpus append and extend, vacuum it, and show
+    the INDEX (which never duplicated decisions) still gates a twin
+    batch — vacuum touches the corpus only, the gate machinery is
+    oblivious."""
+    import pytest as _pytest
+
+    from yodel_etl_spark.io.compact import vacuum_parquet
+    from yodel_etl_spark.scale import dedup as D
+    from yodel_etl_spark.scale import similarity as S
+
+    corpus = str(tmp_path / "corp")
+    index = str(tmp_path / "idx")
+    land = D.embedding_dedup_ingest(index, corpus, centroid_every=1)
+
+    def onehot(d, n=8):
+        v = [0.0] * n
+        v[d] = 1.0
+        return v
+
+    schema = "vec_id long, embedding array<double>"
+    b1 = spark.createDataFrame([(i, onehot(i)) for i in range(4)], schema)
+    land(b1, 0)
+    b2 = spark.createDataFrame([(10, onehot(4)), (11, onehot(5))], schema)
+    real_extend = S.extend_ivf_index
+
+    def boom(*a, **k):
+        raise RuntimeError("crash between corpus append and extend")
+
+    import unittest.mock as mock
+
+    with mock.patch.object(S, "extend_ivf_index", boom):
+        with _pytest.raises(RuntimeError, match="crash between"):
+            land(b2, 1)
+    land(b2, 1)  # replay: duplicate corpus append by contract
+    assert spark.read.parquet(corpus).count() == 8  # 10,11 duplicated
+
+    rep = vacuum_parquet(spark, corpus, ["vec_id"], target_bytes=1 << 30)
+    assert rep["rows_after"] == 6 and rep["n_dup_rows"] == 2
+    assert spark.read.parquet(corpus).count() == 6
+
+    # the gate still gates: a twin of a landed vector is dropped
+    b3 = spark.createDataFrame(
+        [(20, [0.0, 0.0, 0.0, 0.0, 0.98, 0.02, 0.0, 0.0])], schema
+    )
+    land(b3, 2)
+    ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(corpus).select("vec_id").distinct().collect()
+    }
+    assert 20 not in ids  # gated against the vacuumed corpus's index

@@ -284,3 +284,130 @@ def compact_parquet(
             for leaf in leaves
         ]
         return [f.result() for f in futures]  # leaf order preserved
+
+
+def _recover_stage(stage: str, leaf: str) -> bool:
+    """Finish or discard ONE stage dir left by a crashed pass: a
+    committed stage (manifest present) is finished into ``leaf``; an
+    uncommitted one is junk (originals intact) and is dropped.
+    Returns True when a committed swap was finished."""
+    if not os.path.isdir(stage):
+        return False
+    if os.path.exists(os.path.join(stage, _MANIFEST)):
+        _finish_swap(stage, leaf)
+        return True
+    shutil.rmtree(stage, ignore_errors=True)
+    return False
+
+
+def vacuum_parquet(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str] | tuple[str, ...],
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Collapse duplicate-key rows in a FLAT parquet directory — the
+    maintenance sibling of :func:`compact_parquet` and the documented
+    closing move of the ingest-gate family's at-least-once contract:
+    a crash between a gate's corpus append and its index extend
+    replays into a duplicate corpus append (never loss), and every
+    gate docstring defers the cleanup "until vacuum".  This is that
+    vacuum: one row per ``key_cols`` over the whole directory,
+    rewritten to ~``target_bytes`` files.
+
+    Same two-phase commit as compaction (stage OUTSIDE the root,
+    atomically-renamed ``_SWAP_MANIFEST`` as the commit point,
+    install-then-retire): a crash before the manifest leaves the
+    corpus byte-identical; a crash after it is finished by the next
+    run; the only visible mid-swap artifact is MORE duplicates
+    (originals + installed copies) — which downstream already
+    tolerates, since probe decisions are ``distinct``-ed.  No crash
+    point loses a key.
+
+    Duplicate rows born of replay are byte-identical, so which copy
+    survives is immaterial; for corpora where same-key rows can
+    DIFFER, note that the keeper is whichever copy
+    ``dropDuplicates`` retains (Spark's contract: unspecified) — run
+    a CDC fold (:func:`~yodel_etl_spark.ops.cdc.apply_changes`) when
+    latest-wins semantics are the point.  A concurrent gate append
+    during the vacuum survives (only the files listed at scan time
+    retire); its replay-duplicates, if any, wait for the next pass.
+
+    No-duplicates fast path: one aggregate decides, and a corpus that
+    is both duplicate-free and healthily sized is left byte-identical
+    (idempotence — a second vacuum is a listing plus one count)."""
+    leaves = _leaf_dirs(path)
+    if not leaves:
+        # nothing landed yet (a stream that has not triggered) — or a
+        # crashed vacuum whose committed stage holds every file: finish
+        # it, then re-list
+        stage0 = os.path.join(
+            os.path.dirname(path.rstrip("/")) or ".",
+            "_vacuum_stage_" + os.path.basename(path.rstrip("/")),
+            "_root",
+        )
+        os.makedirs(path, exist_ok=True)
+        if _recover_stage(stage0, path.rstrip("/")):
+            leaves = _leaf_dirs(path)
+        if not leaves:
+            return {
+                "dir": path,
+                "rows_before": 0,
+                "rows_after": 0,
+                "n_dup_rows": 0,
+                "n_files_before": 0,
+                "n_files_after": 0,
+                "recovered": False,
+                "rewritten": False,
+            }
+    if leaves != [path.rstrip("/")] and leaves != [path]:
+        raise ValueError(
+            f"vacuum_parquet expects a FLAT parquet directory; {path!r} "
+            f"has leaves {leaves!r} — gate corpora are flat, and global "
+            "dedup across partition leaves needs a shuffle layout this "
+            "maintenance op does not impose"
+        )
+    leaf = leaves[0]
+    stage_root = os.path.join(
+        os.path.dirname(path.rstrip("/")) or ".",
+        "_vacuum_stage_" + os.path.basename(path.rstrip("/")),
+    )
+    stage = os.path.join(stage_root, "_root")
+    recovered = _recover_stage(stage, leaf)
+
+    files = _parquet_files(leaf)
+    total = sum(sz for _, sz in files)
+    df = spark.read.parquet(*[p for p, _ in files])
+    from pyspark.sql import functions as F
+
+    counts = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(*[F.col(c) for c in key_cols]).alias("nk"),
+    ).first()
+    rows_before, n_keys = int(counts["n"]), int(counts["nk"])
+    frag = (
+        len(files) >= 2 and total / len(files) < target_bytes * _FRAG_FRACTION
+    )
+    report = {
+        "dir": leaf,
+        "rows_before": rows_before,
+        "rows_after": n_keys,
+        "n_dup_rows": rows_before - n_keys,
+        "n_files_before": len(files),
+        "recovered": recovered,
+        "rewritten": rows_before != n_keys or frag,
+    }
+    if not report["rewritten"]:
+        report["n_files_after"] = len(files)
+        return report
+    n_out = max(1, math.ceil(total / target_bytes))
+    df.dropDuplicates(list(key_cols)).coalesce(n_out).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    manifest = os.path.join(stage, _MANIFEST)
+    with open(manifest + ".tmp", "w") as fh:
+        fh.write("\n".join(os.path.basename(p) for p, _ in files))
+    os.replace(manifest + ".tmp", manifest)
+    _finish_swap(stage, leaf)
+    report["n_files_after"] = len(_parquet_files(leaf))
+    return report

@@ -477,3 +477,55 @@ def embedding_ingest_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_input, n_landed, n_input - n_landed)],
         "n_input long, n_landed long, n_gated long",
     )
+
+
+@register(
+    "vac",
+    oracle=None,  # the measured artifact is the corpus FILE/ROW set
+    # through the two-phase swap — crash windows, key preservation and
+    # gate integration pinned at file level in tests/test_compact.py;
+    # the returned counts are exact and deterministic
+    doc="Corpus vacuum end-to-end (io/compact.py vacuum_parquet) — the "
+    "closing move of the ingest-gate at-least-once contract: a gate "
+    "crash between corpus append and index extend replays into a "
+    "duplicate corpus append (never loss), and this op collapses those "
+    "duplicates.  Fixture replicates the exact artifact: one "
+    "embeddings batch appended TWICE (the replay) plus a second batch "
+    "once; vacuum keeps one row per vec_id through the same staged "
+    "two-phase swap as compaction (commit = atomically-renamed "
+    "manifest, install-then-retire — a crash can only add duplicates, "
+    "never lose a key).  Returns (rows_before, rows_after, n_dup_rows, "
+    "files_before, files_after, verified) with verified re-counted "
+    "from the vacuumed corpus.  Rows-only: maintenance cost trail, "
+    "like `compact` and `rollup`.",
+    tags=("io", "maintenance", "dedup", "bench"),
+    bench=True,
+)
+def vacuum_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.io.compact import vacuum_parquet
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    path = _work_dir("vac", sf_dir)
+    b1 = emb.where(F.col("vec_id") % 3 != 0)
+    b2 = emb.where(F.col("vec_id") % 3 == 0)
+    b1.write.mode("append").parquet(path)
+    b1.write.mode("append").parquet(path)  # the at-least-once replay
+    b2.write.mode("append").parquet(path)
+    rep = vacuum_parquet(spark, path, ["vec_id"])
+    verified = spark.read.parquet(path).select("vec_id").distinct().count()
+    return spark.createDataFrame(
+        [
+            (
+                rep["rows_before"],
+                rep["rows_after"],
+                rep["n_dup_rows"],
+                rep["n_files_before"],
+                rep["n_files_after"],
+                verified,
+            )
+        ],
+        "rows_before long, rows_after long, n_dup_rows long, "
+        "files_before long, files_after long, verified long",
+    )
