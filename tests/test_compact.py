@@ -579,3 +579,115 @@ def test_vacuum_then_gate_probe_still_gates(spark, tmp_path):
         for r in spark.read.parquet(corpus).select("vec_id").distinct().collect()
     }
     assert 20 not in ids  # gated against the vacuumed corpus's index
+
+
+def test_index_vacuums_collapse_replayed_extends(spark, tmp_path):
+    """The index-side vacuum twins: a replayed extend duplicates
+    posting rows in every index family (benign for decisions, costly
+    for probe work); each family's vacuum collapses them and the
+    probe results are IDENTICAL before and after."""
+    from yodel_etl_spark.scale.dedup import (
+        extend_minhash_index,
+        probe_minhash_index,
+        release,
+        vacuum_minhash_index,
+        write_minhash_index,
+    )
+    from yodel_etl_spark.scale.similarity import (
+        extend_ivf_index,
+        ivf_index_write,
+        probe_ivf_index,
+        vacuum_ivf_index,
+    )
+
+    # ------------------------------------------------------- minhash
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc {i} body") for i in range(30)],
+        "doc_id long, text string",
+    )
+    mh = str(tmp_path / "mh")
+    write_minhash_index(docs, mh, num_hashes=16, bands=8)
+    delta = spark.createDataFrame(
+        [(100 + i, f"alpha beta gamma delta epsilon zeta doc {i} body x") for i in range(5)],
+        "doc_id long, text string",
+    )
+    extend_minhash_index(delta, mh)
+    extend_minhash_index(delta, mh)  # the at-least-once replay
+    probe = spark.createDataFrame(
+        [(999, "alpha beta gamma delta epsilon zeta doc 3 body")],
+        "doc_id long, text string",
+    )
+    before = probe_minhash_index(spark, mh, probe, threshold=0.3)
+    hits_before = {(r["doc_inc"], r["doc_idx"]) for r in before.collect()}
+    release(before)
+    n_banded = spark.read.parquet(f"{mh}/banded").count()
+    rep = vacuum_minhash_index(spark, mh)
+    assert rep["banded"]["n_dup_rows"] == 5 * 8  # 5 docs x 8 bands
+    assert rep["sets"]["n_dup_rows"] == 5
+    assert spark.read.parquet(f"{mh}/banded").count() == n_banded - 40
+    after = probe_minhash_index(spark, mh, probe, threshold=0.3)
+    assert {(r["doc_inc"], r["doc_idx"]) for r in after.collect()} == hits_before
+    release(after)
+
+    # ----------------------------------------------------------- ivf
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7 + 1), float(i % 3 + 1)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    ivf = str(tmp_path / "ivf")
+    ivf_index_write(vecs, "vec_id", "embedding", ivf, centroid_every=5)
+    d2 = spark.createDataFrame(
+        [(200, [2.0, 1.0]), (201, [3.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    extend_ivf_index(d2, ivf, "vec_id", "embedding")
+    extend_ivf_index(d2, ivf, "vec_id", "embedding")  # replay
+    q = spark.createDataFrame(
+        [(900, [2.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    hb = {
+        (r["id_inc"], r["id_idx"])
+        for r in probe_ivf_index(
+            spark, ivf, q, "vec_id", "embedding", threshold=0.99
+        ).collect()
+    }
+    rep = vacuum_ivf_index(spark, ivf)
+    assert rep["assignments"]["n_dup_rows"] == 2
+    ha = {
+        (r["id_inc"], r["id_idx"])
+        for r in probe_ivf_index(
+            spark, ivf, q, "vec_id", "embedding", threshold=0.99
+        ).collect()
+    }
+    assert ha == hb and (900, 200) in ha
+
+
+def test_hamming_index_vacuum(spark, tmp_path):
+    from yodel_etl_spark.scale.dedup import (
+        extend_hamming_index,
+        probe_hamming_index,
+        vacuum_hamming_index,
+        write_hamming_index,
+    )
+
+    sk = spark.createDataFrame(
+        [(i, (i * 0x9E3779B97F4A7C15) % (1 << 63)) for i in range(40)],
+        "doc long, sim long",
+    )
+    hm = str(tmp_path / "hm")
+    write_hamming_index(sk, hm, blocks=8)
+    d = spark.createDataFrame([(100, 12345), (101, 99999)], "doc long, sim long")
+    extend_hamming_index(d, hm)
+    extend_hamming_index(d, hm)  # replay
+    probe = spark.createDataFrame([(900, 12345)], "doc long, sim long")
+    hb = {
+        (r["doc_inc"], r["doc_idx"])
+        for r in probe_hamming_index(spark, hm, probe, max_distance=2).collect()
+    }
+    rep = vacuum_hamming_index(spark, hm)
+    assert rep["banded"]["n_dup_rows"] == 2 * 8
+    ha = {
+        (r["doc_inc"], r["doc_idx"])
+        for r in probe_hamming_index(spark, hm, probe, max_distance=2).collect()
+    }
+    assert ha == hb and (900, 100) in ha

@@ -1335,6 +1335,37 @@ def extend_hamming_index(
     _hamming_banded(sims, blocks).write.mode("append").parquet(f"{path}/banded")
 
 
+def vacuum_minhash_index(spark, path: str) -> dict:
+    """Collapse replay-duplicate rows in a persisted MinHash index —
+    the index-side twin of the corpus vacuum
+    (:func:`yodel_etl_spark.io.compact.vacuum_parquet`): a replayed
+    ``extend_minhash_index`` appends its batch's ``banded``/``sets``
+    rows again (benign for correctness — candidates are distinct-ed,
+    verification is per-doc — but probe work and scan bytes grow with
+    every replay).  Duplicate copies are byte-identical (bkey and the
+    shingle-hash set are deterministic functions of text + pinned
+    params), so any keeper is exact.  Each table swaps independently
+    through the two-phase commit; a crash between them leaves one
+    table vacuumed and the other not — both states are valid indices."""
+    from yodel_etl_spark.io.compact import vacuum_parquet
+
+    return {
+        "banded": vacuum_parquet(spark, f"{path}/banded", ["doc", "band"]),
+        "sets": vacuum_parquet(spark, f"{path}/sets", ["doc"]),
+    }
+
+
+def vacuum_hamming_index(spark, path: str) -> dict:
+    """Replay-duplicate collapse for a persisted Hamming index (one
+    ``banded`` table; duplicate (doc, block) rows are byte-identical
+    since key derives from the sketch)."""
+    from yodel_etl_spark.io.compact import vacuum_parquet
+
+    return {
+        "banded": vacuum_parquet(spark, f"{path}/banded", ["doc", "block"])
+    }
+
+
 def probe_hamming_index(
     spark,
     path: str,

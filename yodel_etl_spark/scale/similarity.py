@@ -421,6 +421,22 @@ def rebuild_ivf_index(
     ivf_index_write(corpus, id_col, vec_col, path, centroid_every)
 
 
+def vacuum_ivf_index(spark, path: str) -> dict:
+    """Replay-duplicate collapse for a persisted IVF index — the
+    index-side twin of the corpus vacuum: a replayed
+    ``extend_ivf_index`` appends its batch's posting rows again
+    (candidates duplicate; decisions stay correct), and this collapses
+    ``assignments`` to one row per id through the two-phase swap.
+    Copies are byte-identical (cell assignment is deterministic
+    against the frozen centroids), so any keeper is exact.  Unlike
+    ``rebuild_ivf_index`` this never touches centroids or geometry —
+    run it between rebuilds; note it also shrinks ``ivf_index_stats``
+    fatness to the true (deduplicated) load."""
+    from yodel_etl_spark.io.compact import vacuum_parquet
+
+    return {"assignments": vacuum_parquet(spark, f"{path}/assignments", ["id"])}
+
+
 def probe_ivf_index(
     spark,
     path: str,
