@@ -691,3 +691,22 @@ def test_hamming_index_vacuum(spark, tmp_path):
         for r in probe_hamming_index(spark, hm, probe, max_distance=2).collect()
     }
     assert ha == hb and (900, 100) in ha
+
+
+def test_vacuum_null_key_rows_converge(spark, tmp_path):
+    """A NULL-key row must count as its own key group (count_distinct
+    would ignore it): the report matches what dropDuplicates keeps and
+    the second vacuum is a no-op — no forever-rewrite drift."""
+    from yodel_etl_spark.io.compact import vacuum_parquet
+
+    path = str(tmp_path / "nullc")
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (None, "n"), (None, "n"), (2, "b")],
+        "k int, v string",
+    )
+    df.write.mode("append").parquet(path)
+    rep = vacuum_parquet(spark, path, ["k"], target_bytes=1 << 30)
+    assert rep["rows_before"] == 5 and rep["rows_after"] == 3
+    assert spark.read.parquet(path).count() == 3
+    rep2 = vacuum_parquet(spark, path, ["k"], target_bytes=1 << 30)
+    assert not rep2["rewritten"] and rep2["n_dup_rows"] == 0

@@ -380,11 +380,17 @@ def vacuum_parquet(
     df = spark.read.parquet(*[p for p, _ in files])
     from pyspark.sql import functions as F
 
-    counts = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct(*[F.col(c) for c in key_cols]).alias("nk"),
-    ).first()
-    rows_before, n_keys = int(counts["n"]), int(counts["nk"])
+    # null-safe key grouping (count_distinct would IGNORE null-key
+    # groups — dropDuplicates keeps them, so the report would drift
+    # and the fast path would re-rewrite forever on a null-key corpus)
+    counts = (
+        df.groupBy(*[F.col(c) for c in key_cols])
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("nk"))
+        .first()
+    )
+    rows_before = int(counts["n"] or 0)
+    n_keys = int(counts["nk"])
     frag = (
         len(files) >= 2 and total / len(files) < target_bytes * _FRAG_FRACTION
     )
