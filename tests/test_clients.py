@@ -324,3 +324,22 @@ def test_encode_via_endpoint_schema_and_failsoft(spark, server):
     assert all(r["encode_status"] == 503 for r in bad)
     assert all(r["embedding"] is None for r in bad)
     assert all("503" in r["encode_error"] for r in bad)
+
+
+def test_embedding_failures_never_carry_success_status(spark, server):
+    """A 200-with-bad-body (count mismatch / unknown envelope) must
+    surface as a NON-2xx encode_status, or the documented
+    `status != 200` retry filter would skip exactly the rows that got
+    NULL vectors."""
+    from yodel_etl_spark.llm.clients import EmbeddingEndpointClient
+    from yodel_etl_spark.scale.encode import encode_via_endpoint
+
+    client = EmbeddingEndpointClient(f"{server}/embed-short", retry=FAST_RETRY)
+    with pytest.raises(HttpStatusError) as ei:
+        client(["a", "b", "c"])
+    assert ei.value.status == 502  # not the transport's 200
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, text string")
+    rows = encode_via_endpoint(df, client, batch_size=8).collect()
+    assert all(r["encode_status"] == 502 for r in rows)
+    assert all(r["embedding"] is None for r in rows)

@@ -271,3 +271,19 @@ def test_decode_pixels_external_decoder_hook(spark):
     assert (got[2]["img_h"], got[2]["img_w"]) == (12, 16)
     with pytest.raises(Exception, match="NotImplemented|pyav"):
         image_dhash(df).collect()  # default gate intact
+
+
+def test_decode_pixels_refuses_non_uint8_decoder_output():
+    """A decoder returning float [0,1] (the common ML-decoder
+    convention) must be REFUSED, not coerced — truncating to uint8
+    would hash every such image as black (the silent-fake mode)."""
+    import numpy as np
+    import pytest
+
+    from yodel_etl_spark.scale.multimodal import decode_pixels
+
+    def float_decoder(blob):
+        return np.full((4, 4, 3), 0.5, dtype=np.float32)
+
+    with pytest.raises(ValueError, match="uint8"):
+        decode_pixels(b"\x00\x00\x01\xb3frame", decoder=float_decoder)

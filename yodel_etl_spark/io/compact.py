@@ -180,11 +180,20 @@ def _compact_leaf(
         mf = os.path.join(st, _MANIFEST)
         if os.path.exists(mf):
             if need_ownership:
-                with open(mf) as fh:
-                    listed = {ln for ln in fh.read().splitlines() if ln}
+                # a FINISHED legacy stage may be reaped by a colliding
+                # leaf's concurrent probe (max_concurrency > 1) between
+                # any two reads here — a vanished manifest/stage just
+                # means the other thread proved it done; never crash
+                # the pass over it
+                try:
+                    with open(mf) as fh:
+                        listed = {ln for ln in fh.read().splitlines() if ln}
+                    stage_files = os.listdir(st)
+                except FileNotFoundError:
+                    continue
                 if not (listed & set(os.listdir(leaf))):
                     if not any(
-                        f.endswith(".parquet") for f in os.listdir(st)
+                        f.endswith(".parquet") for f in stage_files
                     ) and not _basenames_exist_under(path, listed):
                         shutil.rmtree(st, ignore_errors=True)
                         try:
@@ -337,6 +346,7 @@ def vacuum_parquet(
     is both duplicate-free and healthily sized is left byte-identical
     (idempotence — a second vacuum is a listing plus one count)."""
     leaves = _leaf_dirs(path)
+    recovered_empty = False
     if not leaves:
         # nothing landed yet (a stream that has not triggered) — or a
         # crashed vacuum whose committed stage holds every file: finish
@@ -347,7 +357,8 @@ def vacuum_parquet(
             "_root",
         )
         os.makedirs(path, exist_ok=True)
-        if _recover_stage(stage0, path.rstrip("/")):
+        recovered_empty = _recover_stage(stage0, path.rstrip("/"))
+        if recovered_empty:
             leaves = _leaf_dirs(path)
         if not leaves:
             return {
@@ -357,7 +368,7 @@ def vacuum_parquet(
                 "n_dup_rows": 0,
                 "n_files_before": 0,
                 "n_files_after": 0,
-                "recovered": False,
+                "recovered": recovered_empty,
                 "rewritten": False,
             }
     if leaves != [path.rstrip("/")] and leaves != [path]:
@@ -373,7 +384,7 @@ def vacuum_parquet(
         "_vacuum_stage_" + os.path.basename(path.rstrip("/")),
     )
     stage = os.path.join(stage_root, "_root")
-    recovered = _recover_stage(stage, leaf)
+    recovered = _recover_stage(stage, leaf) or recovered_empty
 
     files = _parquet_files(leaf)
     total = sum(sz for _, sz in files)

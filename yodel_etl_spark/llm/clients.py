@@ -335,10 +335,15 @@ class EmbeddingEndpointClient(_HttpClientBase):
         else:
             vecs = payload.get("embeddings", [])
         if len(vecs) != len(texts):
+            # a 2xx with a bad body is an UPSTREAM protocol failure —
+            # report 502, never the transport's 200: encode_via_endpoint
+            # records getattr(exc, "status") in encode_status, and a 200
+            # there would make NULL-vector rows unselectable by the
+            # documented `status != 200` retry filter
             raise HttpStatusError(
-                resp.status_code,
+                502,
                 f"embedding count mismatch: sent {len(texts)} texts, "
-                f"got {len(vecs)} vectors",
+                f"got {len(vecs)} vectors (HTTP {resp.status_code})",
             )
         return [[float(x) for x in v] for v in vecs]
 

@@ -202,7 +202,12 @@ def encode_via_endpoint(
                     errors.extend([None] * len(chunk))
                 except Exception as exc:  # noqa: BLE001 - fail-soft by contract
                     vecs.extend([None] * len(chunk))
-                    statuses.extend([getattr(exc, "status", 500)] * len(chunk))
+                    st = getattr(exc, "status", 500)
+                    if 200 <= st < 300:
+                        # a failed row must never carry a success code —
+                        # `status != 200` is the documented retry filter
+                        st = 500
+                    statuses.extend([st] * len(chunk))
                     errors.extend([f"{type(exc).__name__}: {exc}"] * len(chunk))
             res = pdf.copy()
             res[out_col] = vecs

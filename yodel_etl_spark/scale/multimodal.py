@@ -209,12 +209,17 @@ def decode_pixels(blob: bytes, decoder=None):
     Raises (ValueError for unsupported profiles, NotImplementedError for
     non-image formats) — never a silent fake.
 
-    ``decoder`` (opt-in) is the pluggable-codec hook for exactly those
-    two honest gates: an unrecognized container (H.26x/AV1 video frame,
-    WebP, …) or a recognized-but-unsupported profile (progressive JPEG,
-    RLE BMP, 16-bit/Adam7 PNG) falls through to ``decoder(blob)``,
-    which must return an ``(h, w, channels)`` uint8 array.  A decoder
-    failure propagates — the defaults stay raising."""
+    ``decoder`` (opt-in) is the pluggable-codec hook: an unrecognized
+    container (H.26x/AV1 video frame, WebP, …) or ANY ``ValueError``
+    from the builtin path — which covers both unsupported profiles
+    (progressive JPEG, RLE BMP, 16-bit/Adam7 PNG) and corrupt/truncated
+    streams, the builtins do not distinguish them — falls through to
+    ``decoder(blob)``; the decoder sees the raw blob and applies its
+    own validation.  It must return ``(h, w, channels)`` (or 2-D gray)
+    **uint8** — any other dtype raises rather than being coerced, since
+    silently truncating a float/16-bit plane to zeros is the
+    hash-every-image-as-black bug.  A decoder failure propagates — the
+    defaults stay raising."""
     import numpy as np
 
     try:
@@ -249,7 +254,13 @@ def decode_pixels(blob: bytes, decoder=None):
         raise ValueError(
             f"external decoder returned shape {px.shape}; want (h, w, c)"
         )
-    return px.astype(np.uint8, copy=False)
+    if px.dtype != np.uint8:
+        raise ValueError(
+            f"external decoder returned dtype {px.dtype}; the contract "
+            "is uint8 pixels — coercing a float [0,1] or 16-bit plane "
+            "would silently truncate to zeros/wrapped values"
+        )
+    return px
 
 
 def try_real_decode(blob: bytes):

@@ -240,16 +240,23 @@ def ivf_index_write(
     staleness probe (:func:`ivf_index_stats`) and the ``max_fatness``
     extend guard compare against."""
     assign, cents = assign_ivf_cells(df, id_col, vec_col, centroid_every)
-    # centroids LAST: existence checks key on it, so a crash mid-build
-    # (or the no-centroid refusal below) reads as 'no index' and the
-    # replay rebuilds via overwrite.  Both build-time counts come from
-    # ONE aggregate over the just-written (small) posting table —
-    # every centroid is itself a corpus row, so the centroid count is
-    # a predicate sum, not a second scan of the corpus (job count is
-    # the dominant cost of the ingest micro-benches; see BASELINE's
-    # eingest phase decomposition).
-    assign.write.mode("overwrite").parquet(f"{path}/assignments")
     spark = df.sparkSession
+    # old centroids marker FIRST, new centroids LAST: existence checks
+    # key on centroids, so from the delete to the final write the path
+    # reads as 'no index' — a crash mid-build (or the no-centroid
+    # refusal below) can therefore never leave a STALE centroid table
+    # paired with a fresh/empty posting table, which would look like a
+    # valid index whose probes silently miss every stored vector (the
+    # family's forbidden mode; re-building over an existing snapshot
+    # is the documented once-per-corpus-snapshot usage).  Both
+    # build-time counts come from ONE aggregate over the just-written
+    # (small) posting table — every centroid is itself a corpus row,
+    # so the centroid count is a predicate sum, not a second scan of
+    # the corpus (job count is the dominant cost of the ingest
+    # micro-benches; see BASELINE's eingest phase decomposition).
+    fs, jvm = _ivf_fs(spark, path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/centroids"), True)
+    assign.write.mode("overwrite").parquet(f"{path}/assignments")
     row = (
         spark.read.parquet(f"{path}/assignments")
         .agg(
