@@ -508,6 +508,15 @@ def vacuum_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     path = _work_dir("vac", sf_dir)
+    # the vacuum's swap stage lives OUTSIDE the table root (compaction
+    # convention) — register its sibling dir for exit cleanup too, or
+    # a mid-run crash would strand it in tmpfs past the path's atexit
+    stage_root = os.path.join(
+        os.path.dirname(path), "_vacuum_stage_" + os.path.basename(path)
+    )
+    if stage_root not in _CLEANUP_REGISTERED:
+        _CLEANUP_REGISTERED.add(stage_root)
+        atexit.register(shutil.rmtree, stage_root, ignore_errors=True)
     b1 = emb.where(F.col("vec_id") % 3 != 0)
     b2 = emb.where(F.col("vec_id") % 3 == 0)
     b1.write.mode("append").parquet(path)
