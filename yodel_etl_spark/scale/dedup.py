@@ -1087,8 +1087,11 @@ def near_dedup_ingest(
     bearing.  A replay after full success probes its own just-admitted
     index rows, self-hits, and is gated out (idempotent no-op); a crash
     between the corpus append and the extend replays into a duplicate
-    corpus append (dedupe by id downstream or land into a transactional
-    table format — the standard foreachBatch file-sink contract).  The
+    corpus append — schedule
+    :func:`yodel_etl_spark.io.compact.vacuum_parquet` on the corpus
+    (and :func:`vacuum_minhash_index` on the index) to collapse them,
+    or land into a transactional table format (the standard
+    foreachBatch file-sink contract).  The
     REVERSE order would turn that crash window into silent permanent
     loss: the replay would self-hit against index rows whose corpus
     rows never landed and drop the whole batch.  Duplicated index rows
@@ -1487,7 +1490,8 @@ def sketch_dedup_ingest(
     load-bearing write order: corpus append BEFORE index extend, so a
     crash between them replays into a duplicate corpus append instead
     of a self-hit-gated silent loss (see near_dedup_ingest's delivery
-    note).  ``components_path`` (opt-in) folds each batch's pairs —
+    note; vacuum_parquet / :func:`vacuum_hamming_index` collapse the
+    replay duplicates).  ``components_path`` (opt-in) folds each batch's pairs —
     in-batch AND probe hits, gated sketches included — into the same
     persisted versioned ``(node, component)`` map as the MinHash gate
     (see near_dedup_ingest's components paragraph; identical snapshot
@@ -1580,7 +1584,9 @@ def embedding_dedup_ingest(
     centroids; the corpus is never re-assigned).
 
     Same load-bearing write order (corpus append BEFORE index extend —
-    see near_dedup_ingest's delivery note), the same at-least-once
+    see near_dedup_ingest's delivery note; vacuum_parquet /
+    ``similarity.vacuum_ivf_index`` collapse the crash-window replay
+    duplicates), the same at-least-once
     posture and cache discipline, and the same opt-in
     ``components_path`` cluster leg (single-writer-per-path, like its
     siblings).  One honesty divergence from its
