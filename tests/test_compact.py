@@ -710,3 +710,33 @@ def test_vacuum_null_key_rows_converge(spark, tmp_path):
     assert spark.read.parquet(path).count() == 3
     rep2 = vacuum_parquet(spark, path, ["k"], target_bytes=1 << 30)
     assert not rep2["rewritten"] and rep2["n_dup_rows"] == 0
+
+
+def test_vacuum_concurrent_append_survives(spark, tmp_path, monkeypatch):
+    """The docstring's concurrency claim, pinned: a gate append landing
+    AFTER the vacuum's scan (simulated at the commit point, the latest
+    possible moment) is not in the retire manifest and survives the
+    swap untouched — only scan-time files retire."""
+    from yodel_etl_spark.io import compact as compact_mod
+    from yodel_etl_spark.io.compact import vacuum_parquet
+
+    path = _dup_corpus(spark, tmp_path, "conc")
+    late = spark.range(9000, 9010).select(
+        F.col("id").alias("vec_id"), (F.col("id") * 2.0).alias("v")
+    )
+    real_finish = compact_mod._finish_swap
+    fired = {"n": 0}
+
+    def append_then_finish(stage, leaf):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            late.write.mode("append").parquet(leaf)  # the mid-vacuum gate append
+        return real_finish(stage, leaf)
+
+    monkeypatch.setattr(compact_mod, "_finish_swap", append_then_finish)
+    rep = vacuum_parquet(spark, path, ["vec_id"], target_bytes=1 << 30)
+    monkeypatch.undo()
+    assert rep["rows_after"] == 800  # the scan-time dedup result
+    got = spark.read.parquet(path)
+    assert got.count() == 810  # late batch survived alongside it
+    assert got.where(F.col("vec_id") >= 9000).count() == 10
