@@ -437,11 +437,12 @@ def test_ivf_rebuild_centroids_delete_first_and_params_guard(
 
 
 def test_ivf_rebuild_crash_window_reads_as_no_index(spark, tmp_path, monkeypatch):
-    """rebuild_ivf_index's commit discipline: the old centroids marker
-    is deleted FIRST, so a crash anywhere mid-rebuild leaves a state
-    that reads as 'no index' (_index_exists false) — never old
-    centroids paired with new assignments (the silent-miss geometry).
-    The corpus is external, so the re-run rebuild recovers fully."""
+    """The build/rebuild commit discipline (owned by ivf_index_write):
+    the old centroids marker is deleted BEFORE any write, so a crash
+    anywhere mid-build over an existing index leaves a state that
+    reads as 'no index' (_index_exists false) — never old centroids
+    paired with new assignments (the silent-miss geometry).  The
+    corpus is external, so the re-run rebuild recovers fully."""
     import pytest
 
     from yodel_etl_spark.scale import similarity as S
@@ -455,19 +456,19 @@ def test_ivf_rebuild_crash_window_reads_as_no_index(spark, tmp_path, monkeypatch
     S.ivf_index_write(vecs, "vec_id", "embedding", path, centroid_every=10)
     assert _index_exists(spark, path, marker="centroids")
 
-    real_write = S.ivf_index_write
+    real_params = S._write_ivf_params
 
     def boom(*a, **k):
-        raise RuntimeError("crash after centroids delete")
+        raise RuntimeError("crash mid-build, after marker delete")
 
-    monkeypatch.setattr(S, "ivf_index_write", boom)
-    with pytest.raises(RuntimeError, match="crash after"):
+    monkeypatch.setattr(S, "_write_ivf_params", boom)
+    with pytest.raises(RuntimeError, match="crash mid-build"):
         S.rebuild_ivf_index(spark, path, vecs, "vec_id", "embedding")
     # the marker is gone: readers and gates see NO index, not a
     # stale-geometry one
     assert not _index_exists(spark, path, marker="centroids")
 
-    monkeypatch.setattr(S, "ivf_index_write", real_write)
+    monkeypatch.setattr(S, "_write_ivf_params", real_params)
     S.rebuild_ivf_index(
         spark, path, vecs, "vec_id", "embedding", centroid_every=10
     )

@@ -109,6 +109,25 @@ def _finish_swap(stage: str, leaf: str) -> None:
         pass
 
 
+def compact_stage_root(path: str) -> str:
+    """The sibling directory compaction stages its swaps under — the
+    SINGLE definition of the naming scheme, exposed so callers (bench
+    fixtures, external cleanup jobs) can wipe/register it without
+    duplicating the convention."""
+    return os.path.join(
+        os.path.dirname(path.rstrip("/")) or ".",
+        "_compact_stage_" + os.path.basename(path.rstrip("/")),
+    )
+
+
+def vacuum_stage_root(path: str) -> str:
+    """Vacuum's staging sibling (see :func:`compact_stage_root`)."""
+    return os.path.join(
+        os.path.dirname(path.rstrip("/")) or ".",
+        "_vacuum_stage_" + os.path.basename(path.rstrip("/")),
+    )
+
+
 def _basenames_exist_under(root: str, basenames: set[str]) -> bool:
     """True when ANY of ``basenames`` exists anywhere under ``root`` —
     the cross-leaf retire-completeness probe for reaping a finished
@@ -148,10 +167,7 @@ def _compact_leaf(
         legacy_rel = rel.replace(os.sep, "__")
         digest = hashlib.md5(rel.encode("utf-8")).hexdigest()[:8]
         rel = legacy_rel + "-" + digest
-    stage_root = os.path.join(
-        os.path.dirname(path.rstrip("/")) or ".",
-        "_compact_stage_" + os.path.basename(path.rstrip("/")),
-    )
+    stage_root = compact_stage_root(path)
     stage = os.path.join(stage_root, rel)
     legacy_stage = os.path.join(stage_root, legacy_rel)
     recovered = False
@@ -351,11 +367,7 @@ def vacuum_parquet(
         # nothing landed yet (a stream that has not triggered) — or a
         # crashed vacuum whose committed stage holds every file: finish
         # it, then re-list
-        stage0 = os.path.join(
-            os.path.dirname(path.rstrip("/")) or ".",
-            "_vacuum_stage_" + os.path.basename(path.rstrip("/")),
-            "_root",
-        )
+        stage0 = os.path.join(vacuum_stage_root(path), "_root")
         os.makedirs(path, exist_ok=True)
         recovered_empty = _recover_stage(stage0, path.rstrip("/"))
         if recovered_empty:
@@ -379,11 +391,7 @@ def vacuum_parquet(
             "maintenance op does not impose"
         )
     leaf = leaves[0]
-    stage_root = os.path.join(
-        os.path.dirname(path.rstrip("/")) or ".",
-        "_vacuum_stage_" + os.path.basename(path.rstrip("/")),
-    )
-    stage = os.path.join(stage_root, "_root")
+    stage = os.path.join(vacuum_stage_root(path), "_root")
     recovered = _recover_stage(stage, leaf) or recovered_empty
 
     files = _parquet_files(leaf)

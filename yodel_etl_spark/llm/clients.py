@@ -267,11 +267,16 @@ class GeminiGenerateClient(_HttpClientBase):
             # empty candidates/parts = blocked or empty generation (e.g.
             # safety filter): a 200 with no text is a FAILURE — raising
             # routes it to infer_map's fail-soft error column instead of
-            # counting as success and writing an empty output file
+            # counting as success and writing an empty output file.
+            # Report 502, never the transport's 200: a failed row with
+            # status=200 would be invisible to the documented
+            # `status != 200` retry filter (the embedding-client rule)
             reason = (payload.get("candidates") or [{}])[0].get(
                 "finishReason"
             ) or payload.get("promptFeedback", {}).get("blockReason", "EMPTY")
-            raise HttpStatusError(resp.status_code, f"empty candidates: {reason}")
+            raise HttpStatusError(
+                502, f"empty candidates: {reason} (HTTP {resp.status_code})"
+            )
         return text
 
 

@@ -89,7 +89,14 @@ def infer_map(
                     errors.append(None)
                 except Exception as exc:  # noqa: BLE001 - fail-soft by contract
                     outputs.append(None)
-                    statuses.append(getattr(exc, "status", 500))
+                    st = getattr(exc, "status", 500)
+                    if not isinstance(st, int) or 200 <= st < 300:
+                        # a failed row must never carry a success code
+                        # (the `status != 200` retry filter would skip
+                        # it), and a non-int status must not TypeError
+                        # across the UDF boundary
+                        st = 500
+                    statuses.append(st)
                     errors.append(f"{type(exc).__name__}: {exc}")
             pdf = pdf.copy()
             pdf["output"], pdf["status"], pdf["error"] = outputs, statuses, errors

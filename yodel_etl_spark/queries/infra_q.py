@@ -49,6 +49,18 @@ def _work_dir(name: str, sf_dir: str) -> str:
     return path
 
 
+def _wipe_stage_sibling(stage_root: str) -> None:
+    """The _work_dir discipline for a maintenance op's OUTSIDE-the-root
+    staging sibling (compact/vacuum): wiped per call so a crashed prior
+    iteration's committed stage can never install stale files into the
+    fresh fixture, and atexit-registered so a mid-run crash does not
+    strand it in tmpfs."""
+    shutil.rmtree(stage_root, ignore_errors=True)
+    if stage_root not in _CLEANUP_REGISTERED:
+        _CLEANUP_REGISTERED.add(stage_root)
+        atexit.register(shutil.rmtree, stage_root, ignore_errors=True)
+
+
 @register(
     "compact",
     oracle=None,  # the measured artifact is the FILE set (count
@@ -74,6 +86,9 @@ def compact_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value"
     )
     path = _work_dir("compact", sf_dir)
+    from yodel_etl_spark.io.compact import compact_stage_root
+
+    _wipe_stage_sibling(compact_stage_root(path))  # same hazard as vac
     # two appends of disjoint halves, 8 writer tasks each: every leaf
     # collects up to 16 small files — the fragmentation compaction exists for
     for half in (0, 1):
@@ -507,16 +522,15 @@ def vacuum_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].select(
         "vec_id", "embedding"
     )
+    from yodel_etl_spark.io.compact import vacuum_stage_root
+
     path = _work_dir("vac", sf_dir)
     # the vacuum's swap stage lives OUTSIDE the table root (compaction
-    # convention) — register its sibling dir for exit cleanup too, or
-    # a mid-run crash would strand it in tmpfs past the path's atexit
-    stage_root = os.path.join(
-        os.path.dirname(path), "_vacuum_stage_" + os.path.basename(path)
-    )
-    if stage_root not in _CLEANUP_REGISTERED:
-        _CLEANUP_REGISTERED.add(stage_root)
-        atexit.register(shutil.rmtree, stage_root, ignore_errors=True)
+    # convention), so the work dir's wipe/atexit does not cover it:
+    # wipe it per call (a crashed prior iteration's COMMITTED stage
+    # would otherwise install last run's files into the fresh corpus —
+    # the _work_dir determinism rule) and register it for exit cleanup
+    _wipe_stage_sibling(vacuum_stage_root(path))
     b1 = emb.where(F.col("vec_id") % 3 != 0)
     b2 = emb.where(F.col("vec_id") % 3 == 0)
     b1.write.mode("append").parquet(path)

@@ -203,9 +203,12 @@ def encode_via_endpoint(
                 except Exception as exc:  # noqa: BLE001 - fail-soft by contract
                     vecs.extend([None] * len(chunk))
                     st = getattr(exc, "status", 500)
-                    if 200 <= st < 300:
+                    if not isinstance(st, int) or 200 <= st < 300:
                         # a failed row must never carry a success code —
-                        # `status != 200` is the documented retry filter
+                        # `status != 200` is the documented retry filter —
+                        # and a non-int status (a custom client's
+                        # status=None/str) must not TypeError across the
+                        # UDF boundary
                         st = 500
                     statuses.extend([st] * len(chunk))
                     errors.extend([f"{type(exc).__name__}: {exc}"] * len(chunk))

@@ -405,14 +405,15 @@ def rebuild_ivf_index(
     of truth the ingest gate appends before every extend) — fresh
     centroid set at the current density, fatness back to 1.0.
 
-    Crash discipline mirrors the build's centroids-last marker: the old
-    ``centroids`` table is deleted FIRST, so from that instant the
-    index reads as absent (``_index_exists`` keys on it) rather than
-    ever pairing old centroids with new assignments — a geometry
-    mismatch would make probes silently miss stored vectors, the
-    family's forbidden mode.  A crash anywhere mid-rebuild therefore
-    leaves 'no index'; nothing is lost (the corpus is external) and the
-    re-run rebuilds from it.  ``centroid_every`` defaults to the value
+    Crash discipline lives in :func:`ivf_index_write` (the SINGLE
+    owner of the marker ordering): it deletes the old ``centroids``
+    table before touching anything, so from that instant the index
+    reads as absent (``_index_exists`` keys on it) rather than ever
+    pairing old centroids with new assignments — a geometry mismatch
+    would make probes silently miss stored vectors, the family's
+    forbidden mode.  A crash anywhere mid-rebuild therefore leaves 'no
+    index'; nothing is lost (the corpus is external) and the re-run
+    rebuilds from it.  ``centroid_every`` defaults to the value
     recorded in ``params`` at the previous build."""
     if centroid_every is None:
         p = _read_ivf_params(spark, path)
@@ -422,9 +423,6 @@ def rebuild_ivf_index(
                 "centroid_every explicitly"
             )
         centroid_every = int(p["centroid_every"])
-    fs, jvm = _ivf_fs(spark, path)
-    cpath = jvm.org.apache.hadoop.fs.Path(f"{path}/centroids")
-    fs.delete(cpath, True)  # marker gone → index invisible until done
     ivf_index_write(corpus, id_col, vec_col, path, centroid_every)
 
 
