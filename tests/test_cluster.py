@@ -316,3 +316,92 @@ def test_component_map_prune_skips_missing_versions(spark, tmp_path):
         for r in C.read_component_map(spark, path).collect()
     }
     assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5, 6: 5, 7: 7, 8: 7}
+
+
+def test_component_map_detects_same_version_writer_race(spark, tmp_path):
+    """r13 (VERDICT next-round #2): the same-version half of the
+    writer race is now DETECTED — before writing map_v{v+1} each fold
+    atomically creates an exclusive .claim_v{v+1} marker, and the
+    second claimer raises instead of clobbering the first writer's
+    snapshot file-by-file (the formerly silent edge-loss mode)."""
+    import os
+
+    import pytest
+
+    from yodel_etl_spark.scale import cluster as C
+
+    path = str(tmp_path / "cmap")
+    p1 = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    assert C.update_component_map(spark, path, p1) == 1
+
+    # writer A has claimed v2 and is mid-snapshot-write (no _SUCCESS)
+    open(os.path.join(path, ".claim_v2"), "w").close()
+    p2 = spark.createDataFrame([(3, 4)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="single-writer"):
+        C.update_component_map(spark, path, p2)
+    # the refusal is side-effect-free: A's claim intact, map untouched
+    assert os.path.exists(os.path.join(path, ".claim_v2"))
+    got = {
+        r["node"]: r["component"]
+        for r in C.read_component_map(spark, path).collect()
+    }
+    assert got == {1: 1, 2: 1}
+
+
+def test_component_map_claim_lifecycle_and_dead_claim_prune(
+    spark, tmp_path
+):
+    """Claim lifecycle: a successful fold leaves NO claim behind (its
+    own marker is released once _SUCCESS lands), and a crash-leftover
+    claim whose target snapshot is already complete is provably dead —
+    the next fold prunes it and proceeds (self-healing), while a
+    leftover claiming the next version still raises with the recovery
+    guidance in the message."""
+    import os
+
+    import pytest
+
+    from yodel_etl_spark.scale import cluster as C
+
+    path = str(tmp_path / "cmap")
+    C.update_component_map(
+        spark, path, spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    )
+    # no claims survive a clean fold
+    assert not [f for f in os.listdir(path) if f.startswith(".claim_v")]
+
+    # dead leftover: claims v1 (already complete) — pruned, fold lands
+    open(os.path.join(path, ".claim_v1"), "w").close()
+    assert (
+        C.update_component_map(
+            spark,
+            path,
+            spark.createDataFrame([(3, 4)], "doc_a long, doc_b long"),
+        )
+        == 2
+    )
+    assert not [f for f in os.listdir(path) if f.startswith(".claim_v")]
+
+    # ambiguous leftover: claims v3 (incomplete target) — detected,
+    # and the error tells the operator how to recover
+    open(os.path.join(path, ".claim_v3"), "w").close()
+    with pytest.raises(RuntimeError, match="delete the claim file"):
+        C.update_component_map(
+            spark,
+            path,
+            spark.createDataFrame([(5, 6)], "doc_a long, doc_b long"),
+        )
+    os.remove(os.path.join(path, ".claim_v3"))  # the documented recovery
+    assert (
+        C.update_component_map(
+            spark,
+            path,
+            spark.createDataFrame([(5, 6)], "doc_a long, doc_b long"),
+        )
+        == 3
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in C.read_component_map(spark, path).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5, 6: 5}

@@ -740,3 +740,63 @@ def test_vacuum_concurrent_append_survives(spark, tmp_path, monkeypatch):
     got = spark.read.parquet(path)
     assert got.count() == 810  # late batch survived alongside it
     assert got.where(F.col("vec_id") >= 9000).count() == 10
+
+
+def test_vacuum_sizes_output_from_survivor_bytes(spark, tmp_path):
+    """ADVICE r12: vacuum output file count scales with SURVIVOR
+    bytes, not pre-dedup bytes — a heavily replayed corpus (here the
+    same batch appended 8×) must collapse to the file count its
+    deduplicated size implies, not 8× that, or the corpus stays
+    fragmented until a later compaction pass."""
+    import os
+
+    from yodel_etl_spark.io.compact import vacuum_parquet
+
+    path = str(tmp_path / "corpus")
+    batch = spark.range(0, 2000).selectExpr(
+        "id AS k", "repeat(uuid(), 8) AS payload"
+    ).coalesce(1)
+    batch = batch.localCheckpoint(eager=True)  # same bytes every append
+    for _ in range(8):
+        batch.write.mode("append").parquet(path)
+
+    files = [
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+    total = sum(files)
+    assert len(files) == 8
+    # pick a target where the OLD formula (pre-dedup bytes) would emit
+    # >= 4 files but survivor sizing emits exactly 1: survivors are
+    # 1/8 of the rows, so survivor bytes ≈ total/8
+    target = total // 4
+    rep = vacuum_parquet(spark, path, ["k"], target_bytes=target)
+    assert rep["rows_before"] == 16000 and rep["rows_after"] == 2000
+    assert rep["rewritten"] and rep["n_files_after"] == 1
+    assert spark.read.parquet(path).count() == 2000
+
+
+def test_vacuum_bench_verified_detects_a_failed_collapse(spark, monkeypatch):
+    """ADVICE r12: the `vac` bench row's `verified` column is a PLAIN
+    post-vacuum row count — if the collapse silently no-ops, verified
+    disagrees with rows_after (the old distinct() recount could not
+    tell).  Pinned by stubbing vacuum_parquet to lie: the fabricated
+    report claims a collapse, and verified exposes it."""
+    from yodel_etl_spark.io import compact as IC
+    from yodel_etl_spark.queries import infra_q
+
+    def lying_vacuum(spark_, path, keys, **kw):
+        n = spark_.read.parquet(path).count()
+        return {
+            "rows_before": n,
+            "rows_after": n // 2,  # claims it collapsed; touched nothing
+            "n_dup_rows": n - n // 2,
+            "n_files_before": 3,
+            "n_files_after": 1,
+        }
+
+    monkeypatch.setattr(IC, "vacuum_parquet", lying_vacuum)
+    row = infra_q.vacuum_bench(spark, "/root/testdata/sf0.001").first()
+    assert row["verified"] == row["rows_before"]  # duplicates still there
+    assert row["verified"] != row["rows_after"]  # the lie is visible

@@ -475,3 +475,134 @@ def test_ivf_rebuild_crash_window_reads_as_no_index(spark, tmp_path, monkeypatch
     assert _index_exists(spark, path, marker="centroids")
     assert S.ivf_index_stats(spark, path)["fatness"] == pytest.approx(1.0)
     assert S.ivf_index_read(spark, path)[0].count() == 30
+
+
+def test_ivf_params_publish_window_rolls_forward(spark, tmp_path):
+    """r13 fix for the params publish window (similarity.py
+    _write_ivf_params): delete(dst)+rename(tmp,dst) is two FS ops, and
+    a crash between them leaves a valid index whose fully-staged
+    params.json.tmp sits next to a missing params.json.  The reader
+    rolls that forward — max_fatness enforcement recovers WITHOUT a
+    rebuild — and a mid-stage (unparseable) tmp is ignored rather
+    than promoted."""
+    import os
+
+    import pytest
+
+    from yodel_etl_spark.scale import similarity as S
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7 + 1), float(i % 3 + 1)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivf")
+    S.ivf_index_write(vecs, "vec_id", "embedding", path, centroid_every=10)
+    want = S._read_ivf_params(spark, path)
+
+    # simulate the crash window: staged tmp present, dst deleted
+    os.rename(f"{path}/params.json", f"{path}/params.json.tmp")
+    got = S._read_ivf_params(spark, path)
+    assert got == want  # recovered from the staged tmp
+    # and the roll-forward PERSISTED the publish (dst restored)
+    assert os.path.exists(f"{path}/params.json")
+    assert not os.path.exists(f"{path}/params.json.tmp")
+    # the guard that previously refused until a manual rebuild now
+    # works across the window
+    s = S.ivf_index_stats(spark, path)
+    assert s["built_mean"] == pytest.approx(10.0)  # 40 rows / 4 cells
+    delta = spark.createDataFrame(
+        [(100, [1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    S.extend_ivf_index(delta, path, "vec_id", "embedding", max_fatness=10.0)
+
+    # a mid-stage crash artifact (truncated tmp) is NOT promoted: dst
+    # (if present) stays the truth, and with no dst the index honestly
+    # reads pre-params
+    os.remove(f"{path}/params.json")
+    with open(f"{path}/params.json.tmp", "w") as fh:
+        fh.write('{"centroid_every": 10, "n_vec')  # truncated write
+    assert S._read_ivf_params(spark, path) is None
+    assert S.ivf_index_stats(spark, path)["built_mean"] is None
+
+
+def test_extend_ivf_index_batch_count_skips_count_job(spark, tmp_path):
+    """r13: extend_ivf_index(max_fatness=, batch_count=) uses the
+    caller-supplied batch size instead of running its own count() job
+    (the ingest gate already knows |novel|; on the per-job-constant-
+    dominated ingest path the avoided job is the point).  Pinned by
+    making DataFrame.count raise: the guarded extend must complete
+    without it, and the refusal math must honor the supplied number."""
+    import pytest
+    from pyspark.sql import DataFrame
+
+    from yodel_etl_spark.scale import similarity as S
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7 + 1), float(i % 3 + 1)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivf")
+    S.ivf_index_write(vecs, "vec_id", "embedding", path, centroid_every=10)
+    delta = spark.createDataFrame(
+        [(100, [1.0, 1.0]), (101, [2.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+
+    real_count = DataFrame.count
+    try:
+        def no_count(self):
+            raise AssertionError("guarded extend ran a count() job")
+
+        DataFrame.count = no_count
+        S.extend_ivf_index(
+            delta, path, "vec_id", "embedding",
+            max_fatness=10.0, batch_count=2,
+        )
+        # refusal math honors the supplied count: projecting a huge
+        # batch over the same tiny index must refuse, count-free
+        with pytest.raises(S.StaleIVFIndexError, match="rebuild"):
+            S.extend_ivf_index(
+                delta, path, "vec_id", "embedding",
+                max_fatness=2.0, batch_count=10_000,
+            )
+    finally:
+        DataFrame.count = real_count
+    # the admit actually landed (40 build + 2 delta posting rows)
+    assert S.ivf_index_read(spark, path)[0].count() == 42
+
+
+def test_ivf_rebuild_infeasible_corpus_refuses_before_teardown(
+    spark, tmp_path
+):
+    """ADVICE r12: rebuild_ivf_index pre-checks centroid feasibility
+    BEFORE delegating to ivf_index_write — a corpus with no id ≡ 0
+    (mod centroid_every) gets a clean ValueError with the OLD index
+    fully intact (previously ivf_index_write's delete-first ordering
+    destroyed the index before its own refusal fired)."""
+    import pytest
+
+    from yodel_etl_spark.scale import similarity as S
+    from yodel_etl_spark.scale.dedup import _index_exists
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7 + 1), float(i % 3 + 1)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivf")
+    S.ivf_index_write(vecs, "vec_id", "embedding", path, centroid_every=10)
+    before = {r["id"] for r in S.ivf_index_read(spark, path)[0].collect()}
+
+    odd = spark.createDataFrame(
+        [(2 * i + 1, [1.0, float(i + 1)]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="BEFORE touching"):
+        S.rebuild_ivf_index(
+            spark, path, odd, "vec_id", "embedding", centroid_every=10
+        )
+    # the old index survived the refusal: marker present, postings
+    # byte-identical, probes still serve
+    assert _index_exists(spark, path, marker="centroids")
+    after = {r["id"] for r in S.ivf_index_read(spark, path)[0].collect()}
+    assert after == before
+    assert S.ivf_index_stats(spark, path)["fatness"] == pytest.approx(1.0)

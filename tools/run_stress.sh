@@ -1,0 +1,58 @@
+#!/usr/bin/env bash
+# One-command ISOLATED stress run (VERDICT r12 next-round #3).
+#
+# The env-gated scale-stress suite (tests/test_stress.py, 23 tests)
+# asserts TIMING ratios — sublinear scaling, delta-vs-corpus cost.
+# Running all 23 in ONE pytest process fails ~3 bounds from intra-suite
+# JVM pressure (GC debt, executor-thread contention left by earlier
+# tests), not from regressions; the r12 record pinned this by re-running
+# the failures isolated and watching them pass with margin.  This script
+# makes the isolated protocol the one-command default: each test gets
+# its OWN pytest process (fresh JVM, cold SparkSession) so every timing
+# bound is measured against an idle heap.
+#
+# Quiet-window requirement: the host has intermittent co-tenant bursts;
+# timing bounds are only meaningful on a quiet machine.  Gauge first
+# (BASELINE.md convention): run the ctl queries
+#   SPARK_GRAFT_BENCH_QUERIES=top_events_global,text_fingerprint python bench.py
+# and proceed only when they read within their gauge bands
+# (top_events_global ~0.10-0.15 s, text_fingerprint ~0.14-0.17 s).
+#
+# Usage:   tools/run_stress.sh [extra pytest args...]
+# Example: tools/run_stress.sh -k minhash
+set -u
+cd "$(dirname "$0")/.."
+
+export SPARK_GRAFT_STRESS=1
+
+# collect test ids without importing Spark workers (collection is cheap)
+mapfile -t TESTS < <(python -m pytest tests/test_stress.py --collect-only -q "$@" 2>/dev/null \
+  | grep '^tests/test_stress.py::')
+
+if [ "${#TESTS[@]}" -eq 0 ]; then
+  echo "no stress tests collected (check -k filter)" >&2
+  exit 2
+fi
+
+echo "running ${#TESTS[@]} stress tests, one pytest process each (isolated JVMs)"
+pass=0; fail=0; failed=()
+for t in "${TESTS[@]}"; do
+  echo "=== $t"
+  if python -m pytest "$t" -q --no-header 2>&1 | tail -2; then :; fi
+  # pytest exit code is lost through the pipe above; re-check via PIPESTATUS
+  rc=${PIPESTATUS[0]}
+  if [ "$rc" -eq 0 ]; then
+    pass=$((pass+1))
+  else
+    fail=$((fail+1)); failed+=("$t")
+  fi
+done
+
+echo
+echo "stress summary: $pass passed, $fail failed (of ${#TESTS[@]})"
+if [ "$fail" -gt 0 ]; then
+  printf 'FAILED: %s\n' "${failed[@]}"
+  echo "NOTE: timing-bound failures on a non-quiet host are expected —"
+  echo "gauge with the ctl queries (header comment) before trusting them."
+  exit 1
+fi

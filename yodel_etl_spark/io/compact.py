@@ -425,7 +425,16 @@ def vacuum_parquet(
     if not report["rewritten"]:
         report["n_files_after"] = len(files)
         return report
-    n_out = max(1, math.ceil(total / target_bytes))
+    # size the output from SURVIVOR bytes, not pre-dedup bytes: a
+    # heavily replayed corpus (10× duplicate rows) would otherwise get
+    # ~10× more files than target_bytes implies and stay fragmented
+    # until a later pass; scaling by the survivor fraction keeps file
+    # sizes on target whatever the duplication factor (compressed
+    # bytes scale ~linearly with surviving rows for replay duplicates,
+    # which are byte-identical copies)
+    n_out = max(
+        1, math.ceil(total * n_keys / max(rows_before, 1) / target_bytes)
+    )
     df.dropDuplicates(list(key_cols)).coalesce(n_out).write.mode(
         "overwrite"
     ).parquet(stage)

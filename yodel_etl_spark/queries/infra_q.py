@@ -537,7 +537,11 @@ def vacuum_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1.write.mode("append").parquet(path)  # the at-least-once replay
     b2.write.mode("append").parquet(path)
     rep = vacuum_parquet(spark, path, ["vec_id"])
-    verified = spark.read.parquet(path).select("vec_id").distinct().count()
+    # verify with a PLAIN row count: distinct() would equal rows_after
+    # even if the vacuum no-opped (it cannot see a failed collapse) —
+    # the plain count matches rows_after only when the duplicates were
+    # actually removed from the files
+    verified = spark.read.parquet(path).count()
     return spark.createDataFrame(
         [
             (

@@ -323,30 +323,76 @@ def update_component_map(
     folds would both read version v and both target ``map_v{v+1}``
     with mode=overwrite, clobbering each other file-by-file — the
     losing batch is already committed upstream and never replayed, so
-    its edges would vanish from the visible map silently.  The
-    cross-version half of a race IS detected: before pruning, the
-    listing is re-checked and a complete snapshot NEWER than the one
-    this fold wrote (a writer that raced past us folded from a map
-    missing our edges) raises instead of pruning — the same-version
-    clobber cannot be detected without writer tokens, hence the
-    contract."""
+    its edges would vanish from the visible map silently.  BOTH halves
+    of a race are now detected: the same-version half by an exclusive
+    CLAIM marker (``.claim_v{v+1}``, created with
+    ``fs.create(overwrite=False)`` — atomic on HDFS and local FS —
+    before the snapshot write; the second claimer raises instead of
+    clobbering), and the cross-version half by re-checking the listing
+    before pruning (a complete snapshot NEWER than the one this fold
+    wrote means a racer folded from a map missing our edges — raise
+    instead of pruning).  Single-writer cost: one create + one delete
+    namenode op per fold, no extra Spark job.
+
+    Claim lifecycle: the claim is deleted after the snapshot's
+    ``_SUCCESS`` lands, and claims whose target version is already
+    complete are provably dead (their writer finished) — the prune
+    removes them, so a crash between snapshot completion and claim
+    delete self-heals on the next fold.  The one ambiguous state is a
+    claim whose target is INCOMPLETE: a live concurrent writer and a
+    crashed fold's leftover are indistinguishable without leases, so
+    the collision raises either way — turning the formerly silent
+    clobber into a detected error whose message carries the recovery
+    (confirm no live writer, delete the printed claim file, re-run;
+    the at-least-once re-fold converges to the identical map).  That
+    is the deliberate trade: the mid-snapshot-write crash window,
+    which previously replayed silently, now surfaces a one-command
+    recovery rather than risk eating a concurrent writer's edges."""
     v = latest_component_version(spark, path)
     prev = None if v == 0 else spark.read.parquet(f"{path}/map_v{v}")
     if prev is None:
         new_map = connected_components(new_pairs, src, dst, max_iter)
     else:
         new_map = extend_components(prev, new_pairs, src, dst, max_iter)
+    fs, p, jvm = _map_fs(spark, path)
+    claim = jvm.org.apache.hadoop.fs.Path(f"{path}/.claim_v{v + 1}")
+    try:
+        # atomic create-exclusive: the ONLY writer whose create
+        # succeeds owns map_v{v+1} (parents auto-created on first fold)
+        fs.create(claim, False).close()
+    except Exception as exc:
+        if fs.exists(claim):
+            done = fs.exists(
+                jvm.org.apache.hadoop.fs.Path(f"{path}/map_v{v + 1}/_SUCCESS")
+            )
+            state = (
+                "its snapshot is already COMPLETE (this fold read a "
+                "stale version and must re-fold)"
+                if done
+                else "its snapshot is incomplete (a live concurrent "
+                "writer, or a crashed fold's leftover — confirm no "
+                "writer is live, delete the claim file, and re-run; "
+                "the re-fold converges to the identical map)"
+            )
+            raise RuntimeError(
+                f"concurrent component-map writers detected at {path!r}: "
+                f"map_v{v + 1} is claimed by another fold and {state}; "
+                "the map path has a single-writer contract (see "
+                "update_component_map)"
+            ) from None
+        raise exc
     new_map.write.mode("overwrite").parquet(f"{path}/map_v{v + 1}")
     # retention window of ONE: keep v alongside the new v+1 so a lazy
     # reader that resolved v before this fold never loses its files
     # mid-scan (read_component_map returns an unevaluated plan); only
-    # strictly older snapshots prune.  ONE listing drives both the
-    # race check and the prune — only snapshot dirs that actually
-    # exist are deleted (a blind range(1, v) delete is O(v²) no-op
-    # namenode/object-store RPCs over a long-lived stream).
-    fs, p, jvm = _map_fs(spark, path)
+    # strictly older snapshots prune.  ONE listing drives the race
+    # check, the snapshot prune AND the dead-claim prune — only dirs/
+    # files that actually exist are deleted (a blind range(1, v)
+    # delete is O(v²) no-op namenode/object-store RPCs over a
+    # long-lived stream).
     latest = 0
     versions: list[int] = []
+    claims: list[int] = []
     for st in fs.listStatus(p):
         name = st.getPath().getName()
         if name.startswith("map_v") and name[5:].isdigit():
@@ -354,6 +400,8 @@ def update_component_map(
             versions.append(i)
             if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
                 latest = max(latest, i)
+        elif name.startswith(".claim_v") and name[8:].isdigit():
+            claims.append(int(name[8:]))
     if latest > v + 1:
         raise RuntimeError(
             f"concurrent component-map writers detected at {path!r}: this "
@@ -365,6 +413,13 @@ def update_component_map(
     for i in versions:
         if i < v:
             fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/map_v{i}"), True)
+    for i in claims:
+        # a claim whose target version is ≤ the complete latest is
+        # provably dead (its writer finished or was superseded) —
+        # including THIS fold's own claim, released here after its
+        # snapshot's _SUCCESS landed
+        if i <= latest:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/.claim_v{i}"), False)
     return v + 1
 
 

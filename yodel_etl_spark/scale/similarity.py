@@ -185,7 +185,14 @@ def _write_ivf_params(spark, path: str, params: dict) -> None:
     """1-row build metadata as DRIVER-SIDE JSON (tmp + atomic rename)
     through the Hadoop FS client — a Spark job for three integers is
     pure per-job constant (the dominant cost of the ingest
-    micro-benches; see BASELINE's eingest phase decomposition)."""
+    micro-benches; see BASELINE's eingest phase decomposition).
+
+    Publish window: ``delete(dst)`` + ``rename(tmp, dst)`` is two FS
+    ops (HDFS/S3A rename refuses an existing destination, so the
+    delete cannot be folded away).  A crash between them leaves the
+    FULLY-STAGED tmp next to a missing dst; :func:`_read_ivf_params`
+    rolls that forward — the window can delay the publish, never lose
+    or corrupt it."""
     import json
 
     fs, jvm = _ivf_fs(spark, path)
@@ -200,12 +207,11 @@ def _write_ivf_params(spark, path: str, params: dict) -> None:
     fs.rename(tmp, dst)
 
 
-def _read_ivf_params(spark, path: str) -> dict | None:
-    """Params dict, or None for a pre-params index."""
+def _fs_read_json(fs, p) -> dict | None:
+    """Parsed JSON at Hadoop path ``p``, or None when absent/partial
+    (a tmp file whose staging write crashed mid-stream)."""
     import json
 
-    fs, jvm = _ivf_fs(spark, path)
-    p = jvm.org.apache.hadoop.fs.Path(f"{path}/params.json")
     if not fs.exists(p):
         return None
     stream = fs.open(p)
@@ -213,7 +219,35 @@ def _read_ivf_params(spark, path: str) -> dict | None:
         data = bytes(stream.readAllBytes())
     finally:
         stream.close()
-    return json.loads(data.decode("utf-8"))
+    try:
+        return json.loads(data.decode("utf-8"))
+    except ValueError:
+        return None
+
+
+def _read_ivf_params(spark, path: str) -> dict | None:
+    """Params dict, or None for a pre-params index.
+
+    Roll-forward recovery for the publish window in
+    :func:`_write_ivf_params`: when ``params.json`` is missing but a
+    COMPLETE ``params.json.tmp`` exists (the writer staged the full
+    content, then crashed between its delete and rename), this
+    completes the rename and returns the recovered params — so
+    ``max_fatness`` enforcement keeps working across that crash
+    instead of refusing until a manual rebuild.  A tmp that fails to
+    parse is a mid-stage crash artifact (dst, if any, is still the
+    truth) and is ignored."""
+    fs, jvm = _ivf_fs(spark, path)
+    dst = jvm.org.apache.hadoop.fs.Path(f"{path}/params.json")
+    got = _fs_read_json(fs, dst)
+    if got is not None:
+        return got
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/params.json.tmp")
+    got = _fs_read_json(fs, tmp)
+    if got is not None:
+        fs.rename(tmp, dst)
+        return got
+    return None
 
 
 class StaleIVFIndexError(RuntimeError):
@@ -348,6 +382,7 @@ def extend_ivf_index(
     id_col: str,
     vec_col: str,
     max_fatness: float | None = None,
+    batch_count: int | None = None,
 ) -> None:
     """Append a batch of vectors to an existing IVF index — delta-only
     maintenance, the embedding twin of ``extend_minhash_index``: only
@@ -367,7 +402,12 @@ def extend_ivf_index(
     raises :class:`StaleIVFIndexError` — run :func:`rebuild_ivf_index`
     from the corpus, then retry the extend.  The refusal is
     deterministic and side-effect-free, so a replayed caller never
-    half-admits a batch."""
+    half-admits a batch.  ``batch_count`` lets a caller that already
+    knows |batch| (the ingest gate counts its novelty set anyway)
+    skip the guard's ``count()`` job — on the per-job-constant-
+    dominated ingest path one avoided control-plane job is the whole
+    point (see BASELINE's eingest phase decomposition); ignored when
+    ``max_fatness`` is unset."""
     spark = df.sparkSession
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     if max_fatness is not None:
@@ -379,7 +419,8 @@ def extend_ivf_index(
                 "rebuild once with rebuild_ivf_index to record the "
                 "build-time mean"
             )
-        projected = (stats["n_vectors"] + v.count()) / stats["n_cells"]
+        n_batch = v.count() if batch_count is None else int(batch_count)
+        projected = (stats["n_vectors"] + n_batch) / stats["n_cells"]
         fatness = projected / stats["built_mean"]
         if fatness > max_fatness:
             raise StaleIVFIndexError(
@@ -414,7 +455,19 @@ def rebuild_ivf_index(
     forbidden mode.  A crash anywhere mid-rebuild therefore leaves 'no
     index'; nothing is lost (the corpus is external) and the re-run
     rebuilds from it.  ``centroid_every`` defaults to the value
-    recorded in ``params`` at the previous build."""
+    recorded in ``params`` at the previous build.
+
+    Centroid feasibility is pre-checked HERE, before any destructive
+    step: ``ivf_index_write``'s own no-centroid refusal fires only
+    after its delete-first marker ordering has already torn down the
+    old index, which is the right trade mid-build (a crash must read
+    as 'no index') but the wrong one for a refusal this deterministic
+    — a corpus with no ``id ≡ 0 (mod centroid_every)`` would turn a
+    clean ValueError into 'old index destroyed, nothing built'.  One
+    ``limit(1)`` probe on the corpus (rebuilds are rare; this path is
+    off the job-count-sensitive ingest benches) keeps the refusal
+    side-effect-free while the success path retains the single-owner
+    delete-first ordering inside :func:`ivf_index_write`."""
     if centroid_every is None:
         p = _read_ivf_params(spark, path)
         if p is None:
@@ -423,6 +476,17 @@ def rebuild_ivf_index(
                 "centroid_every explicitly"
             )
         centroid_every = int(p["centroid_every"])
+    feasible = (
+        corpus.where(is_centroid_id(F.col(id_col), centroid_every))
+        .limit(1)
+        .count()
+    )
+    if not feasible:
+        raise ValueError(
+            f"no centroid selected: no id divisible by {centroid_every} "
+            "in the corpus; lower centroid_every or remap ids "
+            "(refused BEFORE touching the existing index)"
+        )
     ivf_index_write(corpus, id_col, vec_col, path, centroid_every)
 
 
