@@ -92,7 +92,7 @@ def classify_tristate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "classify_value_counts",
+    "vcounts",  # renamed from classify_value_counts (r13, stdout byte budget)
     oracle=f"""
     WITH flagged AS (
       SELECT {_TRISTATE_COLS_SQL} FROM documents

@@ -106,7 +106,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_jaccard_pairs",
+    "jacc",  # renamed from dedup_jaccard_pairs (r13, stdout byte budget)
     oracle=_JACCARD_BRUTE_SQL,
     doc="Exact 3-gram Jaccard near-dup pairs (J ≥ 0.8) via "
     "inverted-index join — linear in postings, vs the oracle's O(n²) "
