@@ -261,8 +261,11 @@ def test_component_map_detects_cross_version_writer_race(
     a COMPLETE snapshot newer than the one this fold wrote (it folded
     from a map that misses this batch's edges), the fold must raise
     instead of silently pruning — surfacing the two-gates-one-path
-    misconfiguration.  The same-version clobber is undetectable without
-    writer tokens and stays documented contract."""
+    misconfiguration.  (The same-version half, undetectable when this
+    test was written, is detected since r13 by the exclusive claim
+    marker — see test_component_map_detects_same_version_writer_race;
+    this race still exercises the cross-version listing check because
+    the racer's map_v3 lands AFTER our claim on v2 succeeded.)"""
     import pytest
 
     from yodel_etl_spark.scale import cluster as C

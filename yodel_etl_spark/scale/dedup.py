@@ -1112,9 +1112,11 @@ def near_dedup_ingest(
     ``connected_components`` over every pair the gate ever saw (parity
     pinned in tests/test_streaming.py).  A ``components_path`` has a
     SINGLE-WRITER contract (one gate per map path — see
-    update_component_map): two gates folding into one path clobber each
-    other's same-version snapshots and edges vanish silently; to merge
-    modalities, union the pair sources into one gate instead."""
+    update_component_map): two gates folding into one path would
+    clobber each other's same-version snapshots — since r13 the
+    exclusive claim marker turns that into a raised error (the batch
+    fails loudly instead of edges vanishing); to merge modalities,
+    union the pair sources into one gate instead."""
 
     def land(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
