@@ -12,16 +12,35 @@
 # bound is measured against an idle heap.
 #
 # Quiet-window requirement: the host has intermittent co-tenant bursts;
-# timing bounds are only meaningful on a quiet machine.  Gauge first
-# (BASELINE.md convention): run the ctl queries
-#   SPARK_GRAFT_BENCH_QUERIES=top_events_global,text_fingerprint python bench.py
-# and proceed only when they read within their gauge bands
-# (top_events_global ~0.10-0.15 s, text_fingerprint ~0.14-0.17 s).
+# timing bounds are only meaningful on a quiet machine.  The script
+# gauges first (BASELINE.md convention): it runs the two ctl queries
+# and WARNS when they read outside their verified-quiet bands
+# (top_events_global ~0.10-0.15 s, text_fingerprint ~0.14-0.17 s) —
+# pass --no-gauge to skip the ~40 s check.
 #
-# Usage:   tools/run_stress.sh [extra pytest args...]
+# Usage:   tools/run_stress.sh [--no-gauge] [extra pytest args...]
 # Example: tools/run_stress.sh -k minhash
 set -u
 cd "$(dirname "$0")/.."
+
+GAUGE=1
+if [ "${1:-}" = "--no-gauge" ]; then GAUGE=0; shift; fi
+if [ "$GAUGE" = 1 ]; then
+  echo "gauging window quietness (ctl queries, ~40 s)..."
+  CTL=$(SPARK_GRAFT_BENCH_QUERIES=top_events_global,text_fingerprint python bench.py 2>/dev/null)
+  echo "ctl: $CTL"
+  python - "$CTL" <<'PYEOF'
+import json, sys
+q = json.loads(sys.argv[1])["queries"]
+bands = {"top_events_global": 0.16, "text_fingerprint": 0.19}
+hot = {k: v for k, v in q.items() if v > bands.get(k, 9e9)}
+if hot:
+    print(f"WARNING: window is CONTENDED ({hot}) — timing-bound "
+          "failures below are not regressions; re-run when quiet.")
+else:
+    print("window reads quiet; timing bounds are meaningful.")
+PYEOF
+fi
 
 export SPARK_GRAFT_STRESS=1
 
