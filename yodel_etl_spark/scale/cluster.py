@@ -326,9 +326,12 @@ def update_component_map(
     its edges would vanish from the visible map silently.  BOTH halves
     of a race are now detected: the same-version half by an exclusive
     CLAIM marker (``.claim_v{v+1}``, created with
-    ``fs.create(overwrite=False)`` — atomic on HDFS and local FS —
-    before the snapshot write; the second claimer raises instead of
-    clobbering), and the cross-version half by re-checking the listing
+    ``fs.create(overwrite=False)`` — atomic create-exclusive on HDFS;
+    on local FS / object stores Hadoop implements it as
+    check-then-create, which still catches every collision except two
+    creates landing in the same instant — before the snapshot write;
+    the second claimer raises instead of clobbering), and the
+    cross-version half by re-checking the listing
     before pruning (a complete snapshot NEWER than the one this fold
     wrote means a racer folded from a map missing our edges — raise
     instead of pruning).  Single-writer cost: one create + one delete
