@@ -408,3 +408,95 @@ def test_component_map_claim_lifecycle_and_dead_claim_prune(
         for r in C.read_component_map(spark, path).collect()
     }
     assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5, 6: 5}
+
+
+def test_component_map_writer_token_reclaims_own_crash_leftover(
+    spark, tmp_path
+):
+    """r13 claim refinement: a claim carrying OUR writer token is our
+    own crashed attempt's leftover (Structured Streaming replays a
+    failed batch under the same batch id), so the replay takes it over
+    and converges automatically — while a claim with a DIFFERENT token
+    (another gate, another batch) or an EMPTY one (the created-but-
+    unwritten crash sliver) still raises.  This restores the
+    fully-automatic at-least-once replay the tokenless claim traded
+    away, without weakening race detection."""
+    import os
+
+    import pytest
+
+    from yodel_etl_spark.scale import cluster as C
+
+    path = str(tmp_path / "cmap")
+    tok = "/data/corpus#7"
+    C.update_component_map(
+        spark,
+        path,
+        spark.createDataFrame([(1, 2)], "doc_a long, doc_b long"),
+        writer_token=tok,
+    )
+
+    # crashed attempt of batch 8 left its claim; the replay (same
+    # token) reclaims and folds
+    with open(os.path.join(path, ".claim_v2"), "w") as fh:
+        fh.write("/data/corpus#8")
+    assert (
+        C.update_component_map(
+            spark,
+            path,
+            spark.createDataFrame([(3, 4)], "doc_a long, doc_b long"),
+            writer_token="/data/corpus#8",
+        )
+        == 2
+    )
+    assert not [f for f in os.listdir(path) if f.startswith(".claim_v")]
+
+    # a DIFFERENT token is a concurrent writer — detected
+    with open(os.path.join(path, ".claim_v3"), "w") as fh:
+        fh.write("/other/corpus#8")
+    with pytest.raises(RuntimeError, match="single-writer"):
+        C.update_component_map(
+            spark,
+            path,
+            spark.createDataFrame([(5, 6)], "doc_a long, doc_b long"),
+            writer_token="/data/corpus#9",
+        )
+    os.remove(os.path.join(path, ".claim_v3"))
+
+    # an EMPTY claim (create-then-crash sliver) is ambiguous — raises
+    # even with a token
+    open(os.path.join(path, ".claim_v3"), "w").close()
+    with pytest.raises(RuntimeError, match="single-writer"):
+        C.update_component_map(
+            spark,
+            path,
+            spark.createDataFrame([(5, 6)], "doc_a long, doc_b long"),
+            writer_token="/data/corpus#9",
+        )
+    os.remove(os.path.join(path, ".claim_v3"))
+
+    # tokenless caller against a token-bearing claim: still detected
+    with open(os.path.join(path, ".claim_v3"), "w") as fh:
+        fh.write("/data/corpus#9")
+    with pytest.raises(RuntimeError, match="single-writer"):
+        C.update_component_map(
+            spark,
+            path,
+            spark.createDataFrame([(5, 6)], "doc_a long, doc_b long"),
+        )
+    os.remove(os.path.join(path, ".claim_v3"))
+
+    assert (
+        C.update_component_map(
+            spark,
+            path,
+            spark.createDataFrame([(5, 6)], "doc_a long, doc_b long"),
+            writer_token="/data/corpus#9",
+        )
+        == 3
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in C.read_component_map(spark, path).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5, 6: 5}

@@ -298,6 +298,7 @@ def update_component_map(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    writer_token: str | None = None,
 ) -> int:
     """Fold ``new_pairs`` into the persisted component map at ``path``
     and return the new snapshot version — the durable form of
@@ -343,14 +344,22 @@ def update_component_map(
     removes them, so a crash between snapshot completion and claim
     delete self-heals on the next fold.  The one ambiguous state is a
     claim whose target is INCOMPLETE: a live concurrent writer and a
-    crashed fold's leftover are indistinguishable without leases, so
-    the collision raises either way — turning the formerly silent
-    clobber into a detected error whose message carries the recovery
+    crashed fold's leftover are indistinguishable without leases.
+
+    ``writer_token`` resolves that ambiguity for the common case — the
+    gate's own crashed-batch replay.  The token names the LOGICAL
+    write (the gates pass ``{corpus_path}#{batch_id}``; Structured
+    Streaming replays a failed batch under the SAME batch id from the
+    checkpoint) and is stored as the claim's content.  On collision,
+    a claim carrying OUR token is our own crashed attempt — take it
+    over and proceed, restoring the fully-automatic at-least-once
+    replay.  Any other content (a different gate's token, a different
+    batch, or empty — the claim-created-but-not-yet-written crash
+    sliver) raises: two concurrent writers necessarily carry different
+    tokens, so detection is not weakened.  Without a token the
+    collision always raises with the manual recovery in the message
     (confirm no live writer, delete the printed claim file, re-run;
-    the at-least-once re-fold converges to the identical map).  That
-    is the deliberate trade: the mid-snapshot-write crash window,
-    which previously replayed silently, now surfaces a one-command
-    recovery rather than risk eating a concurrent writer's edges."""
+    the re-fold converges to the identical map)."""
     v = latest_component_version(spark, path)
     prev = None if v == 0 else spark.read.parquet(f"{path}/map_v{v}")
     if prev is None:
@@ -359,12 +368,37 @@ def update_component_map(
         new_map = extend_components(prev, new_pairs, src, dst, max_iter)
     fs, p, jvm = _map_fs(spark, path)
     claim = jvm.org.apache.hadoop.fs.Path(f"{path}/.claim_v{v + 1}")
-    try:
+
+    def take_claim() -> None:
         # atomic create-exclusive: the ONLY writer whose create
-        # succeeds owns map_v{v+1} (parents auto-created on first fold)
-        fs.create(claim, False).close()
+        # succeeds owns map_v{v+1} (parents auto-created on first
+        # fold); the token lands in the same single FS op stream
+        out = fs.create(claim, False)
+        try:
+            if writer_token is not None:
+                out.write(bytearray(writer_token.encode("utf-8")))
+        finally:
+            out.close()
+
+    try:
+        take_claim()
     except Exception as exc:
-        if fs.exists(claim):
+        if not fs.exists(claim):
+            raise exc
+        held = None
+        if writer_token is not None:
+            stream = fs.open(claim)
+            try:
+                held = bytes(stream.readAllBytes()).decode("utf-8", "replace")
+            finally:
+                stream.close()
+        if held is not None and held == writer_token:
+            # our own crashed attempt's leftover (same logical write —
+            # Structured Streaming replays a failed batch under the
+            # same batch id): take over and let the re-fold converge
+            fs.delete(claim, False)
+            take_claim()
+        else:
             done = fs.exists(
                 jvm.org.apache.hadoop.fs.Path(f"{path}/map_v{v + 1}/_SUCCESS")
             )
@@ -383,7 +417,6 @@ def update_component_map(
                 "the map path has a single-writer contract (see "
                 "update_component_map)"
             ) from None
-        raise exc
     new_map.write.mode("overwrite").parquet(f"{path}/map_v{v + 1}")
     # retention window of ONE: keep v alongside the new v+1 so a lazy
     # reader that resolved v before this fold never loses its files

@@ -1222,7 +1222,15 @@ def near_dedup_ingest(
             if cluster_pairs is not None and cluster_pairs.count() > 0:
                 from yodel_etl_spark.scale.cluster import update_component_map
 
-                update_component_map(spark, components_path, cluster_pairs)
+                update_component_map(
+                    spark,
+                    components_path,
+                    cluster_pairs,
+                    # names the LOGICAL write: a replayed batch
+                    # reclaims its own crashed attempt's claim
+                    # (see update_component_map's claim lifecycle)
+                    writer_token=f"{corpus_path}#{_batch_id}",
+                )
         finally:
             release(banded)
             sets.unpersist()
@@ -1552,7 +1560,15 @@ def sketch_dedup_ingest(
             if cluster_pairs is not None and cluster_pairs.count() > 0:
                 from yodel_etl_spark.scale.cluster import update_component_map
 
-                update_component_map(spark, components_path, cluster_pairs)
+                update_component_map(
+                    spark,
+                    components_path,
+                    cluster_pairs,
+                    # names the LOGICAL write: a replayed batch
+                    # reclaims its own crashed attempt's claim
+                    # (see update_component_map's claim lifecycle)
+                    writer_token=f"{corpus_path}#{_batch_id}",
+                )
         finally:
             release(pairs)
 
@@ -1759,7 +1775,15 @@ def embedding_dedup_ingest(
             if cluster_pairs is not None and cluster_pairs.count() > 0:
                 from yodel_etl_spark.scale.cluster import update_component_map
 
-                update_component_map(spark, components_path, cluster_pairs)
+                update_component_map(
+                    spark,
+                    components_path,
+                    cluster_pairs,
+                    # names the LOGICAL write: a replayed batch
+                    # reclaims its own crashed attempt's claim
+                    # (see update_component_map's claim lifecycle)
+                    writer_token=f"{corpus_path}#{_batch_id}",
+                )
         finally:
             release(pairs)
 
