@@ -800,3 +800,82 @@ def test_vacuum_bench_verified_detects_a_failed_collapse(spark, monkeypatch):
     row = infra_q.vacuum_bench(spark, "/root/testdata/sf0.001").first()
     assert row["verified"] == row["rows_before"]  # duplicates still there
     assert row["verified"] != row["rows_after"]  # the lie is visible
+
+
+def test_vacuum_per_leaf_collapses_partitioned_replay(spark, tmp_path):
+    """r13: partitioned directories vacuum with per_leaf=True — each
+    leaf collapses to one row per key WITHIN the leaf through its own
+    staged swap.  Replay duplicates are byte-identical rows, so they
+    always recur inside one partition path: per-leaf collapse removes
+    exactly them.  Cross-leaf same-key rows (different partition
+    values) survive — the documented non-goal; the default still
+    refuses with the per_leaf pointer."""
+    from yodel_etl_spark.io.compact import vacuum_parquet
+
+    path = str(tmp_path / "events")
+    batch = spark.range(0, 300).selectExpr(
+        "id AS k", "id % 3 AS day", "uuid() AS payload"
+    ).localCheckpoint(eager=True)
+    batch.write.partitionBy("day").mode("append").parquet(path)
+    batch.write.partitionBy("day").mode("append").parquet(path)  # replay
+    # plus a cross-leaf key recurrence: k=0 also lands under day=7
+    spark.createDataFrame([(0, 7, "x")], "k long, day long, payload string") \
+        .write.partitionBy("day").mode("append").parquet(path)
+
+    with pytest.raises(ValueError, match="per_leaf"):
+        vacuum_parquet(spark, path, ["k"])
+
+    rep = vacuum_parquet(spark, path, ["k"], per_leaf=True)
+    assert rep["n_leaves"] == 4  # day=0,1,2,7
+    assert rep["rows_before"] == 601 and rep["rows_after"] == 301
+    assert rep["n_dup_rows"] == 300 and rep["rewritten"]
+    got = spark.read.parquet(path)
+    assert got.count() == 301  # per-leaf collapse actually landed
+    # the cross-leaf recurrence SURVIVED (different partition value)
+    assert got.where("k = 0").count() == 2
+    # partition column still discoverable after the swap
+    assert sorted(r["day"] for r in got.select("day").distinct().collect()) \
+        == [0, 1, 2, 7]
+    # idempotence: second pass is counts-only, byte-identical
+    rep2 = vacuum_parquet(spark, path, ["k"], per_leaf=True)
+    assert not rep2["rewritten"] and rep2["rows_before"] == 301
+
+
+def test_vacuum_per_leaf_crash_recovers_leaf_independently(
+    spark, tmp_path, monkeypatch
+):
+    """Per-leaf vacuum inherits the two-phase contract leaf-by-leaf: a
+    crash at the FIRST leaf's commit point leaves every leaf's corpus
+    intact (duplicates included), and the re-run finishes the
+    committed leaf and completes the rest."""
+    from yodel_etl_spark.io import compact as compact_mod
+    from yodel_etl_spark.io.compact import vacuum_parquet
+
+    path = str(tmp_path / "events")
+    batch = spark.range(0, 200).selectExpr(
+        "id AS k", "id % 2 AS day", "uuid() AS payload"
+    ).localCheckpoint(eager=True)
+    batch.write.partitionBy("day").mode("append").parquet(path)
+    batch.write.partitionBy("day").mode("append").parquet(path)
+
+    real_finish = compact_mod._finish_swap
+    calls = {"n": 0}
+
+    def crash_first(stage, leaf):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("crash at first-leaf vacuum commit")
+        return real_finish(stage, leaf)
+
+    monkeypatch.setattr(compact_mod, "_finish_swap", crash_first)
+    with pytest.raises(RuntimeError, match="first-leaf"):
+        vacuum_parquet(spark, path, ["k"], per_leaf=True)
+    monkeypatch.undo()
+    # nothing lost anywhere; the crashed leaf still shows its replays
+    assert spark.read.parquet(path).select("k").distinct().count() == 200
+    assert spark.read.parquet(path).count() == 400
+
+    rep = vacuum_parquet(spark, path, ["k"], per_leaf=True)
+    assert rep["recovered"]  # the committed first leaf was finished
+    assert spark.read.parquet(path).count() == 200
+    assert rep["rows_after"] == 200

@@ -325,20 +325,41 @@ def _recover_stage(stage: str, leaf: str) -> bool:
     return False
 
 
+def _vacuum_stage_for_leaf(path: str, leaf: str) -> str:
+    """Stage dir for ONE leaf under :func:`vacuum_stage_root` — the
+    flat root keeps its shipped ``_root`` name (crashed stages from
+    earlier versions must still recover); nested leaves get the
+    digest-suffixed flattened name compaction uses (the flattened name
+    alone is not injective: a literal dir ``a=1__b=2`` collides with
+    nested ``a=1/b=2``).  No legacy probe is needed — per-leaf vacuum
+    never shipped under another naming."""
+    rel = os.path.relpath(leaf, path)
+    if rel == ".":
+        rel = "_root"
+    else:
+        rel = (
+            rel.replace(os.sep, "__")
+            + "-"
+            + hashlib.md5(rel.encode("utf-8")).hexdigest()[:8]
+        )
+    return os.path.join(vacuum_stage_root(path), rel)
+
+
 def vacuum_parquet(
     spark: SparkSession,
     path: str,
     key_cols: list[str] | tuple[str, ...],
     target_bytes: int = 128 * 1024 * 1024,
+    per_leaf: bool = False,
 ) -> dict:
-    """Collapse duplicate-key rows in a FLAT parquet directory — the
+    """Collapse duplicate-key rows in a parquet directory — the
     maintenance sibling of :func:`compact_parquet` and the documented
     closing move of the ingest-gate family's at-least-once contract:
     a crash between a gate's corpus append and its index extend
     replays into a duplicate corpus append (never loss), and every
     gate docstring defers the cleanup "until vacuum".  This is that
-    vacuum: one row per ``key_cols`` over the whole directory,
-    rewritten to ~``target_bytes`` files.
+    vacuum: one row per ``key_cols``, rewritten to ~``target_bytes``
+    files.
 
     Same two-phase commit as compaction (stage OUTSIDE the root,
     atomically-renamed ``_SWAP_MANIFEST`` as the commit point,
@@ -360,7 +381,21 @@ def vacuum_parquet(
 
     No-duplicates fast path: one aggregate decides, and a corpus that
     is both duplicate-free and healthily sized is left byte-identical
-    (idempotence — a second vacuum is a listing plus one count)."""
+    (idempotence — a second vacuum is a listing plus one count).
+
+    PARTITIONED directories need ``per_leaf=True`` (default: refuse):
+    each leaf collapses independently to one row per ``key_cols``
+    WITHIN that leaf, with its own stage and two-phase swap — exactly
+    right for replay duplicates, which are byte-identical rows and so
+    always land in the SAME partition path, and the unit-of-work shape
+    that scales (a mostly-clean 100 TB table costs a listing plus one
+    count per leaf; no cross-leaf shuffle).  What per-leaf vacuum does
+    NOT do is global dedup: rows sharing ``key_cols`` across DIFFERENT
+    partition values survive — if keys can recur across partitions,
+    that is a re-layout (one shuffle on the keys), not a maintenance
+    pass, and the default refusal keeps the distinction loud.  The
+    per-leaf report aggregates the totals and carries the individual
+    reports under ``"leaves"``."""
     leaves = _leaf_dirs(path)
     recovered_empty = False
     if not leaves:
@@ -383,15 +418,62 @@ def vacuum_parquet(
                 "recovered": recovered_empty,
                 "rewritten": False,
             }
-    if leaves != [path.rstrip("/")] and leaves != [path]:
+    flat = leaves == [path.rstrip("/")] or leaves == [path]
+    if not flat and not per_leaf:
         raise ValueError(
             f"vacuum_parquet expects a FLAT parquet directory; {path!r} "
-            f"has leaves {leaves!r} — gate corpora are flat, and global "
-            "dedup across partition leaves needs a shuffle layout this "
-            "maintenance op does not impose"
+            f"has leaves {leaves!r} — gate corpora are flat.  Pass "
+            "per_leaf=True for within-leaf collapse (correct for replay "
+            "duplicates, which always recur inside one partition path); "
+            "global dedup across partition leaves needs a shuffle "
+            "re-layout this maintenance op does not impose"
         )
-    leaf = leaves[0]
-    stage = os.path.join(vacuum_stage_root(path), "_root")
+    if not flat:
+        reports = [
+            _vacuum_leaf(
+                spark,
+                leaf,
+                _vacuum_stage_for_leaf(path, leaf),
+                key_cols,
+                target_bytes,
+                recovered_empty=False,
+            )
+            for leaf in leaves
+        ]
+        agg = {
+            "dir": path,
+            "rows_before": sum(r["rows_before"] for r in reports),
+            "rows_after": sum(r["rows_after"] for r in reports),
+            "n_dup_rows": sum(r["n_dup_rows"] for r in reports),
+            "n_files_before": sum(r["n_files_before"] for r in reports),
+            "n_files_after": sum(r["n_files_after"] for r in reports),
+            "recovered": any(r["recovered"] for r in reports),
+            "rewritten": any(r["rewritten"] for r in reports),
+            "n_leaves": len(reports),
+            "leaves": reports,
+        }
+        return agg
+    return _vacuum_leaf(
+        spark,
+        leaves[0],
+        os.path.join(vacuum_stage_root(path), "_root"),
+        key_cols,
+        target_bytes,
+        recovered_empty=recovered_empty,
+    )
+
+
+def _vacuum_leaf(
+    spark: SparkSession,
+    leaf: str,
+    stage: str,
+    key_cols: list[str] | tuple[str, ...],
+    target_bytes: int,
+    recovered_empty: bool = False,
+) -> dict:
+    """Recover/count/collapse ONE leaf — vacuum's unit of work (see
+    :func:`vacuum_parquet` for the contract; leaf independence is what
+    makes the per-leaf mode scale and crash-recover leaf-by-leaf)."""
     recovered = _recover_stage(stage, leaf) or recovered_empty
 
     files = _parquet_files(leaf)
