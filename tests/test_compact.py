@@ -879,3 +879,32 @@ def test_vacuum_per_leaf_crash_recovers_leaf_independently(
     assert rep["recovered"]  # the committed first leaf was finished
     assert spark.read.parquet(path).count() == 200
     assert rep["rows_after"] == 200
+
+
+def test_vacuum_per_leaf_concurrent_matches_serial(spark, tmp_path):
+    """max_concurrency > 1 vacuums leaves from a driver thread pool —
+    same results as serial (leaf independence: own stage, own files),
+    the compact_parquet concurrency contract mirrored."""
+    from yodel_etl_spark.io.compact import vacuum_parquet
+
+    def build(name):
+        p = str(tmp_path / name)
+        b = spark.range(0, 240).selectExpr(
+            "id AS k", "id % 4 AS day", "uuid() AS payload"
+        ).localCheckpoint(eager=True)
+        b.write.partitionBy("day").mode("append").parquet(p)
+        b.write.partitionBy("day").mode("append").parquet(p)
+        return p
+
+    serial = vacuum_parquet(spark, build("s"), ["k"], per_leaf=True)
+    conc = vacuum_parquet(
+        spark, build("c"), ["k"], per_leaf=True, max_concurrency=4
+    )
+    for key in ("rows_before", "rows_after", "n_dup_rows", "n_leaves"):
+        assert serial[key] == conc[key], key
+    assert conc["rows_after"] == 240
+    assert spark.read.parquet(str(tmp_path / "c")).count() == 240
+    # leaf order preserved in the concurrent report
+    assert [r["dir"] for r in conc["leaves"]] == sorted(
+        r["dir"] for r in conc["leaves"]
+    )

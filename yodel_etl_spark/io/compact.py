@@ -351,6 +351,7 @@ def vacuum_parquet(
     key_cols: list[str] | tuple[str, ...],
     target_bytes: int = 128 * 1024 * 1024,
     per_leaf: bool = False,
+    max_concurrency: int = 1,
 ) -> dict:
     """Collapse duplicate-key rows in a parquet directory — the
     maintenance sibling of :func:`compact_parquet` and the documented
@@ -395,7 +396,11 @@ def vacuum_parquet(
     that is a re-layout (one shuffle on the keys), not a maintenance
     pass, and the default refusal keeps the distinction loud.  The
     per-leaf report aggregates the totals and carries the individual
-    reports under ``"leaves"``."""
+    reports under ``"leaves"``.  ``max_concurrency`` > 1 vacuums that
+    many leaves at once from a driver-side thread pool — the same
+    leaf-independence argument as :func:`compact_parquet` (own stage,
+    own files, per-leaf two-phase contract unchanged), and the same
+    maintenance-window lever over thousands of partitions."""
     leaves = _leaf_dirs(path)
     recovered_empty = False
     if not leaves:
@@ -429,17 +434,34 @@ def vacuum_parquet(
             "re-layout this maintenance op does not impose"
         )
     if not flat:
-        reports = [
-            _vacuum_leaf(
-                spark,
-                leaf,
-                _vacuum_stage_for_leaf(path, leaf),
-                key_cols,
-                target_bytes,
-                recovered_empty=False,
-            )
-            for leaf in leaves
-        ]
+        if max_concurrency <= 1 or len(leaves) <= 1:
+            reports = [
+                _vacuum_leaf(
+                    spark,
+                    leaf,
+                    _vacuum_stage_for_leaf(path, leaf),
+                    key_cols,
+                    target_bytes,
+                    recovered_empty=False,
+                )
+                for leaf in leaves
+            ]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+                futures = [
+                    pool.submit(
+                        _vacuum_leaf,
+                        spark,
+                        leaf,
+                        _vacuum_stage_for_leaf(path, leaf),
+                        key_cols,
+                        target_bytes,
+                    )
+                    for leaf in leaves
+                ]
+                reports = [f.result() for f in futures]  # leaf order kept
         agg = {
             "dir": path,
             "rows_before": sum(r["rows_before"] for r in reports),
