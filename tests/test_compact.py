@@ -908,3 +908,86 @@ def test_vacuum_per_leaf_concurrent_matches_serial(spark, tmp_path):
     assert [r["dir"] for r in conc["leaves"]] == sorted(
         r["dir"] for r in conc["leaves"]
     )
+
+
+def test_delete_where_flat_and_partitioned(spark, tmp_path):
+    """r13 delete_parquet_where: the retention/compliance DELETE as a
+    leaf-grain staged rewrite.  Flat dir: matching rows gone, survivors
+    exact; NULL predicate rows SURVIVE (a delete removes only rows the
+    predicate affirmatively selects).  Partitioned dir: only leaves
+    holding matches rewrite — zero-match leaves stay byte-identical
+    (no write amplification), verified by file listing."""
+    import os
+
+    from yodel_etl_spark.io.compact import delete_parquet_where
+
+    flat = str(tmp_path / "flat")
+    spark.createDataFrame(
+        [(i, "bad" if i % 10 == 0 else ("unknown" if i % 7 == 0 else "ok"))
+         for i in range(100)],
+        "k long, status string",
+    ).withColumn(
+        "status",
+        F.when(F.col("status") == "unknown", F.lit(None)).otherwise(
+            F.col("status")
+        ),
+    ).write.parquet(flat)
+    rep = delete_parquet_where(spark, flat, "status = 'bad'")
+    assert rep["n_deleted"] == 10 and rep["rows_after"] == 90
+    left = spark.read.parquet(flat)
+    assert left.count() == 90
+    assert left.where("status = 'bad'").count() == 0
+    # NULL-status rows survived (13 of them: k%7==0 minus k%70==0 overlap)
+    assert left.where("status IS NULL").count() == 13
+    # idempotence: re-run is a count-only no-op
+    rep2 = delete_parquet_where(spark, flat, "status = 'bad'")
+    assert not rep2["rewritten"] and rep2["rows_before"] == 90
+
+    part = str(tmp_path / "part")
+    spark.range(0, 400).selectExpr(
+        "id AS k", "id % 4 AS day"
+    ).write.partitionBy("day").parquet(part)
+    before_files = {
+        d: sorted(os.listdir(os.path.join(part, d)))
+        for d in os.listdir(part)
+        if d.startswith("day=")
+    }
+    # matches live ONLY in day=1 (k % 4 == 1 and k < 40)
+    rep = delete_parquet_where(spark, part, "k < 40 AND k % 4 = 1")
+    assert rep["n_deleted"] == 10 and rep["n_leaves_rewritten"] == 1
+    after = spark.read.parquet(part)
+    assert after.count() == 390
+    assert after.where("k < 40 AND k % 4 = 1").count() == 0
+    # untouched leaves byte-identical (same file names)
+    for d, files in before_files.items():
+        if d != "day=1":
+            assert sorted(os.listdir(os.path.join(part, d))) == files, d
+
+
+def test_delete_where_crash_cannot_lose_kept_rows(spark, tmp_path, monkeypatch):
+    """Two-phase contract for the delete: a crash at the commit point
+    leaves the leaf byte-identical (the delete is DELAYED, never
+    half-applied); the re-run finishes the committed swap and applies
+    the delete exactly."""
+    from yodel_etl_spark.io import compact as compact_mod
+    from yodel_etl_spark.io.compact import delete_parquet_where
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, i % 5 == 0) for i in range(200)], "k long, purge boolean"
+    ).write.parquet(path)
+
+    def boom(stage, leaf):
+        raise RuntimeError("crash at delete commit")
+
+    monkeypatch.setattr(compact_mod, "_finish_swap", boom)
+    with pytest.raises(RuntimeError, match="delete commit"):
+        delete_parquet_where(spark, path, "purge")
+    monkeypatch.undo()
+    assert spark.read.parquet(path).count() == 200  # delete delayed
+
+    rep = delete_parquet_where(spark, path, F.col("purge"))
+    assert rep["recovered"]
+    got = spark.read.parquet(path)
+    assert got.count() == 160
+    assert got.where("purge").count() == 0

@@ -549,3 +549,163 @@ def _vacuum_leaf(
     _finish_swap(stage, leaf)
     report["n_files_after"] = len(_parquet_files(leaf))
     return report
+
+
+def delete_stage_root(path: str) -> str:
+    """Predicate-delete's staging sibling (see
+    :func:`compact_stage_root`; each maintenance op owns its stage
+    family — a crashed delete swap is finished by the next DELETE on
+    the path, a crashed vacuum by the next vacuum)."""
+    return os.path.join(
+        os.path.dirname(path.rstrip("/")) or ".",
+        "_delete_stage_" + os.path.basename(path.rstrip("/")),
+    )
+
+
+def _delete_stage_for_leaf(path: str, leaf: str) -> str:
+    """Leaf-keyed stage under :func:`delete_stage_root` (the
+    digest-suffixed scheme of :func:`_vacuum_stage_for_leaf`)."""
+    rel = os.path.relpath(leaf, path)
+    if rel == ".":
+        rel = "_root"
+    else:
+        rel = (
+            rel.replace(os.sep, "__")
+            + "-"
+            + hashlib.md5(rel.encode("utf-8")).hexdigest()[:8]
+        )
+    return os.path.join(delete_stage_root(path), rel)
+
+
+def delete_parquet_where(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    target_bytes: int = 128 * 1024 * 1024,
+    max_concurrency: int = 1,
+) -> dict:
+    """Delete every row matching ``predicate`` (a SQL string or a
+    Column) from a parquet directory, flat or partitioned — the
+    retention/compliance maintenance op of the family (opt-out and
+    takedown removal, poisoned-document purges, TTL enforcement): the
+    lakehouse ``DELETE WHERE`` expressed as a leaf-grain rewrite, with
+    the same staged two-phase swap as vacuum/compaction.
+
+    Scale shape: the unit of work is one leaf.  Each leaf pays ONE
+    map-side-combined count of matching rows; a leaf with zero matches
+    is left BYTE-IDENTICAL (no rewrite, no write amplification — the
+    dominant case for a targeted delete over a 100 TB table, where
+    partition pruning upstream should already narrow ``path``), and
+    only matching leaves rewrite their survivors to ~``target_bytes``
+    files.  ``max_concurrency`` > 1 processes that many leaves at once
+    (leaf independence, the compact/vacuum argument).
+
+    Crash contract (per leaf): before the manifest the leaf is
+    byte-identical — the delete simply has not happened and the re-run
+    redoes it; after the manifest the swap is finished by the next
+    delete call on the path (install-then-retire).  The only mid-swap
+    visible artifact is survivors duplicated AND deleted rows still
+    present (originals not yet retired) — a delete can be DELAYED by a
+    crash, never half-applied in a way that loses a kept row.
+    Readers needing delete-is-durable semantics should key on this
+    call returning, not on a concurrent scan.
+
+    Returns totals plus per-leaf reports: ``rows_before`` /
+    ``n_deleted`` / ``rows_after`` / ``n_files_before`` /
+    ``n_files_after`` / ``n_leaves_rewritten``."""
+    from pyspark.sql import functions as F
+
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+
+    def one_leaf(leaf: str) -> dict:
+        stage = _delete_stage_for_leaf(path, leaf)
+        recovered = _recover_stage(stage, leaf)
+        files = _parquet_files(leaf)
+        if not files:
+            return {
+                "dir": leaf,
+                "rows_before": 0,
+                "n_deleted": 0,
+                "rows_after": 0,
+                "n_files_before": 0,
+                "n_files_after": 0,
+                "recovered": recovered,
+                "rewritten": False,
+            }
+        total = sum(sz for _, sz in files)
+        df = spark.read.parquet(*[p for p, _ in files])
+        counts = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cond.cast("long")).alias("nm"),
+        ).first()
+        rows_before = int(counts["n"] or 0)
+        n_match = int(counts["nm"] or 0)
+        report = {
+            "dir": leaf,
+            "rows_before": rows_before,
+            "n_deleted": n_match,
+            "rows_after": rows_before - n_match,
+            "n_files_before": len(files),
+            "recovered": recovered,
+            "rewritten": n_match > 0,
+        }
+        if n_match == 0:
+            # zero-match fast path: leaf byte-identical, listing+count
+            # is the whole cost (and the idempotent re-run state)
+            report["n_files_after"] = len(files)
+            return report
+        survivors = rows_before - n_match
+        n_out = max(
+            1,
+            math.ceil(total * survivors / max(rows_before, 1) / target_bytes),
+        )
+        # NOT(cond) with null-safe semantics: a NULL predicate row is
+        # not a match, so it SURVIVES — deletes remove only rows the
+        # predicate affirmatively selects
+        df.where(~F.coalesce(cond, F.lit(False))).coalesce(n_out).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        manifest = os.path.join(stage, _MANIFEST)
+        with open(manifest + ".tmp", "w") as fh:
+            fh.write("\n".join(os.path.basename(p) for p, _ in files))
+        os.replace(manifest + ".tmp", manifest)
+        _finish_swap(stage, leaf)
+        report["n_files_after"] = len(_parquet_files(leaf))
+        return report
+
+    leaves = _leaf_dirs(path)
+    if not leaves:
+        return {
+            "dir": path,
+            "rows_before": 0,
+            "n_deleted": 0,
+            "rows_after": 0,
+            "n_files_before": 0,
+            "n_files_after": 0,
+            "recovered": False,
+            "rewritten": False,
+            "n_leaves_rewritten": 0,
+            "leaves": [],
+        }
+    if max_concurrency <= 1 or len(leaves) <= 1:
+        reports = [one_leaf(leaf) for leaf in leaves]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+            reports = [
+                f.result()
+                for f in [pool.submit(one_leaf, leaf) for leaf in leaves]
+            ]
+    return {
+        "dir": path,
+        "rows_before": sum(r["rows_before"] for r in reports),
+        "n_deleted": sum(r["n_deleted"] for r in reports),
+        "rows_after": sum(r["rows_after"] for r in reports),
+        "n_files_before": sum(r["n_files_before"] for r in reports),
+        "n_files_after": sum(r["n_files_after"] for r in reports),
+        "recovered": any(r["recovered"] for r in reports),
+        "rewritten": any(r["rewritten"] for r in reports),
+        "n_leaves_rewritten": sum(1 for r in reports if r["rewritten"]),
+        "leaves": reports,
+    }
