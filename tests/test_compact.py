@@ -991,3 +991,44 @@ def test_delete_where_crash_cannot_lose_kept_rows(spark, tmp_path, monkeypatch):
     got = spark.read.parquet(path)
     assert got.count() == 160
     assert got.where("purge").count() == 0
+
+
+def test_delete_where_removes_all_replay_copies_and_matches_filter_oracle(
+    spark, tmp_path
+):
+    """Compliance pin: an opted-out row that was replay-duplicated by a
+    gate crash has MULTIPLE byte-identical copies — the delete must
+    remove every copy (they all match the predicate), with or without
+    a prior vacuum.  Plus a filter-oracle parity sweep: for a set of
+    predicates the post-delete table equals the pre-delete
+    ``where(NOT coalesce(pred, false))`` result exactly."""
+    from yodel_etl_spark.io.compact import delete_parquet_where
+
+    path = str(tmp_path / "c")
+    batch = spark.createDataFrame(
+        [(i, f"user{i % 9}", float(i)) for i in range(120)],
+        "k long, owner string, score double",
+    ).localCheckpoint(eager=True)
+    batch.write.mode("append").parquet(path)
+    batch.write.mode("append").parquet(path)  # the at-least-once replay
+
+    rep = delete_parquet_where(spark, path, "owner = 'user3'")
+    # ids with i%9==3 in range(120): 13 rows, duplicated -> 26 copies
+    assert rep["n_deleted"] == 26
+    left = spark.read.parquet(path)
+    assert left.where("owner = 'user3'").count() == 0
+    assert left.count() == 2 * 120 - 26  # non-matching replays remain
+
+    for pred in ("score > 100", "k % 2 = 0 AND score < 50", "k < 0"):
+        p2 = str(tmp_path / f"p_{abs(hash(pred))}")
+        batch.write.parquet(p2)
+        import pyspark.sql.functions as F2
+
+        want = sorted(
+            batch.where(
+                ~F2.coalesce(F2.expr(pred), F2.lit(False))
+            ).collect()
+        )
+        delete_parquet_where(spark, p2, pred)
+        got = sorted(spark.read.parquet(p2).collect())
+        assert got == want, pred
