@@ -1032,3 +1032,41 @@ def test_delete_where_removes_all_replay_copies_and_matches_filter_oracle(
         delete_parquet_where(spark, p2, pred)
         got = sorted(spark.read.parquet(p2).collect())
         assert got == want, pred
+
+
+def test_delete_where_partition_column_ttl_drop(spark, tmp_path):
+    """The TTL shape: the predicate references the PARTITION column
+    (reconstructed via basePath per leaf).  Aged partitions drop
+    whole-leaf through the manifest-only fast path (no Spark rewrite,
+    no write amplification); a mixed predicate (partition col + data
+    col) rewrites only the intersecting leaf, dropping the partition
+    column from the rewritten files (schema preserved)."""
+    import os
+
+    from yodel_etl_spark.io.compact import delete_parquet_where
+
+    path = str(tmp_path / "ttl")
+    spark.range(0, 400).selectExpr(
+        "id AS k", "id % 4 AS day"
+    ).write.partitionBy("day").parquet(path)
+
+    rep = delete_parquet_where(spark, path, "day < 2")
+    assert rep["n_deleted"] == 200 and rep["n_leaves_rewritten"] == 2
+    # dropped leaves hold no parquet (manifest-only retire)
+    for d in ("day=0", "day=1"):
+        leaf = os.path.join(path, d)
+        assert not [
+            f for f in os.listdir(leaf) if f.endswith(".parquet")
+        ] if os.path.isdir(leaf) else True
+    got = spark.read.parquet(path)
+    assert got.count() == 200
+    assert sorted(r["day"] for r in got.select("day").distinct().collect()) == [2, 3]
+
+    # mixed predicate: partition col AND data col — one leaf rewrites,
+    # survivors keep the partitioned schema (day still readable)
+    rep = delete_parquet_where(spark, path, "day = 2 AND k < 100")
+    assert rep["n_leaves_rewritten"] == 1 and rep["n_deleted"] == 25
+    got = spark.read.parquet(path)
+    assert got.count() == 175
+    assert got.where("day = 2").count() == 75
+    assert "day" in got.columns and "k" in got.columns

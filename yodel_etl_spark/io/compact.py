@@ -610,7 +610,15 @@ def delete_parquet_where(
     Readers needing delete-is-durable semantics should key on this
     call returning, not on a concurrent scan.
 
-    Returns totals plus per-leaf reports: ``rows_before`` /
+    Predicates may reference PARTITION columns (each leaf reads with
+    ``basePath`` so path-segment columns land on the rows) — the
+    headline shapes need it: TTL by ``day < cutoff``, tenant removal
+    by ``owner = X``.  A leaf whose every row matches (the TTL
+    partition drop) skips the Spark rewrite entirely: a manifest
+    listing all originals IS a complete committed swap (install
+    nothing, retire all), so dropping aged partitions costs one count
+    per dropped leaf plus file deletes — no write amplification at
+    all.  Returns totals plus per-leaf reports: ``rows_before`` /
     ``n_deleted`` / ``rows_after`` / ``n_files_before`` /
     ``n_files_after`` / ``n_leaves_rewritten``."""
     from pyspark.sql import functions as F
@@ -633,7 +641,23 @@ def delete_parquet_where(
                 "rewritten": False,
             }
         total = sum(sz for _, sz in files)
-        df = spark.read.parquet(*[p for p, _ in files])
+        # basePath read: partition columns (path segments, not file
+        # columns) are reconstructed onto the rows, so the predicate
+        # can reference them — the HEADLINE delete shapes are exactly
+        # those (TTL by day=, tenant removal by owner=); the rewrite
+        # below drops them again, since they live in the directory
+        # name and writing them into the leaf files would change the
+        # file schema
+        rel = os.path.relpath(leaf, path.rstrip("/"))
+        part_cols = [
+            seg.split("=", 1)[0]
+            for seg in (rel.split(os.sep) if rel != "." else [])
+            if "=" in seg
+        ]
+        if part_cols:
+            df = spark.read.option("basePath", path).parquet(leaf)
+        else:
+            df = spark.read.parquet(*[p for p, _ in files])
         counts = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(cond.cast("long")).alias("nm"),
@@ -655,6 +679,20 @@ def delete_parquet_where(
             report["n_files_after"] = len(files)
             return report
         survivors = rows_before - n_match
+        manifest = os.path.join(stage, _MANIFEST)
+        if survivors == 0:
+            # whole-leaf delete (the TTL partition drop): no survivors
+            # to stage, so skip the Spark write entirely — a manifest
+            # listing every original is a complete committed swap
+            # (install nothing, retire all), and the crash contract is
+            # identical from the commit point on
+            os.makedirs(stage, exist_ok=True)
+            with open(manifest + ".tmp", "w") as fh:
+                fh.write("\n".join(os.path.basename(p) for p, _ in files))
+            os.replace(manifest + ".tmp", manifest)
+            _finish_swap(stage, leaf)
+            report["n_files_after"] = 0
+            return report
         n_out = max(
             1,
             math.ceil(total * survivors / max(rows_before, 1) / target_bytes),
@@ -662,10 +700,9 @@ def delete_parquet_where(
         # NOT(cond) with null-safe semantics: a NULL predicate row is
         # not a match, so it SURVIVES — deletes remove only rows the
         # predicate affirmatively selects
-        df.where(~F.coalesce(cond, F.lit(False))).coalesce(n_out).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        manifest = os.path.join(stage, _MANIFEST)
+        df.where(~F.coalesce(cond, F.lit(False))).drop(*part_cols).coalesce(
+            n_out
+        ).write.mode("overwrite").parquet(stage)
         with open(manifest + ".tmp", "w") as fh:
             fh.write("\n".join(os.path.basename(p) for p, _ in files))
         os.replace(manifest + ".tmp", manifest)
