@@ -57,8 +57,11 @@ echo "running ${#TESTS[@]} stress tests, one pytest process each (isolated JVMs)
 pass=0; fail=0; failed=()
 for t in "${TESTS[@]}"; do
   echo "=== $t"
-  if python -m pytest "$t" -q --no-header 2>&1 | tail -2; then :; fi
-  # pytest exit code is lost through the pipe above; re-check via PIPESTATUS
+  # pipeline runs BARE and PIPESTATUS is read on the very next line: an
+  # if-wrapper (even `then :`) would run another command before the read
+  # and reset PIPESTATUS to the wrapper's own status — every failure
+  # would then count as a pass and the script could never exit nonzero
+  python -m pytest "$t" -q --no-header 2>&1 | tail -2
   rc=${PIPESTATUS[0]}
   if [ "$rc" -eq 0 ]; then
     pass=$((pass+1))
