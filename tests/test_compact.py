@@ -1070,3 +1070,98 @@ def test_delete_where_partition_column_ttl_drop(spark, tmp_path):
     assert got.count() == 175
     assert got.where("day = 2").count() == 75
     assert "day" in got.columns and "k" in got.columns
+
+
+def test_delete_where_partition_only_predicate_runs_no_leaf_scans(
+    spark, tmp_path, monkeypatch
+):
+    """r14 fast path (VERDICT r13 #3): a predicate referencing only
+    PARTITION columns decides leaf membership driver-side from the path
+    segments (one local-relation job for all leaves) and prices the
+    report from parquet FOOTER metadata — zero per-leaf Spark scan
+    jobs, matched or not.  Pinned by making every DataFrameReader
+    parquet read raise during the delete: the op must complete, drop
+    exactly the matched leaves, and report exact footer-true counts."""
+    import pyspark.sql.readwriter as rw
+
+    from yodel_etl_spark.io.compact import delete_parquet_where
+
+    path = str(tmp_path / "fast")
+    spark.range(0, 400).selectExpr(
+        "id AS k", "id % 4 AS day"
+    ).write.partitionBy("day").parquet(path)
+
+    def no_scan(self, *a, **kw):
+        raise AssertionError("partition-only delete must not scan a leaf")
+
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", no_scan)
+    rep = delete_parquet_where(spark, path, "day < 2", max_concurrency=4)
+    monkeypatch.undo()
+    assert rep["n_deleted"] == 200 and rep["rows_after"] == 200
+    assert rep["n_leaves_rewritten"] == 2
+    # footer-priced rows_before is exact, per leaf and in total
+    assert rep["rows_before"] == 400
+    assert {r["dir"].split("day=")[1]: r["rows_before"] for r in rep["leaves"]} == {
+        "0": 100, "1": 100, "2": 100, "3": 100
+    }
+    got = spark.read.parquet(path)
+    assert got.count() == 200
+    assert sorted(r["day"] for r in got.select("day").distinct().collect()) == [2, 3]
+    # idempotent re-run: still scan-free, still byte-identical
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", no_scan)
+    rep2 = delete_parquet_where(spark, path, "day < 2")
+    monkeypatch.undo()
+    assert not rep2["rewritten"] and rep2["rows_before"] == 200
+
+
+def test_delete_where_partition_inference_is_typed_not_lexicographic(
+    spark, tmp_path
+):
+    """The fast path mirrors Spark's partition-value TYPE inference:
+    `month < 10` over month=9/10/11 must drop month=9 only (numeric
+    compare) — a string-typed probe would compare '9' < '10'
+    lexicographically (false) and delete nothing.  Date partitions
+    get the same treatment via date inference."""
+    from yodel_etl_spark.io.compact import delete_parquet_where
+
+    path = str(tmp_path / "months")
+    spark.createDataFrame(
+        [(i, m) for m in (9, 10, 11) for i in range(10)], "k long, month long"
+    ).write.partitionBy("month").parquet(path)
+    rep = delete_parquet_where(spark, path, "month < 10")
+    assert rep["n_deleted"] == 10
+    got = spark.read.parquet(path)
+    assert sorted(
+        r["month"] for r in got.select("month").distinct().collect()
+    ) == [10, 11]
+
+    dpath = str(tmp_path / "days")
+    spark.createDataFrame(
+        [(i, d) for d in ("2024-01-05", "2024-02-01") for i in range(10)],
+        "k long, day string",
+    ).selectExpr("k", "CAST(day AS DATE) AS day").write.partitionBy(
+        "day"
+    ).parquet(dpath)
+    rep = delete_parquet_where(spark, dpath, "day < DATE '2024-02-01'")
+    assert rep["n_deleted"] == 10
+    assert spark.read.parquet(dpath).count() == 10
+
+
+def test_delete_where_null_partition_survives_fast_path(spark, tmp_path):
+    """__HIVE_DEFAULT_PARTITION__ (NULL partition value) under the fast
+    path: the NULL-predicate row is not a match, so the leaf SURVIVES a
+    non-IS-NULL predicate — the row-level NULL-survival rule holds at
+    leaf grain — and an explicit IS NULL predicate drops exactly it."""
+    from yodel_etl_spark.io.compact import delete_parquet_where
+
+    path = str(tmp_path / "nulls")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "k long, tag string"
+    ).write.partitionBy("tag").parquet(path)
+    rep = delete_parquet_where(spark, path, "tag = 'a'")
+    assert rep["n_deleted"] == 1
+    left = spark.read.parquet(path)
+    assert left.count() == 2
+    assert left.where("tag IS NULL").count() == 1
+    rep = delete_parquet_where(spark, path, "tag IS NULL")
+    assert rep["n_deleted"] == 1 and spark.read.parquet(path).count() == 1

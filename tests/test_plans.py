@@ -70,7 +70,7 @@ def test_session_windows_interval_join_keeps_equi_keys(spark, sf_small):
     (no key list) and is O(points x intervals)."""
     import re
 
-    q = load_all()["events_session_windows"].build(spark, sf_small)
+    q = load_all()["evsw"].build(spark, sf_small)
     plan = _plan(q)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan

@@ -577,6 +577,106 @@ def _delete_stage_for_leaf(path: str, leaf: str) -> str:
     return os.path.join(delete_stage_root(path), rel)
 
 
+def _infer_partition_converter(vals: list):
+    """Mimic Spark partition-value type inference over one column's
+    observed path-segment strings (integral → fractional → date →
+    timestamp → string, the discovery order partition pruning uses), so
+    driver-side predicate evaluation sees the same column types a
+    ``basePath`` read would reconstruct — without it, ``month < 10``
+    would compare lexicographically ('9' < '10' is false) and the fast
+    path would delete the wrong leaves.  Returns (python_converter,
+    spark_type_name)."""
+    import datetime as _dt
+
+    nn = [v for v in vals if v is not None]
+
+    def all_parse(fn) -> bool:
+        if not nn:
+            return False
+        try:
+            for v in nn:
+                fn(v)
+            return True
+        except ValueError:
+            return False
+
+    def _ts(v: str):
+        return _dt.datetime.fromisoformat(v.replace(" ", "T"))
+
+    for fn, tname in (
+        (int, "bigint"),
+        (float, "double"),
+        (_dt.date.fromisoformat, "date"),
+        (_ts, "timestamp"),
+    ):
+        if all_parse(fn):
+            return fn, tname
+    return str, "string"
+
+
+def _partition_only_membership(
+    spark: SparkSession, path: str, leaves: list[str], cond
+) -> dict[str, bool] | None:
+    """Decide per-leaf predicate membership DRIVER-SIDE when the
+    predicate references only partition columns: the leaf's path
+    segments carry every referenced value, so one tiny local-relation
+    job over one row per leaf replaces one scan job per leaf — the
+    difference between O(1) and O(n_leaves) Spark jobs for the headline
+    TTL shape (``day < cutoff`` over a 10k-leaf table).  Returns
+    ``{leaf: matched}`` (partition-only ⇒ a leaf's rows all match or
+    none do), or None when the fast path does not apply: a flat table,
+    irregular partition paths, or a predicate that references any
+    data column (its analysis against the partition-only probe frame
+    fails and the per-leaf scan path takes over — the safe default).
+    Non-deterministic predicates (rand()) are not meaningful for a
+    delete under either path and are unsupported."""
+    from urllib.parse import unquote
+
+    rows: list[dict] = []
+    for leaf in leaves:
+        rel = os.path.relpath(leaf, path.rstrip("/"))
+        if rel == ".":
+            return None  # flat table: no partition columns at all
+        vals: dict[str, str | None] = {}
+        for seg in rel.split(os.sep):
+            if "=" not in seg:
+                return None  # not a hive-layout leaf
+            k, v = seg.split("=", 1)
+            vals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+        rows.append(vals)
+    cols = sorted(rows[0])
+    if any(sorted(r) != cols for r in rows) or "__leaf__" in cols:
+        return None  # ragged layout (or a pathological column name)
+    conv = {c: _infer_partition_converter([r[c] for r in rows]) for c in cols}
+    data = [
+        tuple(
+            [leaf]
+            + [None if r[c] is None else conv[c][0](r[c]) for c in cols]
+        )
+        for leaf, r in zip(leaves, rows)
+    ]
+    schema = ", ".join(["__leaf__ string"] + [f"{c} {conv[c][1]}" for c in cols])
+    try:
+        probe = spark.createDataFrame(data, schema)
+        hits = {
+            r["__leaf__"] for r in probe.where(cond).select("__leaf__").collect()
+        }
+    except Exception:
+        # the predicate references a data column (analysis fails against
+        # the partition-only frame) or the probe could not be built —
+        # fall back to the exact per-leaf scan path
+        return None
+    return {leaf: (leaf in hits) for leaf in leaves}
+
+
+def _footer_num_rows(files: list[tuple[str, int]]) -> int:
+    """Row count from parquet FOOTER metadata only (no data pages read,
+    no Spark job) — what prices the fast path's report fields."""
+    import pyarrow.parquet as pq
+
+    return sum(int(pq.ParquetFile(p).metadata.num_rows) for p, _ in files)
+
+
 def delete_parquet_where(
     spark: SparkSession,
     path: str,
@@ -591,14 +691,23 @@ def delete_parquet_where(
     lakehouse ``DELETE WHERE`` expressed as a leaf-grain rewrite, with
     the same staged two-phase swap as vacuum/compaction.
 
-    Scale shape: the unit of work is one leaf.  Each leaf pays ONE
-    map-side-combined count of matching rows; a leaf with zero matches
-    is left BYTE-IDENTICAL (no rewrite, no write amplification — the
-    dominant case for a targeted delete over a 100 TB table, where
-    partition pruning upstream should already narrow ``path``), and
-    only matching leaves rewrite their survivors to ~``target_bytes``
-    files.  ``max_concurrency`` > 1 processes that many leaves at once
-    (leaf independence, the compact/vacuum argument).
+    Scale shape: the unit of work is one leaf.  A predicate that
+    references ONLY partition columns (the headline shapes: TTL by
+    ``day < cutoff``, tenant removal by ``owner = X``) never scans a
+    leaf at all — membership is decided driver-side from the path
+    segments in ONE local-relation job for every leaf at once (with
+    Spark's partition-value type inference mirrored, so ``month < 10``
+    compares numerically), and row counts come from parquet footer
+    metadata: a 10k-leaf TTL delete runs zero per-leaf Spark jobs.
+    Otherwise each leaf pays ONE map-side-combined count of matching
+    rows.  Under both paths a leaf with zero matches is left
+    BYTE-IDENTICAL (no rewrite, no write amplification — the dominant
+    case for a targeted delete over a 100 TB table), and only matching
+    leaves rewrite their survivors to ~``target_bytes`` files.
+    ``max_concurrency`` > 1 processes that many leaves at once (leaf
+    independence, the compact/vacuum argument).  Delete predicates
+    must be deterministic (a ``rand()`` delete is meaningless under
+    either evaluation grain).
 
     Crash contract (per leaf): before the manifest the leaf is
     byte-identical — the delete simply has not happened and the re-run
@@ -610,15 +719,14 @@ def delete_parquet_where(
     Readers needing delete-is-durable semantics should key on this
     call returning, not on a concurrent scan.
 
-    Predicates may reference PARTITION columns (each leaf reads with
-    ``basePath`` so path-segment columns land on the rows) — the
-    headline shapes need it: TTL by ``day < cutoff``, tenant removal
-    by ``owner = X``.  A leaf whose every row matches (the TTL
-    partition drop) skips the Spark rewrite entirely: a manifest
+    Predicates may MIX partition and data columns (each leaf then
+    reads with ``basePath`` so path-segment columns land on the rows
+    alongside the file columns).  A leaf whose every row matches (the
+    TTL partition drop) skips the Spark rewrite entirely: a manifest
     listing all originals IS a complete committed swap (install
-    nothing, retire all), so dropping aged partitions costs one count
-    per dropped leaf plus file deletes — no write amplification at
-    all.  Returns totals plus per-leaf reports: ``rows_before`` /
+    nothing, retire all), so dropping aged partitions costs only file
+    deletes — no write amplification at all.  Returns totals plus
+    per-leaf reports: ``rows_before`` /
     ``n_deleted`` / ``rows_after`` / ``n_files_before`` /
     ``n_files_after`` / ``n_leaves_rewritten``."""
     from pyspark.sql import functions as F
@@ -641,29 +749,42 @@ def delete_parquet_where(
                 "rewritten": False,
             }
         total = sum(sz for _, sz in files)
-        # basePath read: partition columns (path segments, not file
-        # columns) are reconstructed onto the rows, so the predicate
-        # can reference them — the HEADLINE delete shapes are exactly
-        # those (TTL by day=, tenant removal by owner=); the rewrite
-        # below drops them again, since they live in the directory
-        # name and writing them into the leaf files would change the
-        # file schema
-        rel = os.path.relpath(leaf, path.rstrip("/"))
-        part_cols = [
-            seg.split("=", 1)[0]
-            for seg in (rel.split(os.sep) if rel != "." else [])
-            if "=" in seg
-        ]
-        if part_cols:
-            df = spark.read.option("basePath", path).parquet(leaf)
+        if membership is not None:
+            # partition-only fast path: membership was decided DRIVER-
+            # side from the path segments (one tiny local-relation job
+            # for ALL leaves, before the fan-out); rows_before comes
+            # from parquet footer metadata — this leaf costs zero Spark
+            # jobs whether it matches (whole-leaf manifest-only retire:
+            # partition-only ⇒ every row matches) or not (byte-identical
+            # skip).  The headline TTL shape over a 10k-leaf table runs
+            # NO per-leaf scan jobs at all.
+            rows_before = _footer_num_rows(files)
+            n_match = rows_before if membership[leaf] else 0
+            df = part_cols = None  # rewrite branch is unreachable here
         else:
-            df = spark.read.parquet(*[p for p, _ in files])
-        counts = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(cond.cast("long")).alias("nm"),
-        ).first()
-        rows_before = int(counts["n"] or 0)
-        n_match = int(counts["nm"] or 0)
+            # basePath read: partition columns (path segments, not file
+            # columns) are reconstructed onto the rows, so the predicate
+            # can reference them alongside data columns (mixed shapes:
+            # `event_type = 'x' OR value < 0`); the rewrite below drops
+            # them again, since they live in the directory name and
+            # writing them into the leaf files would change the file
+            # schema
+            rel = os.path.relpath(leaf, path.rstrip("/"))
+            part_cols = [
+                seg.split("=", 1)[0]
+                for seg in (rel.split(os.sep) if rel != "." else [])
+                if "=" in seg
+            ]
+            if part_cols:
+                df = spark.read.option("basePath", path).parquet(leaf)
+            else:
+                df = spark.read.parquet(*[p for p, _ in files])
+            counts = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cond.cast("long")).alias("nm"),
+            ).first()
+            rows_before = int(counts["n"] or 0)
+            n_match = int(counts["nm"] or 0)
         report = {
             "dir": leaf,
             "rows_before": rows_before,
@@ -724,6 +845,9 @@ def delete_parquet_where(
             "n_leaves_rewritten": 0,
             "leaves": [],
         }
+    # one driver-side membership decision for ALL leaves when the
+    # predicate is partition-only; None engages the per-leaf scan path
+    membership = _partition_only_membership(spark, path, leaves, cond)
     if max_concurrency <= 1 or len(leaves) <= 1:
         reports = [one_leaf(leaf) for leaf in leaves]
     else:

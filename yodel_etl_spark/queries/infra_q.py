@@ -556,3 +556,91 @@ def vacuum_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_before long, rows_after long, n_dup_rows long, "
         "files_before long, files_after long, verified long",
     )
+
+
+@register(
+    "delw",
+    oracle=None,  # the measured artifact is the partitioned corpus FILE/
+    # ROW set through per-leaf vacuum + two predicate deletes — crash
+    # windows, NULL-survival, zero-match byte-identity, replay-copy
+    # removal and the TTL manifest-only partition drop are pinned at
+    # file level in tests/test_compact.py; the returned counts are
+    # exact integer reductions, deterministic run-over-run
+    doc="Partitioned-corpus maintenance end-to-end (io/compact.py "
+    "vacuum_parquet per_leaf=True + delete_parquet_where) — the "
+    "retention/compliance leg of the table-maintenance family, giving "
+    "both round-13 operators a recorded per-round cost trail: events "
+    "lands as an event_type-partitioned corpus with one batch appended "
+    "TWICE (the ingest-gate at-least-once replay artifact), per-leaf "
+    "vacuum collapses the duplicates leaf-independently (4 leaves "
+    "concurrently — the maintenance-window lever), then TWO deletes "
+    "run the headline shapes: a PARTITION-column predicate "
+    "(event_type = 'error' — the TTL/poisoned-partition purge, whole-"
+    "leaf manifest-only retire: zero write amplification) and a DATA-"
+    "column predicate (event_id % 10 = 7 — the opt-out/takedown "
+    "removal, per-leaf survivor rewrite; untouched leaves stay byte-"
+    "identical).  Returns one row of exact counts with `verified` "
+    "re-counted PLAIN from the final corpus (a no-opped delete or "
+    "vacuum cannot hide — the vacuum_bench convention).  Rows-only: "
+    "maintenance cost trail, like `compact`/`vac`/`rollup`.",
+    tags=("io", "maintenance", "bench"),
+    bench=True,
+)
+def delete_where_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yodel_etl_spark.io.compact import (
+        delete_parquet_where,
+        delete_stage_root,
+        vacuum_parquet,
+        vacuum_stage_root,
+    )
+
+    ev = spread(load_tables(spark, sf_dir, ("events",))["events"]).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = _work_dir("delw", sf_dir)
+    # both ops stage OUTSIDE the table root (compaction convention): the
+    # work dir's wipe/atexit does not cover the siblings — wipe per call
+    # (a crashed prior iteration's committed stage would otherwise
+    # install stale files into the fresh corpus) and register for exit
+    _wipe_stage_sibling(vacuum_stage_root(path))
+    _wipe_stage_sibling(delete_stage_root(path))
+    # 4 writer tasks per append (coalesce — no shuffle): a replayed
+    # micro-batch is a handful of files per leaf, not one per shuffle
+    # partition; 3 appends × 4 tasks × 5 leaves ≈ 60 files total
+    b1 = ev.where(F.pmod("event_id", F.lit(3)) != 0).coalesce(4)
+    b2 = ev.where(F.pmod("event_id", F.lit(3)) == 0).coalesce(4)
+    b1.write.mode("append").partitionBy("event_type").parquet(path)
+    b2.write.mode("append").partitionBy("event_type").parquet(path)
+    b2.write.mode("append").partitionBy("event_type").parquet(path)  # replay
+    vrep = vacuum_parquet(
+        spark, path, ["event_id"], per_leaf=True, max_concurrency=4
+    )
+    ttl = delete_parquet_where(
+        spark, path, "event_type = 'error'", max_concurrency=4
+    )
+    rowdel = delete_parquet_where(
+        spark,
+        path,
+        F.pmod(F.col("event_id"), F.lit(10)) == F.lit(7),
+        max_concurrency=4,
+    )
+    # PLAIN re-count: matches rows_after only if the duplicates really
+    # collapsed AND both deletes really removed their rows from files
+    verified = spark.read.parquet(path).count()
+    return spark.createDataFrame(
+        [
+            (
+                vrep["rows_before"],
+                vrep["n_dup_rows"],
+                ttl["n_deleted"],
+                sum(1 for r in ttl["leaves"] if r["n_files_after"] == 0),
+                rowdel["n_deleted"],
+                rowdel["rows_after"],
+                rowdel["n_files_after"],
+                verified,
+            )
+        ],
+        "rows_before long, dup_rows long, ttl_deleted long, "
+        "ttl_leaves_dropped long, row_deleted long, rows_after long, "
+        "files_after long, verified long",
+    )

@@ -64,7 +64,10 @@ def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_session_windows",
+    # r14 byte-budget rename: events_session_windows -> evsw (same
+    # registration slot, rotation position unchanged; funds the `delw`
+    # stdout cost — see the BASELINE.md round-14 bullet for the map)
+    "evsw",
     oracle="""
     WITH g AS (
       SELECT user_id, ts,
@@ -263,7 +266,7 @@ def events_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "replay",
     oracle=None,  # runs the REAL streaming engine (FileStreamSource +
-    # state store); result ≡ the oracle-backed events_session_windows
+    # state store); result ≡ the oracle-backed evsw (events_session_windows
     # session grain, pinned by tests/test_streaming.py's replay
     # equivalence test — a SQL oracle here would only re-state the
     # batch twin's, while the interesting surface is the machinery
