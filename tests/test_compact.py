@@ -115,7 +115,7 @@ def test_crash_after_commit_before_install_loses_nothing(spark, tmp_path, monkey
     rmtree'd the stage here only AFTER originals were already gone)."""
     path, before = _frag_table(spark, tmp_path, "crash_commit")
 
-    def boom(stage, leaf):
+    def boom(fs, stage, leaf):
         raise RuntimeError("simulated crash at commit point")
 
     monkeypatch.setattr(compact_mod, "_finish_swap", boom)
@@ -140,7 +140,7 @@ def test_crash_mid_install_loses_nothing(spark, tmp_path, monkeypatch):
     path, before = _frag_table(spark, tmp_path, "crash_install")
     # size the target so the rewrite emits ~3 staged files (n_out ≥ 2)
     # while the leaf still classifies as fragmented (mean < target/2)
-    total = sum(sz for _, sz in compact_mod._parquet_files(path))
+    total = sum(sz for _, sz in compact_mod._LocalFS().parquet_files(path))
     target = total // 3
 
     moved = {"n": 0}
@@ -264,9 +264,9 @@ def test_stage_key_is_injective_for_colliding_leaf_names(spark, tmp_path, monkey
     stages = []
     orig = compact_mod._finish_swap
 
-    def spy(stage, leaf):
+    def spy(fs, stage, leaf):
         stages.append(stage)
-        return orig(stage, leaf)
+        return orig(fs, stage, leaf)
 
     monkeypatch.setattr(compact_mod, "_finish_swap", spy)
     reports = compact_parquet(spark, path, target_bytes=512 * 1024)
@@ -473,7 +473,7 @@ def test_vacuum_crash_windows_lose_no_key(spark, tmp_path, monkeypatch):
 
     path = _dup_corpus(spark, tmp_path, "c1")
 
-    def boom(stage, leaf):
+    def boom(fs, stage, leaf):
         raise RuntimeError("crash at vacuum commit")
 
     monkeypatch.setattr(compact_mod, "_finish_swap", boom)
@@ -727,11 +727,11 @@ def test_vacuum_concurrent_append_survives(spark, tmp_path, monkeypatch):
     real_finish = compact_mod._finish_swap
     fired = {"n": 0}
 
-    def append_then_finish(stage, leaf):
+    def append_then_finish(fs, stage, leaf):
         if fired["n"] == 0:
             fired["n"] += 1
             late.write.mode("append").parquet(leaf)  # the mid-vacuum gate append
-        return real_finish(stage, leaf)
+        return real_finish(fs, stage, leaf)
 
     monkeypatch.setattr(compact_mod, "_finish_swap", append_then_finish)
     rep = vacuum_parquet(spark, path, ["vec_id"], target_bytes=1 << 30)
@@ -861,11 +861,11 @@ def test_vacuum_per_leaf_crash_recovers_leaf_independently(
     real_finish = compact_mod._finish_swap
     calls = {"n": 0}
 
-    def crash_first(stage, leaf):
+    def crash_first(fs, stage, leaf):
         calls["n"] += 1
         if calls["n"] == 1:
             raise RuntimeError("crash at first-leaf vacuum commit")
-        return real_finish(stage, leaf)
+        return real_finish(fs, stage, leaf)
 
     monkeypatch.setattr(compact_mod, "_finish_swap", crash_first)
     with pytest.raises(RuntimeError, match="first-leaf"):
@@ -977,7 +977,7 @@ def test_delete_where_crash_cannot_lose_kept_rows(spark, tmp_path, monkeypatch):
         [(i, i % 5 == 0) for i in range(200)], "k long, purge boolean"
     ).write.parquet(path)
 
-    def boom(stage, leaf):
+    def boom(fs, stage, leaf):
         raise RuntimeError("crash at delete commit")
 
     monkeypatch.setattr(compact_mod, "_finish_swap", boom)

@@ -29,10 +29,19 @@ reader can briefly see duplicate rows (originals + installed copies)
 until the re-run completes the swap; loss is impossible because an
 original is never removed while any staged file is still pending.
 
-Listing uses the local filesystem API (the test/driver environment);
-on HDFS/S3 the same walk runs through the Hadoop FileSystem client —
-the decision logic (fragmentation test, output-file count, staged
-swap) is identical and is what the tests pin.
+Filesystem access is routed through a two-arm shim selected by the
+path itself: plain paths use the local OS API directly (the measured
+fast path — a py4j round-trip costs ~100× a syscall, and a maintenance
+pass over thousands of healthy leaves is FS-op dominated between Spark
+jobs), while URI-scheme paths (``hdfs://``, ``s3a://``, ``file://``)
+run the IDENTICAL walk through the Hadoop FileSystem client — the
+py4j pattern the component-map claim markers (scale/cluster.py) and
+the IVF params publish (scale/similarity.py) already use.  The
+decision logic (fragmentation test, output-file count, staged swap,
+manifest commit point) is byte-for-byte the same in both arms and is
+what the tests pin; ``file://`` is the test scheme for the Hadoop arm
+(tests/test_compact_hadoopfs.py re-runs the crash-window assertions
+with the FS API underneath).
 """
 
 from __future__ import annotations
@@ -53,60 +62,262 @@ _FRAG_FRACTION = 0.5
 _MANIFEST = "_SWAP_MANIFEST"
 
 # fault-injection seams (tests monkeypatch these to simulate crashes at
-# exact points inside the swap); same-filesystem move is an atomic rename
+# exact points inside the swap); same-filesystem move is an atomic
+# rename.  This pair is the LOCAL arm's; the Hadoop arm routes through
+# the `_hadoop_move`/`_hadoop_remove` twins below, so the crash-window
+# tests can inject identical faults into either plumbing.
 _move = shutil.move
 _remove = os.remove
 
 
-def _leaf_dirs(root: str) -> list[str]:
-    out = []
-    for dirpath, dirnames, filenames in os.walk(root):
-        if any(f.endswith(".parquet") for f in filenames):
-            out.append(dirpath)
-    return sorted(out)
+class _LocalFS:
+    """Plain-path arm: direct OS calls (see the module docstring for
+    why this stays the default — per-op cost, thousands of leaves)."""
+
+    def normalize(self, p: str) -> str:
+        return p
+
+    def local_path(self, p: str) -> str | None:
+        """Local-readable form of ``p`` (for parquet footer reads), or
+        None when the bytes are not reachable through the OS API."""
+        return p
+
+    def leaf_dirs(self, root: str) -> list[str]:
+        out = []
+        for dirpath, _dirnames, filenames in os.walk(root):
+            if any(f.endswith(".parquet") for f in filenames):
+                out.append(dirpath)
+        return sorted(out)
+
+    def parquet_files(self, d: str) -> list[tuple[str, int]]:
+        return sorted(
+            (os.path.join(d, f), os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    def listdir(self, d: str) -> list[str]:
+        return os.listdir(d)
+
+    def exists(self, p: str) -> bool:
+        return os.path.exists(p)
+
+    def isdir(self, p: str) -> bool:
+        return os.path.isdir(p)
+
+    def move(self, src: str, dst: str) -> None:
+        _move(src, dst)
+
+    def remove(self, p: str) -> None:
+        _remove(p)
+
+    def rmtree(self, d: str) -> None:
+        shutil.rmtree(d, ignore_errors=True)
+
+    def rmdir_if_empty(self, d: str) -> None:
+        try:
+            os.rmdir(d)
+        except OSError:
+            pass
+
+    def makedirs(self, p: str) -> None:
+        os.makedirs(p, exist_ok=True)
+
+    def read_text(self, p: str) -> str:
+        with open(p) as fh:
+            return fh.read()
+
+    def write_text_atomic(self, p: str, text: str) -> None:
+        with open(p + ".tmp", "w") as fh:
+            fh.write(text)
+        os.replace(p + ".tmp", p)
+
+    def basenames_exist_under(self, root: str, basenames: set[str]) -> bool:
+        for _, _, files in os.walk(root):
+            if basenames.intersection(files):
+                return True
+        return False
 
 
-def _parquet_files(d: str) -> list[tuple[str, int]]:
-    return sorted(
-        (os.path.join(d, f), os.path.getsize(os.path.join(d, f)))
-        for f in os.listdir(d)
-        if f.endswith(".parquet")
-    )
+class _HadoopFS:
+    """URI-scheme arm: the same operations through the Hadoop
+    FileSystem client via py4j, so compact/vacuum/delete run against
+    ``hdfs://``/``s3a://`` table roots on a real cluster.  Missing-path
+    errors are mapped to FileNotFoundError so the concurrency-tolerant
+    probes (legacy-stage reap) behave identically to the local arm."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        jvm = spark._jvm
+        self._P = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._P(path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        self._file_scheme = self._fs.getUri().getScheme() == "file"
+
+    def _map_missing(self, exc: Exception, p: str):
+        if "FileNotFoundException" in str(exc):
+            raise FileNotFoundError(p) from None
+        raise exc
+
+    def normalize(self, p: str) -> str:
+        # one canonical textual form (Hadoop renders file:/x, not
+        # file:///x) so os.path relpath/dirname arithmetic against
+        # listing results stays exact
+        return self._P(p).toString()
+
+    def local_path(self, p: str) -> str | None:
+        if self._file_scheme:
+            from urllib.parse import urlparse
+
+            return urlparse(p).path or p
+        return None
+
+    def leaf_dirs(self, root: str) -> list[str]:
+        if not self._fs.exists(self._P(root)):
+            return []
+        it = self._fs.listFiles(self._P(root), True)
+        dirs: set[str] = set()
+        while it.hasNext():
+            fp = it.next().getPath()
+            if fp.getName().endswith(".parquet"):
+                dirs.add(fp.getParent().toString())
+        return sorted(dirs)
+
+    def parquet_files(self, d: str) -> list[tuple[str, int]]:
+        try:
+            sts = self._fs.listStatus(self._P(d))
+        except Exception as exc:
+            self._map_missing(exc, d)
+        return sorted(
+            (st.getPath().toString(), int(st.getLen()))
+            for st in sts
+            if st.getPath().getName().endswith(".parquet")
+        )
+
+    def listdir(self, d: str) -> list[str]:
+        try:
+            return [
+                st.getPath().getName() for st in self._fs.listStatus(self._P(d))
+            ]
+        except Exception as exc:
+            self._map_missing(exc, d)
+
+    def exists(self, p: str) -> bool:
+        return bool(self._fs.exists(self._P(p)))
+
+    def isdir(self, p: str) -> bool:
+        return bool(self._fs.isDirectory(self._P(p)))
+
+    def move(self, src: str, dst: str) -> None:
+        _hadoop_move(self._fs, self._P, src, dst)
+
+    def remove(self, p: str) -> None:
+        _hadoop_remove(self._fs, self._P, p)
+
+    def rmtree(self, d: str) -> None:
+        try:
+            self._fs.delete(self._P(d), True)
+        except Exception:
+            pass  # ignore_errors semantics of the local arm
+
+    def rmdir_if_empty(self, d: str) -> None:
+        try:
+            if len(self._fs.listStatus(self._P(d))) == 0:
+                self._fs.delete(self._P(d), False)
+        except Exception:
+            pass
+
+    def makedirs(self, p: str) -> None:
+        self._fs.mkdirs(self._P(p))
+
+    def read_text(self, p: str) -> str:
+        try:
+            stream = self._fs.open(self._P(p))
+        except Exception as exc:
+            self._map_missing(exc, p)
+        try:
+            return bytes(stream.readAllBytes()).decode("utf-8")
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, p: str, text: str) -> None:
+        tmp, dst = self._P(p + ".tmp"), self._P(p)
+        out = self._fs.create(tmp, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        # the manifest lives inside THIS op's private stage dir (single
+        # writer by construction), so delete-then-rename is race-free
+        if self._fs.exists(dst):
+            self._fs.delete(dst, False)
+        if not self._fs.rename(tmp, dst):
+            raise OSError(f"atomic manifest rename failed: {p}")
+
+    def basenames_exist_under(self, root: str, basenames: set[str]) -> bool:
+        try:
+            it = self._fs.listFiles(self._P(root), True)
+            while it.hasNext():
+                if it.next().getPath().getName() in basenames:
+                    return True
+        except Exception:
+            pass
+        return False
 
 
-def _install_staged(stage: str, leaf: str) -> None:
+def _hadoop_move(fs, P, src: str, dst: str) -> None:
+    """Hadoop-arm move/remove live behind their own module seams (the
+    `_move`/`_remove` twins) so the crash-window tests can inject
+    faults into the FS-API arm exactly as they do into the local one."""
+    if not fs.rename(P(src), P(dst)):
+        raise OSError(f"rename failed: {src} -> {dst}")
+
+
+def _hadoop_remove(fs, P, p: str) -> None:
+    if not fs.delete(P(p), False):
+        raise OSError(f"delete failed: {p}")
+
+
+def _fs_for(spark: SparkSession, path: str):
+    """Select the FS arm from the path itself: URI scheme ⇒ Hadoop
+    client, plain path ⇒ local OS API (the fast default)."""
+    return _HadoopFS(spark, path) if "://" in path else _LocalFS()
+
+
+def _install_staged(fs, stage: str, leaf: str) -> None:
     """Move every staged parquet file into the leaf.  Staged basenames
     carry a fresh Spark job UUID so they never collide with originals;
     the guard loop keeps the move loss-proof even against a pathological
     collision (an original is NEVER overwritten — it is only ever
     removed by :func:`_finish_swap` after every install completed)."""
-    for f in sorted(os.listdir(stage)):
+    for f in sorted(fs.listdir(stage)):
         if not f.endswith(".parquet"):
             continue
         dst = os.path.join(leaf, f)
-        while os.path.exists(dst):
+        while fs.exists(dst):
             dst = os.path.join(leaf, "c_" + os.path.basename(dst))
-        _move(os.path.join(stage, f), dst)
+        fs.move(os.path.join(stage, f), dst)
 
 
-def _finish_swap(stage: str, leaf: str) -> None:
+def _finish_swap(fs, stage: str, leaf: str) -> None:
     """Complete a COMMITTED swap (manifest present): install whatever
     staged files remain, retire the originals the manifest lists, drop
     the stage.  Idempotent — safe to re-run from any crash point after
     the commit marker: already-installed files are no longer in the
     stage, already-retired originals fail the exists check."""
-    with open(os.path.join(stage, _MANIFEST)) as fh:
-        originals = [line for line in fh.read().splitlines() if line]
-    _install_staged(stage, leaf)
+    originals = [
+        line
+        for line in fs.read_text(os.path.join(stage, _MANIFEST)).splitlines()
+        if line
+    ]
+    _install_staged(fs, stage, leaf)
     for f in originals:
         p = os.path.join(leaf, f)
-        if os.path.exists(p):
-            _remove(p)
-    shutil.rmtree(stage, ignore_errors=True)
-    try:  # drop the stage ROOT too once its last leaf entry is gone
-        os.rmdir(os.path.dirname(stage))
-    except OSError:
-        pass
+        if fs.exists(p):
+            fs.remove(p)
+    fs.rmtree(stage)
+    # drop the stage ROOT too once its last leaf entry is gone
+    fs.rmdir_if_empty(os.path.dirname(stage))
 
 
 def compact_stage_root(path: str) -> str:
@@ -128,20 +339,9 @@ def vacuum_stage_root(path: str) -> str:
     )
 
 
-def _basenames_exist_under(root: str, basenames: set[str]) -> bool:
-    """True when ANY of ``basenames`` exists anywhere under ``root`` —
-    the cross-leaf retire-completeness probe for reaping a finished
-    legacy stage.  Part-file basenames carry Spark job UUIDs, so a hit
-    can only be the file the manifest meant.  Walk cost is paid only on
-    the rare colliding-legacy-stage probe, never per healthy leaf."""
-    for _, _, files in os.walk(root):
-        if basenames.intersection(files):
-            return True
-    return False
-
-
 def _compact_leaf(
     spark: SparkSession,
+    fs,
     path: str,
     leaf: str,
     target_bytes: int,
@@ -191,44 +391,46 @@ def _compact_leaf(
         else ((legacy_stage, True), (stage, False))
     )
     for st, need_ownership in probes:
-        if not os.path.isdir(st):
+        if not fs.isdir(st):
             continue
         mf = os.path.join(st, _MANIFEST)
-        if os.path.exists(mf):
+        if fs.exists(mf):
             if need_ownership:
                 # a FINISHED legacy stage may be reaped by a colliding
                 # leaf's concurrent probe (max_concurrency > 1) between
                 # any two reads here — a vanished manifest/stage just
                 # means the other thread proved it done; never crash
-                # the pass over it
+                # the pass over it.  basenames_exist_under is the
+                # cross-leaf retire-completeness probe: part-file
+                # basenames carry Spark job UUIDs, so a hit can only be
+                # the file the manifest meant; walk cost is paid only on
+                # the rare colliding-legacy-stage probe, never per leaf.
                 try:
-                    with open(mf) as fh:
-                        listed = {ln for ln in fh.read().splitlines() if ln}
-                    stage_files = os.listdir(st)
+                    listed = {
+                        ln for ln in fs.read_text(mf).splitlines() if ln
+                    }
+                    stage_files = fs.listdir(st)
                 except FileNotFoundError:
                     continue
-                if not (listed & set(os.listdir(leaf))):
+                if not (listed & set(fs.listdir(leaf))):
                     if not any(
                         f.endswith(".parquet") for f in stage_files
-                    ) and not _basenames_exist_under(path, listed):
-                        shutil.rmtree(st, ignore_errors=True)
-                        try:
-                            os.rmdir(os.path.dirname(st))
-                        except OSError:
-                            pass
+                    ) and not fs.basenames_exist_under(path, listed):
+                        fs.rmtree(st)
+                        fs.rmdir_if_empty(os.path.dirname(st))
                     continue
             # committed swap interrupted mid-flight: FINISH it (the
             # stage may hold the only complete copy of some rows —
             # discarding it here is exactly the data-loss bug)
-            _finish_swap(st, leaf)
+            _finish_swap(fs, st, leaf)
             recovered = True
         else:
             # uncommitted rewrite leftovers: originals are intact
             # and complete, the stage is junk (for a shared legacy
             # name, junk for every candidate owner alike; concurrent
             # double-rmtree is tolerated by ignore_errors)
-            shutil.rmtree(st, ignore_errors=True)
-    files = _parquet_files(leaf)
+            fs.rmtree(st)
+    files = fs.parquet_files(leaf)
     total = sum(sz for _, sz in files)
     frag = (
         len(files) >= min_files
@@ -254,15 +456,15 @@ def _compact_leaf(
     # commit point: the manifest is written ATOMICALLY (tmp +
     # rename) after the rewrite succeeded; from here the swap must
     # complete — any crash is finished by the recovery branch above
-    manifest = os.path.join(stage, _MANIFEST)
-    with open(manifest + ".tmp", "w") as fh:
-        fh.write("\n".join(os.path.basename(p) for p, _ in files))
-    os.replace(manifest + ".tmp", manifest)
+    fs.write_text_atomic(
+        os.path.join(stage, _MANIFEST),
+        "\n".join(os.path.basename(p) for p, _ in files),
+    )
     # swap order is install-then-retire: staged files enter the leaf
     # FIRST, originals are removed only after every install landed —
     # no crash point leaves the leaf missing rows
-    _finish_swap(stage, leaf)
-    report["n_files_after"] = len(_parquet_files(leaf))
+    _finish_swap(fs, stage, leaf)
+    report["n_files_after"] = len(fs.parquet_files(leaf))
     return report
 
 
@@ -295,33 +497,37 @@ def compact_parquet(
     equality); file-internal row order is not part of the contract —
     re-run ``write_clustered``/``write_zordered`` when ordering is the
     point, compaction when file COUNT is."""
-    leaves = _leaf_dirs(path)
+    fs = _fs_for(spark, path)
+    path = fs.normalize(path)
+    leaves = fs.leaf_dirs(path)
     if max_concurrency <= 1 or len(leaves) <= 1:
         return [
-            _compact_leaf(spark, path, leaf, target_bytes, min_files)
+            _compact_leaf(spark, fs, path, leaf, target_bytes, min_files)
             for leaf in leaves
         ]
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
         futures = [
-            pool.submit(_compact_leaf, spark, path, leaf, target_bytes, min_files)
+            pool.submit(
+                _compact_leaf, spark, fs, path, leaf, target_bytes, min_files
+            )
             for leaf in leaves
         ]
         return [f.result() for f in futures]  # leaf order preserved
 
 
-def _recover_stage(stage: str, leaf: str) -> bool:
+def _recover_stage(fs, stage: str, leaf: str) -> bool:
     """Finish or discard ONE stage dir left by a crashed pass: a
     committed stage (manifest present) is finished into ``leaf``; an
     uncommitted one is junk (originals intact) and is dropped.
     Returns True when a committed swap was finished."""
-    if not os.path.isdir(stage):
+    if not fs.isdir(stage):
         return False
-    if os.path.exists(os.path.join(stage, _MANIFEST)):
-        _finish_swap(stage, leaf)
+    if fs.exists(os.path.join(stage, _MANIFEST)):
+        _finish_swap(fs, stage, leaf)
         return True
-    shutil.rmtree(stage, ignore_errors=True)
+    fs.rmtree(stage)
     return False
 
 
@@ -401,17 +607,19 @@ def vacuum_parquet(
     leaf-independence argument as :func:`compact_parquet` (own stage,
     own files, per-leaf two-phase contract unchanged), and the same
     maintenance-window lever over thousands of partitions."""
-    leaves = _leaf_dirs(path)
+    fs = _fs_for(spark, path)
+    path = fs.normalize(path)
+    leaves = fs.leaf_dirs(path)
     recovered_empty = False
     if not leaves:
         # nothing landed yet (a stream that has not triggered) — or a
         # crashed vacuum whose committed stage holds every file: finish
         # it, then re-list
         stage0 = os.path.join(vacuum_stage_root(path), "_root")
-        os.makedirs(path, exist_ok=True)
-        recovered_empty = _recover_stage(stage0, path.rstrip("/"))
+        fs.makedirs(path)
+        recovered_empty = _recover_stage(fs, stage0, path.rstrip("/"))
         if recovered_empty:
-            leaves = _leaf_dirs(path)
+            leaves = fs.leaf_dirs(path)
         if not leaves:
             return {
                 "dir": path,
@@ -438,6 +646,7 @@ def vacuum_parquet(
             reports = [
                 _vacuum_leaf(
                     spark,
+                    fs,
                     leaf,
                     _vacuum_stage_for_leaf(path, leaf),
                     key_cols,
@@ -454,6 +663,7 @@ def vacuum_parquet(
                     pool.submit(
                         _vacuum_leaf,
                         spark,
+                        fs,
                         leaf,
                         _vacuum_stage_for_leaf(path, leaf),
                         key_cols,
@@ -477,6 +687,7 @@ def vacuum_parquet(
         return agg
     return _vacuum_leaf(
         spark,
+        fs,
         leaves[0],
         os.path.join(vacuum_stage_root(path), "_root"),
         key_cols,
@@ -487,6 +698,7 @@ def vacuum_parquet(
 
 def _vacuum_leaf(
     spark: SparkSession,
+    fs,
     leaf: str,
     stage: str,
     key_cols: list[str] | tuple[str, ...],
@@ -496,9 +708,9 @@ def _vacuum_leaf(
     """Recover/count/collapse ONE leaf — vacuum's unit of work (see
     :func:`vacuum_parquet` for the contract; leaf independence is what
     makes the per-leaf mode scale and crash-recover leaf-by-leaf)."""
-    recovered = _recover_stage(stage, leaf) or recovered_empty
+    recovered = _recover_stage(fs, stage, leaf) or recovered_empty
 
-    files = _parquet_files(leaf)
+    files = fs.parquet_files(leaf)
     total = sum(sz for _, sz in files)
     df = spark.read.parquet(*[p for p, _ in files])
     from pyspark.sql import functions as F
@@ -542,12 +754,12 @@ def _vacuum_leaf(
     df.dropDuplicates(list(key_cols)).coalesce(n_out).write.mode(
         "overwrite"
     ).parquet(stage)
-    manifest = os.path.join(stage, _MANIFEST)
-    with open(manifest + ".tmp", "w") as fh:
-        fh.write("\n".join(os.path.basename(p) for p, _ in files))
-    os.replace(manifest + ".tmp", manifest)
-    _finish_swap(stage, leaf)
-    report["n_files_after"] = len(_parquet_files(leaf))
+    fs.write_text_atomic(
+        os.path.join(stage, _MANIFEST),
+        "\n".join(os.path.basename(p) for p, _ in files),
+    )
+    _finish_swap(fs, stage, leaf)
+    report["n_files_after"] = len(fs.parquet_files(leaf))
     return report
 
 
@@ -735,8 +947,8 @@ def delete_parquet_where(
 
     def one_leaf(leaf: str) -> dict:
         stage = _delete_stage_for_leaf(path, leaf)
-        recovered = _recover_stage(stage, leaf)
-        files = _parquet_files(leaf)
+        recovered = _recover_stage(fs, stage, leaf)
+        files = fs.parquet_files(leaf)
         if not files:
             return {
                 "dir": leaf,
@@ -758,7 +970,9 @@ def delete_parquet_where(
             # partition-only ⇒ every row matches) or not (byte-identical
             # skip).  The headline TTL shape over a 10k-leaf table runs
             # NO per-leaf scan jobs at all.
-            rows_before = _footer_num_rows(files)
+            rows_before = _footer_num_rows(
+                [(fs.local_path(p), sz) for p, sz in files]
+            )
             n_match = rows_before if membership[leaf] else 0
             df = part_cols = None  # rewrite branch is unreachable here
         else:
@@ -807,11 +1021,11 @@ def delete_parquet_where(
             # listing every original is a complete committed swap
             # (install nothing, retire all), and the crash contract is
             # identical from the commit point on
-            os.makedirs(stage, exist_ok=True)
-            with open(manifest + ".tmp", "w") as fh:
-                fh.write("\n".join(os.path.basename(p) for p, _ in files))
-            os.replace(manifest + ".tmp", manifest)
-            _finish_swap(stage, leaf)
+            fs.makedirs(stage)
+            fs.write_text_atomic(
+                manifest, "\n".join(os.path.basename(p) for p, _ in files)
+            )
+            _finish_swap(fs, stage, leaf)
             report["n_files_after"] = 0
             return report
         n_out = max(
@@ -824,14 +1038,16 @@ def delete_parquet_where(
         df.where(~F.coalesce(cond, F.lit(False))).drop(*part_cols).coalesce(
             n_out
         ).write.mode("overwrite").parquet(stage)
-        with open(manifest + ".tmp", "w") as fh:
-            fh.write("\n".join(os.path.basename(p) for p, _ in files))
-        os.replace(manifest + ".tmp", manifest)
-        _finish_swap(stage, leaf)
-        report["n_files_after"] = len(_parquet_files(leaf))
+        fs.write_text_atomic(
+            manifest, "\n".join(os.path.basename(p) for p, _ in files)
+        )
+        _finish_swap(fs, stage, leaf)
+        report["n_files_after"] = len(fs.parquet_files(leaf))
         return report
 
-    leaves = _leaf_dirs(path)
+    fs = _fs_for(spark, path)
+    path = fs.normalize(path)
+    leaves = fs.leaf_dirs(path)
     if not leaves:
         return {
             "dir": path,
@@ -846,8 +1062,16 @@ def delete_parquet_where(
             "leaves": [],
         }
     # one driver-side membership decision for ALL leaves when the
-    # predicate is partition-only; None engages the per-leaf scan path
-    membership = _partition_only_membership(spark, path, leaves, cond)
+    # predicate is partition-only; None engages the per-leaf scan path.
+    # The fast path also needs footer metadata, so it requires locally
+    # readable bytes (plain paths and file:// — the remote-footer read
+    # is a possible future lever, not a correctness gap: the scan path
+    # is exact everywhere)
+    membership = (
+        _partition_only_membership(spark, path, leaves, cond)
+        if all(fs.local_path(p) is not None for p in (path,))
+        else None
+    )
     if max_concurrency <= 1 or len(leaves) <= 1:
         reports = [one_leaf(leaf) for leaf in leaves]
     else:
