@@ -500,3 +500,178 @@ def test_component_map_writer_token_reclaims_own_crash_leftover(
         for r in C.read_component_map(spark, path).collect()
     }
     assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5, 6: 5}
+
+
+def test_component_map_readback_detects_same_instant_double_create(
+    spark, tmp_path, monkeypatch
+):
+    """r14 claim hardening (VERDICT r13 #4): create-exclusive is
+    check-then-create on local FS / object stores, so two creates
+    landing in the same instant can BOTH report success — the claim
+    file then carries the LAST writer's token.  The post-claim
+    read-back makes the loser detect itself BEFORE the snapshot write:
+    simulated by a wrapped FS whose create() lets the racer's content
+    land last.  The loser must raise the documented error, write no
+    snapshot, and leave the winner's claim untouched."""
+    import os
+
+    import pytest
+
+    from yodel_etl_spark.scale import cluster as C
+
+    path = str(tmp_path / "cmap")
+    claim_local = os.path.join(path, ".claim_v1")
+    real_map_fs = C._map_fs
+
+    def forged(spark_, p_):
+        fs, p, jvm = real_map_fs(spark_, p_)
+
+        class OutWrap:
+            def __init__(self, out, pth):
+                self._out, self._pth = out, pth
+
+            def write(self, b):
+                self._out.write(b)
+
+            def close(self):
+                self._out.close()
+                # the same-instant racer's create+write lands LAST
+                # (through the same Hadoop API a real racer would use —
+                # plain-Python writes would leave a stale CRC sidecar):
+                # the claim's content is now the racer's token
+                racer = fs.create(self._pth, True)
+                try:
+                    racer.write(bytearray(b"other-corpus#99"))
+                finally:
+                    racer.close()
+
+        class FSWrap:
+            def __getattr__(self, name):
+                return getattr(fs, name)
+
+            def create(self, pth, overwrite):
+                return OutWrap(fs.create(pth, overwrite), pth)
+
+        return FSWrap(), p, jvm
+
+    monkeypatch.setattr(C, "_map_fs", forged)
+    with pytest.raises(RuntimeError, match="concurrent component-map"):
+        C.update_component_map(
+            spark,
+            path,
+            spark.createDataFrame([(1, 2)], "doc_a long, doc_b long"),
+            writer_token="mine#1",
+        )
+    monkeypatch.undo()
+    # loser raised pre-write: no snapshot, and the WINNER's claim is
+    # exactly as the winner left it (the loser must not delete it)
+    assert not os.path.isdir(os.path.join(path, "map_v1"))
+    assert open(claim_local).read() == "other-corpus#99"
+
+
+def test_component_map_refuses_stale_read_after_claim_release(
+    spark, tmp_path, monkeypatch
+):
+    """r14 (ADVICE r13 #1): the stale-read interleaving — writer A
+    completes map_v{v+1} AND releases its claim while writer B (which
+    read latest=v before A finished) is still folding; B's create then
+    succeeds legitimately.  The completed-target probe must make B
+    release its claim and refuse BEFORE overwriting A's finished
+    snapshot.  Simulated by pinning latest_component_version to the
+    stale value while a complete map_v1 exists."""
+    import os
+
+    import pytest
+
+    from yodel_etl_spark.scale import cluster as C
+
+    path = str(tmp_path / "cmap")
+    C.update_component_map(
+        spark,
+        path,
+        spark.createDataFrame([(1, 2)], "doc_a long, doc_b long"),
+        writer_token="corpus#1",
+    )
+    want = sorted(
+        spark.read.parquet(os.path.join(path, "map_v1")).collect()
+    )
+
+    monkeypatch.setattr(C, "latest_component_version", lambda s, p: 0)
+    with pytest.raises(RuntimeError, match="already complete"):
+        C.update_component_map(
+            spark,
+            path,
+            spark.createDataFrame([(3, 4)], "doc_a long, doc_b long"),
+            writer_token="corpus#2",
+        )
+    monkeypatch.undo()
+    # refusal is side-effect-free: A's snapshot byte-equal, B's claim
+    # released (no leftover blocks the healthy retry)
+    assert sorted(spark.read.parquet(os.path.join(path, "map_v1")).collect()) == want
+    assert not [f for f in os.listdir(path) if f.startswith(".claim_v")]
+    # and the healthy retry (reading the TRUE latest) folds fine
+    assert (
+        C.update_component_map(
+            spark,
+            path,
+            spark.createDataFrame([(3, 4)], "doc_a long, doc_b long"),
+            writer_token="corpus#2",
+        )
+        == 2
+    )
+
+
+def test_component_map_lost_takeover_race_raises_documented_error(
+    spark, tmp_path, monkeypatch
+):
+    """r14 (ADVICE r13 #4): the token takeover is delete-then-recreate,
+    not atomic — a different-token writer claiming in the gap must
+    surface as the documented single-writer RuntimeError (with the
+    new holder's state inspected), never a raw Py4J create failure.
+    Simulated by a wrapped FS whose delete() lets a racer recreate the
+    claim immediately."""
+    import os
+
+    import pytest
+
+    from yodel_etl_spark.scale import cluster as C
+
+    path = str(tmp_path / "cmap")
+    C.update_component_map(
+        spark,
+        path,
+        spark.createDataFrame([(1, 2)], "doc_a long, doc_b long"),
+        writer_token="corpus#1",
+    )
+    claim_local = os.path.join(path, ".claim_v2")
+    with open(claim_local, "w") as fh:
+        fh.write("corpus#2")  # our own crashed attempt's leftover
+    real_map_fs = C._map_fs
+
+    def racy(spark_, p_):
+        fs, p, jvm = real_map_fs(spark_, p_)
+
+        class FSWrap:
+            def __getattr__(self, name):
+                return getattr(fs, name)
+
+            def delete(self, pth, recursive):
+                ok = fs.delete(pth, recursive)
+                if pth.getName() == ".claim_v2":
+                    with open(claim_local, "w") as fh:
+                        fh.write("другой#7")  # racer wins the gap
+                return ok
+
+        return FSWrap(), p, jvm
+
+    monkeypatch.setattr(C, "_map_fs", racy)
+    with pytest.raises(RuntimeError, match="concurrent component-map"):
+        C.update_component_map(
+            spark,
+            path,
+            spark.createDataFrame([(3, 4)], "doc_a long, doc_b long"),
+            writer_token="corpus#2",  # matches the leftover -> takeover
+        )
+    monkeypatch.undo()
+    assert not os.path.isdir(os.path.join(path, "map_v2"))
+    assert open(claim_local, encoding="utf-8").read() == "другой#7"

@@ -324,19 +324,26 @@ def update_component_map(
     folds would both read version v and both target ``map_v{v+1}``
     with mode=overwrite, clobbering each other file-by-file — the
     losing batch is already committed upstream and never replayed, so
-    its edges would vanish from the visible map silently.  BOTH halves
-    of a race are now detected: the same-version half by an exclusive
-    CLAIM marker (``.claim_v{v+1}``, created with
-    ``fs.create(overwrite=False)`` — atomic create-exclusive on HDFS;
-    on local FS / object stores Hadoop implements it as
-    check-then-create, which still catches every collision except two
-    creates landing in the same instant — before the snapshot write;
-    the second claimer raises instead of clobbering), and the
-    cross-version half by re-checking the listing
-    before pruning (a complete snapshot NEWER than the one this fold
-    wrote means a racer folded from a map missing our edges — raise
-    instead of pruning).  Single-writer cost: one create + one delete
-    namenode op per fold, no extra Spark job.
+    its edges would vanish from the visible map silently.  Detection
+    is layered, pre-write: (a) an exclusive CLAIM marker
+    (``.claim_v{v+1}``, ``fs.create(overwrite=False)`` — atomic
+    create-exclusive on HDFS; check-then-create on local FS / object
+    stores) makes the second claimer raise instead of clobbering;
+    (b) a post-claim READ-BACK verifies the claim still carries OUR
+    token — two same-instant check-then-create "successes" leave the
+    last writer's token in the file, so the loser detects itself
+    (tokenless writers are indistinguishable this way: both claims are
+    empty — the gates always pass tokens); (c) a completed-target
+    probe (``map_v{v+1}/_SUCCESS`` exists while we hold the claim)
+    catches the stale-read interleaving where the prior writer already
+    finished v+1 AND released its claim before we read ``latest`` —
+    the fold releases its claim and refuses rather than overwrite the
+    finished snapshot's edges.  The cross-version half is re-checked
+    post-write from the listing before pruning (a complete snapshot
+    NEWER than the one this fold wrote means a racer folded from a map
+    missing our edges — raise instead of pruning).  Single-writer
+    cost: one create, one read-back, two existence probes and one
+    delete namenode op per fold, no extra Spark job.
 
     Claim lifecycle: the claim is deleted after the snapshot's
     ``_SUCCESS`` lands, and claims whose target version is already
@@ -380,43 +387,83 @@ def update_component_map(
         finally:
             out.close()
 
-    try:
-        take_claim()
-    except Exception as exc:
-        if not fs.exists(claim):
-            raise exc
-        held = None
-        if writer_token is not None:
+    def read_claim() -> str | None:
+        try:
             stream = fs.open(claim)
-            try:
-                held = bytes(stream.readAllBytes()).decode("utf-8", "replace")
-            finally:
-                stream.close()
-        if held is not None and held == writer_token:
-            # our own crashed attempt's leftover (same logical write —
-            # Structured Streaming replays a failed batch under the
-            # same batch id): take over and let the re-fold converge
-            fs.delete(claim, False)
+        except Exception:
+            return None  # vanished between probe and open
+        try:
+            return bytes(stream.readAllBytes()).decode("utf-8", "replace")
+        finally:
+            stream.close()
+
+    def collision_error() -> RuntimeError:
+        done = fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{path}/map_v{v + 1}/_SUCCESS")
+        )
+        state = (
+            "its snapshot is already COMPLETE (this fold read a "
+            "stale version and must re-fold)"
+            if done
+            else "its snapshot is incomplete (a live concurrent "
+            "writer, or a crashed fold's leftover — confirm no "
+            "writer is live, delete the claim file, and re-run; "
+            "the re-fold converges to the identical map)"
+        )
+        return RuntimeError(
+            f"concurrent component-map writers detected at {path!r}: "
+            f"map_v{v + 1} is claimed by another fold and {state}; "
+            "the map path has a single-writer contract (see "
+            "update_component_map)"
+        )
+
+    reclaimed = False
+    while True:
+        try:
             take_claim()
-        else:
-            done = fs.exists(
-                jvm.org.apache.hadoop.fs.Path(f"{path}/map_v{v + 1}/_SUCCESS")
-            )
-            state = (
-                "its snapshot is already COMPLETE (this fold read a "
-                "stale version and must re-fold)"
-                if done
-                else "its snapshot is incomplete (a live concurrent "
-                "writer, or a crashed fold's leftover — confirm no "
-                "writer is live, delete the claim file, and re-run; "
-                "the re-fold converges to the identical map)"
-            )
-            raise RuntimeError(
-                f"concurrent component-map writers detected at {path!r}: "
-                f"map_v{v + 1} is claimed by another fold and {state}; "
-                "the map path has a single-writer contract (see "
-                "update_component_map)"
-            ) from None
+            break
+        except Exception as exc:
+            if not fs.exists(claim):
+                raise exc
+            held = read_claim() if writer_token is not None else None
+            if held is not None and held == writer_token and not reclaimed:
+                # our own crashed attempt's leftover (same logical write
+                # — Structured Streaming replays a failed batch under
+                # the same batch id): take over and let the re-fold
+                # converge.  The delete-then-recreate is NOT atomic, so
+                # loop back through this same collision handling — a
+                # racer claiming in the gap lands in the documented
+                # error below instead of a raw create failure; the
+                # one-takeover bound also catches a twin process
+                # replaying the same batch id (same token), which is
+                # itself a second writer
+                reclaimed = True
+                fs.delete(claim, False)
+                continue
+            raise collision_error() from None
+    # post-claim guards, one FS read + one existence probe per fold:
+    # (1) read-back — create-exclusive is check-then-create on local FS
+    # and object stores, so two same-instant creates can BOTH report
+    # success; the claim file's content is the last writer's token, and
+    # a mismatch means we lost that race (do NOT delete the claim: it
+    # is the winner's).  Only token-carrying writers are
+    # distinguishable this way — two tokenless writers both write empty
+    # claims (the gates always pass tokens).
+    if writer_token is not None and read_claim() != writer_token:
+        raise collision_error() from None
+    # (2) completed-target probe — the stale-read interleaving: a prior
+    # writer completed map_v{v+1} AND pruned its claim before we read
+    # `latest`, so our create succeeded legitimately but our fold is
+    # based on a stale version and would clobber its edges.  Release
+    # OUR claim (ownership just verified) and refuse before writing.
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/map_v{v + 1}/_SUCCESS")):
+        fs.delete(claim, False)
+        raise RuntimeError(
+            f"stale component-map fold at {path!r}: map_v{v + 1} is "
+            "already complete — this fold read latest=v before that "
+            "snapshot landed and would overwrite its edges; re-run to "
+            "fold from the current map (the re-fold converges)"
+        )
     new_map.write.mode("overwrite").parquet(f"{path}/map_v{v + 1}")
     # retention window of ONE: keep v alongside the new v+1 so a lazy
     # reader that resolved v before this fold never loses its files
