@@ -478,13 +478,18 @@ def test_ivf_rebuild_crash_window_reads_as_no_index(spark, tmp_path, monkeypatch
 
 
 def test_ivf_params_publish_window_rolls_forward(spark, tmp_path):
-    """r13 fix for the params publish window (similarity.py
-    _write_ivf_params): delete(dst)+rename(tmp,dst) is two FS ops, and
-    a crash between them leaves a valid index whose fully-staged
-    params.json.tmp sits next to a missing params.json.  The reader
-    rolls that forward — max_fatness enforcement recovers WITHOUT a
-    rebuild — and a mid-stage (unparseable) tmp is ignored rather
-    than promoted."""
+    """r13 fix, r14 refinement, for the params publish window
+    (similarity.py _write_ivf_params): delete(dst)+rename(tmp,dst) is
+    two FS ops, and a crash between them leaves a valid index whose
+    fully-staged params.json.tmp sits next to a missing params.json.
+    The reader serves the staged tmp — max_fatness enforcement
+    recovers WITHOUT a rebuild — but READ-ONLY (r14, ADVICE r13): a
+    reader-side rename racing a LIVE writer inside that same
+    delete→rename instant would promote the tmp the writer is about to
+    delete, making the writer's own rename fail silently and leaving
+    NO params.json after a successful build.  The window instead heals
+    at the next successful publish.  A mid-stage (unparseable) tmp is
+    ignored rather than promoted."""
     import os
 
     import pytest
@@ -503,18 +508,23 @@ def test_ivf_params_publish_window_rolls_forward(spark, tmp_path):
     os.rename(f"{path}/params.json", f"{path}/params.json.tmp")
     got = S._read_ivf_params(spark, path)
     assert got == want  # recovered from the staged tmp
-    # and the roll-forward PERSISTED the publish (dst restored)
-    assert os.path.exists(f"{path}/params.json")
-    assert not os.path.exists(f"{path}/params.json.tmp")
-    # the guard that previously refused until a manual rebuild now
-    # works across the window
+    # the reader did NOT mutate the publish window (read-only serve:
+    # exactly one mutator — the writer — may touch tmp/dst)
+    assert not os.path.exists(f"{path}/params.json")
+    assert os.path.exists(f"{path}/params.json.tmp")
+    # the guard that previously refused until a manual rebuild works
+    # across the window
     s = S.ivf_index_stats(spark, path)
     assert s["built_mean"] == pytest.approx(10.0)  # 40 rows / 4 cells
     delta = spark.createDataFrame(
         [(100, [1.0, 1.0])], "vec_id long, embedding array<double>"
     )
     S.extend_ivf_index(delta, path, "vec_id", "embedding", max_fatness=10.0)
-
+    # the next successful publish HEALS the window (tmp promoted, gone)
+    S._write_ivf_params(spark, path, want)
+    assert os.path.exists(f"{path}/params.json")
+    assert not os.path.exists(f"{path}/params.json.tmp")
+    assert S._read_ivf_params(spark, path) == want
     # a mid-stage crash artifact (truncated tmp) is NOT promoted: dst
     # (if present) stays the truth, and with no dst the index honestly
     # reads pre-params

@@ -1419,3 +1419,54 @@ def test_embedding_ingest_max_fatness_refuses_before_corpus_append(
     land(b3, 2)  # retry of the refused batch now admits
     assert spark.read.parquet(corpus).count() == n_corpus + 4
     assert spark.read.parquet(f"{index}/assignments").count() == n_index + 4
+
+
+def test_embedding_ingest_guard_rereads_after_live_operator_rebuild(
+    spark, tmp_path
+):
+    """r14 fat_cache staleness bound (ADVICE r13): rebuild_ivf_index is
+    a public API an operator can run while the guarded stream is LIVE
+    — not only after the guard's own refusal.  The rebuild republishes
+    params.json, so its mtime is the change signal: the next guarded
+    batch must re-read stats instead of projecting against the
+    pre-rebuild denominators.  Without the probe the guard here would
+    keep refusing forever (stale projection 3.0 > 2.5) after the
+    rebuild already fixed the index (true projection 1.5)."""
+    from yodel_etl_spark.scale import dedup as D
+    from yodel_etl_spark.scale.similarity import (
+        ivf_index_stats,
+        rebuild_ivf_index,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "ivf")
+    land = D.embedding_dedup_ingest(
+        index, corpus, centroid_every=1, max_fatness=2.5
+    )
+
+    def onehot(dim, n=16):
+        v = [0.0] * n
+        v[dim] = 1.0
+        return v
+
+    schema = "vec_id long, embedding array<double>"
+    land(spark.createDataFrame([(i, onehot(i)) for i in range(4)], schema), 0)
+    land(
+        spark.createDataFrame([(i, onehot(i)) for i in range(4, 8)], schema), 1
+    )  # guard caches: n_vectors=8, n_cells=4, built_mean=1.0
+
+    # operator rebuild while the stream is live (no refusal happened,
+    # so the guard's own cache-drop never fired)
+    rebuild_ivf_index(
+        spark, index, spark.read.parquet(corpus), "vec_id", "embedding"
+    )
+    assert ivf_index_stats(spark, index)["n_cells"] == 8
+
+    # stale denominators would project (8+4)/4 = 3.0 > 2.5 and refuse;
+    # the mtime probe re-reads -> (8+4)/8 = 1.5, the batch admits
+    land(
+        spark.createDataFrame([(i, onehot(i)) for i in range(8, 12)], schema),
+        2,
+    )
+    assert spark.read.parquet(corpus).count() == 12
+    assert spark.read.parquet(f"{index}/assignments").count() == 12

@@ -1625,16 +1625,18 @@ def embedding_dedup_ingest(
     ``corpus_path`` and restarts the stream; with it unset the gate
     keeps the documented schedule-it-yourself posture.
 
-    Guard cost: the frozen denominators (``n_cells``,
-    ``built_mean``) cannot change while this stream owns the index —
-    a rebuild only happens after the guard's own refusal, which drops
-    the cached snapshot so the retried batch re-reads stats — so the
-    gate reads ``ivf_index_stats`` ONCE at the first guarded batch
-    and tracks ``n_vectors`` incrementally from its own admit counts
-    — per-batch guard cost is the ``novel.count()`` the projection
-    needs anyway, not an extra aggregate job over the posting table
+    Guard cost: the gate reads ``ivf_index_stats`` ONCE at the first
+    guarded batch and tracks ``n_vectors`` incrementally from its own
+    admit counts — per-batch guard cost is the ``novel.count()`` the
+    projection needs anyway plus one ``getFileStatus`` FS op on
+    params.json, never an extra aggregate job over the posting table
     (per-job constants dominate this path; see BASELINE's eingest
-    phase decomposition).  A replayed crash window appends duplicate
+    phase decomposition).  The mtime probe bounds denominator
+    staleness (r14): ``rebuild_ivf_index`` is a public API an operator
+    can run while the stream is LIVE — it republishes params.json, so
+    a changed mtime drops the cached snapshot and the next batch
+    re-reads stats, on top of the guard's own refusal already dropping
+    it.  A replayed crash window appends duplicate
     posting rows the cache does not see, so the tracked fatness can
     read slightly LOW until the restart re-reads stats — bounded by
     the duplicates vacuum_ivf_index collapses, and a late rebuild
@@ -1694,8 +1696,21 @@ def embedding_dedup_ingest(
                     from yodel_etl_spark.scale.similarity import (
                         StaleIVFIndexError,
                         ivf_index_stats,
+                        ivf_params_mtime,
                     )
 
+                    # staleness bound on the frozen denominators (r14):
+                    # rebuild_ivf_index is a public API an operator can
+                    # run while this stream is LIVE — it republishes
+                    # params.json, so its mtime is the change signal.
+                    # One getFileStatus FS op per batch, no Spark job
+                    # (the guard-cost discipline); on change the cached
+                    # stats re-read, so the guard neither keeps
+                    # refusing after a rebuild fixed the index nor
+                    # under-enforces against pre-rebuild denominators.
+                    mtime = ivf_params_mtime(spark, index_path)
+                    if fat_cache and fat_cache.get("params_mtime") != mtime:
+                        fat_cache.clear()
                     if not fat_cache:
                         # one stats read per stream (frozen denominators
                         # — see the guard-cost note in the docstring)
@@ -1710,6 +1725,7 @@ def embedding_dedup_ingest(
                             n_vectors=stats["n_vectors"],
                             n_cells=stats["n_cells"],
                             built_mean=stats["built_mean"],
+                            params_mtime=mtime,
                         )
                     n_novel = novel.count()
                     projected = (

@@ -204,7 +204,17 @@ def _write_ivf_params(spark, path: str, params: dict) -> None:
     finally:
         out.close()
     fs.delete(dst, False)
-    fs.rename(tmp, dst)
+    if not fs.rename(tmp, dst):
+        # rename is the publish point — a silent false would leave NO
+        # params.json after a successful build (the max_fatness guard
+        # would then refuse until a manual rebuild); surface it.  The
+        # staged tmp is complete, so readers roll forward read-only in
+        # the meantime (see _read_ivf_params)
+        raise OSError(
+            f"params publish rename failed: {path}/params.json.tmp -> "
+            "params.json (staged params are complete; readers serve the "
+            "tmp until the next successful publish)"
+        )
 
 
 def _fs_read_json(fs, p) -> dict | None:
@@ -228,26 +238,28 @@ def _fs_read_json(fs, p) -> dict | None:
 def _read_ivf_params(spark, path: str) -> dict | None:
     """Params dict, or None for a pre-params index.
 
-    Roll-forward recovery for the publish window in
-    :func:`_write_ivf_params`: when ``params.json`` is missing but a
-    COMPLETE ``params.json.tmp`` exists (the writer staged the full
-    content, then crashed between its delete and rename), this
-    completes the rename and returns the recovered params — so
-    ``max_fatness`` enforcement keeps working across that crash
-    instead of refusing until a manual rebuild.  A tmp that fails to
-    parse is a mid-stage crash artifact (dst, if any, is still the
-    truth) and is ignored."""
+    Roll-forward for the publish window in :func:`_write_ivf_params`,
+    READ-ONLY: when ``params.json`` is missing but a COMPLETE
+    ``params.json.tmp`` exists (the writer staged the full content,
+    then crashed between its delete and rename — or is live inside
+    that same delete→rename instant), the tmp's content IS the params
+    and is served as-is, so ``max_fatness`` enforcement keeps working
+    across the crash instead of refusing until a manual rebuild.  The
+    reader deliberately does NOT complete the rename: a reader-side
+    rename racing a LIVE writer (reader promotes tmp while the writer
+    is between its own tmp create and delete(dst)) would make the
+    writer delete the just-promoted file and its rename fail — the
+    publish window must have exactly one mutator.  The window heals at
+    the next successful publish, which overwrites the tmp and renames.
+    A tmp that fails to parse is a mid-stage crash artifact (dst, if
+    any, is still the truth) and is ignored."""
     fs, jvm = _ivf_fs(spark, path)
     dst = jvm.org.apache.hadoop.fs.Path(f"{path}/params.json")
     got = _fs_read_json(fs, dst)
     if got is not None:
         return got
     tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/params.json.tmp")
-    got = _fs_read_json(fs, tmp)
-    if got is not None:
-        fs.rename(tmp, dst)
-        return got
-    return None
+    return _fs_read_json(fs, tmp)
 
 
 class StaleIVFIndexError(RuntimeError):
@@ -329,6 +341,23 @@ def ivf_index_read(spark, path: str) -> tuple[DataFrame, DataFrame]:
         spark.read.parquet(f"{path}/assignments"),
         spark.read.parquet(f"{path}/centroids"),
     )
+
+
+def ivf_params_mtime(spark, path: str) -> int | None:
+    """Modification time (epoch ms) of the index's published params —
+    ``params.json``, or the staged ``params.json.tmp`` while the
+    publish window is open — or None for a pre-params index.  ONE
+    ``getFileStatus`` FS op, no Spark job: the change-detection probe
+    a long-lived guard needs to notice that :func:`rebuild_ivf_index`
+    republished params (new denominators) while its stream was live."""
+    fs, jvm = _ivf_fs(spark, path)
+    for name in ("params.json", "params.json.tmp"):
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{name}")
+        try:
+            return int(fs.getFileStatus(p).getModificationTime())
+        except Exception:
+            continue
+    return None
 
 
 def ivf_index_stats(spark, path: str) -> dict:
