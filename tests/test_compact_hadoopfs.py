@@ -150,11 +150,13 @@ def test_vacuum_per_leaf_replay_collapse_over_hadoop_fs(spark, tmp_path):
 
 def test_delete_where_ttl_and_row_grain_over_hadoop_fs(spark, tmp_path):
     """Both delete shapes against a file:// root: the partition-only
-    TTL predicate engages the driver-side fast path (file:// footers
-    are locally readable — no leaf scans, pinned by the reader
-    monkeypatch) and drops whole leaves manifest-only; the data-column
-    predicate rewrites survivors exactly; zero-match leaves stay
-    byte-identical (same file names)."""
+    TTL predicate engages the driver-side fast path with report counts
+    priced by RANGED Hadoop-stream footer reads (readNBytes tail +
+    in-memory thrift parse — the exact access shape an hdfs:///s3a://
+    root takes; no leaf scans, pinned by the reader monkeypatch) and
+    drops whole leaves manifest-only; the data-column predicate
+    rewrites survivors exactly; zero-match leaves stay byte-identical
+    (same file names)."""
     import pyspark.sql.readwriter as rw
 
     uri = _furi(tmp_path, "ttl")

@@ -78,9 +78,17 @@ class _LocalFS:
         return p
 
     def local_path(self, p: str) -> str | None:
-        """Local-readable form of ``p`` (for parquet footer reads), or
-        None when the bytes are not reachable through the OS API."""
+        """Local-readable form of ``p``, or None when the bytes are not
+        reachable through the OS API."""
         return p
+
+    def footer_num_rows(self, files: list[tuple[str, int]]) -> int:
+        """Total row count from parquet FOOTER metadata only (no data
+        pages read, no Spark job) — what prices the delete fast path's
+        report fields."""
+        import pyarrow.parquet as pq
+
+        return sum(int(pq.ParquetFile(p).metadata.num_rows) for p, _ in files)
 
     def leaf_dirs(self, root: str) -> list[str]:
         out = []
@@ -171,6 +179,41 @@ class _HadoopFS:
 
             return urlparse(p).path or p
         return None
+
+    def footer_num_rows(self, files: list[tuple[str, int]]) -> int:
+        """Total row count from parquet FOOTER metadata through the
+        Hadoop stream: seek to the tail, one ``readNBytes`` RPC per
+        file (py4j converts a RETURNED byte[] to Python bytes in one
+        hop — never iterate a Java array element-wise), and parse the
+        footer thrift with pyarrow from the in-memory tail.  ~2 ranged
+        reads per file worst-case (a footer larger than the 64 KiB
+        first guess re-reads at exact length) — the same access shape
+        a remote parquet reader uses, so the delete fast path prices
+        its reports without Spark jobs on ``hdfs://``/``s3a://`` too.
+        Runs the stream path for ``file://`` as well, so the test arm
+        exercises exactly the remote code."""
+        import struct
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        total = 0
+        for p, size in files:
+            stream = self._fs.open(self._P(p))
+            try:
+                n = min(64 * 1024, size)
+                stream.seek(size - n)
+                tail = bytes(stream.readNBytes(n))
+                footer_len = struct.unpack("<I", tail[-8:-4])[0]
+                if footer_len + 8 > n:
+                    stream.seek(size - footer_len - 8)
+                    tail = bytes(stream.readNBytes(footer_len + 8))
+                else:
+                    tail = tail[-(footer_len + 8):]
+            finally:
+                stream.close()
+            total += int(pq.read_metadata(pa.BufferReader(tail)).num_rows)
+        return total
 
     def leaf_dirs(self, root: str) -> list[str]:
         if not self._fs.exists(self._P(root)):
@@ -881,14 +924,6 @@ def _partition_only_membership(
     return {leaf: (leaf in hits) for leaf in leaves}
 
 
-def _footer_num_rows(files: list[tuple[str, int]]) -> int:
-    """Row count from parquet FOOTER metadata only (no data pages read,
-    no Spark job) — what prices the fast path's report fields."""
-    import pyarrow.parquet as pq
-
-    return sum(int(pq.ParquetFile(p).metadata.num_rows) for p, _ in files)
-
-
 def delete_parquet_where(
     spark: SparkSession,
     path: str,
@@ -970,9 +1005,7 @@ def delete_parquet_where(
             # partition-only ⇒ every row matches) or not (byte-identical
             # skip).  The headline TTL shape over a 10k-leaf table runs
             # NO per-leaf scan jobs at all.
-            rows_before = _footer_num_rows(
-                [(fs.local_path(p), sz) for p, sz in files]
-            )
+            rows_before = fs.footer_num_rows(files)
             n_match = rows_before if membership[leaf] else 0
             df = part_cols = None  # rewrite branch is unreachable here
         else:
@@ -1063,15 +1096,9 @@ def delete_parquet_where(
         }
     # one driver-side membership decision for ALL leaves when the
     # predicate is partition-only; None engages the per-leaf scan path.
-    # The fast path also needs footer metadata, so it requires locally
-    # readable bytes (plain paths and file:// — the remote-footer read
-    # is a possible future lever, not a correctness gap: the scan path
-    # is exact everywhere)
-    membership = (
-        _partition_only_membership(spark, path, leaves, cond)
-        if all(fs.local_path(p) is not None for p in (path,))
-        else None
-    )
+    # Report pricing comes from parquet footers on every scheme (the
+    # OS API locally, ranged Hadoop-stream reads remotely)
+    membership = _partition_only_membership(spark, path, leaves, cond)
     if max_concurrency <= 1 or len(leaves) <= 1:
         reports = [one_leaf(leaf) for leaf in leaves]
     else:
