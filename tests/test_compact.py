@@ -1165,3 +1165,57 @@ def test_delete_where_null_partition_survives_fast_path(spark, tmp_path):
     assert left.where("tag IS NULL").count() == 1
     rep = delete_parquet_where(spark, path, "tag IS NULL")
     assert rep["n_deleted"] == 1 and spark.read.parquet(path).count() == 1
+
+
+def test_delete_where_data_predicate_counts_in_one_scan_job(
+    spark, tmp_path, monkeypatch
+):
+    """r14 batched counting: a DATA-column predicate over an N-leaf
+    table pays ONE whole-snapshot scan job for every leaf's
+    (rows_before, n_match) — grouped by input_file_name, folded to
+    leaf grain driver-side by full scheme-stripped path (basenames are
+    NOT unique across leaves: one dynamic-partition write task emits
+    the same part-file name into every partition it touches) — plus
+    one read per leaf that actually rewrites.  Pinned by counting
+    DataFrameReader.parquet calls: 4 leaves, matches in 2 ⇒ exactly
+    1 + 2 reads, with exact per-leaf reports."""
+    import pyspark.sql.readwriter as rw
+
+    from yodel_etl_spark.io.compact import delete_parquet_where
+
+    path = str(tmp_path / "batch")
+    spark.range(0, 400).selectExpr(
+        "id AS k", "id % 4 AS day"
+    ).write.partitionBy("day").parquet(path)
+
+    calls = {"n": 0}
+    real = rw.DataFrameReader.parquet
+
+    def counting(self, *a, **kw):
+        calls["n"] += 1
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", counting)
+    rep = delete_parquet_where(
+        spark, path, "k < 100 AND k % 4 < 2", max_concurrency=2
+    )
+    monkeypatch.undo()
+    assert calls["n"] == 3, calls  # 1 global count + 2 leaf rewrites
+    assert rep["n_deleted"] == 50 and rep["n_leaves_rewritten"] == 2
+    per_leaf = {
+        r["dir"].rsplit("day=", 1)[1]: (r["rows_before"], r["n_deleted"])
+        for r in rep["leaves"]
+    }
+    assert per_leaf == {
+        "0": (100, 25), "1": (100, 25), "2": (100, 0), "3": (100, 0)
+    }
+    got = spark.read.parquet(path)
+    assert got.count() == 350
+    assert got.where("k < 100 AND k % 4 < 2").count() == 0
+    # zero-match leaves stayed byte-identical is pinned by the sibling
+    # tests; idempotent re-run costs exactly the one count job
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", counting)
+    calls["n"] = 0
+    rep2 = delete_parquet_where(spark, path, "k < 100 AND k % 4 < 2")
+    monkeypatch.undo()
+    assert calls["n"] == 1 and not rep2["rewritten"]

@@ -924,6 +924,70 @@ def _partition_only_membership(
     return {leaf: (leaf in hits) for leaf in leaves}
 
 
+def _batched_leaf_counts(
+    spark: SparkSession,
+    path: str,
+    leaves: list[str],
+    files_map: dict[str, list[tuple[str, int]]],
+    cond,
+) -> dict[str, tuple[int, int]] | None:
+    """Per-leaf ``(rows_before, n_match)`` for a data-column predicate
+    in ONE map-side-combined scan job over the whole file-list
+    snapshot, grouped by ``input_file_name`` and folded to leaf grain
+    driver-side — the lever that makes an N-leaf opt-out delete cost
+    one count job instead of N.  Files map back to leaves by FULL
+    scheme-stripped path (basenames are NOT unique across leaves: one
+    dynamic-partition write task emits the same ``part-NNNNN-uuid``
+    name into every partition it touches); an unmapped file falls back
+    to exact per-leaf counting by returning None, as does a ragged
+    non-hive layout where one ``basePath`` read cannot span the
+    leaves.  The collect is file-grain — control-plane sized (one
+    short row per file, never data)."""
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+
+    flat = len(leaves) == 1 and leaves[0].rstrip("/") == path.rstrip("/")
+    if not flat:
+        for leaf in leaves:
+            rel = os.path.relpath(leaf, path.rstrip("/"))
+            if rel == "." or any(
+                "=" not in seg for seg in rel.split(os.sep)
+            ):
+                return None  # ragged layout: per-leaf fallback is exact
+    # keys are scheme-stripped (urlparse path) so the local arm's plain
+    # paths, the Hadoop arm's `scheme:/...` forms, and input_file_name's
+    # percent-encoded URIs all meet on one spelling
+    path2leaf: dict[str, str] = {}
+    all_files: list[str] = []
+    for leaf, files in files_map.items():
+        for p, _ in files:
+            path2leaf[urlparse(p).path or p] = leaf
+            all_files.append(p)
+    if not all_files:
+        return {leaf: (0, 0) for leaf in leaves}
+    reader = spark.read
+    if not flat:
+        reader = reader.option("basePath", path)
+    rows = (
+        reader.parquet(*all_files)
+        .groupBy(F.input_file_name().alias("__file"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cond.cast("long")).alias("nm"),
+        )
+        .collect()
+    )
+    counts = {leaf: [0, 0] for leaf in leaves}
+    for r in rows:
+        leaf = path2leaf.get(unquote(urlparse(r["__file"]).path))
+        if leaf is None:
+            return None  # unmapped file (renamed mid-flight): fallback
+        counts[leaf][0] += int(r["n"])
+        counts[leaf][1] += int(r["nm"] or 0)
+    return {leaf: (n, nm) for leaf, (n, nm) in counts.items()}
+
+
 def delete_parquet_where(
     spark: SparkSession,
     path: str,
@@ -946,8 +1010,13 @@ def delete_parquet_where(
     Spark's partition-value type inference mirrored, so ``month < 10``
     compares numerically), and row counts come from parquet footer
     metadata: a 10k-leaf TTL delete runs zero per-leaf Spark jobs.
-    Otherwise each leaf pays ONE map-side-combined count of matching
-    rows.  Under both paths a leaf with zero matches is left
+    A predicate touching data columns pays ONE map-side-combined scan
+    job over the WHOLE snapshot of file lists, grouped by file and
+    folded to leaf grain driver-side (part-file basenames are
+    UUID-unique) — never a count job per leaf: the N-leaf opt-out
+    delete costs 1 + matching-leaf-rewrites job submissions, not
+    N + rewrites.  (Ragged non-hive layouts keep an exact per-leaf
+    counting fallback.)  Under every path a leaf with zero matches is left
     BYTE-IDENTICAL (no rewrite, no write amplification — the dominant
     case for a targeted delete over a 100 TB table), and only matching
     leaves rewrite their survivors to ~``target_bytes`` files.
@@ -980,10 +1049,32 @@ def delete_parquet_where(
 
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
 
+    def _leaf_part_cols(leaf: str) -> list[str]:
+        rel = os.path.relpath(leaf, path.rstrip("/"))
+        return [
+            seg.split("=", 1)[0]
+            for seg in (rel.split(os.sep) if rel != "." else [])
+            if "=" in seg
+        ]
+
+    def _leaf_frame(leaf: str, files: list[tuple[str, int]], part_cols):
+        # read the SNAPSHOT file list, never the directory: counts,
+        # survivor filters and retire manifests must all see the same
+        # files, so a concurrent append between snapshot and rewrite
+        # is simply untouched (neither copied nor retired).  basePath
+        # reconstructs partition columns (path segments, not file
+        # columns) onto the rows so the predicate can reference them
+        # alongside data columns (mixed shapes:
+        # `event_type = 'x' OR value < 0`)
+        reader = spark.read
+        if part_cols:
+            reader = reader.option("basePath", path)
+        return reader.parquet(*[p for p, _ in files])
+
     def one_leaf(leaf: str) -> dict:
         stage = _delete_stage_for_leaf(path, leaf)
-        recovered = _recover_stage(fs, stage, leaf)
-        files = fs.parquet_files(leaf)
+        recovered = recovered_map[leaf]
+        files = files_map[leaf]
         if not files:
             return {
                 "dir": leaf,
@@ -996,36 +1087,18 @@ def delete_parquet_where(
                 "rewritten": False,
             }
         total = sum(sz for _, sz in files)
-        if membership is not None:
-            # partition-only fast path: membership was decided DRIVER-
-            # side from the path segments (one tiny local-relation job
-            # for ALL leaves, before the fan-out); rows_before comes
-            # from parquet footer metadata — this leaf costs zero Spark
-            # jobs whether it matches (whole-leaf manifest-only retire:
-            # partition-only ⇒ every row matches) or not (byte-identical
-            # skip).  The headline TTL shape over a 10k-leaf table runs
-            # NO per-leaf scan jobs at all.
-            rows_before = fs.footer_num_rows(files)
-            n_match = rows_before if membership[leaf] else 0
-            df = part_cols = None  # rewrite branch is unreachable here
+        df = part_cols = None
+        if counts_map is not None:
+            # counts were decided before the fan-out: footer-priced for
+            # a partition-only predicate (zero scan jobs anywhere), or
+            # from the ONE whole-snapshot scan job for data-column
+            # predicates — this leaf submits a Spark job only if it
+            # rewrites survivors below
+            rows_before, n_match = counts_map[leaf]
         else:
-            # basePath read: partition columns (path segments, not file
-            # columns) are reconstructed onto the rows, so the predicate
-            # can reference them alongside data columns (mixed shapes:
-            # `event_type = 'x' OR value < 0`); the rewrite below drops
-            # them again, since they live in the directory name and
-            # writing them into the leaf files would change the file
-            # schema
-            rel = os.path.relpath(leaf, path.rstrip("/"))
-            part_cols = [
-                seg.split("=", 1)[0]
-                for seg in (rel.split(os.sep) if rel != "." else [])
-                if "=" in seg
-            ]
-            if part_cols:
-                df = spark.read.option("basePath", path).parquet(leaf)
-            else:
-                df = spark.read.parquet(*[p for p, _ in files])
+            # ragged-layout fallback: exact per-leaf count
+            part_cols = _leaf_part_cols(leaf)
+            df = _leaf_frame(leaf, files, part_cols)
             counts = df.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(cond.cast("long")).alias("nm"),
@@ -1065,6 +1138,9 @@ def delete_parquet_where(
             1,
             math.ceil(total * survivors / max(rows_before, 1) / target_bytes),
         )
+        if df is None:  # batch-counted leaf: build its frame only now,
+            part_cols = _leaf_part_cols(leaf)  # only rewriters pay it
+            df = _leaf_frame(leaf, files, part_cols)
         # NOT(cond) with null-safe semantics: a NULL predicate row is
         # not a match, so it SURVIVES — deletes remove only rows the
         # predicate affirmatively selects
@@ -1095,10 +1171,34 @@ def delete_parquet_where(
             "leaves": [],
         }
     # one driver-side membership decision for ALL leaves when the
-    # predicate is partition-only; None engages the per-leaf scan path.
+    # predicate is partition-only; None engages the scan paths below.
     # Report pricing comes from parquet footers on every scheme (the
     # OS API locally, ranged Hadoop-stream reads remotely)
     membership = _partition_only_membership(spark, path, leaves, cond)
+    # phase 1 (FS ops only): finish crashed stages — ONE stage-root
+    # listing decides which leaves even need a recovery probe — then
+    # snapshot every leaf's file list.  Counts, survivor filters and
+    # retire manifests all work from this single snapshot.
+    stage_root = delete_stage_root(path)
+    pending = set(fs.listdir(stage_root)) if fs.isdir(stage_root) else set()
+    recovered_map: dict[str, bool] = {}
+    for leaf in leaves:
+        st = _delete_stage_for_leaf(path, leaf)
+        recovered_map[leaf] = os.path.basename(st) in pending and _recover_stage(
+            fs, st, leaf
+        )
+    files_map = {leaf: fs.parquet_files(leaf) for leaf in leaves}
+    # phase 2: per-leaf (rows_before, n_match) without per-leaf jobs
+    counts_map: dict[str, tuple[int, int]] | None
+    if membership is not None:
+        counts_map = {}
+        for leaf in leaves:
+            n = fs.footer_num_rows(files_map[leaf]) if files_map[leaf] else 0
+            counts_map[leaf] = (n, n if membership[leaf] else 0)
+    else:
+        counts_map = _batched_leaf_counts(
+            spark, path, leaves, files_map, cond
+        )
     if max_concurrency <= 1 or len(leaves) <= 1:
         reports = [one_leaf(leaf) for leaf in leaves]
     else:
