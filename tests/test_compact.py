@@ -1219,3 +1219,49 @@ def test_delete_where_data_predicate_counts_in_one_scan_job(
     rep2 = delete_parquet_where(spark, path, "k < 100 AND k % 4 < 2")
     monkeypatch.undo()
     assert calls["n"] == 1 and not rep2["rewritten"]
+
+
+def test_vacuum_per_leaf_counts_in_one_scan_job(spark, tmp_path, monkeypatch):
+    """r14 batched counting, vacuum twin: per-leaf vacuum over an
+    N-leaf corpus pays ONE (dir, key)-grouped scan job for every
+    leaf's (rows_before, n_keys) — the same (leaf, key) shuffle grain
+    the N per-leaf aggregates carried in total, one job submission —
+    plus one read per leaf that actually rewrites; the idempotent
+    re-run costs exactly the one count job."""
+    import pyspark.sql.readwriter as rw
+
+    from yodel_etl_spark.io.compact import vacuum_parquet
+
+    path = str(tmp_path / "vbatch")
+    b = (
+        spark.range(600)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).alias("part"),
+            (F.col("id") * 11).alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    b.write.mode("append").partitionBy("part").parquet(path)
+    b.where("k % 2 = 0").write.mode("append").partitionBy("part").parquet(path)
+
+    calls = {"n": 0}
+    real = rw.DataFrameReader.parquet
+
+    def counting(self, *a, **kw):
+        calls["n"] += 1
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", counting)
+    rep = vacuum_parquet(spark, path, ["k"], per_leaf=True, max_concurrency=3)
+    monkeypatch.undo()
+    assert calls["n"] == 1 + 3, calls  # one batched count + 3 rewrites
+    assert rep["rows_before"] == 900 and rep["rows_after"] == 600
+    assert rep["n_dup_rows"] == 300 and rep["n_leaves"] == 3
+    assert spark.read.parquet(path).count() == 600
+
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", counting)
+    calls["n"] = 0
+    rep2 = vacuum_parquet(spark, path, ["k"], per_leaf=True)
+    monkeypatch.undo()
+    assert calls["n"] == 1 and not rep2["rewritten"]

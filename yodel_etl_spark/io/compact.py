@@ -685,6 +685,34 @@ def vacuum_parquet(
             "re-layout this maintenance op does not impose"
         )
     if not flat:
+        # batched phases (the delete_parquet_where shape): ONE
+        # stage-root listing decides which leaves need recovery, file
+        # lists are snapshotted once, and every leaf's (rows, keys)
+        # comes from ONE (dir, key)-grouped scan job — a mostly-clean
+        # corpus pays one job submission, not one per leaf; only
+        # leaves that actually rewrite submit further jobs
+        stage_root = vacuum_stage_root(path)
+        pending = (
+            set(fs.listdir(stage_root)) if fs.isdir(stage_root) else set()
+        )
+        recovered_map: dict[str, bool] = {}
+        for leaf in leaves:
+            st = _vacuum_stage_for_leaf(path, leaf)
+            recovered_map[leaf] = os.path.basename(
+                st
+            ) in pending and _recover_stage(fs, st, leaf)
+        files_map = {leaf: fs.parquet_files(leaf) for leaf in leaves}
+        counts_map = _batched_vacuum_counts(
+            spark, path, leaves, files_map, key_cols
+        )
+
+        def leaf_args(leaf: str) -> dict:
+            return dict(
+                files=files_map[leaf],
+                counts=None if counts_map is None else counts_map[leaf],
+                recovered=recovered_map[leaf],
+            )
+
         if max_concurrency <= 1 or len(leaves) <= 1:
             reports = [
                 _vacuum_leaf(
@@ -694,7 +722,7 @@ def vacuum_parquet(
                     _vacuum_stage_for_leaf(path, leaf),
                     key_cols,
                     target_bytes,
-                    recovered_empty=False,
+                    **leaf_args(leaf),
                 )
                 for leaf in leaves
             ]
@@ -711,6 +739,7 @@ def vacuum_parquet(
                         _vacuum_stage_for_leaf(path, leaf),
                         key_cols,
                         target_bytes,
+                        **leaf_args(leaf),
                     )
                     for leaf in leaves
                 ]
@@ -739,6 +768,56 @@ def vacuum_parquet(
     )
 
 
+def _batched_vacuum_counts(
+    spark: SparkSession,
+    path: str,
+    leaves: list[str],
+    files_map: dict[str, list[tuple[str, int]]],
+    key_cols: list[str] | tuple[str, ...],
+) -> dict[str, tuple[int, int]] | None:
+    """Per-leaf ``(rows_before, n_within_leaf_keys)`` for per-leaf
+    vacuum in ONE scan job: group by (file's directory, key columns) —
+    the same (leaf, key) grain the N per-leaf aggregates shuffle in
+    total — then fold to leaf grain INSIDE Spark, collecting one short
+    row per leaf.  A mostly-clean 10k-leaf corpus pays one job
+    submission instead of 10k.  Null-safe key grouping as in the
+    per-leaf form (null-key groups count).  Ragged non-hive layouts
+    and unmapped directories return None → exact per-leaf fallback."""
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+
+    for leaf in leaves:
+        rel = os.path.relpath(leaf, path.rstrip("/"))
+        if rel == "." or any("=" not in seg for seg in rel.split(os.sep)):
+            return None  # ragged layout: per-leaf fallback is exact
+    dir2leaf = {urlparse(leaf).path or leaf: leaf for leaf in leaves}
+    all_files = [p for files in files_map.values() for p, _ in files]
+    if not all_files:
+        return {leaf: (0, 0) for leaf in leaves}
+    rows = (
+        spark.read.option("basePath", path)
+        .parquet(*all_files)
+        .groupBy(
+            F.expr("regexp_replace(input_file_name(), '/[^/]+$', '')").alias(
+                "__dir"
+            ),
+            *[F.col(c) for c in key_cols],
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("__dir")
+        .agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("nk"))
+        .collect()
+    )
+    counts: dict[str, tuple[int, int]] = {leaf: (0, 0) for leaf in leaves}
+    for r in rows:
+        leaf = dir2leaf.get(unquote(urlparse(r["__dir"]).path))
+        if leaf is None:
+            return None  # unmapped dir (layout drift): exact fallback
+        counts[leaf] = (int(r["n"] or 0), int(r["nk"]))
+    return counts
+
+
 def _vacuum_leaf(
     spark: SparkSession,
     fs,
@@ -747,28 +826,43 @@ def _vacuum_leaf(
     key_cols: list[str] | tuple[str, ...],
     target_bytes: int,
     recovered_empty: bool = False,
+    files: list[tuple[str, int]] | None = None,
+    counts: tuple[int, int] | None = None,
+    recovered: bool | None = None,
 ) -> dict:
     """Recover/count/collapse ONE leaf — vacuum's unit of work (see
     :func:`vacuum_parquet` for the contract; leaf independence is what
-    makes the per-leaf mode scale and crash-recover leaf-by-leaf)."""
-    recovered = _recover_stage(fs, stage, leaf) or recovered_empty
+    makes the per-leaf mode scale and crash-recover leaf-by-leaf).
+    ``files``/``counts``/``recovered`` arrive precomputed from the
+    per-leaf driver's batched phases (one stage-root listing, one
+    whole-snapshot count job) — when absent, this leaf computes its
+    own (the flat-corpus path and the ragged-layout fallback)."""
+    if recovered is None:
+        recovered = _recover_stage(fs, stage, leaf)
+    recovered = recovered or recovered_empty
 
-    files = fs.parquet_files(leaf)
+    if files is None:
+        files = fs.parquet_files(leaf)
     total = sum(sz for _, sz in files)
-    df = spark.read.parquet(*[p for p, _ in files])
     from pyspark.sql import functions as F
 
-    # null-safe key grouping (count_distinct would IGNORE null-key
-    # groups — dropDuplicates keeps them, so the report would drift
-    # and the fast path would re-rewrite forever on a null-key corpus)
-    counts = (
-        df.groupBy(*[F.col(c) for c in key_cols])
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("nk"))
-        .first()
-    )
-    rows_before = int(counts["n"] or 0)
-    n_keys = int(counts["nk"])
+    df = None
+    if counts is not None:
+        rows_before, n_keys = counts
+    else:
+        df = spark.read.parquet(*[p for p, _ in files])
+        # null-safe key grouping (count_distinct would IGNORE null-key
+        # groups — dropDuplicates keeps them, so the report would drift
+        # and the fast path would re-rewrite forever on a null-key
+        # corpus)
+        row = (
+            df.groupBy(*[F.col(c) for c in key_cols])
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("nk"))
+            .first()
+        )
+        rows_before = int(row["n"] or 0)
+        n_keys = int(row["nk"])
     frag = (
         len(files) >= 2 and total / len(files) < target_bytes * _FRAG_FRACTION
     )
@@ -794,6 +888,8 @@ def _vacuum_leaf(
     n_out = max(
         1, math.ceil(total * n_keys / max(rows_before, 1) / target_bytes)
     )
+    if df is None:  # batch-counted leaf: only rewriters build a frame
+        df = spark.read.parquet(*[p for p, _ in files])
     df.dropDuplicates(list(key_cols)).coalesce(n_out).write.mode(
         "overwrite"
     ).parquet(stage)
