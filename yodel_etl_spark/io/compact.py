@@ -359,8 +359,10 @@ def _finish_swap(fs, stage: str, leaf: str) -> None:
         if fs.exists(p):
             fs.remove(p)
     fs.rmtree(stage)
-    # drop the stage ROOT too once its last leaf entry is gone
-    fs.rmdir_if_empty(os.path.dirname(stage))
+    # the (shared) stage ROOT is dropped ONCE at the end of the pass by
+    # the public op, never here: a per-leaf rmdir races a concurrent
+    # sibling's makedirs under max_concurrency > 1 — the sibling's
+    # parent dir vanishes between its creation and its child mkdir
 
 
 def compact_stage_root(path: str) -> str:
@@ -459,8 +461,7 @@ def _compact_leaf(
                     if not any(
                         f.endswith(".parquet") for f in stage_files
                     ) and not fs.basenames_exist_under(path, listed):
-                        fs.rmtree(st)
-                        fs.rmdir_if_empty(os.path.dirname(st))
+                        fs.rmtree(st)  # root cleanup is end-of-pass
                     continue
             # committed swap interrupted mid-flight: FINISH it (the
             # stage may hold the only complete copy of some rows —
@@ -544,20 +545,31 @@ def compact_parquet(
     path = fs.normalize(path)
     leaves = fs.leaf_dirs(path)
     if max_concurrency <= 1 or len(leaves) <= 1:
-        return [
+        reports = [
             _compact_leaf(spark, fs, path, leaf, target_bytes, min_files)
             for leaf in leaves
         ]
-    from concurrent.futures import ThreadPoolExecutor
+    else:
+        from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
-        futures = [
-            pool.submit(
-                _compact_leaf, spark, fs, path, leaf, target_bytes, min_files
-            )
-            for leaf in leaves
-        ]
-        return [f.result() for f in futures]  # leaf order preserved
+        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+            futures = [
+                pool.submit(
+                    _compact_leaf,
+                    spark,
+                    fs,
+                    path,
+                    leaf,
+                    target_bytes,
+                    min_files,
+                )
+                for leaf in leaves
+            ]
+            reports = [f.result() for f in futures]  # leaf order preserved
+    # single end-of-pass cleanup of the shared stage root (see
+    # _finish_swap for why this cannot run per leaf)
+    fs.rmdir_if_empty(compact_stage_root(path))
+    return reports
 
 
 def _recover_stage(fs, stage: str, leaf: str) -> bool:
@@ -756,8 +768,9 @@ def vacuum_parquet(
             "n_leaves": len(reports),
             "leaves": reports,
         }
+        fs.rmdir_if_empty(vacuum_stage_root(path))  # end-of-pass cleanup
         return agg
-    return _vacuum_leaf(
+    report = _vacuum_leaf(
         spark,
         fs,
         leaves[0],
@@ -766,6 +779,8 @@ def vacuum_parquet(
         target_bytes,
         recovered_empty=recovered_empty,
     )
+    fs.rmdir_if_empty(vacuum_stage_root(path))  # end-of-pass cleanup
+    return report
 
 
 def _batched_vacuum_counts(
@@ -1184,12 +1199,17 @@ def delete_parquet_where(
             }
         total = sum(sz for _, sz in files)
         df = part_cols = None
-        if counts_map is not None:
-            # counts were decided before the fan-out: footer-priced for
-            # a partition-only predicate (zero scan jobs anywhere), or
-            # from the ONE whole-snapshot scan job for data-column
-            # predicates — this leaf submits a Spark job only if it
-            # rewrites survivors below
+        if membership is not None:
+            # partition-only fast path: membership was decided driver-
+            # side before the fan-out; this leaf's footer reads run
+            # HERE so max_concurrency parallelizes them (they are FS
+            # ops — the only per-leaf cost on this path)
+            rows_before = fs.footer_num_rows(files)
+            n_match = rows_before if membership[leaf] else 0
+        elif counts_map is not None:
+            # data-column predicate: counts came from the ONE whole-
+            # snapshot scan job — this leaf submits a Spark job only
+            # if it rewrites survivors below
             rows_before, n_match = counts_map[leaf]
         else:
             # ragged-layout fallback: exact per-leaf count
@@ -1284,17 +1304,14 @@ def delete_parquet_where(
             fs, st, leaf
         )
     files_map = {leaf: fs.parquet_files(leaf) for leaf in leaves}
-    # phase 2: per-leaf (rows_before, n_match) without per-leaf jobs
-    counts_map: dict[str, tuple[int, int]] | None
-    if membership is not None:
-        counts_map = {}
-        for leaf in leaves:
-            n = fs.footer_num_rows(files_map[leaf]) if files_map[leaf] else 0
-            counts_map[leaf] = (n, n if membership[leaf] else 0)
-    else:
-        counts_map = _batched_leaf_counts(
-            spark, path, leaves, files_map, cond
-        )
+    # phase 2: per-leaf (rows_before, n_match) without per-leaf jobs —
+    # partition-only predicates price from footers inside one_leaf
+    # (parallel FS ops), data-column predicates from ONE scan job here
+    counts_map = (
+        None
+        if membership is not None
+        else _batched_leaf_counts(spark, path, leaves, files_map, cond)
+    )
     if max_concurrency <= 1 or len(leaves) <= 1:
         reports = [one_leaf(leaf) for leaf in leaves]
     else:
@@ -1305,6 +1322,7 @@ def delete_parquet_where(
                 f.result()
                 for f in [pool.submit(one_leaf, leaf) for leaf in leaves]
             ]
+    fs.rmdir_if_empty(stage_root)  # end-of-pass cleanup (see _finish_swap)
     return {
         "dir": path,
         "rows_before": sum(r["rows_before"] for r in reports),
