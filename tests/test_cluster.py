@@ -675,3 +675,72 @@ def test_component_map_lost_takeover_race_raises_documented_error(
     monkeypatch.undo()
     assert not os.path.isdir(os.path.join(path, "map_v2"))
     assert open(claim_local, encoding="utf-8").read() == "другой#7"
+
+
+def test_component_map_detects_mid_fold_claim_takeover(
+    spark, tmp_path, monkeypatch
+):
+    """r14 post-write ownership re-check: a racer whose check-then-
+    create gap straddles our ENTIRE create→read-back sequence evades
+    the pre-write read-back (it writes its token only after ours
+    passed) and overwrites the snapshot mid-fold.  After the snapshot
+    write the fold re-reads the claim: changed hands ⇒ raise so the
+    batch replays and re-folds, never silently losing edges.
+    Simulated by a wrapped FS whose open() serves OUR token on the
+    pre-write read and the racer's on the post-write one."""
+    import os
+
+    import pytest
+
+    from yodel_etl_spark.scale import cluster as C
+
+    path = str(tmp_path / "cmap")
+    C.update_component_map(
+        spark,
+        path,
+        spark.createDataFrame([(1, 2)], "doc_a long, doc_b long"),
+        writer_token="corpus#1",
+    )
+    real_map_fs = C._map_fs
+    opens = {"n": 0}
+
+    class FakeStream:
+        def __init__(self, payload: bytes):
+            self._payload = payload
+
+        def readAllBytes(self):
+            return self._payload
+
+        def close(self):
+            pass
+
+    def racy(spark_, p_):
+        fs, p, jvm = real_map_fs(spark_, p_)
+
+        class FSWrap:
+            def __getattr__(self, name):
+                return getattr(fs, name)
+
+            def open(self, pth):
+                if pth.getName() != ".claim_v2":
+                    return fs.open(pth)
+                opens["n"] += 1
+                if opens["n"] == 1:  # pre-write read-back: ours
+                    return FakeStream(b"corpus#2")
+                # post-write re-check: the racer's write landed mid-fold
+                return FakeStream(b"intruder#9")
+
+        return FSWrap(), p, jvm
+
+    monkeypatch.setattr(C, "_map_fs", racy)
+    with pytest.raises(RuntimeError, match="DURING this"):
+        C.update_component_map(
+            spark,
+            path,
+            spark.createDataFrame([(3, 4)], "doc_a long, doc_b long"),
+            writer_token="corpus#2",
+        )
+    monkeypatch.undo()
+    assert opens["n"] == 2  # both guards actually ran
+    # prune never ran: the racer's claim file is untouched on disk
+    assert os.path.exists(os.path.join(path, ".claim_v2"))

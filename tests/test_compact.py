@@ -1265,3 +1265,98 @@ def test_vacuum_per_leaf_counts_in_one_scan_job(spark, tmp_path, monkeypatch):
     rep2 = vacuum_parquet(spark, path, ["k"], per_leaf=True)
     monkeypatch.undo()
     assert calls["n"] == 1 and not rep2["rewritten"]
+
+
+def test_delete_where_jvm_lax_partition_values_fall_back_exactly(spark, tmp_path):
+    """r14 review fix: Python's parsers are laxer than the JVM's —
+    int('1_0') == 10, int(' 7') == 7, float('nan') parses — so a
+    string-typed partition (by Spark's inference) could be typed
+    numeric by a naive probe and `day < 15` would SILENTLY
+    manifest-drop the WHOLE day=1_0 leaf (Python int('1_0') == 10 <
+    15) while Spark's exact semantics under ANSI mode raise
+    CAST_INVALID_INPUT on that value.  The strict inference must
+    refuse such columns (fast path disabled) so the delete lands on
+    the scan path: the ambiguous numeric predicate fails LOUDLY with
+    zero rows touched — never a silent divergent drop — and a
+    string-compare predicate works exactly."""
+    import pytest as _pytest
+
+    from yodel_etl_spark.io.compact import (
+        _infer_partition_converter,
+        delete_parquet_where,
+    )
+
+    assert _infer_partition_converter(["1_0", "5"]) == (None, None)
+
+    path = str(tmp_path / "lax")
+    spark.createDataFrame(
+        [(i, d) for d in ("1_0", "5") for i in range(10)],
+        "k long, day string",
+    ).write.partitionBy("day").parquet(path)
+    # Spark's own inference keeps day STRING ('1_0' fails parseLong)
+    assert dict(spark.read.parquet(path).dtypes)["day"] == "string"
+    with _pytest.raises(Exception, match="CAST_INVALID_INPUT|cannot be cast"):
+        delete_parquet_where(spark, path, "day < 15")
+    assert spark.read.parquet(path).count() == 20  # nothing touched
+    # the well-typed spelling of the same intent works on the scan path
+    rep = delete_parquet_where(spark, path, "day = '5'")
+    assert rep["n_deleted"] == 10 and rep["rows_after"] == 10
+    left = spark.read.parquet(path)
+    assert left.count() == 10
+    assert {r["day"] for r in left.select("day").distinct().collect()} == {"1_0"}
+
+
+def test_fs_for_accepts_both_uri_spellings(spark, tmp_path):
+    """r14 review fix: Hadoop Path.toString renders the authority-less
+    `file:/x` form, which the reports' `dir` fields carry — feeding a
+    report path back into an op must route to the Hadoop arm, not
+    silently no-op through os.walk on the local arm."""
+    import yodel_etl_spark.io.compact as C
+
+    assert isinstance(C._fs_for(spark, f"file://{tmp_path}"), C._HadoopFS)
+    assert isinstance(C._fs_for(spark, f"file:{tmp_path}"), C._HadoopFS)
+    assert isinstance(C._fs_for(spark, str(tmp_path)), C._LocalFS)
+
+
+def test_batched_counts_degrade_to_per_leaf_on_unreadable_union(
+    spark, tmp_path
+):
+    """r14 review fix: the one-read batched count can fail where
+    per-leaf reads succeed (cross-leaf physical type drift without
+    mergeSchema) — the batched helpers must degrade to the exact
+    per-leaf fallback instead of aborting the maintenance pass."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from yodel_etl_spark.io.compact import delete_parquet_where
+
+    path = str(tmp_path / "drift")
+    spark.createDataFrame(
+        [(i,) for i in range(10)],
+        StructType([StructField("v", IntegerType())]),
+    ).selectExpr("v", "CAST(0 AS LONG) AS part").write.partitionBy(
+        "part"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(int(i),) for i in range(10, 20)],
+        StructType([StructField("v", LongType())]),
+    ).selectExpr("v", "CAST(1 AS LONG) AS part").write.mode(
+        "append"
+    ).partitionBy("part").parquet(path)
+    # predicate references the DATA column so the batched path engages;
+    # whether the union read throws or not, the op must return exact
+    # results (the fallback per-leaf reads are schema-uniform — even
+    # mergeSchema=true cannot reconcile INT with BIGINT, so this drift
+    # is exactly the shape the one-read job cannot handle)
+    rep = delete_parquet_where(spark, path, "v >= 15")
+    assert rep["n_deleted"] == 5 and rep["rows_after"] == 15
+    import os as _os
+
+    for part, want_rows in (("part=0", 10), ("part=1", 5)):
+        leaf_df = spark.read.parquet(_os.path.join(path, part))
+        assert leaf_df.count() == want_rows, part
+        assert leaf_df.where("v >= 15").count() == 0, part

@@ -78,8 +78,11 @@ class _LocalFS:
         return p
 
     def local_path(self, p: str) -> str | None:
-        """Local-readable form of ``p``, or None when the bytes are not
-        reachable through the OS API."""
+        """Local-readable form of ``p``, or None when the bytes are
+        not reachable through the OS API — a diagnostic utility for
+        callers/tests that need to cross from FS-arm paths to OS
+        paths; the maintenance ops themselves stay arm-pure (footer
+        reads go through each arm's own ``footer_num_rows``)."""
         return p
 
     def footer_num_rows(self, files: list[tuple[str, int]]) -> int:
@@ -323,8 +326,19 @@ def _hadoop_remove(fs, P, p: str) -> None:
 
 def _fs_for(spark: SparkSession, path: str):
     """Select the FS arm from the path itself: URI scheme ⇒ Hadoop
-    client, plain path ⇒ local OS API (the fast default)."""
-    return _HadoopFS(spark, path) if "://" in path else _LocalFS()
+    client, plain path ⇒ local OS API (the fast default).  The scheme
+    test accepts BOTH spellings — ``file:///x`` and the authority-less
+    ``file:/x`` that Hadoop Path.toString (and therefore this module's
+    own report ``dir`` fields) renders — so a path read out of one
+    op's report routes back to the same arm instead of silently
+    no-opping through os.walk."""
+    import re
+
+    return (
+        _HadoopFS(spark, path)
+        if re.match(r"[A-Za-z][A-Za-z0-9+.-]+:/", path)
+        else _LocalFS()
+    )
 
 
 def _install_staged(fs, stage: str, leaf: str) -> None:
@@ -806,24 +820,29 @@ def _batched_vacuum_counts(
         rel = os.path.relpath(leaf, path.rstrip("/"))
         if rel == "." or any("=" not in seg for seg in rel.split(os.sep)):
             return None  # ragged layout: per-leaf fallback is exact
-    dir2leaf = {urlparse(leaf).path or leaf: leaf for leaf in leaves}
+    dir2leaf = {_scheme_stripped(leaf): leaf for leaf in leaves}
     all_files = [p for files in files_map.values() for p, _ in files]
     if not all_files:
         return {leaf: (0, 0) for leaf in leaves}
-    rows = (
-        spark.read.option("basePath", path)
-        .parquet(*all_files)
-        .groupBy(
-            F.expr("regexp_replace(input_file_name(), '/[^/]+$', '')").alias(
-                "__dir"
-            ),
-            *[F.col(c) for c in key_cols],
+    try:
+        rows = (
+            spark.read.option("basePath", path)
+            .parquet(*all_files)
+            .groupBy(
+                F.expr(
+                    "regexp_replace(input_file_name(), '/[^/]+$', '')"
+                ).alias("__dir"),
+                *[F.col(c) for c in key_cols],
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("__dir")
+            .agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("nk"))
+            .collect()
         )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("__dir")
-        .agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("nk"))
-        .collect()
-    )
+    except Exception:
+        # same degradation contract as _batched_leaf_counts: the
+        # per-leaf fallback is exact where the one-read shape fails
+        return None
     counts: dict[str, tuple[int, int]] = {leaf: (0, 0) for leaf in leaves}
     for r in rows:
         leaf = dir2leaf.get(unquote(urlparse(r["__dir"]).path))
@@ -950,11 +969,53 @@ def _infer_partition_converter(vals: list):
     driver-side predicate evaluation sees the same column types a
     ``basePath`` read would reconstruct — without it, ``month < 10``
     would compare lexicographically ('9' < '10' is false) and the fast
-    path would delete the wrong leaves.  Returns (python_converter,
-    spark_type_name)."""
+    path would delete the wrong leaves.  Parsers are STRICT regex
+    gates, not Python's own (which are laxer than the JVM's:
+    ``int('1_0')`` == 10, ``int(' 7')`` == 7, ``float('nan')`` parses
+    — each would type a column numeric where Spark keeps it string,
+    and the fast path would then manifest-drop whole leaves the exact
+    scan path would keep).  Returns (python_converter,
+    spark_type_name); (None, None) disables the fast path for values
+    whose JVM typing is ambiguous from here — a string-typed column
+    still holding digit-leading / whitespace-padded / NaN-Infinity
+    values (Spark may type those date/decimal/double), or fractional
+    values beyond double's 15 significant digits (Spark types them
+    DECIMAL and compares exactly where a double probe would round).
+    Falling back to the per-leaf scan is always exact."""
     import datetime as _dt
+    import re
 
     nn = [v for v in vals if v is not None]
+
+    def _int(v: str) -> int:
+        if not re.fullmatch(r"[+-]?\d+", v):
+            raise ValueError(v)
+        i = int(v)
+        if not -(2**63) <= i < 2**63:
+            raise ValueError(v)  # JVM long overflow ⇒ Spark picks decimal
+        return i
+
+    def _dbl(v: str) -> float:
+        if not re.fullmatch(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", v):
+            raise ValueError(v)
+        if len(re.sub(r"[^0-9]", "", v).lstrip("0")) > 15:
+            # Spark types fractionals DECIMAL first; past double
+            # precision the decimal-exact compare can differ from this
+            # probe's float — ambiguous, disable
+            raise ValueError(v)
+        return float(v)
+
+    def _date(v: str):
+        if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", v):
+            raise ValueError(v)
+        return _dt.date.fromisoformat(v)
+
+    def _ts(v: str):
+        if not re.fullmatch(
+            r"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d{1,6})?", v
+        ):
+            raise ValueError(v)
+        return _dt.datetime.fromisoformat(v.replace(" ", "T"))
 
     def all_parse(fn) -> bool:
         if not nn:
@@ -966,18 +1027,22 @@ def _infer_partition_converter(vals: list):
         except ValueError:
             return False
 
-    def _ts(v: str):
-        return _dt.datetime.fromisoformat(v.replace(" ", "T"))
-
     for fn, tname in (
-        (int, "bigint"),
-        (float, "double"),
-        (_dt.date.fromisoformat, "date"),
+        (_int, "bigint"),
+        (_dbl, "double"),
+        (_date, "date"),
         (_ts, "timestamp"),
     ):
         if all_parse(fn):
             return fn, tname
-    return str, "string"
+    for v in nn:
+        if (
+            v != v.strip()
+            or (v and (v[0].isdigit() or v[0] in "+-."))
+            or v.strip() in ("NaN", "Infinity", "+Infinity", "-Infinity")
+        ):
+            return None, None  # JVM might not type this string — bail
+    return (lambda v: v), "string"
 
 
 def _partition_only_membership(
@@ -1014,6 +1079,8 @@ def _partition_only_membership(
     if any(sorted(r) != cols for r in rows) or "__leaf__" in cols:
         return None  # ragged layout (or a pathological column name)
     conv = {c: _infer_partition_converter([r[c] for r in rows]) for c in cols}
+    if any(fn is None for fn, _ in conv.values()):
+        return None  # ambiguous JVM typing: the scan path is exact
     data = [
         tuple(
             [leaf]
@@ -1033,6 +1100,16 @@ def _partition_only_membership(
         # fall back to the exact per-leaf scan path
         return None
     return {leaf: (leaf in hits) for leaf in leaves}
+
+
+def _scheme_stripped(p: str) -> str:
+    """One spelling for path identity across the local arm's plain
+    paths, the Hadoop arm's ``scheme:/...`` forms and
+    ``input_file_name``'s percent-encoded URIs (shared by both batched
+    counters)."""
+    from urllib.parse import urlparse
+
+    return urlparse(p).path or p
 
 
 def _batched_leaf_counts(
@@ -1073,22 +1150,29 @@ def _batched_leaf_counts(
     all_files: list[str] = []
     for leaf, files in files_map.items():
         for p, _ in files:
-            path2leaf[urlparse(p).path or p] = leaf
+            path2leaf[_scheme_stripped(p)] = leaf
             all_files.append(p)
     if not all_files:
         return {leaf: (0, 0) for leaf in leaves}
-    reader = spark.read
-    if not flat:
-        reader = reader.option("basePath", path)
-    rows = (
-        reader.parquet(*all_files)
-        .groupBy(F.input_file_name().alias("__file"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(cond.cast("long")).alias("nm"),
+    try:
+        reader = spark.read
+        if not flat:
+            reader = reader.option("basePath", path)
+        rows = (
+            reader.parquet(*all_files)
+            .groupBy(F.input_file_name().alias("__file"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cond.cast("long")).alias("nm"),
+            )
+            .collect()
         )
-        .collect()
-    )
+    except Exception:
+        # the one-read shape can fail where per-leaf reads succeed
+        # (cross-leaf physical type drift without mergeSchema,
+        # conflicting directory structures): the per-leaf fallback is
+        # exact, so degrade instead of aborting the maintenance pass
+        return None
     counts = {leaf: [0, 0] for leaf in leaves}
     for r in rows:
         leaf = path2leaf.get(unquote(urlparse(r["__file"]).path))

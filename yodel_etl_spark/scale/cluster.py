@@ -333,7 +333,11 @@ def update_component_map(
     token — two same-instant check-then-create "successes" leave the
     last writer's token in the file, so the loser detects itself
     (tokenless writers are indistinguishable this way: both claims are
-    empty — the gates always pass tokens); (c) a completed-target
+    empty — the gates always pass tokens; and a racer whose
+    check-create gap straddles our ENTIRE create→read-back sequence
+    evades the pre-write check — that preemption-length sliver is
+    caught post-write by re-reading the claim after the snapshot
+    lands: changed hands ⇒ raise and replay); (c) a completed-target
     probe (``map_v{v+1}/_SUCCESS`` exists while we hold the claim)
     catches the stale-read interleaving where the prior writer already
     finished v+1 AND released its claim before we read ``latest`` —
@@ -465,6 +469,21 @@ def update_component_map(
             "fold from the current map (the re-fold converges)"
         )
     new_map.write.mode("overwrite").parquet(f"{path}/map_v{v + 1}")
+    # post-write ownership re-check (one FS read): a racer whose
+    # check-then-create straddled our whole create→read-back sequence
+    # (a preemption-length sliver) passes the pre-write read-back on
+    # its own token and overwrites our snapshot mid-fold — if the
+    # claim no longer carries OUR token after the write, a takeover
+    # happened during the fold: raise so the batch replays and
+    # re-folds instead of silently losing edges
+    if writer_token is not None and read_claim() != writer_token:
+        raise RuntimeError(
+            f"concurrent component-map writers detected at {path!r}: "
+            f"the claim on map_v{v + 1} changed hands DURING this "
+            "fold's snapshot write — a racing writer overwrote the "
+            "snapshot; re-run to re-fold (the map path has a "
+            "single-writer contract, see update_component_map)"
+        )
     # retention window of ONE: keep v alongside the new v+1 so a lazy
     # reader that resolved v before this fold never loses its files
     # mid-scan (read_component_map returns an unevaluated plan); only
