@@ -1207,8 +1207,9 @@ def delete_parquet_where(
     metadata: a 10k-leaf TTL delete runs zero per-leaf Spark jobs.
     A predicate touching data columns pays ONE map-side-combined scan
     job over the WHOLE snapshot of file lists, grouped by file and
-    folded to leaf grain driver-side (part-file basenames are
-    UUID-unique) — never a count job per leaf: the N-leaf opt-out
+    folded to leaf grain driver-side (mapped by full scheme-stripped
+    path — basenames are NOT leaf-unique under dynamic-partition
+    writes) — never a count job per leaf: the N-leaf opt-out
     delete costs 1 + matching-leaf-rewrites job submissions, not
     N + rewrites.  (Ragged non-hive layouts keep an exact per-leaf
     counting fallback.)  Under every path a leaf with zero matches is left
