@@ -149,6 +149,15 @@ class _LocalFS:
                 return True
         return False
 
+    def footer_column_names(self, p: str, size: int) -> set[str]:
+        """Top-level column names from ONE file's parquet footer (no
+        data pages read) — what the batched counters use to verify a
+        leaf actually carries the predicate/key columns before trusting
+        a single-schema union read over it."""
+        import pyarrow.parquet as pq
+
+        return set(pq.ParquetFile(p).schema_arrow.names)
+
 
 class _HadoopFS:
     """URI-scheme arm: the same operations through the Hadoop
@@ -195,28 +204,41 @@ class _HadoopFS:
         its reports without Spark jobs on ``hdfs://``/``s3a://`` too.
         Runs the stream path for ``file://`` as well, so the test arm
         exercises exactly the remote code."""
+        import pyarrow.parquet as pq
+
+        return sum(
+            int(self._footer_metadata(p, size).num_rows) for p, size in files
+        )
+
+    def _footer_metadata(self, p: str, size: int):
+        """Parquet footer metadata parsed from ranged tail reads over
+        the Hadoop stream (shared by row counting and schema probing)."""
         import struct
 
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        total = 0
-        for p, size in files:
-            stream = self._fs.open(self._P(p))
-            try:
-                n = min(64 * 1024, size)
-                stream.seek(size - n)
-                tail = bytes(stream.readNBytes(n))
-                footer_len = struct.unpack("<I", tail[-8:-4])[0]
-                if footer_len + 8 > n:
-                    stream.seek(size - footer_len - 8)
-                    tail = bytes(stream.readNBytes(footer_len + 8))
-                else:
-                    tail = tail[-(footer_len + 8):]
-            finally:
-                stream.close()
-            total += int(pq.read_metadata(pa.BufferReader(tail)).num_rows)
-        return total
+        stream = self._fs.open(self._P(p))
+        try:
+            n = min(64 * 1024, size)
+            stream.seek(size - n)
+            tail = bytes(stream.readNBytes(n))
+            footer_len = struct.unpack("<I", tail[-8:-4])[0]
+            if footer_len + 8 > n:
+                stream.seek(size - footer_len - 8)
+                tail = bytes(stream.readNBytes(footer_len + 8))
+            else:
+                tail = tail[-(footer_len + 8):]
+        finally:
+            stream.close()
+        return pq.read_metadata(pa.BufferReader(tail))
+
+    def footer_column_names(self, p: str, size: int) -> set[str]:
+        """Hadoop-arm twin of the local footer schema probe (same
+        ranged tail reads as :meth:`footer_num_rows`)."""
+        return set(
+            self._footer_metadata(p, size).schema.to_arrow_schema().names
+        )
 
     def leaf_dirs(self, root: str) -> list[str]:
         if not self._fs.exists(self._P(root)):
@@ -729,7 +751,7 @@ def vacuum_parquet(
             ) in pending and _recover_stage(fs, st, leaf)
         files_map = {leaf: fs.parquet_files(leaf) for leaf in leaves}
         counts_map = _batched_vacuum_counts(
-            spark, path, leaves, files_map, key_cols
+            spark, path, leaves, files_map, key_cols, fs
         )
 
         def leaf_args(leaf: str) -> dict:
@@ -803,6 +825,7 @@ def _batched_vacuum_counts(
     leaves: list[str],
     files_map: dict[str, list[tuple[str, int]]],
     key_cols: list[str] | tuple[str, ...],
+    fs,
 ) -> dict[str, tuple[int, int]] | None:
     """Per-leaf ``(rows_before, n_within_leaf_keys)`` for per-leaf
     vacuum in ONE scan job: group by (file's directory, key columns) —
@@ -810,8 +833,11 @@ def _batched_vacuum_counts(
     total — then fold to leaf grain INSIDE Spark, collecting one short
     row per leaf.  A mostly-clean 10k-leaf corpus pays one job
     submission instead of 10k.  Null-safe key grouping as in the
-    per-leaf form (null-key groups count).  Ragged non-hive layouts
-    and unmapped directories return None → exact per-leaf fallback."""
+    per-leaf form (null-key groups count).  Ragged non-hive layouts,
+    unmapped directories, and leaves whose own footer schema lacks a
+    key column (the union read would NULL it and silently merge
+    distinct keys where the per-leaf read raises and surfaces the
+    drift) return None → exact per-leaf fallback."""
     from urllib.parse import unquote, urlparse
 
     from pyspark.sql import functions as F
@@ -820,6 +846,10 @@ def _batched_vacuum_counts(
         rel = os.path.relpath(leaf, path.rstrip("/"))
         if rel == "." or any("=" not in seg for seg in rel.split(os.sep)):
             return None  # ragged layout: per-leaf fallback is exact
+    if not _leaf_carries_columns(
+        spark, path, leaves, files_map, fs, set(key_cols)
+    ):
+        return None  # schema drift: let the per-leaf read surface it
     dir2leaf = {_scheme_stripped(leaf): leaf for leaf in leaves}
     all_files = [p for files in files_map.values() for p, _ in files]
     if not all_files:
@@ -975,7 +1005,10 @@ def _infer_partition_converter(vals: list):
     — each would type a column numeric where Spark keeps it string,
     and the fast path would then manifest-drop whole leaves the exact
     scan path would keep).  Returns (python_converter,
-    spark_type_name); (None, None) disables the fast path for values
+    spark_type_name); the converter VALIDATES only — the probe feeds
+    Spark the raw strings and casts them JVM-side, so cast semantics
+    (notably the session timezone for timestamps) match the scan path
+    exactly.  (None, None) disables the fast path for values
     whose JVM typing is ambiguous from here — a string-typed column
     still holding digit-leading / whitespace-padded / NaN-Infinity
     values (Spark may type those date/decimal/double), or fractional
@@ -1045,6 +1078,136 @@ def _infer_partition_converter(vals: list):
     return (lambda v: v), "string"
 
 
+#: function names (Column API and SQL spellings both arrive as
+#: UnresolvedFunction pre-resolution) that must NEVER reach the
+#: partition-only membership probe: file-context expressions evaluate
+#: AGAINST THE PROBE's empty context (input_file_name() = '') while
+#: analyzing fine, and random ones are not meaningful for a delete
+#: under either evaluation grain.  This is the fast bail; the analyzed
+#: -plan determinism check below is the comprehensive gate (Catalyst
+#: marks every one of these Nondeterministic after resolution).
+_PROBE_BLOCKED_FNS = frozenset(
+    {
+        "input_file_name",
+        "input_file_block_start",
+        "input_file_block_length",
+        "spark_partition_id",
+        "monotonically_increasing_id",
+        "rand",
+        "randn",
+        "random",
+        "randstr",
+        "uniform",
+        "uuid",
+        "shuffle",
+    }
+)
+
+#: resolved expression classes that smuggle an inner plan whose column
+#: references the driver-side walk cannot see (a correlated subquery's
+#: data-column refs live in the subplan) — opaque to the fast paths
+_PROBE_BLOCKED_CLASSES = frozenset(
+    {
+        "ScalarSubquery",
+        "Exists",
+        "InSubquery",
+        "ListQuery",
+        "LateralSubquery",
+        "UnresolvedStar",
+        "UnresolvedRegex",
+    }
+)
+
+
+def _predicate_tree_info(spark: SparkSession, cond) -> dict | None:
+    """Walk ``cond``'s UNRESOLVED Catalyst tree driver-side (classic
+    py4j; the converter is how Spark itself turns a ColumnNode into an
+    expression) and report what the maintenance fast paths need to
+    decide eligibility WITHOUT ever letting the JVM analyzer fail —
+    analysis failure was the old discovery mechanism for data-column
+    predicates, and it stack-traced an ERROR into driver logs on every
+    routine opt-out delete.  Returns::
+
+        {"cols":        set of single-part attribute names referenced,
+         "first_parts": leading name of every multi-part reference
+                        (struct access / qualified ref),
+         "multipart":   any multi-part reference present,
+         "blocked":     a file-context / random function, star
+                        expansion, or subquery is present}
+
+    or None when the tree is unavailable (API drift, Connect) — the
+    callers treat None as "cannot prove anything" and take their exact
+    fallback."""
+    try:
+        conv = getattr(
+            getattr(
+                spark._jvm,
+                "org.apache.spark.sql.classic."
+                "ColumnNodeToExpressionConverter$",
+            ),
+            "MODULE$",
+        )
+        cols: set[str] = set()
+        first_parts: set[str] = set()
+        multipart = blocked = False
+        stack = [conv.apply(cond._jc.node())]
+        while stack:
+            e = stack.pop()
+            cls = e.getClass().getSimpleName()
+            if cls in _PROBE_BLOCKED_CLASSES:
+                blocked = True
+            elif cls == "UnresolvedAttribute":
+                np = e.nameParts()
+                if np.size() == 1:
+                    cols.add(np.apply(0))
+                else:
+                    multipart = True
+                    first_parts.add(np.apply(0))
+            elif cls == "UnresolvedFunction":
+                np = e.nameParts()
+                if np.apply(np.size() - 1).lower() in _PROBE_BLOCKED_FNS:
+                    blocked = True
+            elif cls == "UnresolvedNamedLambdaVariable":
+                pass  # lambda-bound name, not a column reference
+            elif cls.startswith("Unresolved"):
+                blocked = True  # anything else unresolved is opaque
+            ch = e.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return {
+            "cols": cols,
+            "first_parts": first_parts,
+            "multipart": multipart,
+            "blocked": blocked,
+        }
+    except Exception:
+        return None
+
+
+def _analyzed_plan_deterministic(df) -> bool:
+    """True iff every expression in ``df``'s ANALYZED plan is
+    deterministic — the comprehensive nondeterminism gate for the
+    membership probe: after resolution Catalyst marks InputFileName /
+    SparkPartitionID / MonotonicallyIncreasingID / Rand / Uuid /
+    nondeterministic UDFs all ``Nondeterministic``, so anything the
+    name blocklist misses (an alias, a UDF) is caught here.  False on
+    any walk failure — the callers fall back to the exact scan path."""
+    try:
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            exprs = node.expressions()
+            for i in range(exprs.size()):
+                if not exprs.apply(i).deterministic():
+                    return False
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return True
+    except Exception:
+        return False
+
+
 def _partition_only_membership(
     spark: SparkSession, path: str, leaves: list[str], cond
 ) -> dict[str, bool] | None:
@@ -1057,11 +1220,29 @@ def _partition_only_membership(
     ``{leaf: matched}`` (partition-only ⇒ a leaf's rows all match or
     none do), or None when the fast path does not apply: a flat table,
     irregular partition paths, or a predicate that references any
-    data column (its analysis against the partition-only probe frame
-    fails and the per-leaf scan path takes over — the safe default).
-    Non-deterministic predicates (rand()) are not meaningful for a
-    delete under either path and are unsupported."""
+    data column.  Data-column references are detected by walking the
+    predicate's own expression tree BEFORE any JVM analysis (the old
+    let-analysis-fail discovery stack-traced an ERROR into driver logs
+    on every routine opt-out delete); the same walk rejects
+    file-context expressions (input_file_name() analyzes fine against
+    the probe but evaluates against an EMPTY file name there — a
+    ``input_file_name() NOT LIKE '%bad%'`` delete would manifest-drop
+    whole leaves the scan path keeps), and an analyzed-plan
+    determinism check rejects anything Catalyst marks
+    ``Nondeterministic`` that the name walk missed (a rand() delete is
+    not meaningful under either path and is unsupported).  Probe
+    values are typed by CASTING STRINGS INSIDE SPARK, never by
+    converting driver-side: TimestampType.toInternal interprets naive
+    datetimes in the driver OS timezone while the scan path casts
+    partition strings under ``spark.sql.session.timeZone`` — on a
+    UTC-pinned session over a non-UTC driver the two diverge by the tz
+    offset and leaves near a cutoff boundary flip.  When
+    ``spark.sql.sources.partitionColumnTypeInference.enabled`` is
+    false every probe column stays STRING (lexicographic compares),
+    mirroring what the scan path sees under that configuration."""
     from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
 
     rows: list[dict] = []
     for leaf in leaves:
@@ -1078,26 +1259,68 @@ def _partition_only_membership(
     cols = sorted(rows[0])
     if any(sorted(r) != cols for r in rows) or "__leaf__" in cols:
         return None  # ragged layout (or a pathological column name)
-    conv = {c: _infer_partition_converter([r[c] for r in rows]) for c in cols}
-    if any(fn is None for fn, _ in conv.values()):
-        return None  # ambiguous JVM typing: the scan path is exact
+    # eligibility is proven from the predicate's OWN tree, silently:
+    # every reference must be a single-part name naming a partition
+    # column, and no file-context / random / star / subquery construct
+    # may appear — otherwise the scan path takes over without the JVM
+    # analyzer ever seeing (and error-logging) a failed probe
+    info = _predicate_tree_info(spark, cond)
+    if info is None or info["blocked"] or info["multipart"]:
+        return None
+    case_sensitive = (
+        spark.conf.get("spark.sql.caseSensitive", "false").lower() == "true"
+    )
+    part_names = set(cols) if case_sensitive else {c.lower() for c in cols}
+    refs = (
+        info["cols"]
+        if case_sensitive
+        else {c.lower() for c in info["cols"]}
+    )
+    if not refs <= part_names:
+        return None  # references a data column: the scan path is exact
+    if (
+        spark.conf.get(
+            "spark.sql.sources.partitionColumnTypeInference.enabled", "true"
+        ).lower()
+        == "false"
+    ):
+        # inference disabled ⇒ Spark types EVERY partition column
+        # string and compares lexicographically; the probe must too
+        # (month < '10' flips for '9' between the typings)
+        types = {c: "string" for c in cols}
+    else:
+        types = {
+            c: _infer_partition_converter([r[c] for r in rows])[1]
+            for c in cols
+        }
+        if any(t is None for t in types.values()):
+            return None  # ambiguous JVM typing: the scan path is exact
     data = [
-        tuple(
-            [leaf]
-            + [None if r[c] is None else conv[c][0](r[c]) for c in cols]
-        )
+        tuple([leaf] + [r[c] for c in cols])
         for leaf, r in zip(leaves, rows)
     ]
-    schema = ", ".join(["__leaf__ string"] + [f"{c} {conv[c][1]}" for c in cols])
+    schema = ", ".join(["__leaf__ string"] + [f"{c} string" for c in cols])
     try:
-        probe = spark.createDataFrame(data, schema)
-        hits = {
-            r["__leaf__"] for r in probe.where(cond).select("__leaf__").collect()
-        }
+        probe = spark.createDataFrame(data, schema).select(
+            "__leaf__",
+            # cast INSIDE Spark so the session timezone (and cast
+            # semantics generally) govern the probe exactly as they
+            # govern the scan path; strict regex validation above
+            # guarantees every cast succeeds under ANSI
+            *[
+                F.col(c)
+                if types[c] == "string"
+                else F.col(c).cast(types[c]).alias(c)
+                for c in cols
+            ],
+        )
+        wdf = probe.where(cond)
+        if not _analyzed_plan_deterministic(wdf):
+            return None  # nondeterministic construct the walk missed
+        hits = {r["__leaf__"] for r in wdf.select("__leaf__").collect()}
     except Exception:
-        # the predicate references a data column (analysis fails against
-        # the partition-only frame) or the probe could not be built —
-        # fall back to the exact per-leaf scan path
+        # probe construction/evaluation failed (pathological column
+        # names, exotic casts) — the per-leaf scan path is exact
         return None
     return {leaf: (leaf in hits) for leaf in leaves}
 
@@ -1112,12 +1335,65 @@ def _scheme_stripped(p: str) -> str:
     return urlparse(p).path or p
 
 
+def _leaf_carries_columns(
+    spark: SparkSession,
+    path: str,
+    leaves: list[str],
+    files_map: dict[str, list[tuple[str, int]]],
+    fs,
+    needed: set[str],
+) -> bool:
+    """True iff every non-empty leaf's own footer schema (one sample
+    file per leaf — the same single-schema pick a per-leaf read makes)
+    carries every ``needed`` data column, partition-path columns
+    excluded.  The batched counters read ALL leaves in one union whose
+    schema comes from ONE file (mergeSchema off): a leaf whose files
+    lack a predicate/key column would yield NULLs and be SILENTLY
+    counted as zero-match, where the per-leaf fallback raises an
+    AnalysisException and surfaces the schema drift — so a failing
+    check here must route to that fallback.  Footer reads are
+    driver-side metadata ops (pyarrow locally, ranged Hadoop tail
+    reads remotely), one per leaf, paid only on paths that are about
+    to scan the whole snapshot anyway."""
+    if not needed:
+        return True
+    case_sensitive = (
+        spark.conf.get("spark.sql.caseSensitive", "false").lower() == "true"
+    )
+
+    def fold(names):
+        return set(names) if case_sensitive else {n.lower() for n in names}
+
+    want = fold(needed)
+    for leaf in leaves:
+        files = files_map[leaf]
+        if not files:
+            continue
+        rel = os.path.relpath(leaf, path.rstrip("/"))
+        pcols = fold(
+            seg.split("=", 1)[0]
+            for seg in (rel.split(os.sep) if rel != "." else [])
+            if "=" in seg
+        )
+        need = want - pcols
+        if not need:
+            continue
+        try:
+            names = fold(fs.footer_column_names(*files[0]))
+        except Exception:
+            return False  # unreadable footer: the fallback is exact
+        if not need <= names:
+            return False
+    return True
+
+
 def _batched_leaf_counts(
     spark: SparkSession,
     path: str,
     leaves: list[str],
     files_map: dict[str, list[tuple[str, int]]],
     cond,
+    fs,
 ) -> dict[str, tuple[int, int]] | None:
     """Per-leaf ``(rows_before, n_match)`` for a data-column predicate
     in ONE map-side-combined scan job over the whole file-list
@@ -1129,8 +1405,11 @@ def _batched_leaf_counts(
     name into every partition it touches); an unmapped file falls back
     to exact per-leaf counting by returning None, as does a ragged
     non-hive layout where one ``basePath`` read cannot span the
-    leaves.  The collect is file-grain — control-plane sized (one
-    short row per file, never data)."""
+    leaves, and a leaf whose own footer schema LACKS a referenced data
+    column (the union read would NULL it and silently zero-match where
+    the per-leaf read raises and surfaces the drift).  The collect is
+    file-grain — control-plane sized (one short row per file, never
+    data)."""
     from urllib.parse import unquote, urlparse
 
     from pyspark.sql import functions as F
@@ -1143,6 +1422,21 @@ def _batched_leaf_counts(
                 "=" not in seg for seg in rel.split(os.sep)
             ):
                 return None  # ragged layout: per-leaf fallback is exact
+    info = _predicate_tree_info(spark, cond)
+    if info is not None:
+        if info["blocked"]:
+            # star expansion / subquery / file-context construct: the
+            # reference set is opaque to the walk — per-leaf fallback
+            return None
+        if not _leaf_carries_columns(
+            spark,
+            path,
+            leaves,
+            files_map,
+            fs,
+            info["cols"] | info["first_parts"],
+        ):
+            return None  # schema drift: let the per-leaf read surface it
     # keys are scheme-stripped (urlparse path) so the local arm's plain
     # paths, the Hadoop arm's `scheme:/...` forms, and input_file_name's
     # percent-encoded URIs all meet on one spelling
@@ -1395,7 +1689,7 @@ def delete_parquet_where(
     counts_map = (
         None
         if membership is not None
-        else _batched_leaf_counts(spark, path, leaves, files_map, cond)
+        else _batched_leaf_counts(spark, path, leaves, files_map, cond, fs)
     )
     if max_concurrency <= 1 or len(leaves) <= 1:
         reports = [one_leaf(leaf) for leaf in leaves]
