@@ -42,6 +42,24 @@ manifest commit point) is byte-for-byte the same in both arms and is
 what the tests pin; ``file://`` is the test scheme for the Hadoop arm
 (tests/test_compact_hadoopfs.py re-runs the crash-window assertions
 with the FS API underneath).
+
+Object-store rename semantics (the honest caveat, mirroring the
+claim-marker note in scale/cluster.py): on HDFS ``rename`` is atomic;
+on S3A it is COPY-THEN-DELETE, where the copy half lands atomically (a
+single PUT) but a crash BETWEEN the two leaves the object at BOTH
+paths.  Every commit point here tolerates that dual-file state.  The
+manifest rename (``write_text_atomic``): a dual manifest just means
+the swap is committed (the stage copy is cleared with the stage).  The
+install moves (``_install_staged``): recovery recognizes its own
+staged basename already present at the destination at the same length
+and discards the staged source instead of double-installing — a second
+install under a fresh name would duplicate the leaf's rows forever.
+The retire step is plain deletes (idempotent).  What S3A does NOT give
+this module is mutual exclusion between two CONCURRENT maintenance
+passes on the same table root — ``fs.create(overwrite=false)`` there
+is check-then-create, the same boundary the component-map claim
+markers document; run one maintenance pass per table at a time (the
+ops themselves are single-writer by convention, not by lock).
 """
 
 from __future__ import annotations
@@ -115,6 +133,9 @@ class _LocalFS:
 
     def isdir(self, p: str) -> bool:
         return os.path.isdir(p)
+
+    def size(self, p: str) -> int:
+        return os.path.getsize(p)
 
     def move(self, src: str, dst: str) -> None:
         _move(src, dst)
@@ -276,6 +297,9 @@ class _HadoopFS:
     def isdir(self, p: str) -> bool:
         return bool(self._fs.isDirectory(self._P(p)))
 
+    def size(self, p: str) -> int:
+        return int(self._fs.getFileStatus(self._P(p)).getLen())
+
     def move(self, src: str, dst: str) -> None:
         _hadoop_move(self._fs, self._P, src, dst)
 
@@ -365,17 +389,31 @@ def _fs_for(spark: SparkSession, path: str):
 
 def _install_staged(fs, stage: str, leaf: str) -> None:
     """Move every staged parquet file into the leaf.  Staged basenames
-    carry a fresh Spark job UUID so they never collide with originals;
-    the guard loop keeps the move loss-proof even against a pathological
-    collision (an original is NEVER overwritten — it is only ever
-    removed by :func:`_finish_swap` after every install completed)."""
+    carry a fresh Spark job UUID so they never collide with originals.
+    A destination that ALREADY holds this exact staged basename at the
+    same length is the dual-file artifact of a NON-ATOMIC rename (S3A
+    renames are copy-then-delete; a crash between the two leaves the
+    object at BOTH paths, and the copy half is a single atomic PUT) —
+    the copy at the destination IS the staged file, so recovery
+    completes by discarding the staged source: installing it again
+    under a fresh name would duplicate the leaf's rows FOREVER (both
+    copies survive the retire).  On any length mismatch the name is
+    owned by something else entirely and the loss-proof c_-prefixed
+    install keeps both (an original is NEVER overwritten — it is only
+    ever removed by :func:`_finish_swap` after every install
+    completed)."""
     for f in sorted(fs.listdir(stage)):
         if not f.endswith(".parquet"):
             continue
+        src = os.path.join(stage, f)
         dst = os.path.join(leaf, f)
-        while fs.exists(dst):
-            dst = os.path.join(leaf, "c_" + os.path.basename(dst))
-        fs.move(os.path.join(stage, f), dst)
+        if fs.exists(dst):
+            if fs.size(dst) == fs.size(src):
+                fs.remove(src)  # the rename's copy half already landed
+                continue
+            while fs.exists(dst):
+                dst = os.path.join(leaf, "c_" + os.path.basename(dst))
+        fs.move(src, dst)
 
 
 def _finish_swap(fs, stage: str, leaf: str) -> None:
