@@ -1,0 +1,246 @@
+"""Cross-partition re-layout vacuum (VERDICT r14 next-round #5 — the
+missing half of per-leaf vacuum's refusal): relayout_parquet collapses
+same-key rows ACROSS leaves with one key shuffle + one clustered
+partitioned write, through the family's staged two-phase swap, with
+the same crash-can-only-add-duplicates contract."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import yodel_etl_spark.io.compact as compact_mod
+from yodel_etl_spark.io.compact import (
+    relayout_parquet,
+    relayout_stage_root,
+    vacuum_parquet,
+)
+
+
+def _strip_success(path: str) -> None:
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith("_SUCCESS") or f.startswith("._SUCCESS"):
+                os.remove(os.path.join(dirpath, f))
+
+
+def _cross_dup_corpus(spark, path: str):
+    """Keys 0..99 live in part=0; keys 50..149 ALSO live in part=1 —
+    50 keys duplicated across leaves, the shape per-leaf vacuum
+    refuses.  Payload v = k*7 on every copy so survivor content is
+    deterministic whichever copy wins."""
+    spark.createDataFrame(
+        [(k, k * 7, 0) for k in range(100)], "k long, v long, part long"
+    ).write.partitionBy("part").parquet(path)
+    spark.createDataFrame(
+        [(k, k * 7, 1) for k in range(50, 150)], "k long, v long, part long"
+    ).write.mode("append").partitionBy("part").parquet(path)
+
+
+def test_relayout_collapses_cross_partition_keys(spark, tmp_path):
+    path = str(tmp_path / "x")
+    _cross_dup_corpus(spark, path)
+    rep = relayout_parquet(spark, path, ["k"], target_bytes=256 * 1024)
+    assert rep["rows_before"] == 200 and rep["rows_after"] == 150
+    assert rep["n_dup_rows"] == 50 and rep["rewritten"]
+    got = spark.read.parquet(path)
+    assert got.count() == 150
+    assert got.select("k").distinct().count() == 150
+    # payloads exact; layout still hive-partitioned on part
+    assert got.where("v != k * 7").count() == 0
+    assert sorted(
+        r["part"] for r in got.select("part").distinct().collect()
+    ) == [0, 1]
+    assert {d for d in os.listdir(path) if d.startswith("part=")} == {
+        "part=0",
+        "part=1",
+    }
+    # idempotent re-run: one count job, byte-identical
+    again = relayout_parquet(spark, path, ["k"])
+    assert not again["rewritten"] and again["n_dup_rows"] == 0
+
+
+def test_relayout_clean_corpus_stays_byte_identical(spark, tmp_path):
+    path = str(tmp_path / "clean")
+    spark.createDataFrame(
+        [(k, k % 3) for k in range(90)], "k long, part long"
+    ).write.partitionBy("part").parquet(path)
+    before = {
+        d: sorted(os.listdir(os.path.join(path, d)))
+        for d in os.listdir(path)
+        if d.startswith("part=")
+    }
+    rep = relayout_parquet(spark, path, ["k"])
+    assert not rep["rewritten"] and rep["rows_before"] == 90
+    after = {
+        d: sorted(os.listdir(os.path.join(path, d)))
+        for d in os.listdir(path)
+        if d.startswith("part=")
+    }
+    assert before == after
+
+
+def test_relayout_parity_with_vacuum_on_flat_corpus(spark, tmp_path):
+    """On a single-leaf (flat) corpus the re-layout degenerates to the
+    flat vacuum: same survivor set, same report counts."""
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    base = (
+        spark.range(500)
+        .select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    for p in (pa, pb):
+        base.write.mode("append").parquet(p)
+        base.where("k % 2 = 0").write.mode("append").parquet(p)
+    rv = vacuum_parquet(spark, pa, ["k"])
+    rr = relayout_parquet(spark, pb, ["k"])
+    for key in ("rows_before", "rows_after", "n_dup_rows", "rewritten"):
+        assert rv[key] == rr[key], key
+    va = spark.read.parquet(pa).toPandas().sort_values("k").reset_index(drop=True)
+    vb = spark.read.parquet(pb).toPandas().sort_values("k").reset_index(drop=True)
+    assert va.equals(vb)
+
+
+def test_relayout_crash_before_commit_leaves_corpus_byte_identical(
+    spark, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "pre")
+    _cross_dup_corpus(spark, path)
+    before = (
+        spark.read.parquet(path)
+        .toPandas()
+        .sort_values(["k", "part"])
+        .reset_index(drop=True)
+    )
+
+    def boom(self, p, text):
+        raise RuntimeError("crash before the manifest commit")
+
+    monkeypatch.setattr(compact_mod._LocalFS, "write_text_atomic", boom)
+    with pytest.raises(RuntimeError, match="before the manifest"):
+        relayout_parquet(spark, path, ["k"])
+    monkeypatch.undo()
+    mid = (
+        spark.read.parquet(path)
+        .toPandas()
+        .sort_values(["k", "part"])
+        .reset_index(drop=True)
+    )
+    assert before.equals(mid)  # uncommitted: nothing happened yet
+    rep = relayout_parquet(spark, path, ["k"])
+    assert rep["rewritten"] and not rep["recovered"]  # stage was junk
+    assert spark.read.parquet(path).count() == 150
+
+
+def test_relayout_crash_after_commit_is_finished_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "post")
+    _cross_dup_corpus(spark, path)
+
+    def boom(fs, stage, root):
+        raise RuntimeError("crash at the commit point")
+
+    monkeypatch.setattr(compact_mod, "_finish_relayout", boom)
+    with pytest.raises(RuntimeError, match="commit point"):
+        relayout_parquet(spark, path, ["k"])
+    monkeypatch.undo()
+    # committed but unswapped: originals intact (loss impossible)
+    assert spark.read.parquet(path).count() == 200
+    rep = relayout_parquet(spark, path, ["k"])
+    assert rep["recovered"]
+    got = spark.read.parquet(path)
+    assert got.count() == 150 and got.select("k").distinct().count() == 150
+    assert not os.path.exists(relayout_stage_root(path))
+
+
+def test_relayout_crash_mid_retire_recovers_without_loss(
+    spark, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "retire")
+    _cross_dup_corpus(spark, path)
+    removed = {"n": 0}
+    real = compact_mod._remove
+
+    def remove_once_then_crash(p):
+        if removed["n"] >= 1:
+            raise RuntimeError("crash mid-retire")
+        removed["n"] += 1
+        return real(p)
+
+    monkeypatch.setattr(compact_mod, "_remove", remove_once_then_crash)
+    with pytest.raises(RuntimeError, match="mid-retire"):
+        relayout_parquet(spark, path, ["k"])
+    monkeypatch.undo()
+    # post-commit mid-retire: duplicates possible, loss impossible
+    assert spark.read.parquet(path).select("k").distinct().count() == 150
+    rep = relayout_parquet(spark, path, ["k"])
+    assert rep["recovered"]
+    got = spark.read.parquet(path)
+    assert got.count() == 150 and got.where("v != k * 7").count() == 0
+
+
+def test_relayout_removes_emptied_and_canonicalizes_leaves(spark, tmp_path):
+    """Two spellings of the same typed partition value (day=00 and
+    day=0) hold the same keys: the re-layout collapses them into the
+    canonical leaf and removes the emptied directory."""
+    path = str(tmp_path / "canon")
+    spark.createDataFrame([(k,) for k in range(10)], "k long").write.parquet(
+        os.path.join(path, "day=00")
+    )
+    spark.createDataFrame([(k,) for k in range(10)], "k long").write.parquet(
+        os.path.join(path, "day=0")
+    )
+    _strip_success(path)
+    rep = relayout_parquet(spark, path, ["k"])
+    assert rep["rows_before"] == 20 and rep["rows_after"] == 10
+    assert rep["n_leaves_before"] == 2 and rep["n_leaves_after"] == 1
+    assert not os.path.exists(os.path.join(path, "day=00"))
+    got = spark.read.parquet(path)
+    assert got.count() == 10
+    assert {r["day"] for r in got.select("day").distinct().collect()} == {0}
+
+
+def test_relayout_refuses_ragged_and_mixed_layouts(spark, tmp_path):
+    ragged = str(tmp_path / "ragged")
+    spark.createDataFrame([(1,)], "k long").write.parquet(
+        os.path.join(ragged, "notakv")
+    )
+    _strip_success(ragged)
+    with pytest.raises(ValueError, match="hive-style"):
+        relayout_parquet(spark, ragged, ["k"])
+
+    mixed = str(tmp_path / "mixed")
+    spark.createDataFrame([(1,)], "k long").write.parquet(
+        os.path.join(mixed, "a=1")
+    )
+    spark.createDataFrame([(1,)], "k long").write.parquet(
+        os.path.join(mixed, "b=1")
+    )
+    _strip_success(mixed)
+    with pytest.raises(ValueError, match="uniform partition scheme"):
+        relayout_parquet(spark, mixed, ["k"])
+
+
+def test_relayout_over_hadoop_fs(spark, tmp_path):
+    """The same cross-partition collapse with the Hadoop FileSystem
+    client underneath (file:// — the test scheme for hdfs:///s3a://)."""
+    local = str(tmp_path / "h")
+    uri = f"file://{local}"
+    _cross_dup_corpus(spark, uri)
+    rep = relayout_parquet(spark, uri, ["k"])
+    assert rep["rows_before"] == 200 and rep["rows_after"] == 150
+    got = spark.read.parquet(uri)
+    assert got.count() == 150 and got.select("k").distinct().count() == 150
+    assert not os.path.exists(relayout_stage_root(local))
+
+
+def test_vacuum_refusal_names_the_relayout(spark, tmp_path):
+    path = str(tmp_path / "refuse")
+    spark.createDataFrame(
+        [(k, k % 2) for k in range(10)], "k long, part long"
+    ).write.partitionBy("part").parquet(path)
+    with pytest.raises(ValueError, match="relayout_parquet"):
+        vacuum_parquet(spark, path, ["k"])

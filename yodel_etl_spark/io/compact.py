@@ -768,7 +768,8 @@ def vacuum_parquet(
             "per_leaf=True for within-leaf collapse (correct for replay "
             "duplicates, which always recur inside one partition path); "
             "global dedup across partition leaves needs a shuffle "
-            "re-layout this maintenance op does not impose"
+            "re-layout this maintenance op does not impose — that is "
+            "relayout_parquet()"
         )
     if not flat:
         # batched phases (the delete_parquet_where shape): ONE
@@ -1752,3 +1753,211 @@ def delete_parquet_where(
         "n_leaves_rewritten": sum(1 for r in reports if r["rewritten"]),
         "leaves": reports,
     }
+
+
+def relayout_stage_root(path: str) -> str:
+    """Re-layout's staging sibling (see :func:`compact_stage_root`;
+    a crashed re-layout is finished by the next relayout call)."""
+    return os.path.join(
+        os.path.dirname(path.rstrip("/")) or ".",
+        "_relayout_stage_" + os.path.basename(path.rstrip("/")),
+    )
+
+
+def _finish_relayout(fs, stage: str, root: str) -> None:
+    """Complete a COMMITTED re-layout swap (manifest present at the
+    stage root): install every staged leaf into its table leaf,
+    retire the originals the manifest lists (LEAF-RELATIVE paths —
+    part-file basenames are not leaf-unique under dynamic-partition
+    writes), drop leaf directories the retire emptied, drop the
+    stage.  Idempotent from any crash point after the commit marker,
+    with the same dual-file tolerance as every other swap
+    (:func:`_install_staged`)."""
+    originals = [
+        line
+        for line in fs.read_text(os.path.join(stage, _MANIFEST)).splitlines()
+        if line
+    ]
+    for staged_leaf in fs.leaf_dirs(stage):
+        rel = os.path.relpath(staged_leaf, stage)
+        target = root if rel == "." else os.path.join(root, rel)
+        fs.makedirs(target)
+        _install_staged(fs, staged_leaf, target)
+    for rel in originals:
+        p = os.path.join(root, rel)
+        if fs.exists(p):
+            fs.remove(p)
+        # the local OS arm leaves Hadoop checksum sidecars behind
+        # (fs.delete through the Hadoop client drops them itself);
+        # a dangling .crc would keep an emptied leaf directory alive
+        crc = os.path.join(
+            os.path.dirname(p), "." + os.path.basename(p) + ".crc"
+        )
+        if fs.exists(crc):
+            fs.remove(crc)
+    # a leaf whose every original retired and that received no staged
+    # files is now empty — remove it (and any emptied parents), so a
+    # re-layout that MOVED all of a partition's keys elsewhere does not
+    # leave phantom directories behind
+    for d in sorted(
+        {os.path.dirname(rel) for rel in originals},
+        key=lambda s: -s.count(os.sep),
+    ):
+        while d:
+            fs.rmdir_if_empty(os.path.join(root, d))
+            d = os.path.dirname(d)
+    fs.rmtree(stage)
+
+
+def relayout_parquet(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str] | tuple[str, ...],
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Collapse duplicate-key rows ACROSS partition leaves — the
+    re-layout that per-leaf :func:`vacuum_parquet` honestly refuses:
+    when the partition column derives from mutable metadata (a crawl
+    re-fetch that moved a document's language bucket, a re-scored
+    quality tier), the same key can live in two leaves, and no
+    within-leaf pass can collapse it.  One row per ``key_cols``
+    GLOBALLY, each surviving row rewritten into the leaf its own
+    partition values name.
+
+    Scale shape: global dedup is a global statement, so the honest
+    minimum is ONE shuffle on the key columns (dropDuplicates —
+    map-side partial aggregation applies) followed by ONE clustered
+    write (a second shuffle keyed on the partition columns so each
+    task writes whole partition directories at ~``target_bytes``
+    files).  There is deliberately no leaf-grain fast path here: a
+    corpus that only ever duplicates WITHIN leaves should run per-leaf
+    vacuum instead (listing + one count per pass); this op's
+    no-duplicates fast path is one count job deciding the corpus is
+    already collapsed, leaving it byte-identical.
+
+    Same two-phase contract as the rest of the family, at TREE grain:
+    survivors land in a staging tree outside the root, an atomically-
+    renamed ``_SWAP_MANIFEST`` at the stage root (listing every
+    original as a LEAF-RELATIVE path — basenames are not leaf-unique)
+    is the commit point, then install-then-retire.  A crash before the
+    manifest leaves the corpus byte-identical; after it, the next
+    relayout call finishes the swap; mid-swap readers can see MORE
+    duplicates (originals + installed survivors), never fewer rows —
+    a crash can only ADD duplicates, exactly the vacuum promise.
+    Which copy of a duplicate key survives is ``dropDuplicates``'s
+    unspecified pick; run a CDC fold first when latest-wins is the
+    point.  Partition directory names are re-rendered from the TYPED
+    partition values (``day=01`` canonicalizes to ``day=1``), and a
+    leaf whose keys all moved or collapsed away is removed.
+    Concurrent appends between snapshot and swap survive untouched.
+    Ragged non-hive layouts are refused (their layout cannot be
+    reproduced by a partitioned write)."""
+    from pyspark.sql import functions as F
+
+    fs = _fs_for(spark, path)
+    path = fs.normalize(path)
+    root = path.rstrip("/")
+    stage = relayout_stage_root(path)
+    recovered = False
+    if fs.isdir(stage):
+        if fs.exists(os.path.join(stage, _MANIFEST)):
+            # committed re-layout interrupted mid-swap: FINISH it (the
+            # stage may hold the only complete copy of some rows)
+            _finish_relayout(fs, stage, root)
+            recovered = True
+        else:
+            fs.rmtree(stage)  # uncommitted junk: originals are intact
+    leaves = fs.leaf_dirs(path)
+    report = {
+        "dir": path,
+        "rows_before": 0,
+        "rows_after": 0,
+        "n_dup_rows": 0,
+        "n_files_before": 0,
+        "n_files_after": 0,
+        "n_leaves_before": len(leaves),
+        "recovered": recovered,
+        "rewritten": False,
+    }
+    if not leaves:
+        report["n_leaves_after"] = 0
+        return report
+    part_cols: list[str] | None = None
+    for leaf in leaves:
+        rel = os.path.relpath(leaf, root)
+        segs = [] if rel == "." else rel.split(os.sep)
+        if any("=" not in s for s in segs):
+            raise ValueError(
+                f"relayout_parquet cannot reproduce the layout of "
+                f"{leaf!r}: not a hive-style partition path"
+            )
+        cols = [s.split("=", 1)[0] for s in segs]
+        if part_cols is None:
+            part_cols = cols
+        elif cols != part_cols:
+            raise ValueError(
+                f"relayout_parquet needs one uniform partition scheme; "
+                f"{path!r} mixes {part_cols!r} and {cols!r}"
+            )
+    files_map = {leaf: fs.parquet_files(leaf) for leaf in leaves}
+    all_files = [p for files in files_map.values() for p, _ in files]
+    report["n_files_before"] = len(all_files)
+    if not all_files:
+        report["n_leaves_after"] = len(leaves)
+        return report
+    reader = spark.read
+    if part_cols:
+        reader = reader.option("basePath", path)
+    df = reader.parquet(*all_files)
+    # null-safe key counting (count_distinct would ignore null-key
+    # groups; dropDuplicates keeps them — same pattern as vacuum)
+    row = (
+        df.groupBy(*[F.col(c) for c in key_cols])
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("nk"))
+        .first()
+    )
+    rows_before = int(row["n"] or 0)
+    n_keys = int(row["nk"])
+    report.update(
+        rows_before=rows_before,
+        rows_after=rows_before,
+        n_dup_rows=rows_before - n_keys,
+    )
+    if rows_before == n_keys:
+        # already collapsed: one count job was the whole cost, the
+        # corpus stays byte-identical (idempotent re-run state)
+        report["n_files_after"] = len(all_files)
+        report["n_leaves_after"] = len(leaves)
+        return report
+    total = sum(sz for files in files_map.values() for _, sz in files)
+    n_out = max(
+        1, math.ceil(total * n_keys / max(rows_before, 1) / target_bytes)
+    )
+    survivors = df.dropDuplicates(list(key_cols)).repartition(
+        n_out, *[F.col(c) for c in part_cols]
+    ) if part_cols else df.dropDuplicates(list(key_cols)).repartition(n_out)
+    writer = survivors.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(stage)
+    # commit point: manifest lists every snapshot file LEAF-RELATIVELY
+    fs.write_text_atomic(
+        os.path.join(stage, _MANIFEST),
+        "\n".join(
+            os.path.relpath(p, root)
+            for files in files_map.values()
+            for p, _ in files
+        ),
+    )
+    _finish_relayout(fs, stage, root)
+    leaves_after = fs.leaf_dirs(path)
+    report.update(
+        rows_after=n_keys,
+        rewritten=True,
+        n_files_after=sum(
+            len(fs.parquet_files(leaf)) for leaf in leaves_after
+        ),
+        n_leaves_after=len(leaves_after),
+    )
+    return report
