@@ -579,10 +579,13 @@ def vacuum_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     "leaf manifest-only retire: zero write amplification) and a DATA-"
     "column predicate (event_id % 10 = 7 — the opt-out/takedown "
     "removal, per-leaf survivor rewrite; untouched leaves stay byte-"
-    "identical).  Returns one row of exact counts with `verified` "
-    "re-counted PLAIN from the final corpus (a no-opped delete or "
-    "vacuum cannot hide — the vacuum_bench convention).  Rows-only: "
-    "maintenance cost trail, like `compact`/`vac`/`rollup`.",
+    "identical).  An r15 third leg re-buckets 1-in-9 survivors under a "
+    "new event_type (mutable-metadata cross-partition duplicates, the "
+    "shape per-leaf vacuum refuses) and relayout_parquet collapses "
+    "them globally.  Returns one row of exact counts with `verified` "
+    "re-counted PLAIN from the final corpus (a no-opped delete, "
+    "vacuum, or re-layout cannot hide — the vacuum_bench convention).  "
+    "Rows-only: maintenance cost trail, like `compact`/`vac`/`rollup`.",
     tags=("io", "maintenance", "bench"),
     bench=True,
 )
@@ -590,6 +593,8 @@ def delete_where_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yodel_etl_spark.io.compact import (
         delete_parquet_where,
         delete_stage_root,
+        relayout_parquet,
+        relayout_stage_root,
         vacuum_parquet,
         vacuum_stage_root,
     )
@@ -604,6 +609,7 @@ def delete_where_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     # install stale files into the fresh corpus) and register for exit
     _wipe_stage_sibling(vacuum_stage_root(path))
     _wipe_stage_sibling(delete_stage_root(path))
+    _wipe_stage_sibling(relayout_stage_root(path))
     # 4 writer tasks per append (coalesce — no shuffle): a replayed
     # micro-batch is a handful of files per leaf, not one per shuffle
     # partition; 3 appends × 4 tasks × 5 leaves ≈ 60 files total
@@ -624,8 +630,22 @@ def delete_where_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("event_id"), F.lit(10)) == F.lit(7),
         max_concurrency=4,
     )
-    # PLAIN re-count: matches rows_after only if the duplicates really
-    # collapsed AND both deletes really removed their rows from files
+    # third leg (r15): mutable-metadata re-bucketing — 1-in-9 of the
+    # survivors re-lands under a NEW event_type value (the cross-
+    # partition duplicate shape per-leaf vacuum refuses), then the
+    # re-layout collapses them globally: one key shuffle + one
+    # clustered partitioned write through the staged tree swap
+    moved = spark.read.parquet(path).where(
+        F.pmod(F.col("event_id"), F.lit(9)) == F.lit(1)
+    )
+    moved.withColumn("event_type", F.lit("rebucketed")).coalesce(
+        4
+    ).write.mode("append").partitionBy("event_type").parquet(path)
+    rrep = relayout_parquet(spark, path, ["event_id"])
+    # PLAIN re-count: matches relayout's rows_after only if the replay
+    # duplicates really collapsed, both deletes really removed their
+    # rows from files, AND the re-layout really folded the re-bucketed
+    # copies — no stage of the chain can silently no-op
     verified = spark.read.parquet(path).count()
     return spark.createDataFrame(
         [
@@ -637,10 +657,13 @@ def delete_where_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rowdel["n_deleted"],
                 rowdel["rows_after"],
                 rowdel["n_files_after"],
+                rrep["n_dup_rows"],
+                rrep["rows_after"],
                 verified,
             )
         ],
         "rows_before long, dup_rows long, ttl_deleted long, "
         "ttl_leaves_dropped long, row_deleted long, rows_after long, "
-        "files_after long, verified long",
+        "files_after long, relayout_dups long, relayout_rows long, "
+        "verified long",
     )
