@@ -1,9 +1,9 @@
 #!/usr/bin/env bash
 # One-command ISOLATED stress run (VERDICT r12 next-round #3).
 #
-# The env-gated scale-stress suite (tests/test_stress.py, 23 tests)
+# The env-gated scale-stress suite (tests/test_stress.py, 24 tests)
 # asserts TIMING ratios — sublinear scaling, delta-vs-corpus cost.
-# Running all 23 in ONE pytest process fails ~3 bounds from intra-suite
+# Running all of them in ONE pytest process fails ~3 bounds from intra-suite
 # JVM pressure (GC debt, executor-thread contention left by earlier
 # tests), not from regressions; the r12 record pinned this by re-running
 # the failures isolated and watching them pass with margin.  This script
