@@ -26,13 +26,22 @@ cd "$(dirname "$0")/.."
 GAUGE=1
 if [ "${1:-}" = "--no-gauge" ]; then GAUGE=0; shift; fi
 if [ "$GAUGE" = 1 ]; then
-  echo "gauging window quietness (ctl queries, ~40 s)..."
-  CTL=$(SPARK_GRAFT_BENCH_QUERIES=top_events_global,text_fingerprint python bench.py 2>/dev/null)
+  echo "gauging window quietness (ctl queries, ~60 s)..."
+  # flagship rides along as the WARM-UP leg (bench.py executes queries
+  # in sorted order per pass, so flagship runs first and absorbs part
+  # of the fresh session's JIT/codegen cost) and as a SECOND-SCALE
+  # gauge: the sub-0.3 s micro-gauges are noisy against a cold JVM —
+  # r15 observed them reading 1.5-2x band on load-0.01, steal-free
+  # windows where the full bench's amortized inline gauges read
+  # in-band minutes later.  Treat a CONTENDED verdict here as "timing
+  # bounds may be unreliable", not proof of a co-tenant burst; the
+  # flagship ratio is the leg to trust
+  CTL=$(SPARK_GRAFT_BENCH_QUERIES=flagship,top_events_global,text_fingerprint python bench.py 2>/dev/null)
   echo "ctl: $CTL"
   python - "$CTL" <<'PYEOF'
 import json, sys
 q = json.loads(sys.argv[1])["queries"]
-bands = {"top_events_global": 0.16, "text_fingerprint": 0.19}
+bands = {"top_events_global": 0.16, "text_fingerprint": 0.19, "flagship": 1.25}
 hot = {k: v for k, v in q.items() if v > bands.get(k, 9e9)}
 if hot:
     print(f"WARNING: window is CONTENDED ({hot}) — timing-bound "
