@@ -244,3 +244,39 @@ def test_vacuum_refusal_names_the_relayout(spark, tmp_path):
     ).write.partitionBy("part").parquet(path)
     with pytest.raises(ValueError, match="relayout_parquet"):
         vacuum_parquet(spark, path, ["k"])
+
+
+def test_relayout_s3a_dual_file_rename_recovers_once(
+    spark, tmp_path, monkeypatch
+):
+    """Tree-grain twin of the S3A dual-file tests in
+    tests/test_compact_hadoopfs.py: the re-layout's install crashes
+    between a rename's copy and delete (the staged file lands at BOTH
+    paths); the next relayout call must finish the swap exactly once —
+    recognize the landed copy, discard the staged source, never
+    double-install (duplicate rows forever) and never lose a row."""
+    local = str(tmp_path / "s3a_rl")
+    uri = f"file://{local}"
+    _cross_dup_corpus(spark, uri)
+    conf = spark._jsc.hadoopConfiguration()
+    FileUtil = spark._jvm.org.apache.hadoop.fs.FileUtil
+
+    def copy_then_crash(fs, P, src, dst):
+        FileUtil.copy(fs, P(src), fs, P(dst), False, conf)
+        raise RuntimeError("crash between rename's copy and delete")
+
+    monkeypatch.setattr(compact_mod, "_hadoop_move", copy_then_crash)
+    with pytest.raises(RuntimeError, match="copy and delete"):
+        relayout_parquet(spark, uri, ["k"])
+    monkeypatch.undo()
+    # mid-swap: duplicates possible (original + landed copy), loss never
+    assert spark.read.parquet(uri).select("k").distinct().count() == 150
+
+    rep = relayout_parquet(spark, uri, ["k"])
+    assert rep["recovered"]
+    got = spark.read.parquet(uri)
+    assert got.count() == 150
+    assert got.where("v != k * 7").count() == 0
+    for dirpath, _dirs, files in os.walk(local):
+        assert not any(f.startswith("c_") for f in files), (dirpath, files)
+    assert not os.path.exists(relayout_stage_root(local))
