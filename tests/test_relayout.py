@@ -140,7 +140,7 @@ def test_relayout_crash_after_commit_is_finished_exactly_once(
     path = str(tmp_path / "post")
     _cross_dup_corpus(spark, path)
 
-    def boom(fs, stage, root):
+    def boom(*_a, **_k):
         raise RuntimeError("crash at the commit point")
 
     monkeypatch.setattr(compact_mod, "_finish_relayout", boom)
@@ -280,3 +280,53 @@ def test_relayout_s3a_dual_file_rename_recovers_once(
     for dirpath, _dirs, files in os.walk(local):
         assert not any(f.startswith("c_") for f in files), (dirpath, files)
     assert not os.path.exists(relayout_stage_root(local))
+
+
+def test_relayout_concurrent_finish_matches_serial(spark, tmp_path):
+    """max_concurrency parallelizes only FS ops (staged-leaf installs,
+    per-directory retires) — results must be identical to the serial
+    pass, including mid-crash recovery under the thread pool."""
+    import yodel_etl_spark.io.compact as C
+
+    pa, pb = str(tmp_path / "ser"), str(tmp_path / "con")
+    for p in (pa, pb):
+        _cross_dup_corpus(spark, p)
+    rs = relayout_parquet(spark, pa, ["k"])
+    rc = relayout_parquet(spark, pb, ["k"], max_concurrency=4)
+    for key in (
+        "rows_before",
+        "rows_after",
+        "n_dup_rows",
+        "rewritten",
+        "n_leaves_after",
+    ):
+        assert rs[key] == rc[key], key
+    va = (
+        spark.read.parquet(pa)
+        .toPandas()
+        .sort_values(["k", "part"])
+        .reset_index(drop=True)
+    )
+    vb = (
+        spark.read.parquet(pb)
+        .toPandas()
+        .sort_values(["k", "part"])
+        .reset_index(drop=True)
+    )
+    assert va.equals(vb)
+    # crash at the commit point, then recover WITH the pool
+    pc = str(tmp_path / "crashcon")
+    _cross_dup_corpus(spark, pc)
+    mp = pytest.MonkeyPatch()
+    mp.setattr(C, "_finish_relayout", lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("crash at commit")
+    ))
+    try:
+        with pytest.raises(RuntimeError, match="crash at commit"):
+            relayout_parquet(spark, pc, ["k"], max_concurrency=4)
+    finally:
+        mp.undo()
+    rep = relayout_parquet(spark, pc, ["k"], max_concurrency=4)
+    assert rep["recovered"]
+    got = spark.read.parquet(pc)
+    assert got.count() == 150 and got.where("v != k * 7").count() == 0

@@ -1764,7 +1764,9 @@ def relayout_stage_root(path: str) -> str:
     )
 
 
-def _finish_relayout(fs, stage: str, root: str) -> None:
+def _finish_relayout(
+    fs, stage: str, root: str, max_concurrency: int = 1
+) -> None:
     """Complete a COMMITTED re-layout swap (manifest present at the
     stage root): install every staged leaf into its table leaf,
     retire the originals the manifest lists (LEAF-RELATIVE paths —
@@ -1772,37 +1774,63 @@ def _finish_relayout(fs, stage: str, root: str) -> None:
     writes), drop leaf directories the retire emptied, drop the
     stage.  Idempotent from any crash point after the commit marker,
     with the same dual-file tolerance as every other swap
-    (:func:`_install_staged`)."""
+    (:func:`_install_staged`).  ``max_concurrency`` > 1 installs that
+    many staged leaves (and retires that many leaf-grouped original
+    sets) at once from a driver-side thread pool — distinct staged
+    leaves map to distinct targets and distinct directories own
+    distinct originals, so the parallelism never interleaves within a
+    leaf; py4j FS ops over thousands of leaves are the whole finish
+    cost on a remote store."""
+
+    def _fanout(fn, items):
+        if max_concurrency <= 1 or len(items) <= 1:
+            for it in items:
+                fn(it)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+            for f in [pool.submit(fn, it) for it in items]:
+                f.result()
+
     originals = [
         line
         for line in fs.read_text(os.path.join(stage, _MANIFEST)).splitlines()
         if line
     ]
-    for staged_leaf in fs.leaf_dirs(stage):
+
+    def install(staged_leaf: str) -> None:
         rel = os.path.relpath(staged_leaf, stage)
         target = root if rel == "." else os.path.join(root, rel)
         fs.makedirs(target)
         _install_staged(fs, staged_leaf, target)
+
+    _fanout(install, fs.leaf_dirs(stage))
+
+    by_dir: dict[str, list[str]] = {}
     for rel in originals:
-        p = os.path.join(root, rel)
-        if fs.exists(p):
-            fs.remove(p)
-        # the local OS arm leaves Hadoop checksum sidecars behind
-        # (fs.delete through the Hadoop client drops them itself);
-        # a dangling .crc would keep an emptied leaf directory alive
-        crc = os.path.join(
-            os.path.dirname(p), "." + os.path.basename(p) + ".crc"
-        )
-        if fs.exists(crc):
-            fs.remove(crc)
+        by_dir.setdefault(os.path.dirname(rel), []).append(rel)
+
+    def retire(rels: list[str]) -> None:
+        for rel in rels:
+            p = os.path.join(root, rel)
+            if fs.exists(p):
+                fs.remove(p)
+            # the local OS arm leaves Hadoop checksum sidecars behind
+            # (fs.delete through the Hadoop client drops them itself);
+            # a dangling .crc would keep an emptied leaf dir alive
+            crc = os.path.join(
+                os.path.dirname(p), "." + os.path.basename(p) + ".crc"
+            )
+            if fs.exists(crc):
+                fs.remove(crc)
+
+    _fanout(retire, list(by_dir.values()))
     # a leaf whose every original retired and that received no staged
     # files is now empty — remove it (and any emptied parents), so a
     # re-layout that MOVED all of a partition's keys elsewhere does not
-    # leave phantom directories behind
-    for d in sorted(
-        {os.path.dirname(rel) for rel in originals},
-        key=lambda s: -s.count(os.sep),
-    ):
+    # leave phantom directories behind (serial: parents are shared)
+    for d in sorted(by_dir, key=lambda s: -s.count(os.sep)):
         while d:
             fs.rmdir_if_empty(os.path.join(root, d))
             d = os.path.dirname(d)
@@ -1814,6 +1842,7 @@ def relayout_parquet(
     path: str,
     key_cols: list[str] | tuple[str, ...],
     target_bytes: int = 128 * 1024 * 1024,
+    max_concurrency: int = 1,
 ) -> dict:
     """Collapse duplicate-key rows ACROSS partition leaves — the
     re-layout that per-leaf :func:`vacuum_parquet` honestly refuses:
@@ -1851,7 +1880,14 @@ def relayout_parquet(
     leaf whose keys all moved or collapsed away is removed.
     Concurrent appends between snapshot and swap survive untouched.
     Ragged non-hive layouts are refused (their layout cannot be
-    reproduced by a partitioned write)."""
+    reproduced by a partitioned write).  ``max_concurrency`` > 1
+    parallelizes the finish phase's FS ops (staged-leaf installs,
+    per-directory retires) from a driver-side thread pool — the py4j
+    round-trips over thousands of leaves, not the Spark jobs, dominate
+    the swap on a remote store.  The manifest is O(n_files) text held
+    driver-side for the atomic write — linear metadata, the same order
+    a lakehouse table format's manifest list carries; a corpus with
+    millions of files should re-layout partition-subtree by subtree."""
     from pyspark.sql import functions as F
 
     fs = _fs_for(spark, path)
@@ -1863,7 +1899,7 @@ def relayout_parquet(
         if fs.exists(os.path.join(stage, _MANIFEST)):
             # committed re-layout interrupted mid-swap: FINISH it (the
             # stage may hold the only complete copy of some rows)
-            _finish_relayout(fs, stage, root)
+            _finish_relayout(fs, stage, root, max_concurrency)
             recovered = True
         else:
             fs.rmtree(stage)  # uncommitted junk: originals are intact
@@ -1950,7 +1986,7 @@ def relayout_parquet(
             for p, _ in files
         ),
     )
-    _finish_relayout(fs, stage, root)
+    _finish_relayout(fs, stage, root, max_concurrency)
     leaves_after = fs.leaf_dirs(path)
     report.update(
         rows_after=n_keys,
