@@ -375,3 +375,65 @@ def test_vacuum_s3a_dual_file_rename_recovers_once(
     )
     assert want.equals(got)
     _assert_exact_and_single_copy(spark, uri, local, want)
+
+
+def test_delete_s3a_dual_manifest_rename_recovers_once(
+    spark, tmp_path, monkeypatch
+):
+    """The dual-MANIFEST interleaving itself: the commit rename's copy
+    half lands (manifest visible at its final path) but the crash
+    precedes the delete of the .tmp source — on S3A the manifest then
+    exists at BOTH paths.  The swap is COMMITTED the instant the final
+    path exists: the next delete call must finish it exactly once, and
+    the stage teardown clears the leftover .tmp with the stage."""
+    uri = _furi(tmp_path, "s3a_manifest")
+    local = _local(tmp_path, "s3a_manifest")
+    spark.createDataFrame(
+        [(i, i % 3 == 0) for i in range(300)], "k long, purge boolean"
+    ).repartition(4).write.parquet(uri)
+    want = (
+        spark.read.parquet(uri)
+        .where("NOT purge")
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    FileUtil = spark._jvm.org.apache.hadoop.fs.FileUtil
+
+    def copy_then_crash(self, p, text):
+        tmp, dst = self._P(p + ".tmp"), self._P(p)
+        out = self._fs.create(tmp, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        if self._fs.exists(dst):
+            self._fs.delete(dst, False)
+        FileUtil.copy(
+            self._fs, tmp, self._fs, dst, False, self._fs.getConf()
+        )
+        raise RuntimeError("crash between manifest copy and delete")
+
+    monkeypatch.setattr(
+        compact_mod._HadoopFS, "write_text_atomic", copy_then_crash
+    )
+    with pytest.raises(RuntimeError, match="manifest copy and delete"):
+        delete_parquet_where(spark, uri, "purge")
+    monkeypatch.undo()
+    # the manifest exists at BOTH paths inside the stage; committed ⇒
+    # originals still complete (install-then-retire has not started)
+    stage_root = compact_mod.delete_stage_root(local)
+    stages = os.listdir(stage_root)
+    assert len(stages) == 1
+    names = set(os.listdir(os.path.join(stage_root, stages[0])))
+    assert "_SWAP_MANIFEST" in names and "_SWAP_MANIFEST.tmp" in names
+    assert spark.read.parquet(uri).count() == 300
+
+    rep = delete_parquet_where(spark, uri, "purge")
+    assert rep["recovered"]
+    got = (
+        spark.read.parquet(uri).toPandas().sort_values("k").reset_index(drop=True)
+    )
+    assert want.equals(got)
+    assert spark.read.parquet(uri).where("purge").count() == 0
+    assert not os.path.exists(stage_root)  # .tmp went with the stage
