@@ -301,19 +301,15 @@ def test_relayout_concurrent_finish_matches_serial(spark, tmp_path):
         "n_leaves_after",
     ):
         assert rs[key] == rc[key], key
-    va = (
-        spark.read.parquet(pa)
-        .toPandas()
-        .sort_values(["k", "part"])
-        .reset_index(drop=True)
-    )
-    vb = (
-        spark.read.parquet(pb)
-        .toPandas()
-        .sort_values(["k", "part"])
-        .reset_index(drop=True)
-    )
-    assert va.equals(vb)
+    # which COPY of a duplicated key survives (and hence its part
+    # value) is dropDuplicates' unspecified pick — compare only the
+    # deterministic surface: one row per key, payloads exact
+    for p in (pa, pb):
+        got = spark.read.parquet(p)
+        assert got.count() == 150
+        assert got.select("k").distinct().count() == 150
+        assert got.where("v != k * 7").count() == 0
+        assert got.where("part NOT IN (0, 1)").count() == 0
     # crash at the commit point, then recover WITH the pool
     pc = str(tmp_path / "crashcon")
     _cross_dup_corpus(spark, pc)
