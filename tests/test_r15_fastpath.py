@@ -297,3 +297,86 @@ def test_footer_column_names_both_arms(spark, tmp_path):
     want = {"k", "s", "x"}
     assert local.footer_column_names(*lf) == want
     assert remote.footer_column_names(*rf) == want
+
+
+def test_batched_delete_counts_surface_nested_field_drift(spark, tmp_path):
+    """Nested twin of the missing-column drift check: a leaf whose
+    STRUCT lacks the referenced field passes a top-level footer check
+    (the struct column exists everywhere) but the union read would
+    NULL-fill ``s.x`` and silently zero-match the delete on that leaf.
+    The counters must verify full footer FIELD paths and route to the
+    per-leaf fallback, which raises and surfaces the drift."""
+    import os
+
+    from yodel_etl_spark.io.compact import (
+        _batched_leaf_counts,
+        _predicate_tree_info,
+    )
+
+    path = str(tmp_path / "ndrift")
+    spark.createDataFrame(
+        [(i, (i, i * 2), 0) for i in range(10)],
+        "k long, s struct<x: long, y: long>, part long",
+    ).write.partitionBy("part").parquet(path)
+    spark.createDataFrame(
+        [(i, (i * 3,), 1) for i in range(10, 20)],
+        "k long, s struct<y: long>, part long",
+    ).write.mode("append").partitionBy("part").parquet(path)
+    cond = F.expr("s.x >= 5")
+    info = _predicate_tree_info(spark, cond)
+    assert info is not None and info["multi"] == {"s.x"}
+    fs = _fs_for(spark, path)
+    leaves = fs.leaf_dirs(path)
+    files_map = {leaf: fs.parquet_files(leaf) for leaf in leaves}
+    assert (
+        _batched_leaf_counts(spark, path, leaves, files_map, cond, fs)
+        is None
+    ), "struct-field drift must route to the per-leaf fallback"
+    with pytest.raises(Exception, match="FIELD_NOT_FOUND|No such struct field|cannot resolve"):
+        delete_parquet_where(spark, path, "s.x >= 5")
+    # the drifted leaf was never silently no-oped: still all 10 rows
+    assert spark.read.parquet(os.path.join(path, "part=1")).count() == 10
+
+
+def test_batched_delete_counts_accept_uniform_nested_field(spark, tmp_path):
+    """Positive control: when every leaf's footer carries the full
+    ``s.x`` path, the nested predicate stays on the batched one-job
+    path and the delete is exact."""
+    from yodel_etl_spark.io.compact import _batched_leaf_counts
+
+    path = str(tmp_path / "nok")
+    spark.createDataFrame(
+        [(i, (i, i * 2), i % 2) for i in range(20)],
+        "k long, s struct<x: long, y: long>, part long",
+    ).write.partitionBy("part").parquet(path)
+    cond = F.expr("s.x >= 10")
+    fs = _fs_for(spark, path)
+    leaves = fs.leaf_dirs(path)
+    files_map = {leaf: fs.parquet_files(leaf) for leaf in leaves}
+    counts = _batched_leaf_counts(spark, path, leaves, files_map, cond, fs)
+    assert counts is not None
+    assert sum(n for n, _ in counts.values()) == 20
+    assert sum(nm for _, nm in counts.values()) == 10
+    rep = delete_parquet_where(spark, path, "s.x >= 10")
+    assert rep["n_deleted"] == 10
+    assert spark.read.parquet(path).where("s.x >= 10").count() == 0
+
+
+def test_footer_field_paths_both_arms(spark, tmp_path):
+    """The nested footer schema probe must agree between arms and
+    descend structs only (list/map elements are not dot-addressable,
+    so the walk stops at them — conservative routing to the exact
+    fallback for predicates that cross one)."""
+    path = str(tmp_path / "nested")
+    spark.createDataFrame(
+        [(1, (2, (3.5, "a")), [4], {"k": 5})],
+        "k long, s struct<x: long, inner: struct<f: double, g: string>>, "
+        "arr array<long>, m map<string, long>",
+    ).coalesce(1).write.parquet(path)
+    local = _fs_for(spark, path)
+    remote = _fs_for(spark, f"file://{path}")
+    lf = local.parquet_files(path)[0]
+    rf = remote.parquet_files(remote.normalize(f"file://{path}"))[0]
+    want = {"k", "s", "s.x", "s.inner", "s.inner.f", "s.inner.g", "arr", "m"}
+    assert local.footer_field_paths(*lf) == want
+    assert remote.footer_field_paths(*rf) == want

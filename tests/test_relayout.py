@@ -326,3 +326,99 @@ def test_relayout_concurrent_finish_matches_serial(spark, tmp_path):
     assert rep["recovered"]
     got = spark.read.parquet(pc)
     assert got.count() == 150 and got.where("v != k * 7").count() == 0
+
+
+def test_relayout_refuses_missing_key_column_drift(spark, tmp_path):
+    """A leaf whose files LACK a key column must refuse, not rewrite:
+    the mergeSchema union read would NULL the key for that leaf's rows
+    and dropDuplicates would collapse them into ONE survivor — silent,
+    permanent row loss.  A global rewrite has no exact per-leaf
+    fallback to degrade to, so (unlike the batched counters) the
+    honest answer is a raise, with the corpus left byte-identical."""
+    path = str(tmp_path / "kdrift")
+    spark.createDataFrame(
+        [(i, i * 10, 0) for i in range(10)], "k long, v long, part long"
+    ).write.partitionBy("part").parquet(path)
+    spark.createDataFrame(
+        [(i * 100, 1) for i in range(10)], "v long, part long"
+    ).write.mode("append").partitionBy("part").parquet(path)
+    _strip_success(path)
+    before = {
+        d: sorted(os.listdir(os.path.join(path, d)))
+        for d in os.listdir(path)
+        if d.startswith("part=")
+    }
+    with pytest.raises(ValueError, match="lacks.*key column"):
+        relayout_parquet(spark, path, ["k"])
+    after = {
+        d: sorted(os.listdir(os.path.join(path, d)))
+        for d in os.listdir(path)
+        if d.startswith("part=")
+    }
+    assert before == after
+    assert spark.read.option("mergeSchema", "true").parquet(path).count() == 20
+
+
+def test_relayout_preserves_drifted_extra_column(spark, tmp_path):
+    """A column present in only SOME leaves must survive the rewrite
+    NULL-filled elsewhere — a single-schema read sampled from the
+    other leaf would silently drop it from the whole corpus."""
+    path = str(tmp_path / "extra")
+    spark.createDataFrame(
+        [(k, 0) for k in range(50)], "k long, part long"
+    ).write.partitionBy("part").parquet(path)
+    spark.createDataFrame(
+        [(k, f"x{k}", 1) for k in range(25, 75)],
+        "k long, extra string, part long",
+    ).write.mode("append").partitionBy("part").parquet(path)
+    rep = relayout_parquet(spark, path, ["k"])
+    assert rep["rows_before"] == 100 and rep["rows_after"] == 75
+    got = spark.read.parquet(path)
+    assert "extra" in got.columns
+    assert got.count() == 75
+    # every key that survived from the extra-carrying leaf kept its
+    # payload; keys only ever written without it are NULL
+    assert got.where("k >= 50 AND extra != concat('x', k)").count() == 0
+    assert got.where("k < 25 AND extra IS NOT NULL").count() == 0
+
+
+def test_relayout_splits_hot_leaf_near_target_bytes(spark, tmp_path):
+    """Write distribution must be RANGE on (part_cols, hash(keys)):
+    a hot partition value splits across multiple ~target_bytes files
+    (parallel write tasks), while small leaves do NOT shatter into one
+    file per shuffle partition — the two failure modes of hash-on-
+    part-cols (one giant file) and global salting (tiny-file spray)."""
+    path = str(tmp_path / "hot")
+    # hot partition: 40k rows with a fat payload; cold: 200 rows each
+    spark.range(40_000).selectExpr(
+        "id AS k", "repeat('x', 64) AS pad", "0 AS part"
+    ).write.partitionBy("part").parquet(path)
+    for p in (1, 2):
+        spark.range(200).selectExpr(
+            f"id + {100_000 * p} AS k", "repeat('x', 8) AS pad",
+            f"{p} AS part",
+        ).write.mode("append").partitionBy("part").parquet(path)
+    # duplicate a slice of the hot keys into part=1 so a rewrite runs
+    spark.range(100).selectExpr(
+        "id AS k", "repeat('x', 8) AS pad", "1 AS part"
+    ).write.mode("append").partitionBy("part").parquet(path)
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _d, fl in os.walk(path)
+        for f in fl
+        if f.endswith(".parquet")
+    )
+    target = total // 6  # force the hot leaf to span several ranges
+    rep = relayout_parquet(spark, path, ["k"], target_bytes=target)
+    assert rep["rewritten"] and rep["rows_after"] == 40_000 + 400
+    hot_files = [
+        f for f in os.listdir(os.path.join(path, "part=0"))
+        if f.endswith(".parquet")
+    ]
+    assert len(hot_files) > 1, "hot leaf must split across tasks"
+    for p in (1, 2):
+        cold = [
+            f for f in os.listdir(os.path.join(path, f"part={p}"))
+            if f.endswith(".parquet")
+        ]
+        assert len(cold) == 1, f"cold leaf part={p} must not shatter"

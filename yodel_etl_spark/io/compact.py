@@ -88,6 +88,29 @@ _move = shutil.move
 _remove = os.remove
 
 
+def _arrow_field_paths(schema) -> set[str]:
+    """Dotted field paths of an Arrow schema, descending STRUCTS only:
+    list/map elements are not addressable by Spark's dotted attribute
+    syntax (``m.key`` on a map resolves to GetMapValue, whose key may
+    legitimately be absent from any footer), so the walk stops at them
+    and a dotted reference crossing one routes callers to their exact
+    fallback rather than a false "missing" verdict."""
+    import pyarrow as pa
+
+    out: set[str] = set()
+
+    def walk(prefix: str, field) -> None:
+        name = prefix + field.name
+        out.add(name)
+        if pa.types.is_struct(field.type):
+            for i in range(field.type.num_fields):
+                walk(name + ".", field.type.field(i))
+
+    for field in schema:
+        walk("", field)
+    return out
+
+
 class _LocalFS:
     """Plain-path arm: direct OS calls (see the module docstring for
     why this stays the default — per-op cost, thousands of leaves)."""
@@ -179,6 +202,15 @@ class _LocalFS:
 
         return set(pq.ParquetFile(p).schema_arrow.names)
 
+    def footer_field_paths(self, p: str, size: int) -> set[str]:
+        """Dotted field paths (structs descended) from ONE file's
+        parquet footer — the nested twin of
+        :meth:`footer_column_names`, for predicates that reference
+        struct fields (``s.x``)."""
+        import pyarrow.parquet as pq
+
+        return _arrow_field_paths(pq.ParquetFile(p).schema_arrow)
+
 
 class _HadoopFS:
     """URI-scheme arm: the same operations through the Hadoop
@@ -259,6 +291,12 @@ class _HadoopFS:
         ranged tail reads as :meth:`footer_num_rows`)."""
         return set(
             self._footer_metadata(p, size).schema.to_arrow_schema().names
+        )
+
+    def footer_field_paths(self, p: str, size: int) -> set[str]:
+        """Hadoop-arm twin of the local nested footer schema probe."""
+        return _arrow_field_paths(
+            self._footer_metadata(p, size).schema.to_arrow_schema()
         )
 
     def leaf_dirs(self, root: str) -> list[str]:
@@ -385,6 +423,23 @@ def _fs_for(spark: SparkSession, path: str):
         if re.match(r"[A-Za-z][A-Za-z0-9+.-]+:/", path)
         else _LocalFS()
     )
+
+
+def _fanout(fn, items, max_concurrency: int = 1) -> list:
+    """Run ``fn`` over ``items`` from a driver-side thread pool of
+    ``max_concurrency`` workers (serial when <= 1 or a single item),
+    returning results in item order.  The maintenance family's per-leaf
+    work is py4j/RPC-latency bound, not CPU bound, so one shared pool
+    primitive serves every pass — compact/vacuum/delete leaf loops, the
+    relayout finish phase, and the footer schema probes — and a pool-
+    policy fix lands everywhere at once instead of in four copies."""
+    items = list(items)
+    if max_concurrency <= 1 or len(items) <= 1:
+        return [fn(it) for it in items]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+        return [f.result() for f in [pool.submit(fn, it) for it in items]]
 
 
 def _install_staged(fs, stage: str, leaf: str) -> None:
@@ -618,28 +673,11 @@ def compact_parquet(
     fs = _fs_for(spark, path)
     path = fs.normalize(path)
     leaves = fs.leaf_dirs(path)
-    if max_concurrency <= 1 or len(leaves) <= 1:
-        reports = [
-            _compact_leaf(spark, fs, path, leaf, target_bytes, min_files)
-            for leaf in leaves
-        ]
-    else:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
-            futures = [
-                pool.submit(
-                    _compact_leaf,
-                    spark,
-                    fs,
-                    path,
-                    leaf,
-                    target_bytes,
-                    min_files,
-                )
-                for leaf in leaves
-            ]
-            reports = [f.result() for f in futures]  # leaf order preserved
+    reports = _fanout(
+        lambda leaf: _compact_leaf(spark, fs, path, leaf, target_bytes, min_files),
+        leaves,
+        max_concurrency,
+    )  # leaf order preserved
     # single end-of-pass cleanup of the shared stage root (see
     # _finish_swap for why this cannot run per leaf)
     fs.rmdir_if_empty(compact_stage_root(path))
@@ -790,7 +828,7 @@ def vacuum_parquet(
             ) in pending and _recover_stage(fs, st, leaf)
         files_map = {leaf: fs.parquet_files(leaf) for leaf in leaves}
         counts_map = _batched_vacuum_counts(
-            spark, path, leaves, files_map, key_cols, fs
+            spark, path, leaves, files_map, key_cols, fs, max_concurrency
         )
 
         def leaf_args(leaf: str) -> dict:
@@ -800,37 +838,19 @@ def vacuum_parquet(
                 recovered=recovered_map[leaf],
             )
 
-        if max_concurrency <= 1 or len(leaves) <= 1:
-            reports = [
-                _vacuum_leaf(
-                    spark,
-                    fs,
-                    leaf,
-                    _vacuum_stage_for_leaf(path, leaf),
-                    key_cols,
-                    target_bytes,
-                    **leaf_args(leaf),
-                )
-                for leaf in leaves
-            ]
-        else:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
-                futures = [
-                    pool.submit(
-                        _vacuum_leaf,
-                        spark,
-                        fs,
-                        leaf,
-                        _vacuum_stage_for_leaf(path, leaf),
-                        key_cols,
-                        target_bytes,
-                        **leaf_args(leaf),
-                    )
-                    for leaf in leaves
-                ]
-                reports = [f.result() for f in futures]  # leaf order kept
+        reports = _fanout(
+            lambda leaf: _vacuum_leaf(
+                spark,
+                fs,
+                leaf,
+                _vacuum_stage_for_leaf(path, leaf),
+                key_cols,
+                target_bytes,
+                **leaf_args(leaf),
+            ),
+            leaves,
+            max_concurrency,
+        )  # leaf order kept
         agg = {
             "dir": path,
             "rows_before": sum(r["rows_before"] for r in reports),
@@ -865,6 +885,7 @@ def _batched_vacuum_counts(
     files_map: dict[str, list[tuple[str, int]]],
     key_cols: list[str] | tuple[str, ...],
     fs,
+    max_concurrency: int = 1,
 ) -> dict[str, tuple[int, int]] | None:
     """Per-leaf ``(rows_before, n_within_leaf_keys)`` for per-leaf
     vacuum in ONE scan job: group by (file's directory, key columns) —
@@ -886,7 +907,7 @@ def _batched_vacuum_counts(
         if rel == "." or any("=" not in seg for seg in rel.split(os.sep)):
             return None  # ragged layout: per-leaf fallback is exact
     if not _leaf_carries_columns(
-        spark, path, leaves, files_map, fs, set(key_cols)
+        spark, path, leaves, files_map, fs, set(key_cols), max_concurrency
     ):
         return None  # schema drift: let the per-leaf read surface it
     dir2leaf = {_scheme_stripped(leaf): leaf for leaf in leaves}
@@ -1170,6 +1191,11 @@ def _predicate_tree_info(spark: SparkSession, cond) -> dict | None:
         {"cols":        set of single-part attribute names referenced,
          "first_parts": leading name of every multi-part reference
                         (struct access / qualified ref),
+         "multi":       full DOTTED form of every multi-part reference
+                        (``s.x``) — what the batched counters verify
+                        against per-leaf footer FIELD paths, so nested
+                        struct drift routes to the exact fallback just
+                        like top-level column drift,
          "multipart":   any multi-part reference present,
          "blocked":     a file-context / random function, star
                         expansion, or subquery is present}
@@ -1188,6 +1214,7 @@ def _predicate_tree_info(spark: SparkSession, cond) -> dict | None:
         )
         cols: set[str] = set()
         first_parts: set[str] = set()
+        multi: set[str] = set()
         multipart = blocked = False
         stack = [conv.apply(cond._jc.node())]
         while stack:
@@ -1202,6 +1229,9 @@ def _predicate_tree_info(spark: SparkSession, cond) -> dict | None:
                 else:
                     multipart = True
                     first_parts.add(np.apply(0))
+                    multi.add(
+                        ".".join(np.apply(i) for i in range(np.size()))
+                    )
             elif cls == "UnresolvedFunction":
                 np = e.nameParts()
                 if np.apply(np.size() - 1).lower() in _PROBE_BLOCKED_FNS:
@@ -1216,6 +1246,7 @@ def _predicate_tree_info(spark: SparkSession, cond) -> dict | None:
         return {
             "cols": cols,
             "first_parts": first_parts,
+            "multi": multi,
             "multipart": multipart,
             "blocked": blocked,
         }
@@ -1381,19 +1412,26 @@ def _leaf_carries_columns(
     files_map: dict[str, list[tuple[str, int]]],
     fs,
     needed: set[str],
+    max_concurrency: int = 1,
 ) -> bool:
     """True iff every non-empty leaf's own footer schema (one sample
     file per leaf — the same single-schema pick a per-leaf read makes)
     carries every ``needed`` data column, partition-path columns
-    excluded.  The batched counters read ALL leaves in one union whose
-    schema comes from ONE file (mergeSchema off): a leaf whose files
-    lack a predicate/key column would yield NULLs and be SILENTLY
+    excluded.  ``needed`` names may be DOTTED (``s.x``, from a nested
+    struct-field predicate): those are verified against the footer's
+    full field paths, so a leaf whose struct lacks the referenced field
+    routes to the fallback exactly like a missing top-level column.
+    The batched counters read ALL leaves in one union whose schema
+    comes from ONE file (mergeSchema off): a leaf whose files lack a
+    predicate/key column OR field would yield NULLs and be SILENTLY
     counted as zero-match, where the per-leaf fallback raises an
     AnalysisException and surfaces the schema drift — so a failing
     check here must route to that fallback.  Footer reads are
     driver-side metadata ops (pyarrow locally, ranged Hadoop tail
-    reads remotely), one per leaf, paid only on paths that are about
-    to scan the whole snapshot anyway."""
+    reads remotely), one per leaf, fanned out over ``max_concurrency``
+    (a 10k-leaf remote store would otherwise pay 10k sequential RPC
+    round-trips before its single count job), paid only on paths that
+    are about to scan the whole snapshot anyway."""
     if not needed:
         return True
     case_sensitive = (
@@ -1404,6 +1442,8 @@ def _leaf_carries_columns(
         return set(names) if case_sensitive else {n.lower() for n in names}
 
     want = fold(needed)
+    nested = any("." in n for n in want)
+    todo: list[tuple[str, set[str]]] = []
     for leaf in leaves:
         files = files_map[leaf]
         if not files:
@@ -1415,15 +1455,20 @@ def _leaf_carries_columns(
             if "=" in seg
         )
         need = want - pcols
-        if not need:
-            continue
+        if need:
+            todo.append((leaf, need))
+
+    def check(args: tuple[str, set[str]]) -> bool:
+        leaf, need = args
         try:
-            names = fold(fs.footer_column_names(*files[0]))
+            probe = (
+                fs.footer_field_paths if nested else fs.footer_column_names
+            )
+            return need <= fold(probe(*files_map[leaf][0]))
         except Exception:
             return False  # unreadable footer: the fallback is exact
-        if not need <= names:
-            return False
-    return True
+
+    return all(_fanout(check, todo, max_concurrency))
 
 
 def _batched_leaf_counts(
@@ -1433,6 +1478,7 @@ def _batched_leaf_counts(
     files_map: dict[str, list[tuple[str, int]]],
     cond,
     fs,
+    max_concurrency: int = 1,
 ) -> dict[str, tuple[int, int]] | None:
     """Per-leaf ``(rows_before, n_match)`` for a data-column predicate
     in ONE map-side-combined scan job over the whole file-list
@@ -1445,9 +1491,12 @@ def _batched_leaf_counts(
     to exact per-leaf counting by returning None, as does a ragged
     non-hive layout where one ``basePath`` read cannot span the
     leaves, and a leaf whose own footer schema LACKS a referenced data
-    column (the union read would NULL it and silently zero-match where
-    the per-leaf read raises and surfaces the drift).  The collect is
-    file-grain — control-plane sized (one short row per file, never
+    column — or, for a nested ``s.x`` predicate, the referenced STRUCT
+    FIELD (verified against full footer field paths; a struct present
+    everywhere but missing the field in one leaf would NULL-fill and
+    silently zero-match just like a missing column, where the per-leaf
+    read raises FIELD_NOT_FOUND and surfaces the drift).  The collect
+    is file-grain — control-plane sized (one short row per file, never
     data)."""
     from urllib.parse import unquote, urlparse
 
@@ -1473,7 +1522,8 @@ def _batched_leaf_counts(
             leaves,
             files_map,
             fs,
-            info["cols"] | info["first_parts"],
+            info["cols"] | info["first_parts"] | info["multi"],
+            max_concurrency,
         ):
             return None  # schema drift: let the per-leaf read surface it
     # keys are scheme-stripped (urlparse path) so the local arm's plain
@@ -1728,18 +1778,11 @@ def delete_parquet_where(
     counts_map = (
         None
         if membership is not None
-        else _batched_leaf_counts(spark, path, leaves, files_map, cond, fs)
+        else _batched_leaf_counts(
+            spark, path, leaves, files_map, cond, fs, max_concurrency
+        )
     )
-    if max_concurrency <= 1 or len(leaves) <= 1:
-        reports = [one_leaf(leaf) for leaf in leaves]
-    else:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
-            reports = [
-                f.result()
-                for f in [pool.submit(one_leaf, leaf) for leaf in leaves]
-            ]
+    reports = _fanout(one_leaf, leaves, max_concurrency)
     fs.rmdir_if_empty(stage_root)  # end-of-pass cleanup (see _finish_swap)
     return {
         "dir": path,
@@ -1781,18 +1824,6 @@ def _finish_relayout(
     distinct originals, so the parallelism never interleaves within a
     leaf; py4j FS ops over thousands of leaves are the whole finish
     cost on a remote store."""
-
-    def _fanout(fn, items):
-        if max_concurrency <= 1 or len(items) <= 1:
-            for it in items:
-                fn(it)
-            return
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
-            for f in [pool.submit(fn, it) for it in items]:
-                f.result()
-
     originals = [
         line
         for line in fs.read_text(os.path.join(stage, _MANIFEST)).splitlines()
@@ -1805,7 +1836,7 @@ def _finish_relayout(
         fs.makedirs(target)
         _install_staged(fs, staged_leaf, target)
 
-    _fanout(install, fs.leaf_dirs(stage))
+    _fanout(install, fs.leaf_dirs(stage), max_concurrency)
 
     by_dir: dict[str, list[str]] = {}
     for rel in originals:
@@ -1825,7 +1856,7 @@ def _finish_relayout(
             if fs.exists(crc):
                 fs.remove(crc)
 
-    _fanout(retire, list(by_dir.values()))
+    _fanout(retire, list(by_dir.values()), max_concurrency)
     # a leaf whose every original retired and that received no staged
     # files is now empty — remove it (and any emptied parents), so a
     # re-layout that MOVED all of a partition's keys elsewhere does not
@@ -1856,9 +1887,12 @@ def relayout_parquet(
     Scale shape: global dedup is a global statement, so the honest
     minimum is ONE shuffle on the key columns (dropDuplicates —
     map-side partial aggregation applies) followed by ONE clustered
-    write (a second shuffle keyed on the partition columns so each
-    task writes whole partition directories at ~``target_bytes``
-    files).  There is deliberately no leaf-grain fast path here: a
+    write: a RANGE shuffle keyed on (partition columns, hash(key)) —
+    the lakehouse "range" write-distribution mode — so a hot partition
+    value splits across ~size/``target_bytes`` tasks (that many
+    ~``target_bytes`` files) while small leaves coalesce into shared
+    tasks (one file each).  There is deliberately no leaf-grain fast
+    path here: a
     corpus that only ever duplicates WITHIN leaves should run per-leaf
     vacuum instead (listing + one count per pass); this op's
     no-duplicates fast path is one count job deciding the corpus is
@@ -1880,7 +1914,13 @@ def relayout_parquet(
     leaf whose keys all moved or collapsed away is removed.
     Concurrent appends between snapshot and swap survive untouched.
     Ragged non-hive layouts are refused (their layout cannot be
-    reproduced by a partitioned write).  ``max_concurrency`` > 1
+    reproduced by a partitioned write), and so is a corpus where ANY
+    file's footer lacks a non-partition key column — those rows would
+    NULL-key and collapse into one survivor, and a destructive global
+    rewrite has no exact fallback to degrade to; other schema drift is
+    handled by reading with ``mergeSchema`` (a column present in only
+    some leaves survives NULL-filled, never silently dropped).
+    ``max_concurrency`` > 1
     parallelizes the finish phase's FS ops (staged-leaf installs,
     per-directory retires) from a driver-side thread pool — the py4j
     round-trips over thousands of leaves, not the Spark jobs, dominate
@@ -1936,12 +1976,53 @@ def relayout_parquet(
                 f"{path!r} mixes {part_cols!r} and {cols!r}"
             )
     files_map = {leaf: fs.parquet_files(leaf) for leaf in leaves}
-    all_files = [p for files in files_map.values() for p, _ in files]
+    sized_files = [f for files in files_map.values() for f in files]
+    all_files = [p for p, _ in sized_files]
     report["n_files_before"] = len(all_files)
     if not all_files:
         report["n_leaves_after"] = len(leaves)
         return report
-    reader = spark.read
+    # schema-drift guards — a global rewrite has NO exact fallback, so
+    # unlike the batched counters these refuse instead of degrading:
+    # (a) EVERY file must carry every non-partition key column; one
+    # that lacks it would NULL the key for its rows and dropDuplicates
+    # would collapse them into a single survivor — permanent row loss
+    # (per-FILE footers, not a per-leaf sample, because the rewrite is
+    # destructive; metadata-grain ranged reads, fanned out, against a
+    # pass that is about to rewrite every data byte anyway), and
+    # (b) the read below merges schemas, so a column absent from the
+    # first file survives the rewrite NULL-filled elsewhere instead of
+    # being silently dropped from the whole corpus.
+    case_sensitive = (
+        spark.conf.get("spark.sql.caseSensitive", "false").lower() == "true"
+    )
+
+    def fold(names):
+        return set(names) if case_sensitive else {n.lower() for n in names}
+
+    data_keys = fold(key_cols) - fold(part_cols or [])
+    if data_keys:
+
+        def missing_keys(file: tuple[str, int]) -> str | None:
+            try:
+                names = fold(fs.footer_column_names(*file))
+            except Exception:
+                return "<unreadable footer>"
+            lack = data_keys - names
+            return ", ".join(sorted(lack)) if lack else None
+
+        for (p, _), lack in zip(
+            sized_files, _fanout(missing_keys, sized_files, max_concurrency)
+        ):
+            if lack:
+                raise ValueError(
+                    f"relayout_parquet would destroy rows: {p!r} lacks "
+                    f"key column(s) {lack} — its rows would NULL-key "
+                    f"and collapse into one survivor.  Align schemas "
+                    f"first, or re-layout partition subtrees that share "
+                    f"a schema."
+                )
+    reader = spark.read.option("mergeSchema", "true")
     if part_cols:
         reader = reader.option("basePath", path)
     df = reader.parquet(*all_files)
@@ -1970,9 +2051,23 @@ def relayout_parquet(
     n_out = max(
         1, math.ceil(total * n_keys / max(rows_before, 1) / target_bytes)
     )
-    survivors = df.dropDuplicates(list(key_cols)).repartition(
-        n_out, *[F.col(c) for c in part_cols]
-    ) if part_cols else df.dropDuplicates(list(key_cols)).repartition(n_out)
+    # RANGE-keyed write distribution (the lakehouse "range" mode): keys
+    # sort by (partition columns, hash(key)), so a hot partition value
+    # spans ~size/target_bytes contiguous ranges (that many tasks, that
+    # many ~target_bytes files) while small leaves share a range with
+    # neighbors (one file each) — a plain hash repartition on the
+    # partition columns would put EVERY row of a partition value in ONE
+    # task: one arbitrarily-large file per leaf, no write parallelism
+    # for the hottest leaf, and a leaf far above target_bytes that later
+    # compaction passes skip as healthy.  The range sampling job reuses
+    # the dedup stage's shuffle output, so the corpus is still scanned
+    # once.
+    shuffle_keys = [F.col(c) for c in (part_cols or [])] + [
+        F.hash(*[F.col(c) for c in key_cols])
+    ]
+    survivors = df.dropDuplicates(list(key_cols)).repartitionByRange(
+        n_out, *shuffle_keys
+    )
     writer = survivors.write.mode("overwrite")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
