@@ -409,7 +409,12 @@ def test_relayout_splits_hot_leaf_near_target_bytes(spark, tmp_path):
         if f.endswith(".parquet")
     )
     target = total // 6  # force the hot leaf to span several ranges
-    rep = relayout_parquet(spark, path, ["k"], target_bytes=target)
+    # scope="full": the write-distribution property under test belongs
+    # to the rewrite itself; auto scope would leave the cold leaves'
+    # small input files untouched (compaction is compact_parquet's job)
+    rep = relayout_parquet(
+        spark, path, ["k"], target_bytes=target, scope="full"
+    )
     assert rep["rewritten"] and rep["rows_after"] == 40_000 + 400
     hot_files = [
         f for f in os.listdir(os.path.join(path, "part=0"))
@@ -422,3 +427,157 @@ def test_relayout_splits_hot_leaf_near_target_bytes(spark, tmp_path):
             if f.endswith(".parquet")
         ]
         assert len(cold) == 1, f"cold leaf part={p} must not shatter"
+
+
+def _sparse_dup_corpus(spark, path: str, n_parts: int = 6):
+    """Each part=p leaf holds its own key range in TWO files; only ONE
+    cross-leaf duplicate pair exists (key 1 in part=0 and part=1) —
+    the sparse-dup shape where a full rewrite is 100x too much work."""
+    for p in range(n_parts):
+        for half in range(2):
+            spark.createDataFrame(
+                [
+                    (k, k * 7, p)
+                    for k in range(
+                        p * 100 + half * 50, p * 100 + half * 50 + 50
+                    )
+                ],
+                "k long, v long, part long",
+            ).coalesce(1).write.mode("append").partitionBy("part").parquet(
+                path
+            )
+    # the one cross-leaf duplicate: key 1 (lives in part=0's first
+    # file) appended again under part=1
+    spark.createDataFrame(
+        [(1, 7, 1)], "k long, v long, part long"
+    ).coalesce(1).write.mode("append").partitionBy("part").parquet(path)
+    _strip_success(path)
+
+
+def _file_bytes(path: str) -> dict:
+    out = {}
+    for dirpath, _d, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, path)] = fh.read()
+    return out
+
+
+def test_relayout_scoped_rewrites_only_affected_files(spark, tmp_path):
+    """Default (auto) scope on a sparse-dup corpus must rewrite ONLY
+    the files that hold a duplicated key — every other file stays
+    byte-identical under its original name — while still collapsing
+    the duplicate globally."""
+    path = str(tmp_path / "sparse")
+    _sparse_dup_corpus(spark, path)
+    before = _file_bytes(path)
+    rep = relayout_parquet(spark, path, ["k"])
+    assert rep["scoped"] and rep["rewritten"]
+    assert rep["rows_before"] == 601 and rep["rows_after"] == 600
+    assert rep["n_dup_rows"] == 1
+    # only the two files holding key 1's copies were rewritten
+    assert rep["n_files_rewritten"] == 2
+    after = _file_bytes(path)
+    untouched = 0
+    for rel, blob in before.items():
+        if rel in after:
+            assert after[rel] == blob, f"{rel} must stay byte-identical"
+            untouched += 1
+    assert untouched == len(before) - 2
+    got = spark.read.parquet(path)
+    assert got.count() == 600
+    assert got.where("k = 1").count() == 1
+    assert got.where("v != k * 7").count() == 0
+
+
+def test_relayout_scoped_parity_with_full(spark, tmp_path):
+    """scope='files' and scope='full' must agree on the logical result
+    and the row/dup accounting on the same corpus."""
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    for p in (pa, pb):
+        _sparse_dup_corpus(spark, p)
+    rs = relayout_parquet(spark, pa, ["k"], scope="files")
+    rf = relayout_parquet(spark, pb, ["k"], scope="full")
+    assert rs["scoped"] and not rf["scoped"]
+    assert rf["n_files_rewritten"] == rf["n_files_before"]
+    for key in ("rows_before", "rows_after", "n_dup_rows", "rewritten"):
+        assert rs[key] == rf[key], key
+    va = (
+        spark.read.parquet(pa).toPandas()
+        .sort_values(["k", "part"]).reset_index(drop=True)
+    )
+    vb = (
+        spark.read.parquet(pb).toPandas()
+        .sort_values(["k", "part"]).reset_index(drop=True)
+    )
+    assert va[["k", "v", "part"]].equals(vb[["k", "v", "part"]])
+
+
+def test_relayout_scoped_null_keys_group_globally(spark, tmp_path):
+    """Null keys group together (the vacuum semantic): null-key rows in
+    DIFFERENT files are duplicates of each other, so scoped mode must
+    mark both files affected and collapse them to one survivor."""
+    path = str(tmp_path / "nulls")
+    spark.createDataFrame(
+        [(None, 0), (10, 0)], "k long, part long"
+    ).coalesce(1).write.mode("append").partitionBy("part").parquet(path)
+    spark.createDataFrame(
+        [(None, 1), (20, 1)], "k long, part long"
+    ).coalesce(1).write.mode("append").partitionBy("part").parquet(path)
+    spark.createDataFrame(
+        [(30, 2)], "k long, part long"
+    ).coalesce(1).write.mode("append").partitionBy("part").parquet(path)
+    _strip_success(path)
+    rep = relayout_parquet(spark, path, ["k"], scope="files")
+    assert rep["rows_before"] == 5 and rep["rows_after"] == 4
+    got = spark.read.parquet(path)
+    assert got.where("k IS NULL").count() == 1
+    assert got.count() == 4
+
+
+def test_relayout_scoped_crash_recovery_preserves_untouched(spark, tmp_path):
+    """Crash at the scoped commit point: recovery must finish the swap
+    for the affected files only; everything else stays byte-identical
+    and no rows are lost."""
+    path = str(tmp_path / "crash")
+    _sparse_dup_corpus(spark, path)
+    before = _file_bytes(path)
+    mp = pytest.MonkeyPatch()
+    mp.setattr(
+        compact_mod,
+        "_finish_relayout",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom")),
+    )
+    try:
+        with pytest.raises(RuntimeError, match="boom"):
+            relayout_parquet(spark, path, ["k"], scope="files")
+        # mid-swap state: originals intact plus the staged survivors —
+        # a crash can only ADD duplicates, never lose rows
+        assert spark.read.parquet(path).count() == 601
+    finally:
+        mp.undo()
+    rep = relayout_parquet(spark, path, ["k"], scope="files")
+    assert rep["recovered"]
+    got = spark.read.parquet(path)
+    assert got.count() == 600 and got.where("k = 1").count() == 1
+    after = _file_bytes(path)
+    for rel, blob in before.items():
+        if rel in after:
+            assert after[rel] == blob
+
+
+def test_relayout_scope_validation_and_collision_fallback(spark, tmp_path):
+    path = str(tmp_path / "scopes")
+    with pytest.raises(ValueError, match="scope must be"):
+        relayout_parquet(spark, path, ["k"], scope="leaf")
+    # a key column named like a detect-frame working column silently
+    # takes the full path instead of colliding
+    spark.createDataFrame(
+        [(1, 0), (1, 1)], "tot long, part long"
+    ).write.partitionBy("part").parquet(path)
+    _strip_success(path)
+    rep = relayout_parquet(spark, path, ["tot"], scope="files")
+    assert rep["rewritten"] and not rep["scoped"]
+    assert spark.read.parquet(path).count() == 1

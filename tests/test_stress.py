@@ -978,3 +978,61 @@ def test_relayout_noop_cost_is_count_grain(spark, tmp_path):
         f"no-op relayout should be count-grain: {t_noop:.2f}s vs "
         f"rewrite {t_rewrite:.2f}s"
     )
+
+
+def test_relayout_scoped_cost_tracks_dup_fraction(spark, tmp_path):
+    """The r15 scoped re-layout promise at scale: on a corpus where a
+    tiny fraction of files hold cross-leaf duplicates, auto scope
+    rewrites only those files, so the pass costs the detect scan plus
+    a delta-sized write — well under the full rewrite the same corpus
+    pays under scope='full'.  Both arms run ADJACENTLY on twin corpora
+    of identical content so an ambient burst hits them alike."""
+    from yodel_etl_spark.io.compact import relayout_parquet
+
+    def build(path: str) -> None:
+        # range-clustered write so each file holds a contiguous key
+        # span — the shape any ingest that clusters on the key
+        # produces, and what keeps the dup sliver's copies in a
+        # handful of files instead of sprayed round-robin everywhere
+        spark.range(2_000_000).selectExpr(
+            "id AS k", "id % 16 AS part", "id * 3 AS v"
+        ).repartitionByRange(64, "k").write.partitionBy("part").parquet(
+            path
+        )
+        # ONE re-bucketed sliver: 1000 keys move to a new leaf
+        spark.read.parquet(path).where("k < 1000").withColumn(
+            "part", F.lit(99)
+        ).coalesce(1).write.mode("append").partitionBy("part").parquet(
+            path
+        )
+
+    pa, pb = str(tmp_path / "full"), str(tmp_path / "scoped")
+    build(pa)
+    build(pb)
+    spark.read.parquet(pa).count()  # warm-up off the clock
+
+    t0 = time.time()
+    rf = relayout_parquet(spark, pa, ["k"], scope="full")
+    t_full = time.time() - t0
+    t1 = time.time()
+    rs = relayout_parquet(spark, pb, ["k"])  # auto → file grain
+    t_scoped = time.time() - t1
+
+    assert rf["rewritten"] and rs["rewritten"] and rs["scoped"]
+    assert rf["rows_after"] == rs["rows_after"] == 2_000_000
+    assert rf["n_dup_rows"] == rs["n_dup_rows"] == 1_000
+    assert rf["n_files_rewritten"] == rf["n_files_before"]
+    # the sliver file plus the handful of hot-key-range files
+    assert rs["n_files_rewritten"] < rs["n_files_before"] * 0.25
+    assert spark.read.parquet(pb).count() == 2_000_000
+    print(
+        f"STRESS relayout full {t_full:.2f}s vs scoped {t_scoped:.2f}s "
+        f"({rs['n_files_rewritten']}/{rs['n_files_before']} files)"
+    )
+    # at fixture scale both arms are floored by the one unavoidable
+    # detect/count scan over ~1k tiny files (pure task overhead), so
+    # the wall-clock gap understates the asymptotic one — the
+    # structural claim is the n_files_rewritten assertion above; the
+    # timing bound pins that scoped genuinely skips the full rewrite
+    # (measured ~0.66x quiet; 0.8 leaves noise margin)
+    assert t_scoped < t_full * 0.8, (t_scoped, t_full)

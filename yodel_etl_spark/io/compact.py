@@ -1874,6 +1874,7 @@ def relayout_parquet(
     key_cols: list[str] | tuple[str, ...],
     target_bytes: int = 128 * 1024 * 1024,
     max_concurrency: int = 1,
+    scope: str = "auto",
 ) -> dict:
     """Collapse duplicate-key rows ACROSS partition leaves — the
     re-layout that per-leaf :func:`vacuum_parquet` honestly refuses:
@@ -1884,19 +1885,32 @@ def relayout_parquet(
     GLOBALLY, each surviving row rewritten into the leaf its own
     partition values name.
 
-    Scale shape: global dedup is a global statement, so the honest
-    minimum is ONE shuffle on the key columns (dropDuplicates —
-    map-side partial aggregation applies) followed by ONE clustered
-    write: a RANGE shuffle keyed on (partition columns, hash(key)) —
+    Scale shape: finding global duplicates is a global statement, so
+    the honest minimum is ONE key-column-pruned scan shuffled on the
+    keys; the REWRITE, though, is scoped to the FILES that hold a
+    duplicated key (every copy of a duplicated key lives in one of
+    them by construction; a file outside the set holds only keys that
+    appear nowhere else, so deduplicating the affected files alone IS
+    the global dedup).  A 100 TB corpus with 0.1 % cross-leaf
+    duplicates pays the detect scan plus a rewrite of ~0.1 % of its
+    files — everything else stays byte-identical.  ``scope``:
+    ``"auto"`` (default) uses the file-grain path while at most half
+    the files are affected and falls back to a full rewrite beyond
+    that; ``"files"`` forces file grain; ``"full"`` forces the whole-
+    corpus rewrite (also the path that re-renders every partition
+    directory name canonically — scoped mode rewrites only affected
+    files, so a non-canonical leaf spelling like ``day=01`` can
+    coexist with a canonical ``day=1`` twin until a full pass; typed
+    readers see one logical partition either way).  The clustered
+    write is a RANGE shuffle keyed on (partition columns, hash(key)) —
     the lakehouse "range" write-distribution mode — so a hot partition
     value splits across ~size/``target_bytes`` tasks (that many
     ~``target_bytes`` files) while small leaves coalesce into shared
-    tasks (one file each).  There is deliberately no leaf-grain fast
-    path here: a
-    corpus that only ever duplicates WITHIN leaves should run per-leaf
-    vacuum instead (listing + one count per pass); this op's
-    no-duplicates fast path is one count job deciding the corpus is
-    already collapsed, leaving it byte-identical.
+    tasks (one file each).  A corpus that only ever duplicates WITHIN
+    leaves should still run per-leaf vacuum instead (listing + one
+    count per pass); this op's no-duplicates fast path is one count
+    job deciding the corpus is already collapsed, leaving it
+    byte-identical.
 
     Same two-phase contract as the rest of the family, at TREE grain:
     survivors land in a staging tree outside the root, an atomically-
@@ -1930,6 +1944,12 @@ def relayout_parquet(
     millions of files should re-layout partition-subtree by subtree."""
     from pyspark.sql import functions as F
 
+    if scope not in ("auto", "files", "full"):
+        raise ValueError(
+            f"scope must be 'auto', 'files' or 'full', got {scope!r}"
+        )
+    if {"__f", "tot", "fs"} & set(key_cols):
+        scope = "full"  # detect-frame working names would collide
     fs = _fs_for(spark, path)
     path = fs.normalize(path)
     root = path.rstrip("/")
@@ -2026,20 +2046,59 @@ def relayout_parquet(
     if part_cols:
         reader = reader.option("basePath", path)
     df = reader.parquet(*all_files)
-    # null-safe key counting (count_distinct would ignore null-key
-    # groups; dropDuplicates keeps them — same pattern as vacuum)
-    row = (
-        df.groupBy(*[F.col(c) for c in key_cols])
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("nk"))
-        .first()
-    )
+    gg = None
+    if scope == "full":
+        # null-safe key counting (count_distinct would ignore null-key
+        # groups; dropDuplicates keeps them — same pattern as vacuum)
+        row = (
+            df.groupBy(*[F.col(c) for c in key_cols])
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("nk"))
+            .first()
+        )
+    else:
+        # detect grain for the scoped rewrite: ONE key-column-pruned
+        # scan carrying input_file_name, ONE shuffle grouped on the
+        # keys (map-side partial agg merges each key's count and file
+        # set before the exchange — a unique key ships one row with a
+        # one-element set), then ONE aggregate action that returns the
+        # row/key stats AND the affected-file set together (a second
+        # action would re-execute the scan — actions do not share
+        # exchanges).  The flattened set is file-grain, the same
+        # O(n_files) order the manifest already holds driver-side; a
+        # key duplicated across k files carries a k-element set (k
+        # files are affected anyway).  Null keys group together (same
+        # vacuum/dropDuplicates semantics as the full path).
+        gg = (
+            df.select(
+                *[F.col(c) for c in key_cols],
+                F.input_file_name().alias("__f"),
+            )
+            .groupBy(*[F.col(c) for c in key_cols])
+            .agg(
+                F.count(F.lit(1)).alias("tot"),
+                F.collect_set("__f").alias("fs"),
+            )
+        )
+        row = gg.agg(
+            F.sum("tot").alias("n"),
+            F.count(F.lit(1)).alias("nk"),
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(
+                        F.when(F.col("tot") > 1, F.col("fs"))
+                    )
+                )
+            ).alias("aff"),
+        ).first()
     rows_before = int(row["n"] or 0)
-    n_keys = int(row["nk"])
+    n_keys = int(row["nk"] or 0)
     report.update(
         rows_before=rows_before,
         rows_after=rows_before,
         n_dup_rows=rows_before - n_keys,
+        n_files_rewritten=0,
+        scoped=False,
     )
     if rows_before == n_keys:
         # already collapsed: one count job was the whole cost, the
@@ -2047,9 +2106,36 @@ def relayout_parquet(
         report["n_files_after"] = len(all_files)
         report["n_leaves_after"] = len(leaves)
         return report
+    rewrite = sized_files
+    if gg is not None:
+        # which FILES hold a duplicated key?  Every copy of a
+        # duplicated key lives in one of them by construction, and a
+        # file outside the set holds only keys that appear nowhere
+        # else — so deduplicating the affected files alone IS the
+        # global dedup, and everything else stays byte-identical.
+        from urllib.parse import unquote, urlparse
+
+        path2file = {_scheme_stripped(p): (p, sz) for p, sz in sized_files}
+        aff = {unquote(urlparse(f).path) for f in (row["aff"] or [])}
+        hit = [path2file[a] for a in aff if a in path2file]
+        if len(hit) == len(aff) and (
+            scope == "files" or 2 * len(hit) <= len(all_files)
+        ):
+            # an unmapped file (renamed mid-flight) or a mostly-
+            # affected corpus (auto mode: the join bookkeeping stops
+            # paying for itself around half the files) falls back to
+            # the full rewrite above
+            rewrite = sorted(hit)
+            report["scoped"] = True
     total = sum(sz for files in files_map.values() for _, sz in files)
+    rw_bytes = sum(sz for _, sz in rewrite)
+    avg_row = total / max(rows_before, 1)
     n_out = max(
-        1, math.ceil(total * n_keys / max(rows_before, 1) / target_bytes)
+        1,
+        math.ceil(
+            max(rw_bytes - (rows_before - n_keys) * avg_row, avg_row)
+            / target_bytes
+        ),
     )
     # RANGE-keyed write distribution (the lakehouse "range" mode): keys
     # sort by (partition columns, hash(key)), so a hot partition value
@@ -2065,27 +2151,31 @@ def relayout_parquet(
     shuffle_keys = [F.col(c) for c in (part_cols or [])] + [
         F.hash(*[F.col(c) for c in key_cols])
     ]
-    survivors = df.dropDuplicates(list(key_cols)).repartitionByRange(
+    rdf = (
+        df
+        if not report["scoped"]
+        else reader.parquet(*[p for p, _ in rewrite])
+    )
+    survivors = rdf.dropDuplicates(list(key_cols)).repartitionByRange(
         n_out, *shuffle_keys
     )
     writer = survivors.write.mode("overwrite")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(stage)
-    # commit point: manifest lists every snapshot file LEAF-RELATIVELY
+    # commit point: manifest lists every REWRITTEN snapshot file
+    # LEAF-RELATIVELY (scoped mode: only the affected files — the rest
+    # were never read into the stage and must survive untouched)
     fs.write_text_atomic(
         os.path.join(stage, _MANIFEST),
-        "\n".join(
-            os.path.relpath(p, root)
-            for files in files_map.values()
-            for p, _ in files
-        ),
+        "\n".join(os.path.relpath(p, root) for p, _ in rewrite),
     )
     _finish_relayout(fs, stage, root, max_concurrency)
     leaves_after = fs.leaf_dirs(path)
     report.update(
         rows_after=n_keys,
         rewritten=True,
+        n_files_rewritten=len(rewrite),
         n_files_after=sum(
             len(fs.parquet_files(leaf)) for leaf in leaves_after
         ),

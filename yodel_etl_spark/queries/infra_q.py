@@ -641,7 +641,7 @@ def delete_where_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     moved.withColumn("event_type", F.lit("rebucketed")).coalesce(
         4
     ).write.mode("append").partitionBy("event_type").parquet(path)
-    rrep = relayout_parquet(spark, path, ["event_id"])
+    rrep = relayout_parquet(spark, path, ["event_id"], max_concurrency=4)
     # PLAIN re-count: matches relayout's rows_after only if the replay
     # duplicates really collapsed, both deletes really removed their
     # rows from files, AND the re-layout really folded the re-bucketed
