@@ -993,10 +993,16 @@ def test_relayout_scoped_cost_tracks_dup_fraction(spark, tmp_path):
         # range-clustered write so each file holds a contiguous key
         # span — the shape any ingest that clusters on the key
         # produces, and what keeps the dup sliver's copies in a
-        # handful of files instead of sprayed round-robin everywhere
+        # handful of files instead of sprayed round-robin everywhere;
+        # 8 range tasks x 16 leaves = 128 data-sized files, so the
+        # timing compares rewrite work, not per-task launch overhead
+        # the fat incompressible-ish payload makes the REWRITE the
+        # dominant cost (as at real scale), while the detect scans
+        # stay key-column-pruned and cheap
         spark.range(2_000_000).selectExpr(
-            "id AS k", "id % 16 AS part", "id * 3 AS v"
-        ).repartitionByRange(64, "k").write.partitionBy("part").parquet(
+            "id AS k", "id % 16 AS part", "id * 3 AS v",
+            "sha2(cast(id as string), 256) AS pad"
+        ).repartitionByRange(8, "k").write.partitionBy("part").parquet(
             path
         )
         # ONE re-bucketed sliver: 1000 keys move to a new leaf
@@ -1029,10 +1035,9 @@ def test_relayout_scoped_cost_tracks_dup_fraction(spark, tmp_path):
         f"STRESS relayout full {t_full:.2f}s vs scoped {t_scoped:.2f}s "
         f"({rs['n_files_rewritten']}/{rs['n_files_before']} files)"
     )
-    # at fixture scale both arms are floored by the one unavoidable
-    # detect/count scan over ~1k tiny files (pure task overhead), so
-    # the wall-clock gap understates the asymptotic one — the
-    # structural claim is the n_files_rewritten assertion above; the
-    # timing bound pins that scoped genuinely skips the full rewrite
-    # (measured ~0.66x quiet; 0.8 leaves noise margin)
-    assert t_scoped < t_full * 0.8, (t_scoped, t_full)
+    # scoped pays the key-pruned count plus the semi-join detect where
+    # full pays the count plus the whole rewrite — with data-sized
+    # files the rewrite dominates and the gap tracks the dup fraction
+    # (the structural claim is the n_files_rewritten assertion above;
+    # measured 0.54x on a ~1.3x-contended window, 0.65 leaves margin)
+    assert t_scoped < t_full * 0.65, (t_scoped, t_full)

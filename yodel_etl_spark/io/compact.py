@@ -1886,14 +1886,16 @@ def relayout_parquet(
     partition values name.
 
     Scale shape: finding global duplicates is a global statement, so
-    the honest minimum is ONE key-column-pruned scan shuffled on the
-    keys; the REWRITE, though, is scoped to the FILES that hold a
-    duplicated key (every copy of a duplicated key lives in one of
-    them by construction; a file outside the set holds only keys that
-    appear nowhere else, so deduplicating the affected files alone IS
-    the global dedup).  A 100 TB corpus with 0.1 % cross-leaf
-    duplicates pays the detect scan plus a rewrite of ~0.1 % of its
-    files — everything else stays byte-identical.  ``scope``:
+    every pass pays ONE narrow key-column-pruned count scan (keys and
+    partial counts only — the scheduled no-op case ends there); when
+    that scan finds duplicates, a SECOND scan names the FILES that
+    hold a duplicated key and the REWRITE is scoped to them (every
+    copy of a duplicated key lives in one of them by construction; a
+    file outside the set holds only keys that appear nowhere else, so
+    deduplicating the affected files alone IS the global dedup).  A
+    100 TB corpus with 0.1 % cross-leaf duplicates pays the two scans
+    plus a rewrite of ~0.1 % of its files — everything else stays
+    byte-identical.  ``scope``:
     ``"auto"`` (default) uses the file-grain path while at most half
     the files are affected and falls back to a full rewrite beyond
     that; ``"files"`` forces file grain; ``"full"`` forces the whole-
@@ -1948,8 +1950,22 @@ def relayout_parquet(
         raise ValueError(
             f"scope must be 'auto', 'files' or 'full', got {scope!r}"
         )
-    if {"__f", "tot", "fs"} & set(key_cols):
-        scope = "full"  # detect-frame working names would collide
+    _case_sensitive = (
+        spark.conf.get("spark.sql.caseSensitive", "false").lower() == "true"
+    )
+    _reserved = {"__relayout_c", "__relayout_n", "__relayout_nk",
+                 "__relayout_f", "__relayout_tot", "__relayout_fs"}
+    _keyset = (
+        set(key_cols) if _case_sensitive else {k.lower() for k in key_cols}
+    )
+    if _reserved & _keyset:
+        # resolution is case-insensitive by default, so the fold above
+        # matters; a collision would make the working aggregates
+        # ambiguous, and the count job has no alternate path to force
+        raise ValueError(
+            f"key column collides with a relayout working name: "
+            f"{sorted(_reserved & _keyset)}"
+        )
     fs = _fs_for(spark, path)
     path = fs.normalize(path)
     root = path.rstrip("/")
@@ -1974,6 +1990,8 @@ def relayout_parquet(
         "n_leaves_before": len(leaves),
         "recovered": recovered,
         "rewritten": False,
+        "n_files_rewritten": 0,
+        "scoped": False,
     }
     if not leaves:
         report["n_leaves_after"] = 0
@@ -2046,59 +2064,26 @@ def relayout_parquet(
     if part_cols:
         reader = reader.option("basePath", path)
     df = reader.parquet(*all_files)
-    gg = None
-    if scope == "full":
-        # null-safe key counting (count_distinct would ignore null-key
-        # groups; dropDuplicates keeps them — same pattern as vacuum)
-        row = (
-            df.groupBy(*[F.col(c) for c in key_cols])
-            .agg(F.count(F.lit(1)).alias("c"))
-            .agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("nk"))
-            .first()
+    # job 1, every scope: CHEAP null-safe key counting (count_distinct
+    # would ignore null-key groups; dropDuplicates keeps them — same
+    # pattern as vacuum).  Narrow shuffle — keys and partial counts,
+    # never file strings — so the common scheduled NO-OP pass still
+    # costs exactly one count job.
+    row = (
+        df.groupBy(*[F.col(c) for c in key_cols])
+        .agg(F.count(F.lit(1)).alias("__relayout_c"))
+        .agg(
+            F.sum("__relayout_c").alias("__relayout_n"),
+            F.count(F.lit(1)).alias("__relayout_nk"),
         )
-    else:
-        # detect grain for the scoped rewrite: ONE key-column-pruned
-        # scan carrying input_file_name, ONE shuffle grouped on the
-        # keys (map-side partial agg merges each key's count and file
-        # set before the exchange — a unique key ships one row with a
-        # one-element set), then ONE aggregate action that returns the
-        # row/key stats AND the affected-file set together (a second
-        # action would re-execute the scan — actions do not share
-        # exchanges).  The flattened set is file-grain, the same
-        # O(n_files) order the manifest already holds driver-side; a
-        # key duplicated across k files carries a k-element set (k
-        # files are affected anyway).  Null keys group together (same
-        # vacuum/dropDuplicates semantics as the full path).
-        gg = (
-            df.select(
-                *[F.col(c) for c in key_cols],
-                F.input_file_name().alias("__f"),
-            )
-            .groupBy(*[F.col(c) for c in key_cols])
-            .agg(
-                F.count(F.lit(1)).alias("tot"),
-                F.collect_set("__f").alias("fs"),
-            )
-        )
-        row = gg.agg(
-            F.sum("tot").alias("n"),
-            F.count(F.lit(1)).alias("nk"),
-            F.array_distinct(
-                F.flatten(
-                    F.collect_list(
-                        F.when(F.col("tot") > 1, F.col("fs"))
-                    )
-                )
-            ).alias("aff"),
-        ).first()
-    rows_before = int(row["n"] or 0)
-    n_keys = int(row["nk"] or 0)
+        .first()
+    )
+    rows_before = int(row["__relayout_n"] or 0)
+    n_keys = int(row["__relayout_nk"] or 0)
     report.update(
         rows_before=rows_before,
         rows_after=rows_before,
         n_dup_rows=rows_before - n_keys,
-        n_files_rewritten=0,
-        scoped=False,
     )
     if rows_before == n_keys:
         # already collapsed: one count job was the whole cost, the
@@ -2107,22 +2092,53 @@ def relayout_parquet(
         report["n_leaves_after"] = len(leaves)
         return report
     rewrite = sized_files
-    if gg is not None:
+    if scope != "full":
+        # job 2, paid only when there ARE duplicates to collapse:
         # which FILES hold a duplicated key?  Every copy of a
         # duplicated key lives in one of them by construction, and a
         # file outside the set holds only keys that appear nowhere
         # else — so deduplicating the affected files alone IS the
         # global dedup, and everything else stays byte-identical.
+        # Shape: dup keys from a NARROW count shuffle (keys + partial
+        # counts), then a null-safe SEMI-join of the (keys, file)
+        # probe against them — sparse dup sets broadcast (AQE), so
+        # file-path strings never shuffle at all; dense sets degrade
+        # to a sort-merge join, which is the fallback-to-full shape
+        # anyway.  Only the distinct affected-file list (O(n_files),
+        # the same order the manifest holds) reaches the driver.
         from urllib.parse import unquote, urlparse
 
+        probe = df.select(
+            *[F.col(c) for c in key_cols],
+            F.input_file_name().alias("__relayout_f"),
+        ).alias("__rl_probe")
+        dup = (
+            df.groupBy(*[F.col(c) for c in key_cols])
+            .agg(F.count(F.lit(1)).alias("__relayout_tot"))
+            .where(F.col("__relayout_tot") > 1)
+            .drop("__relayout_tot")
+            .alias("__rl_dup")
+        )
+        join_cond = None
+        for c in key_cols:
+            e = probe[c].eqNullSafe(dup[c])
+            join_cond = e if join_cond is None else (join_cond & e)
+        aff_rows = (
+            probe.join(dup, join_cond, "leftsemi")
+            .select("__relayout_f")
+            .distinct()
+            .collect()
+        )
         path2file = {_scheme_stripped(p): (p, sz) for p, sz in sized_files}
-        aff = {unquote(urlparse(f).path) for f in (row["aff"] or [])}
+        aff = {
+            unquote(urlparse(r["__relayout_f"]).path) for r in aff_rows
+        }
         hit = [path2file[a] for a in aff if a in path2file]
         if len(hit) == len(aff) and (
             scope == "files" or 2 * len(hit) <= len(all_files)
         ):
             # an unmapped file (renamed mid-flight) or a mostly-
-            # affected corpus (auto mode: the join bookkeeping stops
+            # affected corpus (auto mode: the detect bookkeeping stops
             # paying for itself around half the files) falls back to
             # the full rewrite above
             rewrite = sorted(hit)
