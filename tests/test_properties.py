@@ -543,3 +543,106 @@ def test_component_map_fold_matches_one_shot(spark, tmp_path_factory, batches):
         }
     )
     assert got == want
+
+
+# ------------------------------------- maintenance family interleavings
+_mrow = st.tuples(
+    st.one_of(st.none(), st.integers(0, 20)),  # key (incl. null)
+    st.one_of(st.none(), st.integers(0, 2)),   # partition (incl. null leaf)
+)
+_mop = st.one_of(
+    st.tuples(st.just("append"), st.lists(_mrow, min_size=1, max_size=12)),
+    st.tuples(st.just("vacuum"), st.just(None)),
+    st.tuples(st.just("delete"), st.integers(0, 22)),
+    st.tuples(st.just("relayout"), st.just(None)),
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(_mrow, min_size=1, max_size=12),  # initial corpus
+    st.lists(_mop, min_size=1, max_size=4),
+)
+def test_maintenance_interleavings_match_model(
+    spark, tmp_path_factory, first, ops
+):
+    """ANY interleaving of append / per-leaf vacuum / predicate delete
+    / scoped re-layout over a partitioned corpus must track a literal
+    Python multiset model: vacuum collapses (key, leaf) duplicates,
+    delete removes k >= t rows and keeps NULL-key rows, re-layout
+    keeps exactly one row per key whose leaf is one of that key's
+    candidate leaves (which copy survives is unspecified — the model
+    adopts the actual pick before continuing), and every report's
+    rows_after equals the model size.  Null keys and the null
+    partition leaf ride along throughout."""
+    from collections import Counter
+
+    from yodel_etl_spark.io.compact import (
+        delete_parquet_where,
+        relayout_parquet,
+        vacuum_parquet,
+    )
+
+    path = str(tmp_path_factory.mktemp("maint_prop") / "t")
+    schema = "k long, part long"
+    model: Counter = Counter()
+
+    def append(rows):
+        spark.createDataFrame(rows, schema).coalesce(2).write.mode(
+            "append"
+        ).partitionBy("part").parquet(path)
+        model.update(rows)
+
+    def read_counter() -> Counter:
+        import os as _os
+
+        if not any(
+            f.endswith(".parquet")
+            for _dp, _dn, fns in _os.walk(path)
+            for f in fns
+        ):
+            return Counter()
+        return Counter(
+            (r["k"], r["part"])
+            for r in spark.read.parquet(path).collect()
+        )
+
+    append(first)
+    for op, arg in ops:
+        if op == "append":
+            append(arg)
+        elif op == "vacuum":
+            if not model:
+                continue
+            rep = vacuum_parquet(spark, path, ["k"], per_leaf=True)
+            model = Counter(set(model))
+            assert rep["rows_after"] == sum(model.values())
+        elif op == "delete":
+            if not model:
+                continue
+            rep = delete_parquet_where(spark, path, f"k >= {arg}")
+            model = Counter(
+                {
+                    (k, p): c
+                    for (k, p), c in model.items()
+                    if k is None or k < arg
+                }
+            )
+            assert rep["rows_after"] == sum(model.values())
+        elif op == "relayout":
+            if not model:
+                continue
+            rep = relayout_parquet(spark, path, ["k"])
+            got = read_counter()
+            want_keys = {k for k, _p in model}
+            cand = {
+                k: {p for kk, p in model if kk == k} for k in want_keys
+            }
+            assert rep["rows_after"] == len(want_keys)
+            assert set(got.values()) <= {1}
+            assert {k for k, _p in got} == want_keys
+            for k, p in got:
+                assert p in cand[k], (k, p, cand[k])
+            model = got  # adopt the unspecified survivor picks
+            continue
+        assert read_counter() == model
