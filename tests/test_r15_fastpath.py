@@ -380,3 +380,62 @@ def test_footer_field_paths_both_arms(spark, tmp_path):
     want = {"k", "s", "s.x", "s.inner", "s.inner.f", "s.inner.g", "arr", "m"}
     assert local.footer_field_paths(*lf) == want
     assert remote.footer_field_paths(*rf) == want
+
+
+def test_schema_report_names_the_drift(spark, tmp_path):
+    """The diagnostic behind every drift refusal/fallback: per-leaf
+    footer inventory (metadata-grain, no Spark jobs) that names which
+    leaves lack which fields — nested struct paths included,
+    partition-path columns excluded."""
+    from yodel_etl_spark.io.compact import schema_report
+
+    path = str(tmp_path / "rep")
+    spark.createDataFrame(
+        [(i, (i, i * 2), 0) for i in range(5)],
+        "k long, s struct<x: long, y: long>, part long",
+    ).write.partitionBy("part").parquet(path)
+    spark.createDataFrame(
+        [(i, (i * 3,), 1) for i in range(5)],
+        "k long, s struct<y: long>, part long",
+    ).write.mode("append").partitionBy("part").parquet(path)
+    rep = schema_report(spark, path)
+    assert not rep["uniform"]
+    assert rep["n_leaves"] == 2
+    assert "s.x" in rep["union"] and "k" in rep["union"]
+    (bad_leaf,) = rep["missing"]
+    assert bad_leaf.endswith("part=1")
+    assert rep["missing"][bad_leaf] == ["s.x"]
+    # partition-path columns are never reported missing
+    assert all("part" not in v for v in rep["missing"].values())
+
+    # uniform corpus: empty drift map, uniform=True
+    clean = str(tmp_path / "clean")
+    spark.createDataFrame(
+        [(i, i % 2) for i in range(10)], "k long, part long"
+    ).write.partitionBy("part").parquet(clean)
+    crep = schema_report(spark, clean)
+    assert crep["uniform"] and crep["missing"] == {}
+
+
+def test_schema_report_per_file_catches_within_leaf_drift(spark, tmp_path):
+    """Leaf-sampled probes share the per-leaf read's single-schema
+    blind spot; per_file=True reads every footer and surfaces a
+    column present in only SOME of a leaf's files — the grain the
+    re-layout guard checks."""
+    from yodel_etl_spark.io.compact import schema_report
+
+    path = str(tmp_path / "wl")
+    spark.createDataFrame(
+        [(1, 0)], "k long, part long"
+    ).coalesce(1).write.partitionBy("part").parquet(path)
+    spark.createDataFrame(
+        [(2, "x", 0)], "k long, extra string, part long"
+    ).coalesce(1).write.mode("append").partitionBy("part").parquet(path)
+    rep = schema_report(spark, path, per_file=True)
+    (leaf,) = rep["within_leaf_drift"]
+    assert rep["within_leaf_drift"][leaf] == ["extra"]
+    assert rep["n_files"] == 2
+
+    # the Hadoop arm agrees (file:// — the remote test scheme)
+    hrep = schema_report(spark, f"file://{path}", per_file=True)
+    assert list(hrep["within_leaf_drift"].values()) == [["extra"]]

@@ -2058,7 +2058,8 @@ def relayout_parquet(
                     f"key column(s) {lack} — its rows would NULL-key "
                     f"and collapse into one survivor.  Align schemas "
                     f"first, or re-layout partition subtrees that share "
-                    f"a schema."
+                    f"a schema (schema_report(spark, path, "
+                    f"per_file=True) inventories the drift)."
                 )
     reader = spark.read.option("mergeSchema", "true")
     if part_cols:
@@ -2197,4 +2198,87 @@ def relayout_parquet(
         ),
         n_leaves_after=len(leaves_after),
     )
+    return report
+
+
+def schema_report(
+    spark: SparkSession,
+    path: str,
+    per_file: bool = False,
+    max_concurrency: int = 1,
+) -> dict:
+    """Inventory the corpus's per-leaf footer schemas and name the
+    drift — the diagnostic for every honest refusal/fallback in this
+    module (the batched counters route to the exact per-leaf path when
+    a leaf's footer lacks a referenced column or struct field;
+    ``relayout_parquet`` refuses outright when a file lacks a key
+    column): run this to see WHICH leaves disagree and on WHAT before
+    aligning schemas or re-laying-out subtree by subtree.
+
+    Metadata-grain only — parquet footer reads (pyarrow locally,
+    ranged Hadoop tail reads on ``hdfs://``/``s3a://``), no Spark
+    jobs, fanned out over ``max_concurrency``.  Dotted field paths
+    descend structs (list/map elements are not dot-addressable and are
+    reported as their top-level column).  By default one file per leaf
+    is sampled — the same single-schema pick a per-leaf read makes;
+    ``per_file=True`` reads every footer and also surfaces
+    WITHIN-leaf drift (the grain the re-layout guard checks).
+
+    Returns::
+
+        {"dir": path,
+         "n_leaves": int, "n_files": int,
+         "uniform": bool,               # every probed footer identical
+         "union": sorted field paths over all probed footers,
+         "missing": {leaf: sorted fields absent from that leaf
+                     (vs the union; partition-path columns excluded)},
+         "within_leaf_drift": {leaf: sorted fields present in some of
+                     its files but not all}}   # per_file=True only
+    """
+    fs = _fs_for(spark, path)
+    path = fs.normalize(path)
+    leaves = fs.leaf_dirs(path)
+    files_map = {leaf: fs.parquet_files(leaf) for leaf in leaves}
+    probes: list[tuple[str, tuple[str, int]]] = []
+    for leaf in leaves:
+        files = files_map[leaf]
+        if not files:
+            continue
+        for f in files if per_file else files[:1]:
+            probes.append((leaf, f))
+
+    def read_one(args: tuple[str, tuple[str, int]]) -> set[str]:
+        return fs.footer_field_paths(*args[1])
+
+    schemas = _fanout(read_one, probes, max_concurrency)
+    by_leaf: dict[str, list[set[str]]] = {}
+    for (leaf, _f), fields in zip(probes, schemas):
+        by_leaf.setdefault(leaf, []).append(fields)
+    union: set[str] = set().union(*schemas) if schemas else set()
+    missing: dict[str, list[str]] = {}
+    within: dict[str, list[str]] = {}
+    for leaf, field_sets in by_leaf.items():
+        rel = os.path.relpath(leaf, path.rstrip("/"))
+        pcols = {
+            seg.split("=", 1)[0]
+            for seg in (rel.split(os.sep) if rel != "." else [])
+            if "=" in seg
+        }
+        leaf_union = set().union(*field_sets)
+        lack = sorted(union - leaf_union - pcols)
+        if lack:
+            missing[leaf] = lack
+        drift = sorted(leaf_union - set.intersection(*field_sets))
+        if per_file and drift:
+            within[leaf] = drift
+    report = {
+        "dir": path,
+        "n_leaves": len(leaves),
+        "n_files": sum(len(f) for f in files_map.values()),
+        "uniform": len({frozenset(s) for s in schemas}) <= 1,
+        "union": sorted(union),
+        "missing": missing,
+    }
+    if per_file:
+        report["within_leaf_drift"] = within
     return report
