@@ -439,3 +439,28 @@ def test_schema_report_per_file_catches_within_leaf_drift(spark, tmp_path):
     # the Hadoop arm agrees (file:// — the remote test scheme)
     hrep = schema_report(spark, f"file://{path}", per_file=True)
     assert list(hrep["within_leaf_drift"].values()) == [["extra"]]
+
+
+def test_schema_report_reports_unreadable_footers(spark, tmp_path):
+    """A corrupt footer must be REPORTED, not raised — this is the
+    diagnostic operators run when the maintenance ops refuse."""
+    import os
+
+    from yodel_etl_spark.io.compact import schema_report
+
+    path = str(tmp_path / "corrupt")
+    spark.createDataFrame(
+        [(1, 0), (2, 1)], "k long, part long"
+    ).coalesce(1).write.partitionBy("part").parquet(path)
+    victim = next(
+        os.path.join(dp, f)
+        for dp, _d, fl in os.walk(path)
+        for f in fl
+        if f.endswith(".parquet")
+    )
+    with open(victim, "r+b") as fh:  # truncate: footer magic gone
+        fh.truncate(4)
+    rep = schema_report(spark, path, per_file=True)
+    assert rep["unreadable"] == [victim]
+    assert not rep["uniform"]
+    assert "k" in rep["union"]  # the healthy leaf still inventories

@@ -2232,6 +2232,8 @@ def schema_report(
          "union": sorted field paths over all probed footers,
          "missing": {leaf: sorted fields absent from that leaf
                      (vs the union; partition-path columns excluded)},
+         "unreadable": [file paths whose footer failed to parse —
+                     reported, never raised; forces uniform=False],
          "within_leaf_drift": {leaf: sorted fields present in some of
                      its files but not all}}   # per_file=True only
     """
@@ -2247,13 +2249,22 @@ def schema_report(
         for f in files if per_file else files[:1]:
             probes.append((leaf, f))
 
-    def read_one(args: tuple[str, tuple[str, int]]) -> set[str]:
-        return fs.footer_field_paths(*args[1])
+    def read_one(args: tuple[str, tuple[str, int]]) -> set[str] | None:
+        try:
+            return fs.footer_field_paths(*args[1])
+        except Exception:
+            return None  # reported, not raised — this is the diagnostic
 
-    schemas = _fanout(read_one, probes, max_concurrency)
+    probed = _fanout(read_one, probes, max_concurrency)
+    unreadable = [
+        p for ((_leaf, (p, _sz)), s) in zip(probes, probed) if s is None
+    ]
     by_leaf: dict[str, list[set[str]]] = {}
-    for (leaf, _f), fields in zip(probes, schemas):
-        by_leaf.setdefault(leaf, []).append(fields)
+    schemas: list[set[str]] = []
+    for (leaf, _f), fields in zip(probes, probed):
+        if fields is not None:
+            by_leaf.setdefault(leaf, []).append(fields)
+            schemas.append(fields)
     union: set[str] = set().union(*schemas) if schemas else set()
     missing: dict[str, list[str]] = {}
     within: dict[str, list[str]] = {}
@@ -2275,9 +2286,11 @@ def schema_report(
         "dir": path,
         "n_leaves": len(leaves),
         "n_files": sum(len(f) for f in files_map.values()),
-        "uniform": len({frozenset(s) for s in schemas}) <= 1,
+        "uniform": len({frozenset(s) for s in schemas}) <= 1
+        and not unreadable,
         "union": sorted(union),
         "missing": missing,
+        "unreadable": sorted(unreadable),
     }
     if per_file:
         report["within_leaf_drift"] = within
