@@ -646,3 +646,67 @@ def test_maintenance_interleavings_match_model(
             model = got  # adopt the unspecified survivor picks
             continue
         assert read_counter() == model
+
+
+# ------------------------- partition membership fast path vs scan truth
+_nasty_part = st.sampled_from(
+    [
+        "1", "01", "001", "10", "1_0", " 7", "7 ", "+8", "-3",
+        "nan", "NaN", "inf", "0.5", ".5", "5.", "1e2", "0x1f",
+        "2024-01-02", "2024-1-2", "abc", "B", "true", "00",
+    ]
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(_nasty_part, min_size=2, max_size=5, unique=True),
+    st.integers(0, 4),
+)
+def test_partition_membership_matches_scan_truth(
+    spark, tmp_path_factory, values, pick
+):
+    """The delete fast path's driver-side membership (typed by strict
+    regex gates mirroring Spark's partition-value inference, cast
+    INSIDE Spark) must agree with the scan path for ANY partition
+    value spelling — leading zeros, underscores (Python's int() is
+    laxer than the JVM), whitespace, nan/inf, date-ish strings.  When
+    the probe cannot prove parity it must return None (scan fallback),
+    never a wrong verdict; when it answers, every leaf's verdict is
+    exactly the scan's all-or-nothing truth."""
+    from yodel_etl_spark.io.compact import (
+        _fs_for,
+        _partition_only_membership,
+    )
+
+    path = str(tmp_path_factory.mktemp("member_prop") / "t")
+    rows = [(i, v) for v in values for i in range(3)]
+    spark.createDataFrame(rows, "k long, part string").write.partitionBy(
+        "part"
+    ).parquet(path)
+    fs = _fs_for(spark, path)
+    leaves = fs.leaf_dirs(path)
+    pivot = values[pick % len(values)]
+    conds = [
+        F.col("part") == F.lit(pivot),
+        F.col("part") != F.lit(pivot),
+        F.col("part") < F.lit(pivot),
+        F.col("part").isNull(),
+    ]
+    base = spark.read.option("basePath", path)
+    for cond in conds:
+        got = _partition_only_membership(spark, path, leaves, cond)
+        if got is None:
+            continue  # routed to the exact scan path — always safe
+        assert set(got) == set(leaves)
+        for leaf in leaves:
+            part_df = base.parquet(leaf)
+            n = part_df.count()
+            m = part_df.where(cond).count()
+            assert m in (0, n), "partition-only predicate must be all-or-nothing"
+            assert got[leaf] == (m == n), (
+                leaf,
+                str(cond),
+                got[leaf],
+                (m, n),
+            )
