@@ -606,3 +606,55 @@ def test_relayout_report_shape_is_stable_on_empty_inputs(spark, tmp_path):
     rep = relayout_parquet(spark, empty, ["k"])
     assert rep["scoped"] is False and rep["n_files_rewritten"] == 0
     assert not rep["rewritten"]
+
+
+def test_relayout_scoped_engages_over_hadoop_fs(spark, tmp_path):
+    """The scoped path maps input_file_name URIs back to listing paths
+    — on the Hadoop arm those spell differently (file:/x vs /x), and a
+    silent mapping miss would fall back to the full rewrite on EVERY
+    remote store: correct output, scoping permanently dead.  Pin that
+    scope actually engages over file:// and untouched files survive
+    byte-identical."""
+    local = str(tmp_path / "hs")
+    uri = f"file://{local}"
+    _sparse_dup_corpus(spark, uri)
+    before = _file_bytes(local)
+    rep = relayout_parquet(spark, uri, ["k"])
+    assert rep["scoped"], "mapping miss would silently disable scoping"
+    assert rep["n_files_rewritten"] == 2
+    assert rep["rows_before"] == 601 and rep["rows_after"] == 600
+    after = _file_bytes(local)
+    same = sum(
+        1 for rel, blob in before.items() if after.get(rel) == blob
+    )
+    assert same == len(before) - 2
+    got = spark.read.parquet(uri)
+    assert got.count() == 600 and got.where("k = 1").count() == 1
+
+
+def test_relayout_scoped_handles_encoded_partition_values(spark, tmp_path):
+    """Partition values with spaces and percent signs round-trip
+    through input_file_name percent-ENCODED — the scoped mapping must
+    unquote exactly once to meet the raw listing spelling."""
+    path = str(tmp_path / "enc")
+    for base, part in ((0, "a b"), (100, "c%2Fd"), (200, "plain")):
+        spark.createDataFrame(
+            [(base + k, part) for k in range(20)], "k long, part string"
+        ).coalesce(1).write.mode("append").partitionBy("part").parquet(
+            path
+        )
+    # one cross-leaf duplicate between the two hostile leaves
+    spark.createDataFrame(
+        [(0, "c%2Fd")], "k long, part string"
+    ).coalesce(1).write.mode("append").partitionBy("part").parquet(path)
+    _strip_success(path)
+    rep = relayout_parquet(spark, path, ["k"], scope="files")
+    assert rep["scoped"] and rep["rewritten"]
+    assert rep["n_files_rewritten"] == 2
+    assert rep["rows_before"] == 61 and rep["rows_after"] == 60
+    got = spark.read.parquet(path)
+    assert got.count() == 60
+    surv = got.where("k = 0").collect()
+    assert len(surv) == 1 and surv[0]["part"] in ("a b", "c%2Fd")
+    # the untouched hostile leaf's rows are intact
+    assert got.where("part = 'plain'").count() == 20
