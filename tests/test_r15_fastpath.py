@@ -464,3 +464,93 @@ def test_schema_report_reports_unreadable_footers(spark, tmp_path):
     assert rep["unreadable"] == [victim]
     assert not rep["uniform"]
     assert "k" in rep["union"]  # the healthy leaf still inventories
+
+
+def test_compact_preserves_drifted_extra_column(spark, tmp_path):
+    """Compaction rewrites a fragmented leaf from a merged schema: a
+    column present in only SOME of the leaf's files must survive
+    NULL-filled, not be dropped by the sampled single-schema read."""
+    from yodel_etl_spark.io.compact import compact_parquet
+
+    path = str(tmp_path / "cdrift")
+    spark.createDataFrame(
+        [(i,) for i in range(5)], "k long"
+    ).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(i, f"x{i}") for i in range(5, 10)], "k long, extra string"
+    ).coalesce(1).write.mode("append").parquet(path)
+    reps = compact_parquet(spark, path, target_bytes=1 << 30, min_files=2)
+    assert any(r["rewritten"] for r in reps)
+    got = spark.read.parquet(path)
+    assert "extra" in got.columns and got.count() == 10
+    assert got.where("k >= 5 AND extra != concat('x', k)").count() == 0
+    assert got.where("k < 5 AND extra IS NOT NULL").count() == 0
+
+
+def test_vacuum_refuses_within_leaf_key_drift(spark, tmp_path):
+    """A file inside the leaf whose footer lacks the KEY column would
+    NULL-key its rows under the merged read and collapse them into one
+    survivor — per-leaf sampling cannot see this (the other file
+    carries the key), so the rewrite itself must refuse."""
+    from yodel_etl_spark.io.compact import vacuum_parquet
+
+    path = str(tmp_path / "vwl")
+    spark.createDataFrame(
+        [(i, i) for i in range(6)], "k long, v long"
+    ).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(100 + i,) for i in range(6)], "v long"
+    ).coalesce(1).write.mode("append").parquet(path)
+    with pytest.raises(ValueError, match="lacks key column"):
+        vacuum_parquet(spark, path, ["k"])
+    # refusal left every row in place
+    assert (
+        spark.read.option("mergeSchema", "true").parquet(path).count() == 12
+    )
+
+
+def test_vacuum_preserves_drifted_extra_column(spark, tmp_path):
+    """When every file carries the keys, a drifted EXTRA column must
+    survive the dedup rewrite NULL-filled."""
+    from yodel_etl_spark.io.compact import vacuum_parquet
+
+    path = str(tmp_path / "vextra")
+    spark.createDataFrame(
+        [(i, i) for i in range(6)], "k long, v long"
+    ).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(i, i, f"x{i}") for i in range(3, 9)],
+        "k long, v long, extra string",
+    ).coalesce(1).write.mode("append").parquet(path)
+    rep = vacuum_parquet(spark, path, ["k"])
+    assert rep["rewritten"] and rep["rows_after"] == 9
+    got = spark.read.parquet(path)
+    assert "extra" in got.columns and got.count() == 9
+    # keys only ever written without the column are NULL; keys whose
+    # surviving copy carried it may keep it (pick-dependent for 3..5)
+    assert got.where("k < 3 AND extra IS NOT NULL").count() == 0
+    assert got.where(
+        "k >= 6 AND extra != concat('x', k)"
+    ).count() == 0
+
+
+def test_delete_rewrite_preserves_drifted_extra_column(spark, tmp_path):
+    """Survivor rewrites read the merged schema: deleting rows from a
+    leaf must not drop a column that only some files carry; rows from
+    files lacking the predicate column evaluate NULL and SURVIVE (the
+    documented affirmative-selection contract)."""
+    from yodel_etl_spark.io.compact import delete_parquet_where
+
+    path = str(tmp_path / "ddrift")
+    spark.createDataFrame(
+        [(i, i * 10) for i in range(6)], "k long, v long"
+    ).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(100 + i, 1000, f"x{i}") for i in range(4)],
+        "k long, v long, extra string",
+    ).coalesce(1).write.mode("append").parquet(path)
+    rep = delete_parquet_where(spark, path, "v >= 30 AND v < 100")
+    assert rep["n_deleted"] == 3 and rep["rewritten"]
+    got = spark.read.parquet(path)
+    assert "extra" in got.columns and got.count() == 7
+    assert got.where("k >= 100 AND extra IS NULL").count() == 0

@@ -442,6 +442,35 @@ def _fanout(fn, items, max_concurrency: int = 1) -> list:
         return [f.result() for f in [pool.submit(fn, it) for it in items]]
 
 
+def _leaf_footer_names(
+    fs, files: list[tuple[str, int]], max_concurrency: int = 1
+) -> list[set[str] | None]:
+    """Top-level footer column-name set per file (None where the
+    footer fails to parse) — what lets a rewrite decide DRIVER-side
+    whether it needs a ``mergeSchema`` read: merged reads launch a
+    distributed footer-merge job per read, which is pure overhead on
+    the uniform-schema corpus every healthy table is, while a
+    name-set drift means a sampled single-schema read would silently
+    DROP the drifted column from the rewrite.  Metadata-grain, fanned
+    out."""
+
+    def one(f: tuple[str, int]) -> set[str] | None:
+        try:
+            return fs.footer_column_names(*f)
+        except Exception:
+            return None
+
+    return _fanout(one, files, max_concurrency)
+
+
+def _names_drift(names: list[set[str] | None]) -> bool:
+    """True when the footers disagree on column names (or any footer
+    is unreadable — the merged read lets Spark surface the real
+    error instead of guessing)."""
+    seen = {frozenset(n) if n is not None else None for n in names}
+    return None in seen or len(seen) > 1
+
+
 def _install_staged(fs, stage: str, leaf: str) -> None:
     """Move every staged parquet file into the leaf.  Staged basenames
     carry a fresh Spark job UUID so they never collide with originals.
@@ -620,8 +649,17 @@ def _compact_leaf(
         report["n_files_after"] = len(files)
         return report
     n_out = max(1, math.ceil(total / target_bytes))
+    # merge schemas only when the footers actually drift: a column
+    # present in only SOME of the leaf's files must survive the
+    # rewrite NULL-filled (a single-schema read sampled from the wrong
+    # file would silently drop it — schema_report(per_file=True) names
+    # this), but the merged read costs a footer-merge job the uniform
+    # corpus never needs
+    reader = spark.read
+    if _names_drift(_leaf_footer_names(fs, files)):
+        reader = reader.option("mergeSchema", "true")
     (
-        spark.read.parquet(*[p for p, _ in files])
+        reader.parquet(*[p for p, _ in files])
         .coalesce(n_out)
         .write.mode("overwrite")
         .parquet(stage)
@@ -974,6 +1012,12 @@ def _vacuum_leaf(
     if counts is not None:
         rows_before, n_keys = counts
     else:
+        # plain read is exact for COUNTING: the aggregate touches only
+        # key columns, and key-column drift cannot hide duplicates
+        # (missing-key rows merge into the null-key group, which only
+        # ever inflates the dup count — and the rewrite guard below
+        # refuses before any damage); footer probes stay off the
+        # healthy no-op path this way
         df = spark.read.parquet(*[p for p, _ in files])
         # null-safe key grouping (count_distinct would IGNORE null-key
         # groups — dropDuplicates keeps them, so the report would drift
@@ -1012,8 +1056,46 @@ def _vacuum_leaf(
     n_out = max(
         1, math.ceil(total * n_keys / max(rows_before, 1) / target_bytes)
     )
-    if df is None:  # batch-counted leaf: only rewriters build a frame
-        df = spark.read.parquet(*[p for p, _ in files])
+    # rewrite guard (relayout's, at leaf grain): EVERY file about to be
+    # retired must carry every key column — a file whose footer lacks
+    # one would NULL-key its rows under a merged read and
+    # dropDuplicates would collapse them into one survivor (silent row
+    # loss; a destructive rewrite has no exact fallback, so refuse).
+    # Footer reads are metadata-grain and paid only by leaves that
+    # actually rewrite; the same name sets decide whether the rewrite
+    # read needs mergeSchema (drifted extra columns survive
+    # NULL-filled instead of being dropped by a sampled schema).
+    case_sensitive = (
+        spark.conf.get("spark.sql.caseSensitive", "false").lower() == "true"
+    )
+
+    def _fold(ns):
+        return set(ns) if case_sensitive else {n.lower() for n in ns}
+
+    names = _leaf_footer_names(fs, files)
+    want_keys = _fold(key_cols)
+    for (p, _sz), have in zip(files, names):
+        if have is None:
+            raise ValueError(
+                f"vacuum_parquet cannot prove {p!r} carries the key "
+                f"column(s): unreadable footer"
+            )
+        lack = want_keys - _fold(have)
+        if lack:
+            raise ValueError(
+                f"vacuum_parquet would destroy rows: {p!r} lacks key "
+                f"column(s) {sorted(lack)} — its rows would NULL-key "
+                f"and collapse into one survivor (schema_report(spark, "
+                f"path, per_file=True) inventories the drift)."
+            )
+    drift = _names_drift(names)
+    if df is None or drift:
+        # the count frame (plain read) cannot serve a DRIFTED rewrite:
+        # its sampled schema would drop the drifted column
+        reader = spark.read
+        if drift:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*[p for p, _ in files])
     df.dropDuplicates(list(key_cols)).coalesce(n_out).write.mode(
         "overwrite"
     ).parquet(stage)
@@ -1645,7 +1727,19 @@ def delete_parquet_where(
         # columns) onto the rows so the predicate can reference them
         # alongside data columns (mixed shapes:
         # `event_type = 'x' OR value < 0`)
+        # merged only when the leaf's footers drift: survivor rewrites
+        # must carry columns present in only SOME of the leaf's files
+        # (NULL-filled elsewhere) instead of dropping them with the
+        # sampled schema; for the predicate itself the merged read
+        # keeps the documented NULL contract — rows from a file
+        # lacking the predicate column evaluate NULL and SURVIVE (a
+        # delete removes only affirmatively-selected rows), while a
+        # whole-leaf missing column still raises.  The uniform corpus
+        # pays footer probes only on leaves that count exactly or
+        # rewrite — never on the zero-match fast path.
         reader = spark.read
+        if _names_drift(_leaf_footer_names(fs, files)):
+            reader = reader.option("mergeSchema", "true")
         if part_cols:
             reader = reader.option("basePath", path)
         return reader.parquet(*[p for p, _ in files])
