@@ -270,7 +270,11 @@ def test_batched_vacuum_counts_surface_missing_key_column_drift(
     """Vacuum twin of the drift check: a leaf lacking a KEY column
     would have every row fold into one NULL-key group under the union
     read (massive phantom duplication → a destructive rewrite).  The
-    footer check must route to the per-leaf fallback, which raises."""
+    footer check must route to the per-leaf fallback, which REFUSES
+    with the key-drift ValueError (the d5abedf guard: the sampled
+    count schema lacking the key proves the sampled file lacks it —
+    never a raw unresolved-column analysis error, never a silent
+    no-op)."""
     path = str(tmp_path / "vdrift")
     spark.createDataFrame(
         [(i, 0) for i in range(10)], "k long, part long"
@@ -278,7 +282,7 @@ def test_batched_vacuum_counts_surface_missing_key_column_drift(
     spark.createDataFrame(
         [(i * 100, 1) for i in range(10)], "other long, part long"
     ).write.mode("append").partitionBy("part").parquet(path)
-    with pytest.raises(Exception, match="UNRESOLVED_COLUMN|cannot resolve"):
+    with pytest.raises(ValueError, match="lacks key column"):
         vacuum_parquet(spark, path, ["k"], per_leaf=True)
     assert spark.read.parquet(path, path).count() == 20
 

@@ -471,6 +471,44 @@ def _names_drift(names: list[set[str] | None]) -> bool:
     return None in seen or len(seen) > 1
 
 
+def _require_key_footers(
+    spark: SparkSession, fs, files: list[tuple[str, int]], key_cols
+) -> list[set[str] | None]:
+    """Vacuum's key-drift refusal: EVERY file handed in must carry
+    every key column in its own footer — a file whose footer lacks one
+    would NULL-key its rows under a merged read and dropDuplicates
+    would collapse them into one survivor (silent row loss; a
+    destructive rewrite has no exact fallback, so refuse).  Raises
+    ``ValueError`` naming the first offending file; returns the
+    per-file footer name sets so the rewrite can reuse them for drift
+    detection.  Metadata-grain — callers keep it off the healthy
+    no-op path."""
+    case_sensitive = (
+        spark.conf.get("spark.sql.caseSensitive", "false").lower() == "true"
+    )
+
+    def _fold(ns):
+        return set(ns) if case_sensitive else {n.lower() for n in ns}
+
+    names = _leaf_footer_names(fs, files)
+    want_keys = _fold(key_cols)
+    for (p, _sz), have in zip(files, names):
+        if have is None:
+            raise ValueError(
+                f"vacuum_parquet cannot prove {p!r} carries the key "
+                f"column(s): unreadable footer"
+            )
+        lack = want_keys - _fold(have)
+        if lack:
+            raise ValueError(
+                f"vacuum_parquet would destroy rows: {p!r} lacks key "
+                f"column(s) {sorted(lack)} — its rows would NULL-key "
+                f"and collapse into one survivor (schema_report(spark, "
+                f"path, per_file=True) inventories the drift)."
+            )
+    return names
+
+
 def _install_staged(fs, stage: str, leaf: str) -> None:
     """Move every staged parquet file into the leaf.  Staged basenames
     carry a fresh Spark job UUID so they never collide with originals.
@@ -1019,6 +1057,20 @@ def _vacuum_leaf(
         # refuses before any damage); footer probes stay off the
         # healthy no-op path this way
         df = spark.read.parquet(*[p for p, _ in files])
+        # ... unless the SAMPLED schema itself lacks a key column
+        # (Spark samples one footer with mergeSchema off): the groupBy
+        # below would fail analysis with an unresolved-column error
+        # instead of the refusal contract — and a sampled schema
+        # missing the key proves the sampled FILE misses it, so the
+        # footer guard raises the contractual ValueError here
+        cs = (
+            spark.conf.get("spark.sql.caseSensitive", "false").lower()
+            == "true"
+        )
+        have_cols = set(df.columns) if cs else {c.lower() for c in df.columns}
+        want = set(key_cols) if cs else {c.lower() for c in key_cols}
+        if want - have_cols:
+            _require_key_footers(spark, fs, files, key_cols)
         # null-safe key grouping (count_distinct would IGNORE null-key
         # groups — dropDuplicates keeps them, so the report would drift
         # and the fast path would re-rewrite forever on a null-key
@@ -1056,38 +1108,13 @@ def _vacuum_leaf(
     n_out = max(
         1, math.ceil(total * n_keys / max(rows_before, 1) / target_bytes)
     )
-    # rewrite guard (relayout's, at leaf grain): EVERY file about to be
-    # retired must carry every key column — a file whose footer lacks
-    # one would NULL-key its rows under a merged read and
-    # dropDuplicates would collapse them into one survivor (silent row
-    # loss; a destructive rewrite has no exact fallback, so refuse).
-    # Footer reads are metadata-grain and paid only by leaves that
-    # actually rewrite; the same name sets decide whether the rewrite
-    # read needs mergeSchema (drifted extra columns survive
-    # NULL-filled instead of being dropped by a sampled schema).
-    case_sensitive = (
-        spark.conf.get("spark.sql.caseSensitive", "false").lower() == "true"
-    )
-
-    def _fold(ns):
-        return set(ns) if case_sensitive else {n.lower() for n in ns}
-
-    names = _leaf_footer_names(fs, files)
-    want_keys = _fold(key_cols)
-    for (p, _sz), have in zip(files, names):
-        if have is None:
-            raise ValueError(
-                f"vacuum_parquet cannot prove {p!r} carries the key "
-                f"column(s): unreadable footer"
-            )
-        lack = want_keys - _fold(have)
-        if lack:
-            raise ValueError(
-                f"vacuum_parquet would destroy rows: {p!r} lacks key "
-                f"column(s) {sorted(lack)} — its rows would NULL-key "
-                f"and collapse into one survivor (schema_report(spark, "
-                f"path, per_file=True) inventories the drift)."
-            )
+    # rewrite guard (relayout's, at leaf grain; see
+    # _require_key_footers): footer reads are metadata-grain and paid
+    # only by leaves that actually rewrite; the same name sets decide
+    # whether the rewrite read needs mergeSchema (drifted extra
+    # columns survive NULL-filled instead of being dropped by a
+    # sampled schema).
+    names = _require_key_footers(spark, fs, files, key_cols)
     drift = _names_drift(names)
     if df is None or drift:
         # the count frame (plain read) cannot serve a DRIFTED rewrite:
