@@ -49,6 +49,55 @@ def _work_dir(name: str, sf_dir: str) -> str:
     return path
 
 
+def _clone_tree(src: str, dst: str) -> None:
+    """Hardlink-clone a pristine fixture tree into ``dst`` — the
+    maintenance benches' analogue of the ingest trio's per-process
+    source fixture (fixture construction is SETUP, not the operator
+    under measurement).  Parquet files are immutable and every
+    maintenance op rewrites by staging NEW files and unlinking old
+    ones, never writing in place, so hardlinked bytes can never leak a
+    mutation back into the pristine copy; the clone costs one dirent
+    per file instead of re-running the fixture's Spark writes inside
+    every timed sample."""
+    for root, _dirs, fns in os.walk(src):
+        rel = os.path.relpath(root, src)
+        out = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(out, exist_ok=True)
+        for fn in fns:
+            os.link(os.path.join(root, fn), os.path.join(out, fn))
+
+
+def _pristine_src(name: str, sf_dir: str, build) -> str:
+    """Per-process pristine fixture tree for a maintenance bench,
+    built ONCE by ``build(src)`` and reused across bench samples (the
+    ``_ingest_src`` conventions: pid-keyed tmpfs path, atexit-removed;
+    the completion marker is a SIBLING file written after the build so
+    a crashed half-built tree is rebuilt, never trusted)."""
+    src = os.path.join(
+        _scratch_root(),
+        f"yodel_{name}_src_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    marker = src + ".ok"
+    if os.path.isfile(marker):
+        return src
+    shutil.rmtree(src, ignore_errors=True)
+    if src not in _CLEANUP_REGISTERED:
+        _CLEANUP_REGISTERED.add(src)
+        atexit.register(shutil.rmtree, src, ignore_errors=True)
+        atexit.register(_remove_quiet, marker)
+    build(src)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return src
+
+
+def _remove_quiet(path: str) -> None:
+    try:
+        os.remove(path)
+    except OSError:
+        pass
+
+
 def _wipe_stage_sibling(stage_root: str) -> None:
     """The _work_dir discipline for a maintenance op's OUTSIDE-the-root
     staging sibling (compact/vacuum): wiped per call so a crashed prior
@@ -82,23 +131,31 @@ def _wipe_stage_sibling(stage_root: str) -> None:
 def compact_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yodel_etl_spark.io.compact import compact_parquet
 
-    ev = spread(load_tables(spark, sf_dir, ("events",))["events"]).select(
-        "event_id", "user_id", "event_type", "value"
-    )
+    def _build(src: str) -> None:
+        ev = spread(load_tables(spark, sf_dir, ("events",))["events"]).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        # two appends of disjoint halves, 8 writer tasks each: every
+        # leaf collects up to 16 small files — the fragmentation
+        # compaction exists for
+        for half in (0, 1):
+            (
+                ev.where(F.pmod("event_id", F.lit(2)) == half)
+                .repartition(8, "event_id")
+                .write.mode("append")
+                .partitionBy("event_type")
+                .parquet(src)
+            )
+
+    # fixture built once per process, hardlink-cloned per sample (r15:
+    # the _ingest_src setup-not-operator convention — timed samples
+    # record the COMPACTION's cost, not the fixture's Spark writes)
+    src = _pristine_src("compact", sf_dir, _build)
     path = _work_dir("compact", sf_dir)
     from yodel_etl_spark.io.compact import compact_stage_root
 
     _wipe_stage_sibling(compact_stage_root(path))  # same hazard as vac
-    # two appends of disjoint halves, 8 writer tasks each: every leaf
-    # collects up to 16 small files — the fragmentation compaction exists for
-    for half in (0, 1):
-        (
-            ev.where(F.pmod("event_id", F.lit(2)) == half)
-            .repartition(8, "event_id")
-            .write.mode("append")
-            .partitionBy("event_type")
-            .parquet(path)
-        )
+    _clone_tree(src, path)
     # 4 leaves rewrite concurrently — the nightly-window lever at scale
     # (thread-pool job submission; leaves are independent units)
     reports = compact_parquet(spark, path, max_concurrency=4)
@@ -519,11 +576,22 @@ def embedding_ingest_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vacuum_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yodel_etl_spark.io.compact import vacuum_parquet
 
-    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].select(
-        "vec_id", "embedding"
-    )
+    def _build(src: str) -> None:
+        emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].select(
+            "vec_id", "embedding"
+        )
+        b1 = emb.where(F.col("vec_id") % 3 != 0)
+        b2 = emb.where(F.col("vec_id") % 3 == 0)
+        b1.write.mode("append").parquet(src)
+        b1.write.mode("append").parquet(src)  # the at-least-once replay
+        b2.write.mode("append").parquet(src)
+
     from yodel_etl_spark.io.compact import vacuum_stage_root
 
+    # fixture built once per process, hardlink-cloned per sample (r15:
+    # the _ingest_src setup-not-operator convention — timed samples
+    # record the VACUUM's cost, not the fixture's three Spark appends)
+    src = _pristine_src("vac", sf_dir, _build)
     path = _work_dir("vac", sf_dir)
     # the vacuum's swap stage lives OUTSIDE the table root (compaction
     # convention), so the work dir's wipe/atexit does not cover it:
@@ -531,11 +599,7 @@ def vacuum_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would otherwise install last run's files into the fresh corpus —
     # the _work_dir determinism rule) and register it for exit cleanup
     _wipe_stage_sibling(vacuum_stage_root(path))
-    b1 = emb.where(F.col("vec_id") % 3 != 0)
-    b2 = emb.where(F.col("vec_id") % 3 == 0)
-    b1.write.mode("append").parquet(path)
-    b1.write.mode("append").parquet(path)  # the at-least-once replay
-    b2.write.mode("append").parquet(path)
+    _clone_tree(src, path)
     rep = vacuum_parquet(spark, path, ["vec_id"])
     # verify with a PLAIN row count: distinct() would equal rows_after
     # even if the vacuum no-opped (it cannot see a failed collapse) —
@@ -599,9 +663,25 @@ def delete_where_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         vacuum_stage_root,
     )
 
-    ev = spread(load_tables(spark, sf_dir, ("events",))["events"]).select(
-        "event_id", "user_id", "event_type", "value"
-    )
+    def _build(src: str) -> None:
+        ev = spread(load_tables(spark, sf_dir, ("events",))["events"]).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        # 4 writer tasks per append (coalesce — no shuffle): a replayed
+        # micro-batch is a handful of files per leaf, not one per
+        # shuffle partition; 3 appends × 4 tasks × 5 leaves ≈ 60 files
+        b1 = ev.where(F.pmod("event_id", F.lit(3)) != 0).coalesce(4)
+        b2 = ev.where(F.pmod("event_id", F.lit(3)) == 0).coalesce(4)
+        b1.write.mode("append").partitionBy("event_type").parquet(src)
+        b2.write.mode("append").partitionBy("event_type").parquet(src)
+        b2.write.mode("append").partitionBy("event_type").parquet(src)  # replay
+
+    # fixture built once per process, hardlink-cloned per sample (r15:
+    # the _ingest_src setup-not-operator convention — timed samples
+    # record the maintenance chain's cost, not the fixture's three
+    # partitioned Spark appends; the mid-chain re-bucket append stays
+    # timed because it reads the post-delete corpus)
+    src = _pristine_src("delw", sf_dir, _build)
     path = _work_dir("delw", sf_dir)
     # both ops stage OUTSIDE the table root (compaction convention): the
     # work dir's wipe/atexit does not cover the siblings — wipe per call
@@ -610,14 +690,7 @@ def delete_where_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     _wipe_stage_sibling(vacuum_stage_root(path))
     _wipe_stage_sibling(delete_stage_root(path))
     _wipe_stage_sibling(relayout_stage_root(path))
-    # 4 writer tasks per append (coalesce — no shuffle): a replayed
-    # micro-batch is a handful of files per leaf, not one per shuffle
-    # partition; 3 appends × 4 tasks × 5 leaves ≈ 60 files total
-    b1 = ev.where(F.pmod("event_id", F.lit(3)) != 0).coalesce(4)
-    b2 = ev.where(F.pmod("event_id", F.lit(3)) == 0).coalesce(4)
-    b1.write.mode("append").partitionBy("event_type").parquet(path)
-    b2.write.mode("append").partitionBy("event_type").parquet(path)
-    b2.write.mode("append").partitionBy("event_type").parquet(path)  # replay
+    _clone_tree(src, path)
     vrep = vacuum_parquet(
         spark, path, ["event_id"], per_leaf=True, max_concurrency=4
     )

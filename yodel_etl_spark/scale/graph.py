@@ -92,7 +92,7 @@ def pagerank(
     # deg is NULL for dangling nodes
     base = nodes.join(outdeg, "node", "left")
     if init_ranks is None:
-        state = base.withColumn("rank", F.lit(1.0 / n)).persist()
+        state = base.withColumn("rank", F.lit(1.0 / n))
     else:
         prior = init_ranks.select(
             F.col("node"), F.col("rank").alias("_warm")
@@ -106,8 +106,13 @@ def pagerank(
             .select(
                 "node", "deg", (F.col("_warm") / F.col("t")).alias("rank")
             )
-            .persist()
         )
+    # round 1 reads the initial state three times (contrib join,
+    # dangling agg, state join): the probing path pins it in the
+    # CacheManager (unpersisted per round below); the budgeted path
+    # uses the same lazy-checkpoint form as its round states so
+    # nothing outlives the loop unreleased
+    state = state.localCheckpoint(eager=False) if tol is None else state.persist()
     d = float(damping)
     for _ in range(max_iter):
         contrib = (
@@ -122,21 +127,35 @@ def pagerank(
                 F.sum(F.when(F.col("deg").isNull(), F.col("rank"))), F.lit(0.0)
             ).alias("dm")
         )
-        new_state = (
-            state.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dangling))  # 1-row bound → broadcast
-            .select(
-                "node",
-                "deg",
-                (
-                    F.lit((1.0 - d) / n)
-                    + F.lit(d)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dm") / n)
-                ).alias("rank"),
-                F.col("rank").alias("_prev"),
-            )
-            .localCheckpoint(eager=False)
+        rank_next = (
+            F.lit((1.0 - d) / n)
+            + F.lit(d)
+            * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dm") / n)
+        ).alias("rank")
+        core = state.join(contrib, "node", "left").crossJoin(
+            F.broadcast(dangling)  # 1-row bound → broadcast
         )
+        if tol is None:
+            # BUDGETED mode runs exactly max_iter rounds — no
+            # convergence probe, so the per-round delta aggregation
+            # and its driver collect are pure overhead: each round
+            # chains off the previous round's (lazy) localCheckpoint
+            # and the caller's first action materializes the chain.
+            # Rank arithmetic is identical to the probing path.  The
+            # checkpoint still truncates lineage to one round (without
+            # it every round reads state three times — contrib join,
+            # dangling agg, state join — and the plan would grow 3^k),
+            # and its MEMORY_AND_DISK storage makes each round's state
+            # compute once even with three consumers.  Round states
+            # are freed by the context cleaner as the loop drops their
+            # references (max_iter node-grain frames transiently).
+            state = core.select("node", "deg", rank_next).localCheckpoint(
+                eager=False
+            )
+            continue
+        new_state = core.select(
+            "node", "deg", rank_next, F.col("rank").alias("_prev")
+        ).localCheckpoint(eager=False)
         # the ONE action per round: materializes the checkpoint and
         # reads the convergence delta off the same frame
         delta = new_state.agg(F.sum(F.abs(F.col("rank") - F.col("_prev")))).collect()[
@@ -144,7 +163,7 @@ def pagerank(
         ][0]
         state.unpersist()
         state = new_state.drop("_prev").persist()
-        if tol is not None and delta < tol:
+        if delta < tol:
             break
     else:
         if tol is not None:
