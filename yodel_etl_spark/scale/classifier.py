@@ -57,9 +57,11 @@ def _margin(n_buckets: int) -> Column:
 
     Reads PRE-BUCKETED token ids (``tb``, computed once when the base
     caches — md5-hashing every token again in every round doubled the
-    per-round cost) against the weight vector in the broadcast
-    ``warr`` column (buckets first, bias last) — a one-row crossJoin,
-    not a literal array, so each round's plan stays small."""
+    per-round cost) against the weight vector in the ``warr`` column
+    (buckets first, bias last) — since r15 a single pre-folded array
+    literal (``F.lit(list)``), which keeps the plan one node AND drops
+    the per-round broadcast-exchange job the old one-row crossJoin
+    paid."""
     s = F.aggregate(
         "tb",
         F.lit(0.0),
@@ -128,11 +130,14 @@ def train_quality_lr(
     else:
         slice_n = {0: n}
 
-    spark = docs.sparkSession
-
     def with_w(weights: list[float], batch: DataFrame) -> DataFrame:
-        wrow = spark.createDataFrame([(list(weights),)], "warr: array<double>")
-        return batch.crossJoin(F.broadcast(wrow))
+        # ONE pre-folded array literal (r15): F.lit(list) creates a
+        # single Literal(ArrayData) — no 513-node expression tree to
+        # analyze and, unlike the old one-row crossJoin(broadcast),
+        # no broadcast-exchange job per GD round (the per-round job
+        # constants were the measured cost at bench scale; at real
+        # scale this also removes a per-round driver barrier)
+        return batch.withColumn("warr", F.lit([float(x) for x in weights]))
 
     w = [0.0] * (n_buckets + 1)
     for t in range(rounds):
