@@ -600,3 +600,31 @@ def test_external_decoder_hook_end_to_end(spark):
     # default gate intact: same frame, no decoder → the honest raise
     with pytest.raises(Exception, match="RIFF|NotImplemented"):
         audio_features(df).collect()
+
+
+def test_fused_spectral_fingerprint_bit_identical_to_chain(spark):
+    """r15 fusion pin: audio_spectral_fingerprint must equal the
+    chained audio_fingerprint(audio_spectral(df)) column-for-column —
+    same decode, same kernels, one pass (the optimization only removes
+    the second decode and the second JVM↔Python round trip)."""
+    from yodel_etl_spark.scale.audio import (
+        audio_fingerprint,
+        audio_spectral,
+        audio_spectral_fingerprint,
+        wav_pack,
+    )
+
+    blobs = [(i, wav_pack(_tone(300 + 217 * i), 8000, 16)) for i in range(6)]
+    df = spark.createDataFrame(blobs, ["audio_id", "content"])
+    chained = (
+        audio_fingerprint(audio_spectral(df, "content"), "content")
+        .orderBy("audio_id")
+        .collect()
+    )
+    fused = (
+        audio_spectral_fingerprint(df, "content").orderBy("audio_id").collect()
+    )
+    assert len(chained) == len(fused) == 6
+    assert chained[0].asDict().keys() == fused[0].asDict().keys()
+    for a, b in zip(chained, fused):
+        assert a.asDict() == b.asDict()

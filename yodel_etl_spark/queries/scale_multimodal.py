@@ -268,10 +268,13 @@ def phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def audiox(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yodel_etl_spark.scale.audio import audio_fingerprint, audio_spectral
+    from yodel_etl_spark.scale.audio import audio_spectral_fingerprint
 
     blobs = _planted_wavs(spark, sf_dir, n_base=2000)
-    feats = audio_fingerprint(audio_spectral(blobs, "content"), "content")
+    # fused spectral+fingerprint pass (r15): one blob decode and one
+    # JVM↔Python round trip instead of the chained form's two of each;
+    # bit-identical outputs pinned in tests/test_audio.py
+    feats = audio_spectral_fingerprint(blobs, "content")
     return feats.select(
         "doc_id",
         "n_frames",

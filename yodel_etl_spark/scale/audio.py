@@ -561,17 +561,83 @@ def audio_fingerprint(
                     arr, rate, ch,
                     n_mels=65, frame=frame, hop=hop,
                 )
-                lm = np.asarray(log_mel)
-                bits = (lm[:-1] - lm[1:]) > 0
-                fp = 0
-                for i, bit in enumerate(bits):
-                    if bit:
-                        fp |= 1 << i
-                # two's-complement into a signed 64-bit long
-                if fp >= 1 << 63:
-                    fp -= 1 << 64
-                fps.append(fp)
+                fps.append(_fp_of_log_mel(log_mel))
             feat = pd.DataFrame({"fp": pd.array(fps, dtype="int64")}, index=pdf.index)
+            yield pd.concat([pdf, feat], axis=1)
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def _fp_of_log_mel(log_mel) -> int:
+    """Band-delta sign bits → signed 64-bit fingerprint (the
+    Haitsma–Kalker packing) — single-sourced so the chained and fused
+    fingerprint paths are byte-identical by construction."""
+    import numpy as np
+
+    lm = np.asarray(log_mel)
+    bits = (lm[:-1] - lm[1:]) > 0
+    fp = 0
+    for i, bit in enumerate(bits):
+        if bit:
+            fp |= 1 << i
+    # two's-complement into a signed 64-bit long
+    if fp >= 1 << 63:
+        fp -= 1 << 64
+    return fp
+
+
+def audio_spectral_fingerprint(
+    df: DataFrame,
+    binary_col: str = "content",
+    n_mels: int = 16,
+    frame: int = 256,
+    hop: int = 128,
+    decoder=None,
+) -> DataFrame:
+    """SPECTRAL_SCHEMA columns PLUS the 64-bit fingerprint in ONE
+    Arrow-batched pass — the fused form of
+    ``audio_fingerprint(audio_spectral(df))`` (r15): the chained form
+    decodes every blob twice and pays a second JVM↔Python round trip
+    of the blob column purely to re-derive the samples the first pass
+    already had.  Fused, each blob is decoded once and crosses the
+    boundary once; both feature sets are computed from the identical
+    float64 sample array by the same kernels
+    (:func:`spectral_features_of` at ``n_mels`` and at the
+    fingerprint's fixed 65 bands, :func:`_fp_of_log_mel`), so outputs
+    are bit-identical to the chain — pinned in tests/test_audio.py."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        df.schema.fields
+        + list(SPECTRAL_SCHEMA)
+        + [T.StructField("fp", T.LongType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            fps = []
+            for blob in pdf[binary_col]:
+                b = bytes(blob)
+                arr, rate, ch, _bits = _decoded_frames(b, decoder)
+                arr = arr.astype(np.float64)
+                rows.append(
+                    spectral_features_of(
+                        arr, rate, ch,
+                        n_mels=n_mels, frame=frame, hop=hop,
+                    )
+                )
+                _nf, _zc, log_mel, _c = spectral_features_of(
+                    arr, rate, ch,
+                    n_mels=65, frame=frame, hop=hop,
+                )
+                fps.append(_fp_of_log_mel(log_mel))
+            feat = pd.DataFrame(
+                rows,
+                columns=[f.name for f in SPECTRAL_SCHEMA.fields],
+                index=pdf.index,
+            )
+            feat["fp"] = pd.array(fps, dtype="int64")
             yield pd.concat([pdf, feat], axis=1)
 
     return df.mapInPandas(batches, out_schema)
