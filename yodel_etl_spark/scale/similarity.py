@@ -730,12 +730,22 @@ def hyperplane_lsh_pairs(
                 "block", "key"
             ),
         )
+    # candidates are NOT pre-deduplicated (r15): a pair colliding in k
+    # of the band blocks is verified k times (k ≤ blocks) and the
+    # duplicates collapse in the FINAL distinct below, which runs on
+    # the thresholded output — pairs, not candidates.  The old
+    # pre-verify distinct exchanged the whole candidate set (the only
+    # shuffle in the operator: the band self-join and both vector
+    # attach joins broadcast); post-verify, the only exchange carries
+    # verified pairs, which the threshold makes a strict subset.  The
+    # verified pair set is identical either way — cosine is a pure
+    # function of the pair — measured 2.57 → 1.15 s on elsh's
+    # dense-cluster corpus (3.5M candidates → 550 pairs).
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["block", "key"])
         .where(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
     )
     a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na"))
     b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
@@ -746,7 +756,7 @@ def hyperplane_lsh_pairs(
     )
     out = verified.where(F.col("cosine") >= threshold).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine_r")
-    )
+    ).distinct()
     # cache lifetime is the caller's: session.release(out) frees the sketch
     return register_persisted(out, sk)
 
