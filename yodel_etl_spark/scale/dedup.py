@@ -983,9 +983,28 @@ def _extend_index_tables(banded: DataFrame, sets: DataFrame, path: str) -> None:
     index — :func:`extend_minhash_index` minus the re-shingling, for
     callers that already hold the batch's tables (the ingest gate).
     Factored as the gate's index-mutation boundary: the crash-window
-    tests simulate a death exactly here."""
-    banded.write.mode("append").parquet(f"{path}/banded")
-    sets.write.mode("append").parquet(f"{path}/sets")
+    tests simulate a death exactly here.
+
+    The two appends are INDEPENDENT jobs submitted concurrently (r15,
+    guide §2.6 overlap): the crash contract only orders corpus-before-
+    index, not banded-before-sets — a death between/among them leaves
+    either table short, and the replay re-appends both: duplicated
+    index rows only duplicate probe CANDIDATES (decisions are
+    distinct-ed), and a banded row whose sets twin is missing merely
+    yields a candidate the verify inner-join drops until the replay
+    lands it.  Both frames derive from the batch's persisted signature
+    tables, so the concurrent jobs share the cached input."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fb = pool.submit(
+            lambda: banded.write.mode("append").parquet(f"{path}/banded")
+        )
+        fs_ = pool.submit(
+            lambda: sets.write.mode("append").parquet(f"{path}/sets")
+        )
+        fb.result()
+        fs_.result()
 
 
 def _pairs_from_tables(
@@ -1208,12 +1227,26 @@ def near_dedup_ingest(
             if have_index:
                 _extend_index_tables(novel_banded, novel_sets, index_path)
             else:
-                novel_banded.write.mode("overwrite").parquet(
-                    f"{index_path}/banded"
-                )
-                novel_sets.write.mode("overwrite").parquet(f"{index_path}/sets")
-                # params LAST: _index_exists keys on it, so a crash mid-way
-                # leaves "no index" and the replay rebuilds via overwrite
+                # banded/sets are order-independent (see
+                # _extend_index_tables) — concurrent submission; params
+                # stays strictly LAST: _index_exists keys on it, so a
+                # crash anywhere before it leaves "no index" and the
+                # replay rebuilds via overwrite
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    fb = pool.submit(
+                        lambda: novel_banded.write.mode("overwrite").parquet(
+                            f"{index_path}/banded"
+                        )
+                    )
+                    fs_ = pool.submit(
+                        lambda: novel_sets.write.mode("overwrite").parquet(
+                            f"{index_path}/sets"
+                        )
+                    )
+                    fb.result()
+                    fs_.result()
                 spark.createDataFrame(
                     [(nh, nb, kk)], "num_hashes int, bands int, k int"
                 ).write.mode("overwrite").parquet(f"{index_path}/params")
