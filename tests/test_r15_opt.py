@@ -78,3 +78,53 @@ def test_pristine_src_rebuilds_after_crashed_half_build(
     os.remove(s1 + ".ok")  # simulate the crash window
     infra_q._pristine_src("t2", "/root/testdata/sf0.001", build)
     assert len(calls) == 2
+
+
+def _gating(spark, idx, incoming):
+    from yodel_etl_spark.scale.dedup import probe_minhash_index
+
+    hits = probe_minhash_index(spark, idx, incoming, threshold=0.5)
+    return {r["doc_inc"] for r in hits.select("doc_inc").distinct().collect()}
+
+
+def test_partial_extend_interleavings_leave_gating_unchanged(spark, tmp_path):
+    """r15: the index's banded/sets appends are submitted concurrently,
+    which adds two crash states the old sequential order could not
+    produce — SETS landed while BANDED did not (orphan sets rows), and,
+    after the foreachBatch replay re-runs the extend, DUPLICATE sets
+    rows for the batch.  Both must leave probe gating decisions
+    unchanged: candidates come from banded (an orphan sets row is
+    inert), and duplicate sets rows only duplicate verified hit rows,
+    which every consumer distinct-s."""
+    from yodel_etl_spark.scale.dedup import (
+        _minhash_tables,
+        write_minhash_index,
+    )
+
+    base_rows = [
+        (i, f"the quick brown fox {i} jumps over the lazy dog number {i}")
+        for i in range(40)
+    ]
+    inc_rows = [(1000 + i, t + " extra") for i, t in base_rows[::5]]
+    corpus = spark.createDataFrame(base_rows, "doc_id long, text string")
+    incoming = spark.createDataFrame(inc_rows, "doc_id long, text string")
+    extra = spark.createDataFrame(
+        [(5000 + i, f"wholly unrelated padding text {i} {i} {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+
+    idx = str(tmp_path / "mh_idx")
+    write_minhash_index(corpus, idx)
+    clean = _gating(spark, idx, incoming)
+    assert clean  # the planted twins gate
+
+    # crash state A: a batch's SETS landed, its BANDED did not
+    _, extra_sets = _minhash_tables(extra, "doc_id", "text", 64, 16, 3)
+    extra_sets.write.mode("append").parquet(f"{idx}/sets")
+    assert _gating(spark, idx, incoming) == clean  # orphan sets inert
+
+    # crash state B (post-replay): duplicate SETS rows for a batch the
+    # corpus already verified against
+    _, corpus_sets = _minhash_tables(corpus, "doc_id", "text", 64, 16, 3)
+    corpus_sets.write.mode("append").parquet(f"{idx}/sets")
+    assert _gating(spark, idx, incoming) == clean

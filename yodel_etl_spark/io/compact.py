@@ -471,6 +471,19 @@ def _names_drift(names: list[set[str] | None]) -> bool:
     return None in seen or len(seen) > 1
 
 
+def _name_fold(spark: SparkSession):
+    """THE column-name folding rule (honors ``spark.sql.caseSensitive``)
+    — single source shared by the vacuum count precheck and the footer
+    guard so the two can never disagree about what 'lacks a key column'
+    means."""
+    case_sensitive = (
+        spark.conf.get("spark.sql.caseSensitive", "false").lower() == "true"
+    )
+    if case_sensitive:
+        return lambda ns: set(ns)
+    return lambda ns: {n.lower() for n in ns}
+
+
 def _require_key_footers(
     spark: SparkSession, fs, files: list[tuple[str, int]], key_cols
 ) -> list[set[str] | None]:
@@ -483,13 +496,7 @@ def _require_key_footers(
     per-file footer name sets so the rewrite can reuse them for drift
     detection.  Metadata-grain — callers keep it off the healthy
     no-op path."""
-    case_sensitive = (
-        spark.conf.get("spark.sql.caseSensitive", "false").lower() == "true"
-    )
-
-    def _fold(ns):
-        return set(ns) if case_sensitive else {n.lower() for n in ns}
-
+    _fold = _name_fold(spark)
     names = _leaf_footer_names(fs, files)
     want_keys = _fold(key_cols)
     for (p, _sz), have in zip(files, names):
@@ -1063,13 +1070,8 @@ def _vacuum_leaf(
         # instead of the refusal contract — and a sampled schema
         # missing the key proves the sampled FILE misses it, so the
         # footer guard raises the contractual ValueError here
-        cs = (
-            spark.conf.get("spark.sql.caseSensitive", "false").lower()
-            == "true"
-        )
-        have_cols = set(df.columns) if cs else {c.lower() for c in df.columns}
-        want = set(key_cols) if cs else {c.lower() for c in key_cols}
-        if want - have_cols:
+        _fold = _name_fold(spark)
+        if _fold(key_cols) - _fold(df.columns):
             _require_key_footers(spark, fs, files, key_cols)
         # null-safe key grouping (count_distinct would IGNORE null-key
         # groups — dropDuplicates keeps them, so the report would drift

@@ -131,13 +131,19 @@ def train_quality_lr(
         slice_n = {0: n}
 
     def with_w(weights: list[float], batch: DataFrame) -> DataFrame:
-        # ONE pre-folded array literal (r15): F.lit(list) creates a
-        # single Literal(ArrayData) — no 513-node expression tree to
-        # analyze and, unlike the old one-row crossJoin(broadcast),
-        # no broadcast-exchange job per GD round (the per-round job
-        # constants were the measured cost at bench scale; at real
-        # scale this also removes a per-round driver barrier)
-        return batch.withColumn("warr", F.lit([float(x) for x in weights]))
+        # ONE array literal (r15): lit(ndarray) hits PySpark's ndarray
+        # branch and creates a single JVM array Literal — unlike
+        # lit(list), which expands to array(lit, lit, ...), a 513-node
+        # tree re-analyzed every round — and, unlike the old one-row
+        # crossJoin(broadcast), no broadcast-exchange job per GD round
+        # (the per-round job constants were the measured cost at bench
+        # scale; at real scale this also removes a per-round driver
+        # barrier)
+        import numpy as np
+
+        return batch.withColumn(
+            "warr", F.lit(np.asarray(weights, dtype=np.float64))
+        )
 
     w = [0.0] * (n_buckets + 1)
     for t in range(rounds):

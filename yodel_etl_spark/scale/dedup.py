@@ -992,19 +992,27 @@ def _extend_index_tables(banded: DataFrame, sets: DataFrame, path: str) -> None:
     index rows only duplicate probe CANDIDATES (decisions are
     distinct-ed), and a banded row whose sets twin is missing merely
     yields a candidate the verify inner-join drops until the replay
-    lands it.  Both frames derive from the batch's persisted signature
-    tables, so the concurrent jobs share the cached input."""
+    lands it; an orphan SETS row (sets landed, banded did not) is
+    inert — candidates come from banded (pinned in
+    tests/test_r15_opt.py's partial-extend interleaving test).  Both frames derive
+    from the batch's persisted signature tables, so the concurrent
+    jobs share the cached input."""
+    _concurrent_writes(
+        lambda: banded.write.mode("append").parquet(f"{path}/banded"),
+        lambda: sets.write.mode("append").parquet(f"{path}/sets"),
+    )
+
+
+def _concurrent_writes(*thunks) -> None:
+    """Submit independent write jobs from driver threads so their
+    stages overlap (the guide's fill-the-tail pattern); every thunk
+    completes (or the first failure propagates) before return — the
+    caller's next write keeps whatever ordering it had."""
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        fb = pool.submit(
-            lambda: banded.write.mode("append").parquet(f"{path}/banded")
-        )
-        fs_ = pool.submit(
-            lambda: sets.write.mode("append").parquet(f"{path}/sets")
-        )
-        fb.result()
-        fs_.result()
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        for f in [pool.submit(t) for t in thunks]:
+            f.result()
 
 
 def _pairs_from_tables(
@@ -1232,21 +1240,14 @@ def near_dedup_ingest(
                 # stays strictly LAST: _index_exists keys on it, so a
                 # crash anywhere before it leaves "no index" and the
                 # replay rebuilds via overwrite
-                from concurrent.futures import ThreadPoolExecutor
-
-                with ThreadPoolExecutor(max_workers=2) as pool:
-                    fb = pool.submit(
-                        lambda: novel_banded.write.mode("overwrite").parquet(
-                            f"{index_path}/banded"
-                        )
-                    )
-                    fs_ = pool.submit(
-                        lambda: novel_sets.write.mode("overwrite").parquet(
-                            f"{index_path}/sets"
-                        )
-                    )
-                    fb.result()
-                    fs_.result()
+                _concurrent_writes(
+                    lambda: novel_banded.write.mode("overwrite").parquet(
+                        f"{index_path}/banded"
+                    ),
+                    lambda: novel_sets.write.mode("overwrite").parquet(
+                        f"{index_path}/sets"
+                    ),
+                )
                 spark.createDataFrame(
                     [(nh, nb, kk)], "num_hashes int, bands int, k int"
                 ).write.mode("overwrite").parquet(f"{index_path}/params")

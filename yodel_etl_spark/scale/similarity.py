@@ -702,10 +702,13 @@ def hyperplane_lsh_pairs(
     verify keeps precision at 1; recall follows the banding curve.
 
     Scale shape: only ``(id, block, key)`` rows flow through the band
-    self-join and the pair ``distinct`` — vectors are joined back onto
-    the deduplicated candidate list afterwards, so the shuffles carry
-    narrow rows (the naive form shuffles every vector ``blocks`` times
-    and deduplicates rows carrying two full embeddings).
+    self-join, vectors attach to the (non-deduplicated) candidate list
+    via broadcast joins, and the ONLY exchange carries the thresholded
+    verified pairs — the final ``distinct`` runs on pairs, not
+    candidates (r15; see the inline note), so the operator shuffles
+    its output, never its candidate set (the naive form shuffles every
+    vector ``blocks`` times and deduplicates rows carrying two full
+    embeddings).
 
     ``vectorized_sketch=True`` swaps the codegen projection sums for
     the numpy-matmul sketch (:func:`hyperplane_sketch_banded_np`) —
