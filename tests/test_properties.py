@@ -13,6 +13,7 @@ reference's data domain (its feeds are ASCII service payloads).
 
 from __future__ import annotations
 
+import os
 import re
 
 from hypothesis import HealthCheck, given, settings
@@ -673,7 +674,18 @@ def test_partition_membership_matches_scan_truth(
     laxer than the JVM), whitespace, nan/inf, date-ish strings.  When
     the probe cannot prove parity it must return None (scan fallback),
     never a wrong verdict; when it answers, every leaf's verdict is
-    exactly the scan's all-or-nothing truth."""
+    exactly the scan's all-or-nothing truth.
+
+    Scan truth here is the operator's OWN exact path: ONE whole-table
+    read (``_batched_leaf_counts``'s shape) whose partition column is
+    typed by inference over ALL leaves, folded to leaf grain by
+    ``input_file_name``.  A per-leaf ``basePath`` read is NOT the
+    operator's semantics — inference over one leaf's value can type
+    the column differently (leaf ``part=1`` alone is int while
+    {'0.5','1'} is double table-wide) and under ANSI the pivot cast
+    then throws where the table-typed compare answers."""
+    from urllib.parse import unquote, urlparse
+
     from yodel_etl_spark.io.compact import (
         _fs_for,
         _partition_only_membership,
@@ -693,16 +705,27 @@ def test_partition_membership_matches_scan_truth(
         F.col("part") < F.lit(pivot),
         F.col("part").isNull(),
     ]
-    base = spark.read.option("basePath", path)
+    tbl = spark.read.parquet(path)
     for cond in conds:
         got = _partition_only_membership(spark, path, leaves, cond)
         if got is None:
             continue  # routed to the exact scan path — always safe
         assert set(got) == set(leaves)
+        per_file = (
+            tbl.groupBy(F.input_file_name().alias("__f"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cond.cast("long")).alias("m"),
+            )
+            .collect()
+        )
+        counts: dict[str, list[int]] = {leaf: [0, 0] for leaf in leaves}
+        for r in per_file:
+            leaf = os.path.dirname(unquote(urlparse(r["__f"]).path))
+            counts[leaf][0] += int(r["n"])
+            counts[leaf][1] += int(r["m"] or 0)
         for leaf in leaves:
-            part_df = base.parquet(leaf)
-            n = part_df.count()
-            m = part_df.where(cond).count()
+            n, m = counts[leaf]
             assert m in (0, n), "partition-only predicate must be all-or-nothing"
             assert got[leaf] == (m == n), (
                 leaf,

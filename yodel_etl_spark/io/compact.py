@@ -1165,88 +1165,131 @@ def _delete_stage_for_leaf(path: str, leaf: str) -> str:
 
 def _infer_partition_converter(vals: list):
     """Mimic Spark partition-value type inference over one column's
-    observed path-segment strings (integral → fractional → date →
-    timestamp → string, the discovery order partition pruning uses), so
-    driver-side predicate evaluation sees the same column types a
-    ``basePath`` read would reconstruct — without it, ``month < 10``
-    would compare lexicographically ('9' < '10' is false) and the fast
-    path would delete the wrong leaves.  Parsers are STRICT regex
-    gates, not Python's own (which are laxer than the JVM's:
-    ``int('1_0')`` == 10, ``int(' 7')`` == 7, ``float('nan')`` parses
-    — each would type a column numeric where Spark keeps it string,
-    and the fast path would then manifest-drop whole leaves the exact
-    scan path would keep).  Returns (python_converter,
-    spark_type_name); the converter VALIDATES only — the probe feeds
-    Spark the raw strings and casts them JVM-side, so cast semantics
-    (notably the session timezone for timestamps) match the scan path
-    exactly.  (None, None) disables the fast path for values
-    whose JVM typing is ambiguous from here — a string-typed column
-    still holding digit-leading / whitespace-padded / NaN-Infinity
-    values (Spark may type those date/decimal/double), or fractional
-    values beyond double's 15 significant digits (Spark types them
-    DECIMAL and compares exactly where a double probe would round).
-    Falling back to the per-leaf scan is always exact."""
+    observed path-segment strings, so driver-side predicate evaluation
+    sees the same column types a whole-table read would reconstruct —
+    without it, ``month < 10`` would compare lexicographically
+    ('9' < '10' is false) and the fast path would delete the wrong
+    leaves.  Two layers, both mirroring the JVM
+    (``PartitioningUtils``):
+
+    - PER VALUE: int → long → scale-0 decimal → double → date, gated
+      by STRICT regexes, not Python's own parsers (which are laxer
+      than the JVM's: ``int('1_0')`` == 10, ``int(' 7')`` == 7,
+      ``float('nan')`` parses — each would type a column numeric where
+      Spark keeps it string, and the fast path would then
+      manifest-drop whole leaves the exact scan path would keep).
+    - ACROSS VALUES: Spark widens per-value types with
+      ``findWiderTypeForPartitionColumn``, whose partition-specific
+      rules are double + decimal → STRING and double + long → STRING
+      (precision-loss guards), while double + int → double and
+      int/long/decimal mixes widen numerically.  A gate that typed
+      every double-parseable set ``double`` would answer numerically
+      where the scan compares raw spellings — ``{'0.5', '.5', '5.'}``
+      types STRING table-wide, so ``part == '0.5'`` misses leaf
+      ``part=.5`` in the scan but would hit it under a double probe: a
+      wrong delete.  (Found by the exhaustive spelling-lattice sweep,
+      tests/test_membership_sweep.py.)
+
+    Returns (python_converter, spark_type_name); the converter
+    VALIDATES only — the probe feeds Spark the raw strings and casts
+    them JVM-side, so cast semantics (notably the session timezone for
+    timestamps) match the scan path exactly.  int-vs-bigint and
+    decimal-vs-double differences from the real inference are
+    verdict-safe: string pivots coerce through the same casts, and
+    values past double's 15 significant digits bail.  (None, None)
+    disables the fast path for values whose JVM typing is ambiguous
+    from here — a string-typed column still holding digit-leading /
+    whitespace-padded / NaN-Infinity values (Spark may type those
+    date/decimal/double).  Falling back to the scan is always exact."""
     import datetime as _dt
     import re
+    from decimal import Decimal as _Dec
+    from decimal import InvalidOperation
 
     nn = [v for v in vals if v is not None]
 
-    def _int(v: str) -> int:
-        if not re.fullmatch(r"[+-]?\d+", v):
-            raise ValueError(v)
-        i = int(v)
-        if not -(2**63) <= i < 2**63:
-            raise ValueError(v)  # JVM long overflow ⇒ Spark picks decimal
-        return i
+    _INT_RE = re.compile(r"[+-]?\d+")
+    _DEC_RE = re.compile(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?")
+    _DATE_RE = re.compile(r"\d{4}-\d{2}-\d{2}")
+    _TS_RE = re.compile(
+        r"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d{1,6})?"
+    )
 
-    def _dbl(v: str) -> float:
-        if not re.fullmatch(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", v):
-            raise ValueError(v)
-        if len(re.sub(r"[^0-9]", "", v).lstrip("0")) > 15:
-            # Spark types fractionals DECIMAL first; past double
-            # precision the decimal-exact compare can differ from this
-            # probe's float — ambiguous, disable
-            raise ValueError(v)
-        return float(v)
+    def _sig_digits(v: str) -> int:
+        # digit count the double-safety cap uses (exponent digits
+        # included — conservative: only ever bails MORE)
+        return len(re.sub(r"[^0-9]", "", v).lstrip("0"))
 
-    def _date(v: str):
-        if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", v):
-            raise ValueError(v)
-        return _dt.date.fromisoformat(v)
+    def _cls(v: str) -> str:
+        """Spark's per-value partition type (class-grained)."""
+        if _INT_RE.fullmatch(v):
+            i = int(v)
+            if -(2**31) <= i < 2**31:
+                return "int"
+            if -(2**63) <= i < 2**63:
+                return "long"
+            return "dec"  # JVM: BigDecimal, scale 0
+        if _DEC_RE.fullmatch(v):
+            try:
+                d = _Dec(v).as_tuple()
+            except InvalidOperation:
+                return "str"
+            scale = -d.exponent
+            if scale <= 0 and len(d.digits) <= 38:
+                return "dec"  # '5.', '1e2': scale-0 JVM BigDecimal
+            return "dbl"
+        if _DATE_RE.fullmatch(v):
+            try:
+                _dt.date.fromisoformat(v)
+                return "date"
+            except ValueError:
+                return "str"
+        if _TS_RE.fullmatch(v):
+            try:
+                _dt.datetime.fromisoformat(v.replace(" ", "T"))
+                return "ts"
+            except ValueError:
+                return "str"
+        return "str"
 
-    def _ts(v: str):
-        if not re.fullmatch(
-            r"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d{1,6})?", v
-        ):
-            raise ValueError(v)
-        return _dt.datetime.fromisoformat(v.replace(" ", "T"))
-
-    def all_parse(fn) -> bool:
-        if not nn:
-            return False
-        try:
+    ident = lambda v: v  # noqa: E731 — converters validate only
+    if not nn:
+        # all-null column: every probe row is NULL and NULL evaluates
+        # identically under any typing — string is as exact as any
+        return ident, "string"
+    if nn:
+        classes = {_cls(v) for v in nn}
+        if classes <= {"int", "long", "dec", "dbl"}:
+            if "dbl" in classes and classes & {"long", "dec"}:
+                # Spark's findWiderTypeForPartitionColumn: STRING —
+                # raw spellings compare lexicographically either way
+                return ident, "string"
+            if classes & {"dbl", "dec"}:
+                if any(_sig_digits(v) > 15 for v in nn):
+                    # past double precision the scan's decimal-exact
+                    # compare can differ from a double probe — bail
+                    return None, None
+                return ident, "double"
+            return ident, "bigint"
+        if classes == {"date"}:
+            return ident, "date"
+        if classes == {"ts"}:
+            return ident, "timestamp"
+        if classes == {"str"}:
             for v in nn:
-                fn(v)
-            return True
-        except ValueError:
-            return False
-
-    for fn, tname in (
-        (_int, "bigint"),
-        (_dbl, "double"),
-        (_date, "date"),
-        (_ts, "timestamp"),
-    ):
-        if all_parse(fn):
-            return fn, tname
-    for v in nn:
-        if (
-            v != v.strip()
-            or (v and (v[0].isdigit() or v[0] in "+-."))
-            or v.strip() in ("NaN", "Infinity", "+Infinity", "-Infinity")
-        ):
-            return None, None  # JVM might not type this string — bail
-    return (lambda v: v), "string"
+                if (
+                    v != v.strip()
+                    or (v and (v[0].isdigit() or v[0] in "+-."))
+                    or v.strip()
+                    in ("NaN", "Infinity", "+Infinity", "-Infinity")
+                ):
+                    # JVM might still type this string (Double.parseDouble
+                    # trims whitespace and accepts NaN/Infinity) — bail
+                    return None, None
+            return ident, "string"
+    # mixed date/timestamp/string-with-numeric sets widen by rules not
+    # modeled here (usually to string, date+ts to ts) — scan is exact
+    return None, None
 
 
 #: function names (Column API and SQL spellings both arrive as
