@@ -19,6 +19,7 @@ already oracle-backed (ev_daily, dedup_minhash_lsh).
 from __future__ import annotations
 
 import atexit
+import hashlib
 import os
 import shutil
 
@@ -72,10 +73,18 @@ def _pristine_src(name: str, sf_dir: str, build) -> str:
     built ONCE by ``build(src)`` and reused across bench samples (the
     ``_ingest_src`` conventions: pid-keyed tmpfs path, atexit-removed;
     the completion marker is a SIBLING file written after the build so
-    a crashed half-built tree is rebuilt, never trusted)."""
+    a crashed half-built tree is rebuilt, never trusted).  The key
+    includes a hash of the FULL ``sf_dir`` path, not just its basename:
+    two data dirs sharing a basename in one process must not hit the
+    same marker-validated cache and serve the wrong corpus."""
+    sf_key = (
+        os.path.basename(sf_dir.rstrip("/"))
+        + "_"
+        + hashlib.md5(sf_dir.rstrip("/").encode("utf-8")).hexdigest()[:8]
+    )
     src = os.path.join(
         _scratch_root(),
-        f"yodel_{name}_src_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+        f"yodel_{name}_src_{sf_key}_{os.getpid()}",
     )
     marker = src + ".ok"
     if os.path.isfile(marker):

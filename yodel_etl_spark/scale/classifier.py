@@ -58,10 +58,11 @@ def _margin(n_buckets: int) -> Column:
     Reads PRE-BUCKETED token ids (``tb``, computed once when the base
     caches — md5-hashing every token again in every round doubled the
     per-round cost) against the weight vector in the ``warr`` column
-    (buckets first, bias last) — since r15 a single pre-folded array
-    literal (``F.lit(list)``), which keeps the plan one node AND drops
-    the per-round broadcast-exchange job the old one-row crossJoin
-    paid."""
+    (buckets first, bias last) — since r15 a single true array literal
+    (``F.lit(np.ndarray)``; ``F.lit(list)`` would expand to a 513-node
+    ``array(lit, …)`` tree re-analyzed every round — see ``with_w``),
+    which keeps the plan one node AND drops the per-round
+    broadcast-exchange job the old one-row crossJoin paid."""
     s = F.aggregate(
         "tb",
         F.lit(0.0),

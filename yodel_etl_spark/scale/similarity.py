@@ -116,10 +116,50 @@ def _nearest_cells(
     cell id.  The single definition of 'nearest cell' shared by index
     build, delta extend, serving, and probe — the nprobe/assignment
     geometry must be identical everywhere or extends and probes
-    disagree about where a vector lives."""
+    disagree about where a vector lives.
+
+    Ranking is ORDERING-semantics over ``(sim DESC, cell ASC)`` in both
+    physical forms below: NaN ranks above every real sim (Spark sorts
+    and aggregates NaN as the largest double), NULL sims rank last, and
+    sim ties break toward the smaller cell.
+
+    ``n == 1`` (index build / delta extend / assignment — the hot
+    write-side paths) uses ``max_by`` over ``struct(sim, ~cell)``
+    instead of a ``row_number`` window: ``max_by`` ranks by the same
+    interpreted ordering a sort uses (NaN largest, NULLs smallest — a
+    NULL-sim struct loses to any real-sim struct exactly like
+    DESC-NULLS-LAST; parity pinned in tests/test_r16_opt.py).  Plan
+    effect (plans/r16): the window form ran Sort + WindowGroupLimit on
+    BOTH sides of its exchange plus the Window rank itself and the
+    rank filter; the aggregate form is one partial/final ``max_by``
+    pair.  Shuffled volume is comparable on Spark ≥ 3.5 (the window's
+    map-side WindowGroupLimit already pre-limits each key's
+    ``n_cells`` candidates to one row before the exchange — every
+    key's candidates are co-located, the broadcast crossJoin
+    replicates in place); on engines without that rewrite the window
+    form exchanges the full ``n_cells×`` candidate multiplication
+    while partial aggregation always collapses map-side.  ``~cell``
+    (bitwise NOT) reverses long order with no MIN_VALUE overflow,
+    turning max into the cell-ASC tie-break."""
     scored = frame.crossJoin(F.broadcast(cents)).withColumn(
         "sim", cosine(F.col(vec), F.col("cvec"))
     )
+    if n == 1:
+        out_cols = [c for c in frame.columns] + ["cell"]
+        carry = F.struct(
+            *[F.col(c) for c in frame.columns if c != key], F.col("cell")
+        )
+        best = scored.groupBy(key).agg(
+            F.max_by(
+                carry, F.struct(F.col("sim"), F.bitwise_not(F.col("cell")))
+            ).alias("_best")
+        )
+        return best.select(
+            *[
+                F.col(c) if c == key else F.col(f"_best.{c}")
+                for c in out_cols
+            ]
+        )
     w = Window.partitionBy(key).orderBy(F.col("sim").desc(), F.col("cell"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -702,13 +742,16 @@ def hyperplane_lsh_pairs(
     verify keeps precision at 1; recall follows the banding curve.
 
     Scale shape: only ``(id, block, key)`` rows flow through the band
-    self-join, vectors attach to the (non-deduplicated) candidate list
-    via broadcast joins, and the ONLY exchange carries the thresholded
-    verified pairs — the final ``distinct`` runs on pairs, not
-    candidates (r15; see the inline note), so the operator shuffles
-    its output, never its candidate set (the naive form shuffles every
-    vector ``blocks`` times and deduplicates rows carrying two full
-    embeddings).
+    self-join, and the final ``distinct`` runs on thresholded pairs,
+    not candidates (r15; see the inline note) — the naive form
+    deduplicated rows carrying two full embeddings.  At bench scale
+    the vector-attach joins broadcast (AQE: ``v`` is small), so the
+    only exchange carries verified pairs; at corpus scale ``v``
+    exceeds the broadcast cap and the attach degrades to a shuffle
+    join of the NON-deduplicated candidate ids — there the
+    pre-verify-distinct trade should be re-measured per corpus (band
+    multiplicity × narrow-id shuffle vs one candidate-set exchange;
+    the MinHash family deliberately keeps the opposite choice).
 
     ``vectorized_sketch=True`` swaps the codegen projection sums for
     the numpy-matmul sketch (:func:`hyperplane_sketch_banded_np`) —
@@ -737,10 +780,10 @@ def hyperplane_lsh_pairs(
     # of the band blocks is verified k times (k ≤ blocks) and the
     # duplicates collapse in the FINAL distinct below, which runs on
     # the thresholded output — pairs, not candidates.  The old
-    # pre-verify distinct exchanged the whole candidate set (the only
-    # shuffle in the operator: the band self-join and both vector
-    # attach joins broadcast); post-verify, the only exchange carries
-    # verified pairs, which the threshold makes a strict subset.  The
+    # pre-verify distinct exchanged the whole candidate set (at bench
+    # scale the only shuffle in the operator: the band self-join and
+    # both vector-attach joins broadcast there); post-verify, the only
+    # exchange carries verified pairs, a strict subset.  The
     # verified pair set is identical either way — cosine is a pure
     # function of the pair — measured 2.57 → 1.15 s on elsh's
     # dense-cluster corpus (3.5M candidates → 550 pairs).
