@@ -115,3 +115,60 @@ def test_nearest_cells_n1_matches_window_on_random_vectors(spark):
         for r in _window_nearest(frame, cents, "id", "vec", 1).collect()
     )
     assert got == want
+
+
+def test_upsert_rollup_writes_one_file_per_partition(spark, tmp_path):
+    """r16: the merged write clusters by the partition column, so each
+    affected partition gets exactly ONE file per upsert — the merge's
+    groupBy otherwise spreads a partition's rows over several reducers
+    and each writes its own small file (re-fragmented on every upsert,
+    since dynamic overwrite replaces partitions wholesale)."""
+    import glob
+    import os
+
+    from yodel_etl_spark.io.rollup import read_rollup, upsert_rollup
+
+    path = str(tmp_path / "roll")
+    rows = [(d, f"t{k}", d * 10 + k) for d in range(6) for k in range(5)]
+    df = spark.createDataFrame(rows, "d int, et string, v long")
+    aggs = {"s": ("sum", "v"), "n": ("count", None)}
+    upsert_rollup(spark, path, df.where("d < 4"), "d", ["et"], aggs)
+    upsert_rollup(spark, path, df.where("d >= 2"), "d", ["et"], aggs)
+    parts = sorted(glob.glob(path + "/d=*"))
+    assert len(parts) == 6
+    for p in parts:
+        assert len(glob.glob(os.path.join(p, "*.parquet"))) == 1, p
+    # and the merge math still holds: overlap days d=2,3 double-count
+    # per the documented at-least-once contract (delta applied twice)
+    got = {
+        (r["d"], r["et"]): (r["s"], r["n"])
+        for r in read_rollup(spark, path, aggs).collect()
+    }
+    assert got[(0, "t0")] == (0, 1)
+    assert got[(2, "t1")] == (2 * (2 * 10 + 1), 2)
+
+
+def test_delete_mixed_predicate_heterogeneous_spellings(spark, tmp_path):
+    """r16: a MIXED (partition + data column) delete over heterogeneous
+    partition spellings must evaluate the rewrite under the same
+    TABLE-WIDE partition typing the batched count used.  With the old
+    per-leaf basePath read, leaf part=1 inferred int while {'0.5','1'}
+    is double table-wide, and the rewrite threw CAST_INVALID_INPUT
+    mid-delete (ANSI) after the count had already ordered it."""
+    from yodel_etl_spark.io.compact import delete_parquet_where
+
+    path = str(tmp_path / "t")
+    rows = [(i, v) for v in ("0.5", "1") for i in range(6)]
+    spark.createDataFrame(rows, "k long, part string").write.partitionBy(
+        "part"
+    ).parquet(path)
+    rep = delete_parquet_where(spark, path, "part >= '0.5' AND k >= 3")
+    assert (rep["rows_before"], rep["n_deleted"], rep["rows_after"]) == (
+        12,
+        6,
+        6,
+    )
+    got = sorted(
+        (r["k"], r["part"]) for r in spark.read.parquet(path).collect()
+    )
+    assert got == [(i, v) for i in range(3) for v in (0.5, 1.0)]

@@ -1432,6 +1432,36 @@ def _analyzed_plan_deterministic(df) -> bool:
         return False
 
 
+def _leaf_part_values(
+    path: str, leaves: list[str]
+) -> dict[str, dict[str, str | None]] | None:
+    """``{leaf: {col: raw_value_or_None}}`` parsed from a regular hive
+    layout's path segments (``__HIVE_DEFAULT_PARTITION__`` → None,
+    percent-escapes decoded), or None for flat/ragged layouts.  Shared
+    by the membership probe and the rewrite frame's typed-literal
+    partition attach — both must see the SAME raw spellings."""
+    from urllib.parse import unquote
+
+    out: dict[str, dict[str, str | None]] = {}
+    cols0: list[str] | None = None
+    for leaf in leaves:
+        rel = os.path.relpath(leaf, path.rstrip("/"))
+        if rel == ".":
+            return None  # flat table: no partition columns at all
+        vals: dict[str, str | None] = {}
+        for seg in rel.split(os.sep):
+            if "=" not in seg:
+                return None  # not a hive-layout leaf
+            k, v = seg.split("=", 1)
+            vals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+        if cols0 is None:
+            cols0 = sorted(vals)
+        elif sorted(vals) != cols0:
+            return None  # ragged layout
+        out[leaf] = vals
+    return out
+
+
 def _partition_only_membership(
     spark: SparkSession, path: str, leaves: list[str], cond
 ) -> dict[str, bool] | None:
@@ -1464,25 +1494,15 @@ def _partition_only_membership(
     ``spark.sql.sources.partitionColumnTypeInference.enabled`` is
     false every probe column stays STRING (lexicographic compares),
     mirroring what the scan path sees under that configuration."""
-    from urllib.parse import unquote
-
     from pyspark.sql import functions as F
 
-    rows: list[dict] = []
-    for leaf in leaves:
-        rel = os.path.relpath(leaf, path.rstrip("/"))
-        if rel == ".":
-            return None  # flat table: no partition columns at all
-        vals: dict[str, str | None] = {}
-        for seg in rel.split(os.sep):
-            if "=" not in seg:
-                return None  # not a hive-layout leaf
-            k, v = seg.split("=", 1)
-            vals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
-        rows.append(vals)
+    by_leaf = _leaf_part_values(path, leaves)
+    if by_leaf is None:
+        return None  # flat or ragged layout
+    rows = [by_leaf[leaf] for leaf in leaves]
     cols = sorted(rows[0])
-    if any(sorted(r) != cols for r in rows) or "__leaf__" in cols:
-        return None  # ragged layout (or a pathological column name)
+    if "__leaf__" in cols:
+        return None  # pathological column name
     # eligibility is proven from the predicate's OWN tree, silently:
     # every reference must be a single-part name naming a partition
     # column, and no file-context / random / star / subquery construct
@@ -1794,24 +1814,46 @@ def delete_parquet_where(
         # read the SNAPSHOT file list, never the directory: counts,
         # survivor filters and retire manifests must all see the same
         # files, so a concurrent append between snapshot and rewrite
-        # is simply untouched (neither copied nor retired).  basePath
-        # reconstructs partition columns (path segments, not file
-        # columns) onto the rows so the predicate can reference them
-        # alongside data columns (mixed shapes:
-        # `event_type = 'x' OR value < 0`)
-        # merged only when the leaf's footers drift: survivor rewrites
-        # must carry columns present in only SOME of the leaf's files
-        # (NULL-filled elsewhere) instead of dropping them with the
-        # sampled schema; for the predicate itself the merged read
-        # keeps the documented NULL contract — rows from a file
-        # lacking the predicate column evaluate NULL and SURVIVE (a
-        # delete removes only affirmatively-selected rows), while a
+        # is simply untouched (neither copied nor retired).  Partition
+        # columns (path segments, not file columns) must land on the
+        # rows so the predicate can reference them alongside data
+        # columns (mixed shapes: `event_type = 'x' OR value < 0`).
+        # They attach as TYPED LITERALS — the leaf's raw path value
+        # cast inside Spark to the TABLE-WIDE inferred type (the
+        # membership probe's exact machinery) — never via a per-leaf
+        # ``basePath`` read: single-leaf partition inference types the
+        # column leaf-LOCALLY, and when leaf spellings are
+        # heterogeneous ({'0.5','1'}: double table-wide, int on leaf
+        # part=1) the rewrite would evaluate the predicate under a
+        # DIFFERENT typing than the batched count that ordered the
+        # rewrite — under ANSI the pivot cast throws mid-delete, and
+        # with ANSI off the survivor filter silently disagrees with
+        # the count (r16; tests/test_r16_opt.py pins both).  When the
+        # typing gate cannot prove the table-wide type the basePath
+        # read remains (status quo: those spellings bail to the exact
+        # scan paths before any rewrite is ordered).
+        # mergeSchema only when the leaf's footers drift: survivor
+        # rewrites must carry columns present in only SOME of the
+        # leaf's files (NULL-filled elsewhere) instead of dropping
+        # them with the sampled schema; for the predicate itself the
+        # merged read keeps the documented NULL contract — rows from a
+        # file lacking the predicate column evaluate NULL and SURVIVE
+        # (a delete removes only affirmatively-selected rows), while a
         # whole-leaf missing column still raises.  The uniform corpus
         # pays footer probes only on leaves that count exactly or
         # rewrite — never on the zero-match fast path.
         reader = spark.read
         if _names_drift(_leaf_footer_names(fs, files)):
             reader = reader.option("mergeSchema", "true")
+        if part_cols and part_types() is not None:
+            df = reader.parquet(*[p for p, _ in files])
+            types = part_types()
+            for c in part_cols:  # path order, matching a basePath read
+                lit = F.lit(part_vals()[leaf][c])
+                if types[c] != "string":
+                    lit = lit.cast(types[c])
+                df = df.withColumn(c, lit)
+            return df
         if part_cols:
             reader = reader.option("basePath", path)
         return reader.parquet(*[p for p, _ in files])
@@ -1920,6 +1962,38 @@ def delete_parquet_where(
             "n_leaves_rewritten": 0,
             "leaves": [],
         }
+    # table-wide partition typing for the rewrite frames, computed ONCE
+    # from the already-listed leaf paths (pure driver-side string work;
+    # see _leaf_frame's typed-literal note).  None ⇒ flat/ragged layout
+    # or a spelling set whose JVM typing the gate cannot prove — the
+    # basePath read stays for those.
+    _pv = _leaf_part_values(path, leaves)
+    _pt: dict[str, str] | None = None
+    if _pv is not None:
+        pcols = sorted(next(iter(_pv.values())))
+        if (
+            spark.conf.get(
+                "spark.sql.sources.partitionColumnTypeInference.enabled",
+                "true",
+            ).lower()
+            == "false"
+        ):
+            _pt = {c: "string" for c in pcols}
+        else:
+            cand = {
+                c: _infer_partition_converter(
+                    [_pv[leaf][c] for leaf in leaves]
+                )[1]
+                for c in pcols
+            }
+            _pt = None if any(t is None for t in cand.values()) else cand
+
+    def part_vals():
+        return _pv
+
+    def part_types():
+        return _pt
+
     # one driver-side membership decision for ALL leaves when the
     # predicate is partition-only; None engages the scan paths below.
     # Report pricing comes from parquet footers on every scheme (the

@@ -188,7 +188,19 @@ def upsert_rollup(
         )
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            merged.write.mode("overwrite").partitionBy(part_col).parquet(path)
+            # cluster by the partition column before the write: the
+            # merge's groupBy hash-distributes (partition, keys) pairs,
+            # so each partition value's rows land on SEVERAL reducers
+            # and every reducer emits its own file per partition —
+            # measured 5 files per ~2-8 KB partition at sf0.1, and at
+            # scale every upsert re-fragments each affected partition
+            # (dynamic overwrite replaces wholesale; fragmentation
+            # never self-heals).  One extra exchange of rollup-GRAIN
+            # rows (post-aggregation, ≪ delta) buys exactly one file
+            # per partition per upsert (guide §6: output file sizing).
+            merged.repartition(F.col(part_col)).write.mode(
+                "overwrite"
+            ).partitionBy(part_col).parquet(path)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     finally:
