@@ -44,18 +44,21 @@ def test_counter14_window_is_oracle_backed_and_rotates_the_starved_in(
     assert all(n not in w12 and n not in w13 for n in rotated_in)
 
 
-def test_rotation_phase_floor_is_14():
+def test_rotation_phase_floor_is_at_least_14():
     """The durable floor rides the round: a fresh checkout without the
-    untracked CORRECTNESS artifacts must resume rotation at counter 14,
-    not reset to 0 (which would silently re-run the counter-0 window
-    and break the cross-round ledger)."""
+    untracked CORRECTNESS artifacts must resume rotation at counter 14
+    or later, not reset to 0 (which would silently re-run the
+    counter-0 window and break the cross-round ledger).  Exact
+    equality is pinned by the CURRENT round's window test only
+    (tests/test_r16_window.py) — this one keeps the historical
+    lower bound."""
     import os
 
     import __spark_entry__ as e
 
     here = os.path.dirname(os.path.abspath(e.__file__))
     with open(os.path.join(here, "ROTATION_PHASE")) as fh:
-        assert int(fh.read().strip()) == 14
+        assert int(fh.read().strip()) >= 14
     assert e._round_counter() >= 14
 
 
